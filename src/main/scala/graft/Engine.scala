@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: one place that owns engine-wide settings, mirroring the
+  * role of the reference's session bootstrap (tinysql `session/session.go:562`
+  * owns parse→optimize→execute settings per session).
+  *
+  * Scale posture: AQE on (runtime join-strategy switching + skew-join +
+  * partition coalescing replaces the reference's cost-based copTask sizing,
+  * `planner/core/task.go:80-115`), shuffle partitions sized to cores for
+  * local mode (a real cluster would use dynamic AQE coalescing from a larger
+  * initial number).
+  */
+object Engine {
+  def session(cores: Int = 32, app: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
