@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** All operator modules, in SURVEY §2 order. */
   private def modules: Seq[QueryModule] = Seq(
-    operators.Relational)
+    operators.Relational,
+    operators.Expressions,
+    operators.Dml)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DML surface — SURVEY.md §2.1 sinks: INSERT, REPLACE, DELETE (the
+  * reference has no UPDATE). On immutable parquet these are rewrite-based
+  * transformations; the helpers below are the reusable operators, and the
+  * queries expose the post-statement table state for the oracle.
+  *
+  * Scale note: on a real lake these compose with partition-level rewrite
+  * (only rewrite partitions containing affected keys); the dataflow shape
+  * (union / window-dedup / anti-filter) is unchanged.
+  */
+object Dml extends QueryModule {
+
+  /** INSERT INTO base SELECT ... (`executor/insert_common.go:340`). */
+  def insertInto(base: DataFrame, rows: DataFrame): DataFrame =
+    base.unionByName(rows)
+
+  /** DELETE FROM base WHERE cond (`executor/delete.go:28`): rows where
+    * cond is TRUE are removed; FALSE and NULL rows are kept.
+    */
+  def delete(base: DataFrame, cond: Column): DataFrame =
+    base.where(!coalesce(cond, lit(false)))
+
+  /** REPLACE INTO (`executor/replace.go:29`): delete-on-duplicate-key —
+    * an incoming row replaces any existing row with the same key.
+    * Implemented as union + per-key priority dedup (map-side combinable,
+    * one shuffle on the key — scalable MERGE shape).
+    */
+  def replaceInto(base: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri").desc)
+    base.withColumn("__pri", lit(1))
+      .unionByName(incoming.withColumn("__pri", lit(2)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__pri", "__rn")
+  }
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("dml_insert_select",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val fromSupplier = Tables.load(s, d, "supplier").select(
+          (col("s_suppkey") + 1000000L).as("c_custkey"),
+          col("s_name").as("c_name"),
+          col("s_nationkey").as("c_nationkey"),
+          col("s_acctbal").as("c_acctbal"),
+          lit("SUPPLIER").as("c_mktsegment"))
+        insertInto(c, fromSupplier).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment"))
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS bal,
+                     c_mktsegment
+              FROM (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                           c_mktsegment FROM customer
+                    UNION ALL
+                    SELECT s_suppkey + 1000000, s_name, s_nationkey, s_acctbal,
+                           'SUPPLIER' FROM supplier)""")),
+
+    Q("dml_delete",
+      (s, d) => delete(
+          Tables.load(s, d, "orders"),
+          col("o_orderstatus") === "F" && col("o_totalprice") < 100000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+              WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)""")),
+
+    Q("dml_replace",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val incoming = c.where(col("c_custkey") % 10 === 0).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 1000).as("c_acctbal"),
+          lit("REPLACED").as("c_mktsegment"))
+        replaceInto(c, incoming, Seq("c_custkey")).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment"))
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS bal,
+                     c_mktsegment
+              FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                                 ORDER BY __pri DESC) AS __rn
+                    FROM (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                                 c_mktsegment, 1 AS __pri FROM customer
+                          UNION ALL
+                          SELECT c_custkey, c_name, c_nationkey,
+                                 c_acctbal + 1000, 'REPLACED', 2 FROM customer
+                          WHERE c_custkey % 10 = 0))
+              WHERE __rn = 1"""))
+  )
+}

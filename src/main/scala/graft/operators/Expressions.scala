@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.StrCmp
+import org.apache.spark.sql.functions._
+
+/** Scalar-expression parity — SURVEY.md §2.8: the reference's complete
+  * function surface (arithmetic, comparison, logic, control, predicates,
+  * string) with MySQL semantics where they differ from Spark defaults:
+  * int `/` int yields double (`builtin_arithmetic.go:471` casts to real),
+  * division by NULL/zero yields NULL (guarded with nullif), LENGTH counts
+  * BYTES (`builtin_string.go:128`), tri-valued NULL logic throughout.
+  */
+object Expressions extends QueryModule {
+
+  override val queries: Seq[Q] = Seq(
+
+    // Arithmetic: + - * / with int and real paths; MySQL true division.
+    Q("expr_arith",
+      (s, d) => Tables.load(s, d, "part").select(
+        col("p_partkey"),
+        (col("p_size") + 1).as("add_i"),
+        (col("p_size") - 2).as("sub_i"),
+        (col("p_size") * 3).as("mul_i"),
+        (col("p_size") / 4).as("div_ii"),
+        round(col("p_retailprice") / col("p_size"), 4).as("div_r"),
+        (col("p_partkey") / nullif(col("p_size") - col("p_size"), lit(0)))
+          .as("div_by_zero"),
+        (-col("p_size")).as("neg")),
+      Some("""SELECT p_partkey, p_size + 1 AS add_i, p_size - 2 AS sub_i,
+                     p_size * 3 AS mul_i, p_size / 4 AS div_ii,
+                     round(p_retailprice / p_size, 4) AS div_r,
+                     p_partkey / nullif(p_size - p_size, 0) AS div_by_zero,
+                     -p_size AS neg
+              FROM part""")),
+
+    // Comparison operators incl. NULL operands (tri-valued).
+    Q("expr_compare",
+      (s, d) => Tables.load(s, d, "part").select(
+        col("p_partkey"),
+        (col("p_size") === 25).as("eq"),
+        (col("p_size") =!= 25).as("ne"),
+        (col("p_size") < 25).as("lt"),
+        (col("p_size") <= 25).as("le"),
+        (col("p_size") > 25).as("gt"),
+        (col("p_size") >= 25).as("ge"),
+        (nullif(col("p_size"), lit(25)) < 25).as("lt_null")),
+      Some("""SELECT p_partkey, p_size = 25 AS eq, p_size != 25 AS ne,
+                     p_size < 25 AS lt, p_size <= 25 AS le, p_size > 25 AS gt,
+                     p_size >= 25 AS ge, nullif(p_size, 25) < 25 AS lt_null
+              FROM part""")),
+
+    // AND / OR / NOT with NULL propagation (NULL AND TRUE = NULL,
+    // NULL OR TRUE = TRUE — `expression/builtin_op.go:383`).
+    Q("expr_logic",
+      (s, d) => Tables.load(s, d, "part").select(
+        col("p_partkey"),
+        (col("p_size") > 10 && col("p_size") < 40).as("band"),
+        (col("p_size") < 5 || col("p_size") > 45).as("tails"),
+        (!(col("p_size") === 25)).as("noteq"),
+        (nullif(col("p_size"), lit(25)) > 10 && col("p_size") > 0)
+          .as("null_and"),
+        (nullif(col("p_size"), lit(25)) > 10 || lit(true)).as("null_or")),
+      Some("""SELECT p_partkey,
+                     (p_size > 10 AND p_size < 40) AS band,
+                     (p_size < 5 OR p_size > 45) AS tails,
+                     NOT (p_size = 25) AS noteq,
+                     (nullif(p_size, 25) > 10 AND p_size > 0) AS null_and,
+                     (nullif(p_size, 25) > 10 OR TRUE) AS null_or
+              FROM part""")),
+
+    // Control: IF / IFNULL (`expression/builtin_control.go:299`).
+    Q("expr_control",
+      (s, d) => Tables.load(s, d, "part").select(
+        col("p_partkey"),
+        when(col("p_size") > 25, "big").otherwise("small").as("sz"),
+        coalesce(
+          when(col("p_size") > 25, lit(null)).otherwise(col("p_brand")),
+          lit("dflt")).as("ifn")),
+      Some("""SELECT p_partkey,
+                     CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS sz,
+                     coalesce(CASE WHEN p_size > 25 THEN NULL ELSE p_brand END,
+                              'dflt') AS ifn
+              FROM part""")),
+
+    // Predicates: IN (list), BETWEEN (rewritten >= AND <= in the
+    // reference, `expression_rewriter.go:321`), IS NULL.
+    Q("expr_predicates",
+      (s, d) => Tables.load(s, d, "part").select(
+        col("p_partkey"),
+        col("p_size").isin(1, 5, 10, 25).as("in_list"),
+        col("p_size").between(10, 20).as("btw"),
+        nullif(col("p_size"), lit(25)).isNull.as("is_null")),
+      Some("""SELECT p_partkey, p_size IN (1, 5, 10, 25) AS in_list,
+                     p_size BETWEEN 10 AND 20 AS btw,
+                     nullif(p_size, 25) IS NULL AS is_null
+              FROM part""")),
+
+    // String: LENGTH (MySQL counts BYTES), OCTET_LENGTH, STRCMP (custom
+    // codegen'd Catalyst expression, graft.functions.StrCmp).
+    Q("expr_string",
+      (s, d) => {
+        StrCmp.register(s)
+        Tables.load(s, d, "part").select(
+          col("p_partkey"),
+          octet_length(col("p_name")).as("byte_len"),
+          length(col("p_name")).as("char_len"),
+          StrCmp.strcmp(col("p_name"), col("p_brand")).as("cmp_brand"))
+      },
+      Some("""SELECT p_partkey,
+                     octet_length(encode(p_name)) AS byte_len,
+                     length(p_name) AS char_len,
+                     CASE WHEN p_name < p_brand THEN -1
+                          WHEN p_name = p_brand THEN 0 ELSE 1 END AS cmp_brand
+              FROM part"""))
+  )
+}
