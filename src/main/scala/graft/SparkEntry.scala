@@ -14,7 +14,9 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.Expressions,
-    operators.Dml)
+    operators.Dml,
+    operators.EventsOps,
+    operators.TextOps)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

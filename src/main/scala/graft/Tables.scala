@@ -27,4 +27,16 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
+    * to its microsecond TimestampType. Read nanos as long and truncate to
+    * a µs timestamp — identical to DuckDB's `epoch_us` truncation, so
+    * oracle comparisons stay exact.
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 }

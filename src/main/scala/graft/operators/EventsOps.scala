@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.ExactNum._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table, batch-first (the same
+  * transforms run under Structured Streaming — see graft.streaming).
+  * Beyond the reference's surface (it has no streaming/windows, SURVEY
+  * §2.10); part of the training-data-pipeline extension set.
+  */
+object EventsOps extends QueryModule {
+
+  override val queries: Seq[Q] = Seq(
+
+    // Tumbling-window aggregation: groupBy(window(ts)) shuffles once on
+    // (window, type) — the shape that scales to 100 TB of logs.
+    Q("events_window_agg",
+      (s, d) => Tables.loadEvents(s, d)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_val"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("n"), col("sum_val")),
+      Some(s"""SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+                               '%Y-%m-%d %H:%M:%S') AS win_start,
+                      event_type, count(*) AS n,
+                      ${oracleSum("value")} AS sum_val
+               FROM events GROUP BY 1, 2""")),
+
+    // Semi-structured extraction: JSON props column.
+    Q("events_json_extract",
+      (s, d) => Tables.loadEvents(s, d)
+        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10)
+          .as("k_mod"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                       AS k_mod,
+                     count(*) AS n
+              FROM events GROUP BY 1""")),
+
+    // Gap-based sessionization (30-min inactivity): lag over a per-user
+    // window; partition-parallel by user_id. Epoch-micros ordering keeps
+    // Spark (µs timestamps) and the oracle (ns timestamps) identical.
+    Q("events_sessionize",
+      (s, d) => {
+        val us = unix_micros(col("ts"))
+        val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+        val lagUs = lag(us, 1).over(w)
+        Tables.loadEvents(s, d)
+          .withColumn("brk",
+            when(lagUs.isNull || us - lagUs > 1800L * 1000000L, 1)
+              .otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("brk")).as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH d AS (
+                SELECT user_id,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id))
+              SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+                     count(*) AS n_events
+              FROM d GROUP BY user_id"""))
+  )
+}

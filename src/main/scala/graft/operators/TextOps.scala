@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table — training-data-pipeline ops:
+  * token counting, quality scoring, language-ID, document fingerprinting.
+  * Everything stays inside codegen'd built-ins (regexp_*, higher-order
+  * array functions) — no UDFs, so the hot path survives 100 TB.
+  */
+object TextOps extends QueryModule {
+
+  /** Whitespace-delimited token count (array never materialized per-row
+    * beyond the expression).
+    */
+  def wsTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * punctuation — the usual byte-level BPE split shape.
+    */
+  def bpeTokens(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  private def stopCount(text: Column, words: String): Column =
+    size(regexp_extract_all(lower(text), lit(s"\\b($words)\\b"), lit(0)))
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the characters —
+    * a deterministic document fingerprint via a higher-order fold; no UDF.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("text_token_count",
+      (s, d) => Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        wsTokens(col("text")).as("ws_tokens"),
+        bpeTokens(col("text")).as("bpe_tokens")),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+                     len(regexp_extract_all(lower(text),
+                         '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+              FROM documents""")),
+
+    // Quality scoring: length / punctuation / stopword / digit ratios and
+    // a keep/drop flag — the standard pre-training filter features.
+    Q("text_quality",
+      (s, d) => {
+        val txt = col("text")
+        val nTok = wsTokens(txt)
+        val nonSpace = length(regexp_replace(txt, "\\s", ""))
+        val stops = stopCount(txt, "the|a|of|to|and|in|is")
+        val meanTok = nonSpace / nullif(nTok, lit(0))
+        Tables.load(s, d, "documents").select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          round(meanTok, 4).as("mean_tok_len"),
+          round(stops / nullif(nTok, lit(0)), 4).as("stop_ratio"),
+          round(size(regexp_extract_all(txt, lit("[0-9]"), lit(0)))
+            / nullif(length(txt), lit(0)), 4).as("digit_ratio"),
+          (nTok >= 20 && meanTok >= 2 && meanTok <= 12).as("keep"))
+      },
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                     round(length(regexp_replace(text, '\s', '', 'g'))
+                           / nullif(len(regexp_extract_all(text, '\S+')), 0),
+                           4) AS mean_tok_len,
+                     round(len(regexp_extract_all(lower(text),
+                               '\b(the|a|of|to|and|in|is)\b'))
+                           / nullif(len(regexp_extract_all(text, '\S+')), 0),
+                           4) AS stop_ratio,
+                     round(len(regexp_extract_all(text, '[0-9]'))
+                           / nullif(length(text), 0), 4) AS digit_ratio,
+                     (len(regexp_extract_all(text, '\S+')) >= 20
+                      AND length(regexp_replace(text, '\s', '', 'g'))
+                          / nullif(len(regexp_extract_all(text, '\S+')), 0)
+                          BETWEEN 2 AND 12) AS keep
+              FROM documents""")),
+
+    // Language-ID: per-language stopword-hit counts (CJK chars for zh),
+    // argmax with fixed precedence; 'und' when nothing matches.
+    Q("text_langid",
+      (s, d) => {
+        val txt = col("text")
+        val en = stopCount(txt, "the|and|of|to|in|is|that")
+        val de = stopCount(txt, "der|die|und|das|ist|nicht")
+        val fr = stopCount(txt, "le|et|les|des|une|est")
+        val es = stopCount(txt, "el|y|los|las|por|una")
+        val zh = size(regexp_extract_all(txt, lit("[\\u4e00-\\u9fff]"), lit(0)))
+        Tables.load(s, d, "documents")
+          .withColumn("en", en).withColumn("de", de).withColumn("fr", fr)
+          .withColumn("es", es).withColumn("zh", zh)
+          .select(
+            col("doc_id"), col("lang").as("true_lang"),
+            when(col("en") + col("de") + col("fr") + col("es") + col("zh")
+              === 0, "und")
+              .when(col("en") >= col("de") && col("en") >= col("fr")
+                && col("en") >= col("es") && col("en") >= col("zh"), "en")
+              .when(col("de") >= col("fr") && col("de") >= col("es")
+                && col("de") >= col("zh"), "de")
+              .when(col("fr") >= col("es") && col("fr") >= col("zh"), "fr")
+              .when(col("es") >= col("zh"), "es")
+              .otherwise("zh").as("pred_lang"))
+      },
+      Some("""WITH c AS (
+                SELECT doc_id, lang,
+                  len(regexp_extract_all(lower(text),
+                      '\b(the|and|of|to|in|is|that)\b')) AS en,
+                  len(regexp_extract_all(lower(text),
+                      '\b(der|die|und|das|ist|nicht)\b')) AS de,
+                  len(regexp_extract_all(lower(text),
+                      '\b(le|et|les|des|une|est)\b')) AS fr,
+                  len(regexp_extract_all(lower(text),
+                      '\b(el|y|los|las|por|una)\b')) AS es,
+                  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+                FROM documents)
+              SELECT doc_id, lang AS true_lang,
+                     CASE WHEN en + de + fr + es + zh = 0 THEN 'und'
+                          WHEN en >= de AND en >= fr AND en >= es AND en >= zh
+                            THEN 'en'
+                          WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+                          WHEN fr >= es AND fr >= zh THEN 'fr'
+                          WHEN es >= zh THEN 'es'
+                          ELSE 'zh' END AS pred_lang
+              FROM c""")),
+
+    Q("text_fingerprint",
+      (s, d) => Tables.load(s, d, "documents").select(
+        col("doc_id"), fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(text, ''),
+                                        c -> CAST(ascii(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS fp
+              FROM documents"""))
+  )
+}
