@@ -16,7 +16,10 @@ object SparkEntry {
     operators.Expressions,
     operators.Dml,
     operators.EventsOps,
-    operators.TextOps)
+    operators.TextOps,
+    operators.Dedup,
+    operators.Similarity,
+    operators.Multimodal)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. The synthetic corpus has no natural duplicates,
+  * so every query runs over `documents` UNION an id-shifted copy — known
+  * duplicate pairs (x, x+1_000_000) that specs and oracles can assert on.
+  *
+  * Scale design: everything is a hash-partitioned shuffle on a derived
+  * key (text hash / shingle / band signature) — no driver-side state, no
+  * all-pairs comparison outside candidate buckets. At 100 TB the only
+  * extra step would be dropping ultra-frequent shingles (stop-shingles)
+  * before the inverted-index join to bound bucket skew; AQE skew-join
+  * covers moderate skew here.
+  */
+object Dedup extends QueryModule {
+
+  /** documents ∪ id-shifted copy, lowercased. */
+  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (SELECT doc_id, lower(text) AS text FROM documents
+       UNION ALL SELECT doc_id + 1000000, lower(text) FROM documents)"""
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, s). */
+  private[operators] def shingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s"))
+      .distinct()
+
+  /** Exact n-gram Jaccard over candidate pairs from an inverted index on
+    * shingles (pairs sharing ≥1 shingle) — the exact-verify backbone.
+    */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jac"))
+  }
+
+  /** MinHash signatures: NUM min-aggregates in ONE hash aggregate (partial
+    * map-side combine; one shuffle on doc_id) — no per-hash explode.
+    */
+  private def minhashSignature(sh: DataFrame, num: Int): DataFrame = {
+    val mins = (0 until num).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  override val queries: Seq[Q] = Seq(
+
+    // Exact dedup: hash-groupBy on content, keep the smallest id.
+    Q("dedup_exact",
+      (s, d) => corpus(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(md5(col("text")).as("text_hash"), col("keep_id"),
+          col("n_copies")),
+      Some(s"""WITH $corpusSql
+               SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                      count(*) AS n_copies
+               FROM corpus GROUP BY text""")),
+
+    // Near-dedup by exact word-3-gram Jaccard ≥ 0.8; candidates from the
+    // shared-shingle inverted index (never all-pairs).
+    Q("dedup_ngram_jaccard",
+      (s, d) => jaccardPairs(shingles(corpus(s, d)))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard")),
+      Some(s"""WITH $corpusSql,
+               toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+                        FROM corpus),
+               sh AS (SELECT DISTINCT doc_id,
+                        unnest(list_transform(range(1, len(t)-1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                      FROM toks WHERE len(t) >= 3),
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                 count(*) AS c
+                          FROM sh a JOIN sh b
+                            ON a.s = b.s AND a.doc_id < b.doc_id
+                          GROUP BY 1, 2)
+               SELECT doc_a, doc_b,
+                      round(c / (sa.n + sb.n - c), 4) AS jaccard
+               FROM common
+               JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+               WHERE c / (sa.n + sb.n - c) >= 0.8""")),
+
+    // MinHash (32 hashes) + LSH banding (8 bands × 4 rows): candidates
+    // share a band signature; verified with exact Jaccard ≥ 0.7.
+    // Probabilistic recall → no SQL oracle (rows-only check); DedupSpec
+    // asserts every planted duplicate pair is recovered.
+    Q("dedup_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(corpus(s, d))
+        val sig = minhashSignature(sh, 32)
+        val bands = (0 until 8).map(b => struct(
+          lit(b).as("band"),
+          xxhash64((b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*)
+            .as("key")))
+        val buckets = sig
+          .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.key").as("key"))
+        val cand = buckets.as("x")
+          .join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+        cand
+          .join(sets.as("pa"), col("doc_a") === col("pa.doc_id"))
+          .join(sets.as("pb"), col("doc_b") === col("pb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("pa.ss"), col("pb.ss")))
+              / size(array_union(col("pa.ss"), col("pb.ss")))).as("jac"))
+          .filter(col("jac") >= 0.7)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      },
+      None),
+
+    // SimHash: 64-bit signature from sign-of-weighted-bit-sums over token
+    // hashes, stored as 4×16-bit bands; near-dups = hamming ≤ 3, found via
+    // band-equality buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical band).
+    Q("dedup_simhash",
+      (s, d) => {
+        val toks = corpus(s, d).select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .as("tok"))
+        val h = xxhash64(col("tok"))
+        val bitSums = (0 until 64).map(j =>
+          sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"s$j"))
+        val agged = toks.groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+        val bandCols = (0 until 4).map { k =>
+          (k * 16 until (k + 1) * 16)
+            .map(j => when(col(s"s$j") > 0, lit(1L << (j - k * 16)))
+              .otherwise(lit(0L)))
+            .reduce(_ + _).as(s"b$k")
+        }
+        val sigs = agged.select(col("doc_id") +: bandCols: _*)
+        val bb = sigs.select(col("doc_id"), explode(array((0 until 4).map(k =>
+            struct(lit(k).as("k"), col(s"b$k").as("v"))): _*)).as("e"))
+          .select(col("doc_id"), col("e.k").as("k"), col("e.v").as("v"))
+        val cand = bb.as("x")
+          .join(bb.as("y"), col("x.k") === col("y.k")
+            && col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val ham = (0 until 4)
+          .map(k => bit_count(col(s"xa.b$k").bitwiseXOR(col(s"xb.b$k"))))
+          .reduce(_ + _)
+        cand
+          .join(sigs.as("xa"), col("doc_a") === col("xa.doc_id"))
+          .join(sigs.as("xb"), col("doc_b") === col("xb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+          .filter(col("hamming") <= 3)
+      },
+      None)
+  )
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded fake-image metadata — what a real image decoder would return. */
+final case class MediaMeta(
+    doc_id: Long, width: Int, height: Int, channels: Int, checksum: Long)
+
+/** Per-item features after decode → feature-extract → "resize". */
+final case class MediaFeatures(
+    doc_id: Long, n_bytes: Int,
+    feature: Array[Double],   // 8-dim: mean byte value per stride bucket
+    resized: Array[Double],   // 4-dim: adjacent-pair means of `feature`
+    frames: Array[Int])       // "frame sample": every 64th byte, first 4
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+  *
+  * There is no image/audio lib in this container, so the DECODE step is a
+  * deterministic fake (byte-statistics stand in for pixel decoding —
+  * clearly marked below). Everything around it is the real distributed
+  * shape: BinaryType column, batch iterator over partitions
+  * (`mapPartitions`, the Scala analog of `mapInPandas` batches), typed
+  * output schema via case-class Encoders, partition-parallel end to end.
+  * Swapping in a real codec changes only the function body.
+  */
+object Multimodal extends QueryModule {
+
+  /** documents.text encoded as a binary payload column — the stand-in for
+    * an image/audio bytes column.
+    */
+  def binaryPayload(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+
+  /** STUB DECODER — deterministic fake of an image decode. A real
+    * implementation would parse the container header; this derives
+    * "dimensions" from byte statistics so tests and oracles are exact.
+    */
+  private def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length
+    val checksum = bytes.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 65536L)
+    MediaMeta(id, n % 640 + 1, n % 480 + 1, n % 3 + 1, checksum)
+  }
+
+  /** Decode a payload dataset in partition-sized batches. */
+  def decodeMeta(bin: DataFrame): Dataset[MediaMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.as[(Long, Array[Byte])].mapPartitions(_.map {
+      case (id, bytes) => decodeStub(id, bytes)
+    })
+  }
+
+  /** Feature-extract + resize + frame-sample, batched per partition. */
+  def extractFeatures(bin: DataFrame): Dataset[MediaFeatures] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
+      val n = bytes.length
+      // 8-bucket mean byte value (stride buckets = fake channel means)
+      val sums = new Array[Double](8)
+      val cnts = new Array[Int](8)
+      var i = 0
+      while (i < n) {
+        val b = i % 8
+        sums(b) += (bytes(i) & 0xff)
+        cnts(b) += 1
+        i += 1
+      }
+      val feature = Array.tabulate(8)(j =>
+        if (cnts(j) == 0) 0.0 else sums(j) / cnts(j))
+      val resized = Array.tabulate(4)(j => (feature(2 * j) + feature(2 * j + 1)) / 2)
+      val frames = Array.tabulate(4)(j =>
+        if (j * 64 < n) bytes(j * 64) & 0xff else -1)
+      MediaFeatures(id, n, feature, resized, frames)
+    })
+  }
+
+  override val queries: Seq[Q] = Seq(
+
+    // Metadata decode — oracled: the stub's arithmetic is reproducible in
+    // SQL because the payloads are ASCII (byte == codepoint, verified).
+    Q("multimodal_meta",
+      (s, d) => decodeMeta(binaryPayload(s, d)).toDF(),
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+                     CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+                     CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS channels,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(text, ''),
+                                        c -> CAST(ascii(c) AS BIGINT))),
+                       (a, b) -> (a + b) % 65536) AS checksum
+              FROM documents""")),
+
+    // Full feature pipeline — array outputs, rows-only check; exactness
+    // asserted in MultimodalSpec against an independent computation.
+    Q("multimodal_features",
+      (s, d) => extractFeatures(binaryPayload(s, d)).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          transform(col("feature"), x => round(x, 4)).as("feature"),
+          transform(col("resized"), x => round(x, 4)).as("resized"),
+          col("frames")),
+      None)
+  )
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Vector math is pure codegen'd higher-order functions (zip_with +
+  * aggregate fold) — no UDF in the hot path. Floats are widened to double
+  * before any arithmetic so results are bit-identical to the DuckDB oracle.
+  *
+  * Two paths, as a 100 TB engine needs both:
+  *  - brute-force exact top-k: fine when ONE query vector scans the corpus
+  *    (a single distributed pass);
+  *  - sign-LSH bucketed search: random-hyperplane buckets bound the
+  *    candidate set when there are MANY query vectors (the all-pairs case),
+  *    trading recall for a candidates-per-bucket join instead of a cross
+  *    product.
+  */
+object Similarity extends QueryModule {
+
+  /** float[] → double[] (deterministic widening). */
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** In-order left fold dot product — matches DuckDB's list_dot_product
+    * evaluation order, so doubles are bit-identical.
+    */
+  private[operators] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  private[operators] def planes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Bucket id = sign bits of v against each hyperplane. */
+  private[operators] def signBucket(v: Column, pl: Array[Array[Double]]): Column =
+    pl.zipWithIndex.map { case (p, b) =>
+      when(dot(v, typedlit(p.toSeq)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  override val queries: Seq[Q] = Seq(
+
+    // Exact top-k neighbours of one query vector (vec_id=0), brute force:
+    // broadcast the query row, one scan, TakeOrderedAndProject merge.
+    Q("ann_cosine_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), round(col("sim"), 4).as("cos_sim"))
+      },
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                         FROM embeddings WHERE vec_id = 0),
+                   sc AS (SELECT vec_id,
+                            list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                            / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[])))
+                               * sqrt(list_dot_product(qv, qv))) AS sim
+                          FROM embeddings, q WHERE vec_id != 0)
+              SELECT vec_id, round(sim, 4) AS cos_sim FROM sc
+              ORDER BY sim DESC, vec_id LIMIT 10""")),
+
+    // Embedding-cosine near-duplicate pairs (exact, bounded subset):
+    // all pairs among vec_id < 300 with cosine ≥ 0.3.
+    Q("emb_cosine_pairs",
+      (s, d) => {
+        val sub = emb(s, d).filter(col("vec_id") < 300)
+        sub.as("a").join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            cosine(col("a.v"), col("b.v")).as("sim"))
+          .filter(col("sim") >= 0.3)
+          .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
+      },
+      Some("""WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings WHERE vec_id < 300),
+                   p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                           list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))) AS sim
+                         FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+              SELECT vec_a, vec_b, round(sim, 4) AS cos_sim FROM p
+              WHERE sim >= 0.3""")),
+
+    // Scale path: sign-LSH bucketed ANN. 6 hyperplane sign bits → 64
+    // buckets; candidates = same-bucket rows; top-3 per query via a
+    // bounded per-bucket window. Probabilistic recall → rows-only check;
+    // SimilaritySpec measures recall against the brute-force path.
+    Q("ann_lsh_bucketed",
+      (s, d) => {
+        val pl = planes(6, 64)
+        val e = emb(s, d).withColumn("bucket", signBucket(col("v"), pl))
+        val queriesDf = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("bucket").as("q_bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        queriesDf
+          .join(e, col("q_bucket") === col("bucket")
+            && col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("qv"), col("v")).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 4).as("cos_sim"))
+      },
+      None)
+  )
+}
