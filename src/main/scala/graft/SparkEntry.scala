@@ -19,7 +19,8 @@ object SparkEntry {
     operators.TextOps,
     operators.Dedup,
     operators.Similarity,
-    operators.Multimodal)
+    operators.Multimodal,
+    operators.Meta)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Management-statement surface — SURVEY.md §2.11: SHOW TABLES, DESCRIBE,
+  * EXPLAIN, DDL. All thin renderings over Spark's catalog / SQL layer
+  * (the reference hand-implements these in `executor/show.go:96` and
+  * `executor/explain.go:25`; Spark's catalog is the native analog).
+  * DDL statements (CREATE/DROP DATABASE/TABLE, ALTER) pass through
+  * `spark.sql` — exercised in MetaSpec against a temp warehouse.
+  */
+object Meta extends QueryModule {
+
+  /** Register the driver tables as temp views (prefix avoids collisions
+    * with anything else registered on the shared session).
+    */
+  def registerAll(s: SparkSession, dir: String, prefix: String = "graft_"): Unit =
+    Tables.names.foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(s"$prefix$n"))
+
+  /** SHOW TABLES as a DataFrame (metadata-only, driver-side by nature). */
+  def showTables(s: SparkSession, prefix: String = "graft_"): DataFrame = {
+    import s.implicits._
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      .sorted.toSeq.toDF("table_name")
+  }
+
+  /** DESCRIBE: column name/type pairs from the schema. */
+  def describe(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+      .toDF("col_name", "data_type")
+  }
+
+  /** EXPLAIN FORMATTED rendering of the physical plan. */
+  def explainFormatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  override val queries: Seq[Q] = Seq(
+    Q("catalog_tables",
+      (s, d) => { registerAll(s, d); showTables(s) },
+      Some("""SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),
+                ('events'),('lineitem'),('nation'),('orders'),('part'),
+                ('region'),('supplier')) t(table_name)"""))
+  )
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One event, with ts pre-converted to epoch micros. */
+final case class Ev(user_id: Long, ts_us: Long)
+
+/** Running per-user session state (gap-based, 30-min inactivity). */
+final case class UserSessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
+
+/** Per-user session summary emitted downstream. */
+final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+/** Structured Streaming over the events table: the streaming twins of the
+  * batch EventsOps queries. The reference has no streaming surface
+  * (SURVEY §2.10); this is part of the pipeline-extension set. Streaming
+  * state is partitioned by group key — the shape that scales horizontally.
+  */
+object EventsStream {
+
+  /** events.parquet raw schema (ts read as nanos-long, see Tables.loadEvents). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the driver's parquet dir. */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked 5-minute tumbling-window counts (streaming twin of
+    * `events_window_agg`).
+    */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    source(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState
+    * (streaming twin of `events_sessionize`): counts sessions per user
+    * with a 30-minute inactivity gap. State is one small record per user.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[UserSessionState]) =>
+          // Micro-batch arrival order is not time order: sort the batch.
+          val sorted = it.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.getOrElse(UserSessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = st.lastTsUs == Long.MinValue ||
+              e.ts_us - st.lastTsUs > gapUs
+            st = UserSessionState(e.ts_us,
+              st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          Iterator(UserSessions(user, st.nSessions, st.nEvents))
+      }
+  }
+
+  /** Streaming sessionization wired to the parquet source. */
+  def sessionCounts(spark: SparkSession, dir: String): Dataset[UserSessions] = {
+    import spark.implicits._
+    sessionize(source(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev])
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+
+  private val nDocs = Tables.load(spark, sf, "documents").count()
+
+  test("dedup_exact collapses every planted duplicate") {
+    val rows = q("dedup_exact").collect()
+    assert(rows.length == nDocs)                 // one group per distinct text
+    assert(rows.forall(_.getLong(2) == 2))       // each text appears twice
+    assert(rows.forall(_.getLong(1) < 1000000))  // keeper is the original id
+  }
+
+  test("dedup_ngram_jaccard finds all planted pairs at jaccard 1.0") {
+    val df = q("dedup_ngram_jaccard")
+    val planted = df.filter(col("doc_b") === col("doc_a") + 1000000L)
+    assert(planted.count() == nDocs)
+    assert(planted.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("minhash LSH recovers every planted pair") {
+    val df = q("dedup_minhash_lsh")
+    assert(df.filter(col("doc_b") === col("doc_a") + 1000000L).count() == nDocs)
+    // verification step bounds false positives
+    assert(df.filter(col("jaccard") < 0.7).count() == 0)
+  }
+
+  test("simhash recovers every planted pair at hamming 0") {
+    val df = q("dedup_simhash")
+    val planted = df.filter(col("doc_b") === col("doc_a") + 1000000L)
+    assert(planted.count() == nDocs)
+    assert(planted.filter(col("hamming") =!= 0).count() == 0)
+    assert(df.filter(col("hamming") > 3).count() == 0)
+  }
+}

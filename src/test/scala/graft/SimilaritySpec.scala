@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+
+  test("ann_cosine_topk: 10 neighbours, self excluded, sims descending in [-1,1]") {
+    val rows = q("ann_cosine_topk").collect()
+    assert(rows.length == 10)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("emb_cosine_pairs is symmetric-free and above threshold") {
+    val rows = q("emb_cosine_pairs").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.3))
+  }
+
+  test("ann_lsh_bucketed sims agree with exact cosine for returned pairs") {
+    val lsh = q("ann_lsh_bucketed")
+    // recompute exact cosine for the returned (q_id, neighbor_id) pairs
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val dotExpr = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val joined = lsh
+      .join(e.as("qa"), col("q_id") === col("qa.vec_id"))
+      .join(e.as("qb"), col("neighbor_id") === col("qb.vec_id"))
+      .select(col("cos_sim"),
+        round(dotExpr("qa.v", "qb.v")
+          / (sqrt(dotExpr("qa.v", "qa.v")) * sqrt(dotExpr("qb.v", "qb.v"))), 4)
+          .as("exact"))
+    assert(joined.filter(col("cos_sim") =!= col("exact")).count() == 0)
+    // per-query at most 3 neighbours
+    val perQ = lsh.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) <= 3))
+  }
+}
