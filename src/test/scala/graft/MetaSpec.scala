@@ -22,7 +22,7 @@ class MetaSpec extends SparkSuite {
   test("showTables lists all registered driver tables") {
     Meta.registerAll(spark, sf)
     val names = Meta.showTables(spark).collect().map(_.getString(0))
-    assert(names.sorted.sameElements(Tables.names.sorted.toArray))
+    assert(names.sorted.toSeq == Tables.names.sorted)
   }
 
   test("describe renders name/type pairs") {

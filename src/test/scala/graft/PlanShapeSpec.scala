@@ -38,8 +38,13 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("whole-stage codegen covers the agg hot path") {
-    val plan = Meta.explainFormatted(q("agg_group"))
-    assert(plan.contains("WholeStageCodegen"), plan)
+    // AQE's pre-execution plan hides codegen spans; materialize so the
+    // final adaptive plan (with WholeStageCodegen ids) is available.
+    val df = q("agg_group")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators render with a "*(codegenStageId)" prefix
+    assert(plan.contains("*(1)"), plan)
   }
 
   test("text ops stay UDF-free (no BatchEvalPython/ScalaUDF in plan)") {
