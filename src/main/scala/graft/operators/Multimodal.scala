@@ -95,14 +95,44 @@ object Multimodal extends QueryModule {
                        (a, b) -> (a + b) % 65536) AS checksum
               FROM documents""")),
 
-    // Full feature pipeline — array outputs, rows-only check; exactness
-    // asserted in MultimodalSpec against an independent computation.
+    // Full feature pipeline, flattened to scalar columns so the driver's
+    // rows-check can sort (arrays aren't hashable in pandas) and DuckDB
+    // can reproduce the stub arithmetic exactly (payloads are ASCII, so
+    // byte value == codepoint).
     Q("multimodal_features",
-      (s, d) => extractFeatures(binaryPayload(s, d)).toDF()
-        .select(col("doc_id"), col("n_bytes"),
-          transform(col("feature"), x => round(x, 4)).as("feature"),
-          transform(col("resized"), x => round(x, 4)).as("resized"),
-          col("frames")),
-      None)
+      (s, d) => {
+        val feats = extractFeatures(binaryPayload(s, d)).toDF()
+        val cols = col("doc_id") +: col("n_bytes") +:
+          ((0 until 8).map(j => round(col("feature")(j), 4).as(s"f$j")) ++
+            (0 until 4).map(j => round(col("resized")(j), 4).as(s"r$j")) ++
+            (0 until 4).map(j => col("frames")(j).as(s"fr$j")))
+        feats.select(cols: _*)
+      },
+      Some {
+        val fCols = (0 until 8).map(j =>
+          s"coalesce(max(CASE WHEN i % 8 = $j THEN mv END), 0.0) AS f$j")
+          .mkString(", ")
+        val fOut = (0 until 8).map(j => s"round(f$j, 4) AS f$j").mkString(", ")
+        val rOut = (0 until 4).map(j =>
+          s"round((f${2 * j} + f${2 * j + 1}) / 2, 4) AS r$j").mkString(", ")
+        val frOut = (0 until 4).map(j =>
+          s"CASE WHEN ${j * 64} < b.n THEN ascii(substr(b.text, ${j * 64 + 1}, 1)) ELSE -1 END AS fr$j")
+          .mkString(", ")
+        s"""WITH b AS (
+              SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n, text
+              FROM documents),
+            ix AS (
+              SELECT doc_id, CAST(unnest(range(0, n)) AS INT) AS i, text
+              FROM b),
+            e AS (
+              SELECT doc_id, i, ascii(substr(text, i + 1, 1)) AS v
+              FROM ix),
+            m AS (
+              SELECT doc_id, i % 8 AS i, avg(v) AS mv
+              FROM e GROUP BY doc_id, i % 8),
+            p AS (SELECT doc_id, $fCols FROM m GROUP BY doc_id)
+            SELECT b.doc_id, b.n AS n_bytes, $fOut, $rOut, $frOut
+            FROM b JOIN p USING (doc_id)"""
+      })
   )
 }

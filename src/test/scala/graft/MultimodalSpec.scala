@@ -20,23 +20,23 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("feature pipeline shapes: 8-dim feature, 4-dim resized, 4 frames") {
-    val rows = q("multimodal_features").collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getSeq[Double](r.fieldIndex("feature")).length == 8)
-      assert(r.getSeq[Double](r.fieldIndex("resized")).length == 4)
-      assert(r.getSeq[Int](r.fieldIndex("frames")).length == 4)
-    }
+  test("feature pipeline shape: 8 feature + 4 resized + 4 frame columns") {
+    val df = q("multimodal_features")
+    val names = df.schema.fieldNames.toSeq
+    assert(names == Seq("doc_id", "n_bytes") ++
+      (0 until 8).map(j => s"f$j") ++ (0 until 4).map(j => s"r$j") ++
+      (0 until 4).map(j => s"fr$j"))
+    assert(df.count() > 0)
   }
 
   test("resized is the adjacent-pair mean of feature (rounding tolerance)") {
     val rows = q("multimodal_features").limit(20).collect()
     rows.foreach { r =>
-      val f = r.getSeq[Double](r.fieldIndex("feature"))
-      val rs = r.getSeq[Double](r.fieldIndex("resized"))
       (0 until 4).foreach { j =>
-        assert(math.abs(rs(j) - (f(2 * j) + f(2 * j + 1)) / 2) < 1e-3)
+        val f0 = r.getDouble(r.fieldIndex(s"f${2 * j}"))
+        val f1 = r.getDouble(r.fieldIndex(s"f${2 * j + 1}"))
+        val rs = r.getDouble(r.fieldIndex(s"r$j"))
+        assert(math.abs(rs - (f0 + f1) / 2) < 1e-3)
       }
     }
   }

@@ -1,55 +1,73 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate (dev tool, not engine code).
+"""Local replica of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <verify_out_dir> <sf_dir> [query ...]
 
-Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
-matching oracle SQL from oracle_sql.json in DuckDB against the same parquet
-tables, sorts columns by name and rows by all columns, and reports
-match/mismatch per query.
+For each query with an oracle in oracle_sql.json: run the oracle in DuckDB
+over the sf parquet tables, load the Spark parquet dump, sort columns by
+name, sort rows, and hash-compare values.
 """
-import json
-import sys
-
+import json, sys, glob, hashlib
 import duckdb
+import pandas as pd
 
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 
-def canon(rel):
-    cols = sorted(rel.columns)
-    quoted = ", ".join(f'"{c}"' for c in cols)
-    return rel.project(quoted).order(quoted).fetchall(), cols
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
-    for name, sql in sorted(oracles.items()):
-        try:
-            got, gcols = canon(con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
-            want, wcols = canon(con.sql(sql))
-        except Exception as e:
-            print(f"FAIL {name}: {str(e)[:200]}")
-            n_bad += 1
-            continue
-        if gcols != wcols:
-            print(f"FAIL {name}: columns {gcols} != {wcols}")
-            n_bad += 1
-        elif got != want:
-            n_bad += 1
-            diff = [(g, w) for g, w in zip(got, want) if g != w]
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}; "
-                  f"first diffs: {diff[:3]}")
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: "<NULL>" if v is None or
+                (isinstance(v, float) and v != v) else str(v))
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def h(df):
+    return hashlib.md5(pd.util.hash_pandas_object(df, index=False).values.tobytes()).hexdigest()
+
+fails = 0
+for name in sorted(oracles):
+    if only and name not in only:
+        continue
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"{name}: NO SPARK OUTPUT"); fails += 1; continue
+    try:
+        spark_df = pd.concat([pd.read_parquet(f) for f in files])
+        ora_df = con.execute(oracles[name]).fetchdf()
+        s, o = norm(spark_df), norm(ora_df)
+        rows = len(s) == len(o)
+        schema = list(s.columns) == list(o.columns)
+        # normalize dtypes for hashing (int32 vs int64 etc.)
+        for c in s.columns:
+            if schema and str(s[c].dtype) != str(o[c].dtype):
+                try:
+                    o[c] = o[c].astype(s[c].dtype)
+                except Exception:
+                    pass
+        match = rows and schema and h(s) == h(o)
+        status = "OK" if match else "MISMATCH"
+        if not match:
+            fails += 1
+            print(f"{name}: {status} rows={len(s)}/{len(o)} "
+                  f"schema={list(s.columns)}/{list(o.columns)}")
+            if rows and schema:
+                cmp = s.compare(o) if s.shape == o.shape else None
+                if cmp is not None and not cmp.empty:
+                    print(cmp.head(5))
         else:
-            n_ok += 1
-            print(f"ok   {name} ({len(got)} rows)")
-    print(f"== {n_ok} ok, {n_bad} failed ==")
-    return 1 if n_bad else 0
-
-
-if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+            print(f"{name}: OK ({len(s)} rows)")
+    except Exception as e:
+        fails += 1
+        print(f"{name}: ERROR {type(e).__name__}: {e}")
+sys.exit(1 if fails else 0)
