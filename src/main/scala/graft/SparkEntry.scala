@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.Multimodal,
-    operators.Meta)
+    operators.Meta,
+    operators.SqlSurface)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

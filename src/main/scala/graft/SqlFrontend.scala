@@ -1,0 +1,524 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MySQL-dialect SQL front-end: the engine's primary entry point, mirroring
+  * the reference's session layer (tinysql `session/session.go:562-569`
+  * parse→compile→execute; statement dispatch
+  * `planner/core/planbuilder.go:246-262`).
+  *
+  * Spark-first split of responsibilities:
+  *   - SELECT / INSERT / EXPLAIN / DDL lower to `spark.sql` after a thin
+  *     dialect translation (session-var substitution, `FROM DUAL`,
+  *     MySQL column types) — Catalyst is the parser/optimizer/executor.
+  *   - DELETE / REPLACE are rewrite-based sinks on immutable storage
+  *     (`executor/delete.go:28`, `executor/replace.go:29`) reusing the
+  *     operators in [[operators.Dml]].
+  *   - SHOW / USE / ADMIN are catalog renderings (`executor/show.go:96`).
+  *   - SET @x / SET sysvar is session state (`executor/set.go:40`,
+  *     user-var semantics from `expression/builtin_other.go:223-270`:
+  *     names lowercase, NULL assignment unsets, unset reads are NULL).
+  *   - CREATE/DROP INDEX is catalog metadata plus a materialized column
+  *     projection (`executor/ddl.go:74-86`; index maintenance on write
+  *     mirrors `table/tables/index.go`), which makes ADMIN CHECK TABLE
+  *     (`planner/core/planbuilder.go:435`) a real distributed
+  *     index-vs-row consistency job rather than a stub.
+  *
+  * Scale posture: every data-plane statement stays a DataFrame plan; the
+  * only driver-side evaluation is SET's scalar expression (session
+  * metadata, exactly like the reference's `v.Expr.Eval(chunk.Row{})`).
+  */
+final class GraftSession(val spark: SparkSession) {
+  import GraftSession._
+
+  functions.StrCmp.register(spark)
+
+  /** lower-cased user variable name -> rendered SQL literal. */
+  private val userVars = mutable.LinkedHashMap.empty[String, String]
+  private val sysVars = mutable.LinkedHashMap(defaultSysVars: _*)
+  private val indexes = mutable.LinkedHashMap.empty[(String, String), IndexMeta]
+  private val primaryKeys = mutable.Map.empty[String, Seq[String]]
+
+  private lazy val snapshotRoot: String =
+    Files.createTempDirectory("graft-idx").toString
+
+  // ------------------------------------------------------------------ router
+
+  /** Execute one statement; statements without a result set return an
+    * empty DataFrame (the analog of MySQL's OK packet).
+    */
+  def execute(sql0: String): DataFrame = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val up = sql.toUpperCase
+    sql match {
+      case _ if up.startsWith("SELECT") || up.startsWith("WITH") ||
+        up.startsWith("VALUES") || up.startsWith("(") => select(sql)
+      case _ if up.startsWith("SET ") => executeSet(sql.drop(4)); ok()
+      case UseRe(db) => spark.sql(s"USE $db"); ok()
+      case ExplainRe(inner) => explain(inner)
+      case ShowRe(_*) => show(sql, up)
+      case DescRe(t) =>
+        spark.sql(s"DESCRIBE TABLE $t").select("col_name", "data_type")
+      case CreateDbRe(ifNot, db) =>
+        spark.sql(s"CREATE DATABASE ${opt(ifNot)}$db"); ok()
+      case DropDbRe(ifEx, db) =>
+        spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE"); ok()
+      case _ if up.startsWith("CREATE TABLE") => createTable(sql); ok()
+      case DropTableRe(ifEx, t) => dropTable(opt(ifEx), t); ok()
+      case _ if up.startsWith("ALTER TABLE") => alterTable(sql); ok()
+      case CreateIndexRe(_, name, t, cols) =>
+        createIndex(clean(t), clean(name), splitCols(cols)); ok()
+      case DropIndexRe(name, t) =>
+        dropIndex(clean(t), clean(name)); ok()
+      case AdminCheckRe(t) => adminCheck(clean(t))
+      case AnalyzeRe(t) => Stats.analyze(spark, clean(t)); ok()
+      case InsertRe(t) =>
+        spark.sql(substituteVars(sql)); refreshIndexes(clean(t)); ok()
+      case ReplaceRe(t, colList, source) =>
+        replaceInto(clean(t), Option(colList), source); ok()
+      case DeleteRe(t, where) => delete(clean(t), Option(where)); ok()
+      case _ if up == "BEGIN" || up == "COMMIT" || up == "ROLLBACK" ||
+        up.startsWith("START TRANSACTION") => ok()
+      case _ =>
+        throw new IllegalArgumentException(s"unsupported statement: $sql0")
+    }
+  }
+
+  /** MustQuery-style helper (reference `util/testkit/testkit.go:200`):
+    * rows rendered as space-joined strings, NULLs as "<nil>".
+    */
+  def query(sql: String): Seq[String] =
+    execute(sql).collect().toSeq.map(_.toSeq.map {
+      case null => "<nil>"
+      case v => v.toString
+    }.mkString(" "))
+
+  // ------------------------------------------------------------------ SELECT
+
+  private def select(sql: String): DataFrame =
+    spark.sql(DualRe.replaceAllIn(substituteVars(sql), ""))
+
+  private def explain(inner: String): DataFrame = {
+    import spark.implicits._
+    val df = execute(inner)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .split("\n").toSeq.toDF("plan")
+  }
+
+  // --------------------------------------------------------------------- SET
+
+  private def executeSet(rest: String): Unit =
+    splitTopLevel(rest, ',').foreach { asgn =>
+      asgn match {
+        case a if a.toUpperCase.startsWith("NAMES") => () // charset: no-op
+        case UserVarAsgnRe(name, expr) =>
+          val v = evalScalar(expr)
+          if (v == null) userVars.remove(name.toLowerCase)
+          else userVars(name.toLowerCase) = renderLiteral(v)
+        case SysVarAsgnRe(name, expr) =>
+          val key = name.toLowerCase
+            .stripPrefix("@@").stripPrefix("global.").stripPrefix("session.")
+          if (key == "names") () // SET NAMES charset: accepted, no-op
+          else sysVars(key) = String.valueOf(evalScalar(expr))
+        case other =>
+          throw new IllegalArgumentException(s"cannot parse SET $other")
+      }
+    }
+
+  /** Driver-side scalar eval for session state — the analog of the
+    * reference's `v.Expr.Eval(chunk.Row{})` (`executor/set.go:48`).
+    */
+  private def evalScalar(expr: String): Any =
+    spark.sql(s"SELECT (${substituteVars(expr)}) AS v").collect()(0).get(0)
+
+  /** Replace @x / @@sysvar references outside quotes with literals;
+    * unset variables read as NULL (`builtin_other.go:310-330`).
+    */
+  private[graft] def substituteVars(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out += c; if (c == quote) quote = 0; i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out += c; i += 1
+      } else if (c == '@') {
+        val sys = i + 1 < sql.length && sql.charAt(i + 1) == '@'
+        var j = i + (if (sys) 2 else 1)
+        val start = j
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
+          sql.charAt(j) == '_' || sql.charAt(j) == '.')) j += 1
+        val name = sql.substring(start, j).toLowerCase
+        if (name.isEmpty) { out += c; i += 1 }
+        else {
+          val lit =
+            if (sys) sysVars.get(
+              name.stripPrefix("global.").stripPrefix("session."))
+              .map(renderLiteral).getOrElse("NULL")
+            else userVars.getOrElse(name, "NULL")
+          out ++= s"($lit)"
+          i = j
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  // -------------------------------------------------------------------- SHOW
+
+  private def show(sql: String, up: String): DataFrame = {
+    import spark.implicits._
+    if (up.startsWith("SHOW DATABASES"))
+      spark.sql("SHOW DATABASES")
+        .select(col("namespace").as("Database")).orderBy("Database")
+    else if (up.startsWith("SHOW TABLES")) {
+      val db = sql match {
+        case ShowTablesFromRe(d) => d
+        case _ => spark.catalog.currentDatabase
+      }
+      spark.sql(s"SHOW TABLES IN $db").where(!col("isTemporary"))
+        .select(col("tableName").as(s"Tables_in_$db")).orderBy(col(s"Tables_in_$db"))
+    } else if (up.startsWith("SHOW VARIABLES")) {
+      val all = sysVars.toSeq.toDF("Variable_name", "Value")
+      val filtered = sql match {
+        case ShowVarsLikeRe(pat) => all.where(col("Variable_name").like(pat))
+        case _ => all
+      }
+      filtered.orderBy("Variable_name")
+    } else if (up.startsWith("SHOW CREATE TABLE")) {
+      val t = clean(sql.substring("SHOW CREATE TABLE".length).trim)
+      Seq((unqualified(t), renderCreateTable(t)))
+        .toDF("Table", "Create Table")
+    } else if (up.startsWith("SHOW WARNINGS") || up.startsWith("SHOW ERRORS"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("Level", StringType),
+          StructField("Code", IntegerType),
+          StructField("Message", StringType))))
+    else throw new IllegalArgumentException(s"unsupported SHOW: $sql")
+  }
+
+  /** MySQL-flavoured DDL rendering (`executor/show.go` fetchShowCreateTable). */
+  private def renderCreateTable(t: String): String = {
+    val fields = spark.table(t).schema.fields.map { f =>
+      s"  `${f.name}` ${mysqlTypeName(f.dataType)}" +
+        (if (f.nullable) "" else " NOT NULL")
+    }
+    val pk = primaryKeys.get(unqualified(t))
+      .map(ks => s"  PRIMARY KEY (${ks.map(k => s"`$k`").mkString(",")})")
+    val keys = indexes.collect { case ((tb, name), m) if tb == unqualified(t) =>
+      val kw = if (m.unique) "UNIQUE KEY" else "KEY"
+      s"  $kw `$name` (${m.cols.map(c => s"`$c`").mkString(",")})"
+    }
+    (fields ++ pk ++ keys)
+      .mkString(s"CREATE TABLE `${unqualified(t)}` (\n", ",\n", "\n)")
+  }
+
+  // --------------------------------------------------------------------- DDL
+
+  private def createTable(sql: String): Unit = {
+    val open = sql.indexOf('(')
+    require(open > 0, s"cannot parse CREATE TABLE: $sql")
+    val close = matchingParen(sql, open)
+    val header = sql.substring(0, open).trim
+    val table = unqualified(clean(header.split("\\s+").last))
+    val defs = splitTopLevel(sql.substring(open + 1, close), ',')
+    val cols = mutable.Buffer.empty[String]
+    val deferredIdx = mutable.Buffer.empty[(String, Boolean, Seq[String])]
+    defs.foreach { d =>
+      val du = d.toUpperCase
+      if (du.startsWith("PRIMARY KEY"))
+        primaryKeys(table) = splitCols(parenBody(d))
+      else if (du.startsWith("UNIQUE") || du.startsWith("KEY ") ||
+        du.startsWith("INDEX ")) {
+        val cols0 = splitCols(parenBody(d))
+        val name = IndexNameRe.findFirstMatchIn(d).map(m => clean(m.group(2)))
+          .getOrElse(s"idx_${cols0.mkString("_")}")
+        deferredIdx += ((name, du.startsWith("UNIQUE"), cols0))
+      } else d match {
+        case ColumnDefRe(name, tpe, extras) =>
+          val eu = extras.toUpperCase
+          if (eu.contains("PRIMARY KEY")) primaryKeys(table) = Seq(clean(name))
+          val notNull = if (eu.contains("NOT NULL")) " NOT NULL" else ""
+          cols += s"`${clean(name)}` ${mysqlToSparkType(tpe)}$notNull"
+        case other =>
+          throw new IllegalArgumentException(s"cannot parse column def: $other")
+      }
+    }
+    spark.sql(s"$header (${cols.mkString(", ")}) USING parquet")
+    deferredIdx.foreach { case (n, u, cs) => createIndex(table, n, cs, u) }
+  }
+
+  private def dropTable(ifExists: String, t: String): Unit = {
+    spark.sql(s"DROP TABLE $ifExists$t")
+    val base = unqualified(clean(t))
+    indexes.keys.filter(_._1 == base).toSeq.foreach(indexes.remove)
+    primaryKeys.remove(base)
+  }
+
+  private def alterTable(sql: String): Unit = sql match {
+    case AlterAddIndexRe(t, name, cols) =>
+      createIndex(unqualified(clean(t)), clean(name), splitCols(cols))
+    case AlterAddColRe(t, rest) =>
+      val body = if (rest.trim.startsWith("(")) parenBody(rest) else rest
+      val cols = splitTopLevel(body, ',').map {
+        case ColumnDefRe(name, tpe, _) => s"`${clean(name)}` ${mysqlToSparkType(tpe)}"
+        case other =>
+          throw new IllegalArgumentException(s"cannot parse column def: $other")
+      }
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (${cols.mkString(", ")})")
+    case _ => throw new IllegalArgumentException(s"unsupported ALTER: $sql")
+  }
+
+  // ----------------------------------------------------------------- indexes
+
+  private def idxPath(t: String, name: String): String =
+    s"$snapshotRoot/${t}__$name"
+
+  private def createIndex(t: String, name: String, cols: Seq[String],
+      unique: Boolean = false): Unit = {
+    indexes((t, name)) = IndexMeta(unique, cols, idxPath(t, name))
+    refreshIndexes(t)
+  }
+
+  private def dropIndex(t: String, name: String): Unit =
+    indexes.remove((unqualified(t), name))
+
+  /** Write-path index maintenance (the analog of index KV writes in
+    * `table/tables/index.go`): re-materialize each index projection.
+    */
+  private def refreshIndexes(t: String): Unit = {
+    val base = unqualified(t)
+    indexes.foreach { case ((tb, _), m) if tb == base =>
+      spark.table(t).select(m.cols.map(col): _*)
+        .write.mode("overwrite").parquet(m.path)
+    case _ => ()
+    }
+  }
+
+  /** ADMIN CHECK TABLE: distributed multiset comparison of the stored
+    * index projection vs the current table rows (both directions).
+    */
+  private def adminCheck(t: String): DataFrame = {
+    import spark.implicits._
+    val base = unqualified(t)
+    val rows = indexes.collect { case ((tb, name), m) if tb == base =>
+      val cur = spark.table(t).select(m.cols.map(col): _*)
+      val snap = spark.read.parquet(m.path)
+      val consistent =
+        cur.exceptAll(snap).isEmpty && snap.exceptAll(cur).isEmpty
+      (base, name, if (consistent) "OK" else "CORRUPT")
+    }.toSeq
+    val out = if (rows.isEmpty) Seq((base, "<none>", "OK")) else rows
+    out.toDF("table_name", "index_name", "status")
+  }
+
+  // --------------------------------------------------------------------- DML
+
+  /** DELETE FROM t WHERE cond: anti-filter + table rewrite
+    * (`executor/delete.go:28`); NULL/FALSE conditions keep the row.
+    */
+  private def delete(t: String, where: Option[String]): Unit = {
+    val remaining = where match {
+      case Some(cond) => spark.table(t).where(
+        expr(s"NOT coalesce(CAST((${substituteVars(cond)}) AS BOOLEAN), false)"))
+      case None => spark.table(t).limit(0)
+    }
+    rewriteTable(t, remaining)
+  }
+
+  /** REPLACE INTO: delete-on-duplicate-key upsert on the primary key
+    * (`executor/replace.go:29`), one shuffle via window dedup.
+    */
+  private def replaceInto(t: String, colList: Option[String],
+      source: String): Unit = {
+    val target = spark.table(t)
+    val names = colList.map(splitCols).getOrElse(target.schema.fieldNames.toSeq)
+    val raw =
+      if (source.toUpperCase.startsWith("VALUES"))
+        spark.sql(
+          s"SELECT * FROM (${substituteVars(source)}) AS __r(${names.mkString(", ")})")
+      else spark.sql(substituteVars(source)).toDF(names: _*)
+    val incoming = target.schema.fields.foldLeft(raw) { (df, f) =>
+      if (names.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(target.schema.fieldNames.map(col).toSeq: _*)
+    val keys = primaryKeys.getOrElse(unqualified(t),
+      Seq(target.schema.fieldNames.head))
+    rewriteTable(t, operators.Dml.replaceInto(target, incoming, keys))
+  }
+
+  /** Stage-then-overwrite rewrite: materialize the next table state to a
+    * scratch dir, then INSERT OVERWRITE (Spark refuses to overwrite a
+    * table that is also being read). Partition-level rewrite would bound
+    * this at lake scale; the dataflow shape is identical.
+    */
+  private def rewriteTable(t: String, next: DataFrame): Unit = {
+    val target = spark.table(t)
+    val stage = Files.createTempDirectory("graft-rw").toString
+    next.select(target.schema.fieldNames.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite").insertInto(t)
+    refreshIndexes(t)
+  }
+
+  // ----------------------------------------------------------------- helpers
+
+  private def ok(): DataFrame = spark.emptyDataFrame
+
+  private def renderLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case other => other.toString
+  }
+}
+
+object GraftSession {
+
+  final case class IndexMeta(unique: Boolean, cols: Seq[String], path: String)
+
+  /** Deterministic session defaults, names per MySQL/the reference's
+    * `sessionctx/variable` (values chosen for stable SHOW output).
+    */
+  val defaultSysVars: Seq[(String, String)] = Seq(
+    "autocommit" -> "ON",
+    "max_allowed_packet" -> "67108864",
+    "sql_mode" -> "STRICT_TRANS_TABLES",
+    "time_zone" -> "UTC",
+    "transaction_isolation" -> "REPEATABLE-READ",
+    "version_comment" -> "graft analytics engine")
+
+  private val UseRe = "(?is)^USE\\s+([`\\w]+)$".r
+  private val ExplainRe = "(?is)^EXPLAIN\\s+(?:FORMAT\\s*=\\s*\\w+\\s+)?(.+)$".r
+  private val ShowRe = "(?is)^SHOW\\s.*".r
+  private val DescRe = "(?is)^DESC(?:RIBE)?\\s+([`\\w.]+)$".r
+  private val CreateDbRe =
+    "(?is)^CREATE\\s+(?:DATABASE|SCHEMA)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([`\\w]+)$".r
+  private val DropDbRe =
+    "(?is)^DROP\\s+(?:DATABASE|SCHEMA)\\s+(IF\\s+EXISTS\\s+)?([`\\w]+)$".r
+  private val DropTableRe =
+    "(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)$".r
+  private val CreateIndexRe =
+    "(?is)^CREATE\\s+(UNIQUE\\s+)?INDEX\\s+([`\\w]+)\\s+ON\\s+([`\\w.]+)\\s*\\(([^)]*)\\)$".r
+  private val DropIndexRe =
+    "(?is)^DROP\\s+INDEX\\s+([`\\w]+)\\s+ON\\s+([`\\w.]+)$".r
+  private val AdminCheckRe = "(?is)^ADMIN\\s+CHECK\\s+TABLE\\s+([`\\w.]+)$".r
+  private val AnalyzeRe = "(?is)^ANALYZE\\s+TABLE\\s+([`\\w.]+)$".r
+  private val InsertRe = "(?is)^INSERT\\s+INTO\\s+([`\\w.]+).*$".r
+  private val ReplaceRe =
+    "(?is)^REPLACE\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?((?:VALUES|SELECT).*)$".r
+  private val DeleteRe =
+    "(?is)^DELETE\\s+FROM\\s+([`\\w.]+)(?:\\s+WHERE\\s+(.+))?$".r
+  private val UserVarAsgnRe = "(?s)^@(\\w+)\\s*:?=\\s*(.+)$".r
+  private val SysVarAsgnRe = "(?s)^((?:@@)?[\\w.]+)\\s*:?=\\s*(.+)$".r
+  private val ShowTablesFromRe = "(?is)^SHOW\\s+TABLES\\s+(?:FROM|IN)\\s+([`\\w]+).*$".r
+  private val ShowVarsLikeRe = "(?is)^SHOW\\s+VARIABLES\\s+LIKE\\s+'([^']*)'$".r
+  private val DualRe = "(?i)\\bFROM\\s+DUAL\\b".r
+  private val ColumnDefRe = "(?s)^\\s*(`[^`]+`|\\w+)\\s+(\\w+(?:\\s*\\([^)]*\\))?)(.*)$".r
+  private val IndexNameRe = "(?i)^(UNIQUE\\s+)?(?:KEY|INDEX)\\s+(`[^`]+`|\\w+)".r
+  private val AlterAddColRe =
+    "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+ADD\\s+(?:COLUMNS?\\s+)?(.+)$".r
+  private val AlterAddIndexRe =
+    "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+ADD\\s+(?:KEY|INDEX)\\s+([`\\w]+)\\s*\\(([^)]*)\\)$".r
+
+  private def opt(s: String): String = Option(s).getOrElse("")
+
+  private def clean(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
+
+  private def unqualified(t: String): String =
+    clean(clean(t).split('.').last)
+
+  private def splitCols(s: String): Seq[String] =
+    s.split(',').map(clean).filter(_.nonEmpty).toSeq
+
+  private def parenBody(s: String): String = {
+    val open = s.indexOf('(')
+    require(open >= 0, s"expected (...) in: $s")
+    s.substring(open + 1, matchingParen(s, open))
+  }
+
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in: $s")
+  }
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val parts = mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; cur += c }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (c == sep && depth == 0) { parts += cur.toString; cur.clear() }
+      else cur += c
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** MySQL column type → Spark SQL type (parser type zoo from the
+    * reference's `parser/mysql/type.go:19-46`, runtime narrowing per
+    * SURVEY §1.2/§1.4).
+    */
+  private def mysqlToSparkType(t0: String): String = {
+    val t = t0.trim
+    val base = t.takeWhile(c => c != '(' && !c.isWhitespace).toUpperCase
+    val args = if (t.contains('(')) t.substring(t.indexOf('(')) else ""
+    base match {
+      case "TINYINT" => "TINYINT"
+      case "SMALLINT" => "SMALLINT"
+      case "INT" | "INTEGER" | "MEDIUMINT" | "YEAR" => "INT"
+      case "BIGINT" => "BIGINT"
+      case "FLOAT" => "FLOAT"
+      case "DOUBLE" | "REAL" => "DOUBLE"
+      case "DECIMAL" | "NUMERIC" => s"DECIMAL$args"
+      case "CHAR" | "VARCHAR" | "TINYTEXT" | "TEXT" | "MEDIUMTEXT" |
+        "LONGTEXT" | "ENUM" | "SET" | "JSON" | "TIME" => "STRING"
+      case "BINARY" | "VARBINARY" | "TINYBLOB" | "BLOB" | "MEDIUMBLOB" |
+        "LONGBLOB" | "BIT" => "BINARY"
+      case "DATE" => "DATE"
+      case "DATETIME" | "TIMESTAMP" => "TIMESTAMP"
+      case "BOOL" | "BOOLEAN" => "BOOLEAN"
+      case other => other + args // already a Spark type
+    }
+  }
+
+  /** Spark type → MySQL name for SHOW CREATE TABLE rendering. */
+  private def mysqlTypeName(dt: DataType): String = dt match {
+    case ByteType => "tinyint"
+    case ShortType => "smallint"
+    case IntegerType => "int"
+    case LongType => "bigint"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case StringType => "varchar(255)"
+    case BinaryType => "blob"
+    case BooleanType => "tinyint(1)"
+    case DateType => "date"
+    case TimestampType | TimestampNTZType => "datetime"
+    case other => other.simpleString
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{GraftSession, Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-verified coverage of the SQL front-end: every statement class
+  * the reference routes through `session.Execute`
+  * (tinysql `session/session.go:562`, dispatch
+  * `planner/core/planbuilder.go:246-262`) exercised end-to-end via SQL
+  * strings and hash-checked against DuckDB.
+  */
+object SqlSurface extends QueryModule {
+
+  /** Register driver tables as plain-named temp views (the FROM targets
+    * the oracle also uses).
+    */
+  private def session(s: SparkSession, d: String): GraftSession = {
+    Tables.names.filterNot(_ == "events").foreach(n =>
+      Tables.load(s, d, n).createOrReplaceTempView(n))
+    Tables.loadEvents(s, d).createOrReplaceTempView("events")
+    new GraftSession(s)
+  }
+
+  /** One scratch database for the DML/DDL lifecycle queries. */
+  private def scratch(gs: GraftSession): Unit = {
+    gs.execute("CREATE DATABASE IF NOT EXISTS graft_sql")
+    gs.execute("USE graft_sql")
+  }
+
+  private def backToDefault(gs: GraftSession, df: DataFrame): DataFrame = {
+    gs.execute("USE default")
+    df
+  }
+
+  override val queries: Seq[Q] = Seq(
+
+    // Plain SELECT through the router: parse → analyze → execute, the
+    // reference's primary entry path.
+    Q("sql_roundtrip",
+      (s, d) => session(s, d).execute(
+        """SELECT n_name, count(*) AS n_orders,
+                  round(sum(o_totalprice), 2) AS rev
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name"""),
+      Some("""SELECT n_name, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS rev
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name""")),
+
+    // Session variables driving a real predicate (`executor/set.go:40`,
+    // `expression/builtin_other.go:223`).
+    Q("sql_session_vars",
+      (s, d) => {
+        val gs = session(s, d)
+        gs.execute("SET @min_bal = 9000")
+        gs.execute("SET @seg = 'BUILDING'")
+        gs.execute(
+          """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+             FROM customer
+             WHERE c_acctbal > @min_bal AND c_mktsegment = @seg""")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+              FROM customer
+              WHERE c_acctbal > 9000 AND c_mktsegment = 'BUILDING'""")),
+
+    // TableDual + variable arithmetic + NULL-unset semantics.
+    Q("sql_dual_vars",
+      (s, d) => {
+        val gs = session(s, d)
+        gs.execute("SET @a = 6, @b = @a + 1")
+        gs.execute(
+          """SELECT @a * @b AS answer, @a + @b AS s,
+                    @never_set IS NULL AS unset_is_null FROM DUAL""")
+      },
+      Some("SELECT 42 AS answer, 13 AS s, TRUE AS unset_is_null")),
+
+    // Full managed-table DML lifecycle: CREATE → INSERT…SELECT →
+    // REPLACE → DELETE → final state (write path of SURVEY §2.1).
+    Q("sql_dml_lifecycle",
+      (s, d) => {
+        val gs = session(s, d)
+        scratch(gs)
+        gs.execute("DROP TABLE IF EXISTS cust")
+        gs.execute(
+          """CREATE TABLE cust (
+               c_custkey BIGINT NOT NULL PRIMARY KEY,
+               c_name VARCHAR(64),
+               c_acctbal DOUBLE)""")
+        gs.execute(
+          """INSERT INTO cust
+             SELECT c_custkey, c_name, c_acctbal FROM customer
+             WHERE c_custkey <= 200""")
+        gs.execute(
+          """REPLACE INTO cust
+             SELECT c_custkey, c_name, c_acctbal + 1000 FROM customer
+             WHERE c_custkey <= 50""")
+        gs.execute("DELETE FROM cust WHERE c_custkey % 10 = 0")
+        backToDefault(gs, gs.execute(
+          """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+             FROM graft_sql.cust"""))
+      },
+      Some("""SELECT c_custkey, c_name,
+                     round(c_acctbal +
+                       CASE WHEN c_custkey <= 50 THEN 1000 ELSE 0 END, 2) AS bal
+              FROM customer
+              WHERE c_custkey <= 200 AND c_custkey % 10 <> 0""")),
+
+    // SHOW VARIABLES on a fresh session: deterministic defaults.
+    Q("sql_show_variables",
+      (s, d) => session(s, d).execute("SHOW VARIABLES"),
+      Some {
+        val rows = GraftSession.defaultSysVars
+          .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+        s"""SELECT * FROM (VALUES $rows) t("Variable_name", "Value")"""
+      }),
+
+    // CREATE INDEX + ADMIN CHECK TABLE: index↔row consistency job
+    // (`planner/core/planbuilder.go:435`).
+    Q("sql_admin_check",
+      (s, d) => {
+        val gs = session(s, d)
+        scratch(gs)
+        gs.execute("DROP TABLE IF EXISTS act")
+        gs.execute(
+          "CREATE TABLE act (n_nationkey BIGINT PRIMARY KEY, n_name VARCHAR(32))")
+        gs.execute(
+          "INSERT INTO act SELECT n_nationkey, n_name FROM nation")
+        gs.execute("CREATE INDEX nidx ON act (n_name)")
+        backToDefault(gs, gs.execute("ADMIN CHECK TABLE act"))
+      },
+      Some("""SELECT * FROM (VALUES ('act', 'nidx', 'OK'))
+              t(table_name, index_name, status)"""))
+  )
+}

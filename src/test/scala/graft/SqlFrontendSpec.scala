@@ -1,0 +1,129 @@
+package graft
+
+/** MustQuery-style end-to-end tests through the MySQL-dialect front-end,
+  * mirroring the reference's testkit suites
+  * (`executor/executor_test.go`, `executor/write_test.go`,
+  * `executor/ddl_test.go` — SQL in, string rows out).
+  */
+class SqlFrontendSpec extends SparkSuite {
+
+  private lazy val gs: GraftSession = {
+    Tables.names.filterNot(_ == "events").foreach(n =>
+      Tables.load(spark, sf, n).createOrReplaceTempView(n))
+    Tables.loadEvents(spark, sf).createOrReplaceTempView("events")
+    new GraftSession(spark)
+  }
+
+  test("user variables: set / get / overwrite / NULL-unset") {
+    gs.execute("SET @x = 42")
+    assert(gs.query("SELECT @x + 1 AS v") == Seq("43"))
+    gs.execute("SET @x := 'abc'")
+    assert(gs.query("SELECT @x AS v") == Seq("abc"))
+    gs.execute("SET @x = NULL")
+    assert(gs.query("SELECT @x AS v") == Seq("<nil>"))
+    assert(gs.query("SELECT @never_set AS v") == Seq("<nil>"))
+    gs.execute("SET @a = 1, @b = @a + 10")
+    assert(gs.query("SELECT @a + @b AS v") == Seq("12"))
+  }
+
+  test("system variables: SET / SELECT @@ / SHOW VARIABLES LIKE") {
+    gs.execute("SET max_allowed_packet = 1024")
+    assert(gs.query("SELECT @@max_allowed_packet AS v") == Seq("1024"))
+    assert(gs.query("SHOW VARIABLES LIKE 'max_allowed%'") ==
+      Seq("max_allowed_packet 1024"))
+    assert(gs.query("SELECT @@time_zone AS v") == Seq("UTC"))
+  }
+
+  test("SELECT ... FROM DUAL and strcmp through SQL") {
+    assert(gs.query("SELECT 1 + 1 AS v FROM DUAL") == Seq("2"))
+    assert(gs.query("SELECT strcmp('a', 'b') AS v, strcmp('b', 'a') AS w") ==
+      Seq("-1 1"))
+  }
+
+  test("DDL lifecycle with MySQL column types") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS t")
+    gs.execute("""CREATE TABLE t (
+        id BIGINT NOT NULL PRIMARY KEY,
+        v VARCHAR(64),
+        score DOUBLE,
+        KEY vidx (v)
+      ) ENGINE=InnoDB DEFAULT CHARSET=utf8""")
+    gs.execute("INSERT INTO t VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    assert(gs.query("SELECT id, v FROM t ORDER BY id") == Seq("1 a", "2 b"))
+    val create = gs.query("SHOW CREATE TABLE t").head
+    assert(create.contains("varchar(255)") && create.contains("bigint"))
+    assert(create.contains("PRIMARY KEY (`id`)"))
+    assert(create.contains("KEY `vidx` (`v`)"))
+    gs.execute("ALTER TABLE t ADD COLUMN extra INT")
+    assert(gs.query("SELECT count(*) AS n FROM t WHERE extra IS NULL") == Seq("2"))
+    assert(gs.query("SHOW TABLES") == Seq("t"))
+  }
+
+  test("REPLACE INTO: delete-on-duplicate-key upsert") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS r")
+    gs.execute("CREATE TABLE r (id BIGINT PRIMARY KEY, v VARCHAR(10))")
+    gs.execute("INSERT INTO r VALUES (1, 'a'), (2, 'b')")
+    gs.execute("REPLACE INTO r VALUES (1, 'x'), (3, 'c')")
+    assert(gs.query("SELECT id, v FROM r ORDER BY id") ==
+      Seq("1 x", "2 b", "3 c"))
+  }
+
+  test("DELETE FROM with tri-valued WHERE keeps NULL-condition rows") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS d")
+    gs.execute("CREATE TABLE d (id BIGINT, v INT)")
+    gs.execute("INSERT INTO d VALUES (1, 10), (2, NULL), (3, 30)")
+    gs.execute("DELETE FROM d WHERE v > 15")
+    assert(gs.query("SELECT id FROM d ORDER BY id") == Seq("1", "2"))
+  }
+
+  test("ADMIN CHECK TABLE passes when consistent, flags drift") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS ac")
+    gs.execute("CREATE TABLE ac (id BIGINT PRIMARY KEY, v VARCHAR(10))")
+    gs.execute("INSERT INTO ac VALUES (1, 'a'), (2, 'b')")
+    gs.execute("CREATE INDEX vidx ON ac (v)")
+    assert(gs.query("ADMIN CHECK TABLE ac") == Seq("ac vidx OK"))
+    // out-of-band write (bypasses the engine's index maintenance)
+    spark.sql("INSERT INTO sqlfe.ac VALUES (9, 'z')")
+    assert(gs.query("ADMIN CHECK TABLE ac") == Seq("ac vidx CORRUPT"))
+    gs.execute("DROP INDEX vidx ON ac")
+    assert(gs.query("ADMIN CHECK TABLE ac") == Seq("ac <none> OK"))
+  }
+
+  test("EXPLAIN returns the formatted physical plan as rows") {
+    val lines = gs.query("EXPLAIN SELECT count(*) FROM lineitem")
+    assert(lines.exists(_.contains("Physical Plan")))
+    assert(lines.exists(_.contains("Scan parquet")))
+  }
+
+  test("SHOW DATABASES lists created databases") {
+    assert(gs.query("SHOW DATABASES").contains("sqlfe"))
+  }
+
+  test("SELECT roundtrip over driver tables matches DataFrame result") {
+    gs.execute("SET @minqty = 45")
+    val viaSql = gs.query(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE l_quantity > @minqty GROUP BY l_returnflag
+         ORDER BY l_returnflag""")
+    val viaDf = Tables.load(spark, sf, "lineitem")
+      .where(org.apache.spark.sql.functions.col("l_quantity") > 45)
+      .groupBy("l_returnflag").count()
+      .orderBy("l_returnflag").collect()
+      .map(r => s"${r.getString(0)} ${r.getLong(1)}").toSeq
+    assert(viaSql == viaDf)
+  }
+
+  test("ANALYZE TABLE populates catalog stats used by CBO") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS st")
+    gs.execute("CREATE TABLE st (id BIGINT, v VARCHAR(10))")
+    gs.execute("INSERT INTO st VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    gs.execute("ANALYZE TABLE st")
+    assert(Stats.rowCount(spark, "sqlfe.st").contains(BigInt(3)))
+  }
+}
