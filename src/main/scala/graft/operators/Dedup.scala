@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication for training-data pipelines: exact, n-gram Jaccard,
   * MinHash+LSH, SimHash. The synthetic corpus has no natural duplicates,
@@ -11,15 +12,29 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: everything is a hash-partitioned shuffle on a derived
   * key (text hash / shingle / band signature) — no driver-side state, no
-  * all-pairs comparison outside candidate buckets. At 100 TB the only
-  * extra step would be dropping ultra-frequent shingles (stop-shingles)
-  * before the inverted-index join to bound bucket skew; AQE skew-join
-  * covers moderate skew here.
+  * all-pairs comparison outside candidate buckets. Two 100 TB guards:
+  *
+  *   - **Stop-shingle cap**: shingles appearing in more than
+  *     [[maxShingleDf]] documents are dropped from the n-gram Jaccard
+  *     representation, bounding the worst inverted-index bucket join
+  *     from quadratic-in-corpus to maxDf² pairs per shingle (standard
+  *     practice for shingle inverted indexes). The synthetic corpus has
+  *     no shingle above the cap (asserted in DedupSpec), so the
+  *     full-vocabulary DuckDB oracle still matches exactly.
+  *   - **Persisted shared subtrees**: Spark has no cross-branch common
+  *     subexpression elimination, so the shingle/signature frames that
+  *     feed both sides of a self-join are persisted (MEMORY_AND_DISK)
+  *     instead of recomputed 3×. In a long-lived pipeline the caller
+  *     would unpersist after materializing; in these one-shot queries
+  *     the session lifetime bounds the cache.
   */
 object Dedup extends QueryModule {
 
+  /** Candidate-generation document-frequency cap (see scale note). */
+  val maxShingleDf = 256
+
   /** documents ∪ id-shifted copy, lowercased. */
-  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
       .select(col("doc_id"), lower(col("text")).as("text"))
     docs.unionByName(
@@ -31,7 +46,7 @@ object Dedup extends QueryModule {
        UNION ALL SELECT doc_id + 1000000, lower(text) FROM documents)"""
 
   /** Distinct word 3-gram shingles per doc: (doc_id, s). */
-  private[operators] def shingles(df: DataFrame): DataFrame =
+  private[graft] def shingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
       .filter(size(col("t")) >= 3)
@@ -40,10 +55,24 @@ object Dedup extends QueryModule {
           "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s"))
       .distinct()
 
-  /** Exact n-gram Jaccard over candidate pairs from an inverted index on
-    * shingles (pairs sharing ≥1 shingle) — the exact-verify backbone.
+  /** Shingles surviving the stop-shingle document-frequency cap. For
+    * n-gram Jaccard the cap defines the representation itself (Jaccard
+    * over the non-stop vocabulary — the principled form of stop-shingle
+    * removal); the synthetic corpus has no shingle above the cap, so the
+    * full-vocabulary DuckDB oracle still matches exactly (DedupSpec
+    * asserts that precondition).
     */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  private[operators] def cappedShingles(sh: DataFrame): DataFrame = {
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select(col("s"))
+    sh.join(rare, "s")
+  }
+
+  /** Count-based exact Jaccard over pairs sharing ≥1 shingle: candidate
+    * counts and set sizes in plain integer arithmetic — no per-pair
+    * array materialization.
+    */
+  private def countJaccard(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -56,6 +85,19 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jac"))
   }
+
+  /** Exact Jaccard over candidate pairs from full shingle sets. */
+  private def exactJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(sets.as("pb"), col("doc_b") === col("pb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("pa.ss"), col("pb.ss")))
+          / size(array_union(col("pa.ss"), col("pb.ss")))).as("jac"))
+
+  /** Full shingle set per doc (for exact verification joins). */
+  private def shingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
 
   /** MinHash signatures: NUM min-aggregates in ONE hash aggregate (partial
     * map-side combine; one shuffle on doc_id) — no per-hash explode.
@@ -80,12 +122,17 @@ object Dedup extends QueryModule {
                       count(*) AS n_copies
                FROM corpus GROUP BY text""")),
 
-    // Near-dedup by exact word-3-gram Jaccard ≥ 0.8; candidates from the
-    // shared-shingle inverted index (never all-pairs).
+    // Near-dedup by exact word-3-gram Jaccard ≥ 0.8 over the capped
+    // shingle vocabulary; candidates from the shared-shingle inverted
+    // index (never all-pairs), score by integer count arithmetic.
     Q("dedup_ngram_jaccard",
-      (s, d) => jaccardPairs(shingles(corpus(s, d)))
-        .filter(col("jac") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard")),
+      (s, d) => {
+        val sh = cappedShingles(shingles(corpus(s, d)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        countJaccard(sh)
+          .filter(col("jac") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      },
       Some(s"""WITH $corpusSql,
                toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
                         FROM corpus),
@@ -112,7 +159,7 @@ object Dedup extends QueryModule {
     // asserts every planted duplicate pair is recovered.
     Q("dedup_minhash_lsh",
       (s, d) => {
-        val sh = shingles(corpus(s, d))
+        val sh = shingles(corpus(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
         val sig = minhashSignature(sh, 32)
         val bands = (0 until 8).map(b => struct(
           lit(b).as("band"),
@@ -122,19 +169,14 @@ object Dedup extends QueryModule {
           .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"),
             col("bk.key").as("key"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val cand = buckets.as("x")
           .join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key")
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
-        cand
-          .join(sets.as("pa"), col("doc_a") === col("pa.doc_id"))
-          .join(sets.as("pb"), col("doc_b") === col("pb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (size(array_intersect(col("pa.ss"), col("pb.ss")))
-              / size(array_union(col("pa.ss"), col("pb.ss")))).as("jac"))
+        exactJaccard(cand, shingleSets(sh))
           .filter(col("jac") >= 0.7)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       },
@@ -161,6 +203,7 @@ object Dedup extends QueryModule {
             .reduce(_ + _).as(s"b$k")
         }
         val sigs = agged.select(col("doc_id") +: bandCols: _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val bb = sigs.select(col("doc_id"), explode(array((0 until 4).map(k =>
             struct(lit(k).as("k"), col(s"b$k").as("v"))): _*)).as("e"))
           .select(col("doc_id"), col("e.k").as("k"), col("e.v").as("v"))

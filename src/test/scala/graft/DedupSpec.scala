@@ -20,6 +20,16 @@ class DedupSpec extends SparkSuite {
     assert(planted.filter(col("jaccard") =!= 1.0).count() == 0)
   }
 
+  test("no shingle exceeds the stop-shingle cap (oracle-equivalence precondition)") {
+    import graft.operators.Dedup
+    val sh = Dedup.shingles(Dedup.corpus(spark, sf))
+    val maxDf = sh.groupBy("s").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxDf <= Dedup.maxShingleDf,
+      s"corpus has a shingle with df=$maxDf > cap ${Dedup.maxShingleDf}; " +
+        "the full-vocabulary DuckDB oracle would diverge")
+  }
+
   test("minhash LSH recovers every planted pair") {
     val df = q("dedup_minhash_lsh")
     assert(df.filter(col("doc_b") === col("doc_a") + 1000000L).count() == nDocs)
