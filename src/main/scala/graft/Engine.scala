@@ -21,6 +21,11 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ANSI on (Spark 4 default, pinned): arithmetic overflow raises,
+      // matching the reference's error-on-overflow
+      // (`expression/builtin_arithmetic.go`); MySQL's div-by-zero→NULL
+      // is routed through try_divide/nullif guards instead (SURVEY §7.3).
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

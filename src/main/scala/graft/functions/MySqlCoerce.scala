@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MySQL implicit string→number coercion (SURVEY §7.3).
+  *
+  * MySQL parses the longest valid numeric prefix of a string and coerces
+  * the rest away with a warning — `'123abc' + 1 = 124`, `'x' + 1 = 1`
+  * (reference `types/convert.go` StrToFloat/getValidFloatPrefix). Spark's
+  * default cast yields NULL for any malformed string; this helper closes
+  * that delta as a composition of codegen'd built-ins (regexp prefix
+  * extract + cast), no UDF.
+  */
+object MySqlCoerce {
+
+  /** Longest valid float prefix: optional leading whitespace and sign,
+    * digits with at most one dot, optional exponent.
+    */
+  private[graft] val NumPrefix =
+    "^[ \\t]*([+-]?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
+
+  /** MySQL-semantics string→double: numeric prefix value, 0.0 when the
+    * string has no numeric prefix (matching MySQL's coerce-to-zero).
+    */
+  def toDouble(c: Column): Column = {
+    // the extracted prefix is a valid literal whenever non-empty, so the
+    // cast is ANSI-safe; no-prefix strings coerce to 0 like MySQL
+    val p = regexp_extract(c, NumPrefix, 1)
+    when(p === "", lit(0.0)).otherwise(p.cast("double"))
+  }
+
+  /** MySQL-semantics string→bigint: truncating the float prefix toward
+    * zero, as MySQL does when an integer context is required.
+    */
+  def toLong(c: Column): Column =
+    toDouble(c).cast("bigint")
+
+  /** MySQL true division (`arithmeticDivide`,
+    * `expression/builtin_arithmetic.go:471`): always real-valued, NULL on
+    * zero divisor — under ANSI Spark that is exactly `try_divide`.
+    */
+  def div(a: Column, b: Column): Column = try_divide(a, b)
+
+  /** Independent hand-rolled reimplementation of the reference's
+    * `getValidFloatPrefix` scanner (`types/convert.go`) for differential
+    * tests — deliberately not sharing the regex above.
+    */
+  private[graft] def prefixDouble(s0: String): Double = {
+    val s = s0.dropWhile(c => c == ' ' || c == '\t')
+    var i = 0
+    var sawDigit = false
+    var sawDot = false
+    var end = 0
+    if (i < s.length && (s(i) == '+' || s(i) == '-')) i += 1
+    while (i < s.length && (s(i).isDigit || (s(i) == '.' && !sawDot))) {
+      if (s(i).isDigit) { sawDigit = true; end = i + 1 }
+      else sawDot = true
+      i += 1
+    }
+    if (sawDigit && s(i - 1) == '.') end = i // trailing dot is valid
+    if (!sawDigit) return 0.0
+    // optional exponent: only valid with at least one following digit
+    if (i < s.length && (s(i) == 'e' || s(i) == 'E')) {
+      var j = i + 1
+      if (j < s.length && (s(j) == '+' || s(j) == '-')) j += 1
+      val expStart = j
+      while (j < s.length && s(j).isDigit) j += 1
+      if (j > expStart) end = j
+    }
+    s.substring(0, end).toDouble
+  }
+}

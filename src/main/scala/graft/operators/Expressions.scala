@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import graft.functions.StrCmp
+import graft.functions.{MySqlCoerce, StrCmp}
 import org.apache.spark.sql.functions._
 
 /** Scalar-expression parity — SURVEY.md §2.8: the reference's complete
@@ -112,6 +112,40 @@ object Expressions extends QueryModule {
                      length(p_name) AS char_len,
                      CASE WHEN p_name < p_brand THEN -1
                           WHEN p_name = p_brand THEN 0 ELSE 1 END AS cmp_brand
-              FROM part"""))
+              FROM part""")),
+
+    // MySQL implicit string→number coercion: longest numeric prefix,
+    // 0 when none (`types/convert.go` StrToFloat) — via
+    // graft.functions.MySqlCoerce (regexp prefix + cast, codegen'd).
+    Q("expr_coercion",
+      (s, d) => {
+        val df = Tables.load(s, d, "part").select(
+          col("p_partkey"),
+          concat(col("p_size").cast("string"), lit("."),
+            (col("p_partkey") % 10).cast("string"), lit("e1x")).as("s1"),
+          col("p_name").as("s2"))
+        df.select(col("p_partkey"),
+          MySqlCoerce.toDouble(col("s1")).as("v1"),
+          MySqlCoerce.toDouble(col("s2")).as("v2"),
+          MySqlCoerce.toLong(col("s1")).as("v1_int"))
+      },
+      Some("""WITH src AS (
+                SELECT p_partkey,
+                       CAST(p_size AS VARCHAR) || '.' ||
+                       CAST(p_partkey % 10 AS VARCHAR) || 'e1x' AS s1,
+                       p_name AS s2
+                FROM part),
+              ex AS (
+                SELECT p_partkey,
+                       regexp_extract(s1,
+                         '^[ \t]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)', 1) AS r1,
+                       regexp_extract(s2,
+                         '^[ \t]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)', 1) AS r2
+                FROM src)
+              SELECT p_partkey,
+                     CASE WHEN r1 = '' THEN 0.0 ELSE CAST(r1 AS DOUBLE) END AS v1,
+                     CASE WHEN r2 = '' THEN 0.0 ELSE CAST(r2 AS DOUBLE) END AS v2,
+                     CAST(CASE WHEN r1 = '' THEN 0.0 ELSE CAST(r1 AS DOUBLE) END AS BIGINT) AS v1_int
+              FROM ex"""))
   )
 }

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.MySqlCoerce
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Differential tests for the MySQL-vs-Spark semantic deltas SURVEY §7.3
+  * calls "the real work": integer division, division by zero, overflow
+  * boundaries, and implicit string→number coercion. Property-style over
+  * ScalaCheck generators with a fixed seed (driven through one DataFrame
+  * per property — distributed eval vs a JVM-side reference).
+  */
+class MySqlSemanticsSpec extends SparkSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(42L))
+
+  test("MySQL division: double result, NULL on zero divisor (try_divide)") {
+    import spark.implicits._
+    val divisors = Gen.oneOf(Gen.const(0L), Gen.chooseNum(-1000000L, 1000000L))
+    val pairs = samples(Gen.zip(Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4), divisors), 400)
+    val rows = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), MySqlCoerce.div(col("a"), col("b")).as("q"))
+      .collect()
+    assert(rows.head.schema("q").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (b == 0L) assert(r.isNullAt(2), s"$a / 0 must be NULL")
+      else assert(r.getDouble(2) == a.toDouble / b.toDouble)
+    }
+  }
+
+  test("in-range Long arithmetic is exact; try_* opts out of ANSI errors") {
+    import spark.implicits._
+    val safe = Gen.chooseNum(-1000000000L, 1000000000L)
+    val pairs = samples(Gen.zip(safe, safe), 400)
+    val rows = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), (col("a") + col("b")).as("s"),
+        (col("a") - col("b")).as("d"), (col("a") * col("b")).as("p"))
+      .collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == a + b)
+      assert(r.getLong(3) == a - b)
+      assert(r.getLong(4) == a * b)
+    }
+    // overflow with the try_ opt-out: NULL, never a wrapped value
+    val t = spark.sql(s"SELECT try_add(${Long.MaxValue}L, 1L) AS v").collect()
+    assert(t(0).isNullAt(0))
+  }
+
+  test("ANSI mode raises on overflow — the reference's error-on-overflow") {
+    // tinysql errors on BIGINT overflow (expression/builtin_arithmetic.go);
+    // Spark's equivalent strictness is ANSI mode. The engine default stays
+    // non-ANSI because MySQL also returns NULL (not an error) for division
+    // by zero, which ANSI would turn into an error — the two parities
+    // conflict; we document the boundary behavior on both paths.
+    val old = spark.conf.getOption("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT ${Long.MaxValue}L + 1L").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("overflow"), e.getMessage)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  test("string→number coercion parses the longest numeric prefix") {
+    import spark.implicits._
+    val numericish: Gen[String] = for {
+      ws <- Gen.oneOf("", " ", "\t ")
+      sign <- Gen.oneOf("", "+", "-")
+      intPart <- Gen.oneOf(Gen.const(""), Gen.chooseNum(0, 99999).map(_.toString))
+      frac <- Gen.oneOf(Gen.const(""), Gen.chooseNum(0, 999).map("." + _))
+      exp <- Gen.oneOf("", "e2", "E-3", "e+1", "e", "eX")
+      junk <- Gen.oneOf("", "abc", "x1", " 5", "-", ".")
+    } yield s"$ws$sign$intPart$frac$exp$junk"
+    val messy = Gen.oneOf(numericish,
+      Gen.oneOf("", "abc", "--1", "++2", "break", "12a34", ".e3", "1.2.3"))
+    val strs = samples(messy, 500)
+    val rows = strs.toDF("s")
+      .select(col("s"), MySqlCoerce.toDouble(col("s")).as("v"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val expected = MySqlCoerce.prefixDouble(s)
+      assert(r.getDouble(1) == expected,
+        s"coercion of '$s': spark=${r.getDouble(1)} expected=$expected")
+    }
+    // the headline MySQL examples
+    val headline = Seq("123abc" -> 123.0, "x" -> 0.0, " 12.5x" -> 12.5,
+      "" -> 0.0, "-3e2z" -> -300.0, ".5ok" -> 0.5)
+    headline.foreach { case (s, want) =>
+      assert(MySqlCoerce.prefixDouble(s) == want)
+    }
+    val sparkVals = headline.map(_._1).toDF("s")
+      .select(MySqlCoerce.toDouble(col("s"))).collect().map(_.getDouble(0))
+    assert(sparkVals.toSeq == headline.map(_._2))
+  }
+}
