@@ -21,7 +21,8 @@ object SparkEntry {
     operators.Similarity,
     operators.Multimodal,
     operators.Meta,
-    operators.SqlSurface)
+    operators.SqlSurface,
+    operators.Indexing)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

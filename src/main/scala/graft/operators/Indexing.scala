@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout analog of the reference's secondary indexes
+  * (SURVEY §1.4): bucketed + sorted parquet tables.
+  *
+  * The reference's IndexReader/IndexScan (`executor/distsql.go:166`,
+  * cop-side `store/mockstore/mocktikv/executor.go:191`) buy two things:
+  * key-clustered access (range scans touch one index range) and
+  * pre-sorted order (merge join without re-sort). Spark's equivalents:
+  *   - `bucketBy(n, key)` co-locates equal keys in one bucket file →
+  *     equi-joins and aggregations on the key need NO shuffle exchange,
+  *     the moral equivalent of the coprocessor reading an index range
+  *     locally;
+  *   - `sortBy(key)` within buckets → merge joins skip the sort;
+  *   - bucket pruning on key equality predicates → "SelectedBucketsCount
+  *     1 out of N" in the scan, the IndexLookUp point-get analog.
+  *
+  * At 100 TB this is THE difference between an O(data) shuffle per join
+  * and none: bucket the fact tables on their join key at ingest, and
+  * every downstream join/agg on that key is exchange-free.
+  */
+object Indexing extends QueryModule {
+
+  val db = "graft_buck"
+
+  /** Bucketed + sorted copy of a driver table, keyed like a secondary
+    * index; idempotent per session (overwrite).
+    */
+  def bucketedCopy(s: SparkSession, d: String, table: String, key: String,
+      buckets: Int = 8): String = {
+    val name = s"$db.${table}_by_$key"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Tables.load(s, d, table).write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(name)
+    name
+  }
+
+  /** Exchange-free equi-join over two tables bucketed on the join key. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = bucketedCopy(s, d, "lineitem", "l_orderkey")
+    val ord = bucketedCopy(s, d, "orders", "o_orderkey")
+    s.table(li)
+      .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .where(col("o_totalprice") > 200000)
+      .select(col("l_orderkey"), col("l_partkey"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
+  override val queries: Seq[Q] = Seq(
+    Q("scan_bucketed_join",
+      bucketedJoin,
+      Some("""SELECT l_orderkey, l_partkey, round(o_totalprice, 2) AS price
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_totalprice > 200000"""))
+  )
+}

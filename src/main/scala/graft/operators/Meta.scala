@@ -39,6 +39,18 @@ object Meta extends QueryModule {
   def explainFormatted(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  /** Normalized plan shape for golden-snapshot tests: operator tree with
+    * node names only — no expression ids, paths, or size estimates — the
+    * analog of the reference's golden physical-plan strings
+    * (`planner/core/testdata/plan_suite_out.json`).
+    */
+  def planShape(df: DataFrame): String = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan,
+        depth: Int): Seq[String] =
+      ("  " * depth + p.nodeName.trim) +: p.children.flatMap(walk(_, depth + 1))
+    walk(df.queryExecution.sparkPlan, 0).mkString("\n")
+  }
+
   override val queries: Seq[Q] = Seq(
     Q("catalog_tables",
       (s, d) => { registerAll(s, d); showTables(s) },
