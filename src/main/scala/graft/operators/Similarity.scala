@@ -4,6 +4,7 @@ import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -49,6 +50,50 @@ object Similarity extends QueryModule {
     pl.zipWithIndex.map { case (p, b) =>
       when(dot(v, typedlit(p.toSeq)) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Squared-distance struct list to each centroid (monotone in L2:
+    * |v|² - 2·v·c + |c|²; |v|² constant per row so dropped), ordered so
+    * `array_min`/`array_sort` pick the nearest cell, ties to lower id.
+    */
+  private def centDists(v: Column, cents: Array[Seq[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      // named_struct: field names survive array_sort/slice, plain struct
+      // aliases do not
+      named_struct(lit("d"), lit(c2) - lit(2.0) * dot(v, typedlit(c)),
+        lit("i"), lit(i))
+    }: _*)
+
+  /** Nearest-centroid cell id. */
+  private def cellOf(v: Column, cents: Array[Seq[Double]]): Column =
+    array_min(centDists(v, cents)).getField("i")
+
+  /** Deterministic IVF coarse quantizer: seeds = the first k vectors,
+    * refined with `iters` Lloyd iterations. Assignment is a broadcast
+    * argmin over k centroids; only k×dim centroid doubles (plus the
+    * per-dimension means, k×dim rows) ever reach the driver —
+    * metadata-scale, like the reference's ANALYZE stats, not data-scale.
+    */
+  private[operators] def ivfCentroids(e: DataFrame, k: Int,
+      iters: Int): Array[Seq[Double]] = {
+    var cents: Array[Seq[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("v").collect()
+      .map(_.getSeq[Double](0))
+    for (_ <- 0 until iters) {
+      val means = e.select(cellOf(col("v"), cents).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(rows) => rows.sortBy(_._2).map(_._3).toSeq
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
 
   override val queries: Seq[Q] = Seq(
 
@@ -112,6 +157,72 @@ object Similarity extends QueryModule {
           .orderBy(col("sim").desc, col("vec_id"))
         queriesDf
           .join(e, col("q_bucket") === col("bucket")
+            && col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("qv"), col("v")).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 4).as("cos_sim"))
+      },
+      None),
+
+    // Embedding-cosine near-duplicate detection (the dedup-family
+    // variant): corpus = embeddings ∪ id-shifted copy; candidates from
+    // 16-bit sign-LSH buckets — identical vectors land in the same
+    // bucket DETERMINISTICALLY, so planted-dup recall is guaranteed —
+    // then exact cosine verify ≥ 0.9. Oracled: the corpus' max
+    // non-identical cosine is ~0.6, far under the threshold, so the
+    // exact all-pairs DuckDB result equals the bucketed result.
+    Q("dedup_embedding",
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("v"))
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+        val b = corpus
+          .withColumn("bucket", signBucket(col("v"), planes(16, 64)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        b.as("a")
+          .join(b.as("b"), col("a.bucket") === col("b.bucket")
+            && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            cosine(col("a.v"), col("b.v")).as("sim"))
+          .filter(col("sim") >= 0.9)
+          .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
+      },
+      Some("""WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+                FROM embeddings),
+              p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))) AS sim
+                    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+              SELECT vec_a, vec_b, round(sim, 4) AS cos_sim FROM p
+              WHERE sim >= 0.9""")),
+
+    // IVF ANN — the second scale path next to sign-LSH: deterministic
+    // Lloyd-refined coarse quantizer (16 cells), queries probe their 2
+    // nearest cells, exact cosine within probed cells, top-3 per query.
+    // Probabilistic recall → rows-only check; SimilaritySpec measures
+    // recall against the brute-force path.
+    Q("ann_ivf",
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("v"))
+        val cents = ivfCentroids(e, 16, 3)
+        val assigned = e.withColumn("cell", cellOf(col("v"), cents))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val probes = assigned.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            explode(transform(
+              slice(array_sort(centDists(col("v"), cents)), 1, 2),
+              s => s.getField("i"))).as("probe_cell"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        probes
+          .join(assigned, col("probe_cell") === col("cell")
             && col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
             cosine(col("qv"), col("v")).as("sim"))

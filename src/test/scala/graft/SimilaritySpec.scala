@@ -40,4 +40,44 @@ class SimilaritySpec extends SparkSuite {
     val perQ = lsh.groupBy("q_id").count().collect()
     assert(perQ.forall(_.getLong(1) <= 3))
   }
+
+  test("dedup_embedding recovers every planted duplicate at cosine 1.0") {
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val rows = q("dedup_embedding").collect()
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted.length == n, s"recovered ${planted.length} of $n planted pairs")
+    assert(planted.forall(_.getDouble(2) >= 0.9999))
+    assert(rows.forall(_.getDouble(2) >= 0.9))
+  }
+
+  test("ann_ivf returns 3 probed-cell neighbours per query with sane recall") {
+    val ivf = q("ann_ivf").collect()
+    val perQ = ivf.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 3))
+    assert(perQ.size == 20)
+    // recall@3 vs brute force — deterministic given the fixed seeds
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val dotExpr = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val brute = e.as("qa").join(e.as("qb"),
+        col("qa.vec_id") < 20 && col("qa.vec_id") =!= col("qb.vec_id"))
+      .select(col("qa.vec_id").as("q_id"), col("qb.vec_id").as("n_id"),
+        (dotExpr("qa.v", "qb.v")
+          / (sqrt(dotExpr("qa.v", "qa.v")) * sqrt(dotExpr("qb.v", "qb.v"))))
+          .as("sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rk") <= 3)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet)
+    val got = ivf.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet)
+    val recall = got.map { case (qid, ids) =>
+      ids.intersect(brute(qid)).size.toDouble / 3
+    }.sum / got.size
+    assert(recall >= 0.25, s"ivf recall@3 = $recall")
+  }
 }
