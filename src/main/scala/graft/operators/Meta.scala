@@ -17,15 +17,21 @@ object Meta extends QueryModule {
     * with anything else registered on the shared session).
     */
   def registerAll(s: SparkSession, dir: String, prefix: String = "graft_"): Unit =
-    Tables.names.foreach(n =>
-      Tables.load(s, dir, n).createOrReplaceTempView(s"$prefix$n"))
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.loadEvents(s, dir)
+        else Tables.load(s, dir, n)
+      df.createOrReplaceTempView(s"$prefix$n")
+    }
 
-  /** SHOW TABLES as a DataFrame (metadata-only, driver-side by nature). */
+  /** SHOW TABLES as a DataFrame — `catalog.listTables()` is already a
+    * Dataset, so the rendering stays declarative (no driver collect).
+    */
   def showTables(s: SparkSession, prefix: String = "graft_"): DataFrame = {
-    import s.implicits._
-    s.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
-      .sorted.toSeq.toDF("table_name")
+    import org.apache.spark.sql.functions._
+    s.catalog.listTables()
+      .filter(col("name").startsWith(prefix))
+      .select(expr(s"substring(name, ${prefix.length + 1})").as("table_name"))
+      .orderBy("table_name")
   }
 
   /** DESCRIBE: column name/type pairs from the schema. */
