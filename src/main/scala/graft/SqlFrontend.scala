@@ -90,6 +90,13 @@ final class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** Execute a ';'-separated multi-statement script (quotes respected),
+    * one result per statement — the analog of `session.Execute` returning
+    * one RecordSet per parsed statement (`session/session.go:569`).
+    */
+  def executeAll(script: String): Seq[DataFrame] =
+    splitTopLevel(script, ';').map(execute)
+
   /** MustQuery-style helper (reference `util/testkit/testkit.go:200`):
     * rows rendered as space-joined strings, NULLs as "<nil>".
     */

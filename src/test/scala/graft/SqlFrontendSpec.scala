@@ -118,6 +118,30 @@ class SqlFrontendSpec extends SparkSuite {
     assert(viaSql == viaDf)
   }
 
+  test("multi-statement script executes in order, one result per statement") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    val results = gs.executeAll(
+      """USE sqlfe;
+         DROP TABLE IF EXISTS ms;
+         CREATE TABLE ms (id BIGINT, note VARCHAR(20));
+         INSERT INTO ms VALUES (1, 'semi;colon'), (2, 'b');
+         SELECT id, note FROM ms ORDER BY id""")
+    assert(results.length == 5)
+    assert(results.last.collect().map(_.getString(1)).toSeq ==
+      Seq("semi;colon", "b"))
+  }
+
+  test("error parity: unknown objects and unsupported statements raise") {
+    intercept[Exception](gs.execute("SELECT * FROM no_such_table_xyz"))
+    intercept[Exception](gs.execute("USE sqlfe; SELECT 1")) // not a USE form
+    intercept[IllegalArgumentException](gs.execute("GRANT ALL ON *.* TO x"))
+    intercept[IllegalArgumentException](gs.execute("SET @@ = 3"))
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS dup")
+    gs.execute("CREATE TABLE dup (id BIGINT)")
+    intercept[Exception](gs.execute("CREATE TABLE dup (id BIGINT)"))
+  }
+
   test("ANALYZE TABLE populates catalog stats used by CBO") {
     gs.execute("USE sqlfe")
     gs.execute("DROP TABLE IF EXISTS st")
