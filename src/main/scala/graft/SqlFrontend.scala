@@ -113,7 +113,14 @@ final class GraftSession(val spark: SparkSession) {
 
   private def explain(inner: String): DataFrame = {
     import spark.implicits._
-    val df = execute(inner)
+    // Only read-only statements may be explained inline: the reference
+    // builds (never runs) the explained plan (`planbuilder.go` buildExplain),
+    // so EXPLAIN INSERT/DELETE must not execute the side effect here.
+    val up = inner.trim.toUpperCase
+    require(up.startsWith("SELECT") || up.startsWith("WITH") ||
+      up.startsWith("VALUES"),
+      s"EXPLAIN supports read-only statements, got: $inner")
+    val df = select(inner)
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
       .split("\n").toSeq.toDF("plan")
@@ -201,6 +208,9 @@ final class GraftSession(val spark: SparkSession) {
         case _ => all
       }
       filtered.orderBy("Variable_name")
+    } else if (up.startsWith("SHOW CREATE DATABASE")) {
+      val db = clean(sql.substring("SHOW CREATE DATABASE".length).trim)
+      Seq((db, s"CREATE DATABASE `$db`")).toDF("Database", "Create Database")
     } else if (up.startsWith("SHOW CREATE TABLE")) {
       val t = clean(sql.substring("SHOW CREATE TABLE".length).trim)
       Seq((unqualified(t), renderCreateTable(t)))

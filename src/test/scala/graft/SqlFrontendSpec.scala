@@ -131,6 +131,18 @@ class SqlFrontendSpec extends SparkSuite {
       Seq("semi;colon", "b"))
   }
 
+  test("EXPLAIN of a write statement refuses instead of executing it") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS expl")
+    gs.execute("CREATE TABLE expl (id BIGINT)")
+    gs.execute("INSERT INTO expl VALUES (1)")
+    intercept[IllegalArgumentException](
+      gs.execute("EXPLAIN INSERT INTO expl VALUES (2)"))
+    assert(gs.query("SELECT count(*) AS n FROM expl") == Seq("1"))
+    assert(gs.query("SHOW CREATE DATABASE sqlfe") ==
+      Seq("sqlfe CREATE DATABASE `sqlfe`"))
+  }
+
   test("error parity: unknown objects and unsupported statements raise") {
     intercept[Exception](gs.execute("SELECT * FROM no_such_table_xyz"))
     intercept[Exception](gs.execute("USE sqlfe; SELECT 1")) // not a USE form
