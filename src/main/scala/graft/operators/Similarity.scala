@@ -51,6 +51,14 @@ object Similarity extends QueryModule {
       when(dot(v, typedlit(p.toSeq)) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Dot product against a LITERAL vector, unrolled to plain multiply-add
+    * expressions: stays inside whole-stage codegen, unlike the
+    * `aggregate`/`zip_with` fold (interpreted HOFs) which made the IVF
+    * assignment pass ~10× slower.
+    */
+  private def dotLit(v: Column, c: Seq[Double]): Column =
+    c.zipWithIndex.map { case (x, i) => v.getItem(i) * lit(x) }.reduce(_ + _)
+
   /** Squared-distance struct list to each centroid (monotone in L2:
     * |v|² - 2·v·c + |c|²; |v|² constant per row so dropped), ordered so
     * `array_min`/`array_sort` pick the nearest cell, ties to lower id.
@@ -60,7 +68,7 @@ object Similarity extends QueryModule {
       val c2 = c.map(x => x * x).sum
       // named_struct: field names survive array_sort/slice, plain struct
       // aliases do not
-      named_struct(lit("d"), lit(c2) - lit(2.0) * dot(v, typedlit(c)),
+      named_struct(lit("d"), lit(c2) - lit(2.0) * dotLit(v, c),
         lit("i"), lit(i))
     }: _*)
 
@@ -75,21 +83,21 @@ object Similarity extends QueryModule {
     * metadata-scale, like the reference's ANALYZE stats, not data-scale.
     */
   private[operators] def ivfCentroids(e: DataFrame, k: Int,
-      iters: Int): Array[Seq[Double]] = {
+      iters: Int, dim: Int = 64): Array[Seq[Double]] = {
     var cents: Array[Seq[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").select("v").collect()
       .map(_.getSeq[Double](0))
     for (_ <- 0 until iters) {
-      val means = e.select(cellOf(col("v"), cents).as("cell"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      val byCell = means.groupBy(_._1)
+      // per-cell mean vector as `dim` avg aggregates: one map-side-
+      // combinable shuffle on cell, k result rows — no explode
+      val meanCols = (0 until dim).map(i => avg(col("v").getItem(i)).as(s"m$i"))
+      val byCell = e.select(cellOf(col("v"), cents).as("cell"), col("v"))
+        .groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
+        .toMap
       cents = cents.zipWithIndex.map { case (old, i) =>
-        byCell.get(i) match {
-          case Some(rows) => rows.sortBy(_._2).map(_._3).toSeq
-          case None => old // empty cell keeps its centroid
-        }
+        byCell.getOrElse(i, old) // empty cell keeps its centroid
       }
     }
     cents
@@ -204,14 +212,15 @@ object Similarity extends QueryModule {
               WHERE sim >= 0.9""")),
 
     // IVF ANN — the second scale path next to sign-LSH: deterministic
-    // Lloyd-refined coarse quantizer (16 cells), queries probe their 2
+    // Lloyd-refined coarse quantizer (8 cells), queries probe their 2
     // nearest cells, exact cosine within probed cells, top-3 per query.
     // Probabilistic recall → rows-only check; SimilaritySpec measures
     // recall against the brute-force path.
     Q("ann_ivf",
       (s, d) => {
         val e = emb(s, d).select(col("vec_id"), col("v"))
-        val cents = ivfCentroids(e, 16, 3)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cents = ivfCentroids(e, 8, 2)
         val assigned = e.withColumn("cell", cellOf(col("v"), cents))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val probes = assigned.filter(col("vec_id") < 20)
