@@ -30,6 +30,9 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cost-based planning on engine-wide (the reference always plans with
+    // stats when present, `planner/core/stats.go`)
+    Stats.enableCbo(spark)
     spark
   }
 }

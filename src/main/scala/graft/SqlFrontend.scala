@@ -72,8 +72,9 @@ final class GraftSession(val spark: SparkSession) {
       case _ if up.startsWith("CREATE TABLE") => createTable(sql); ok()
       case DropTableRe(ifEx, t) => dropTable(opt(ifEx), t); ok()
       case _ if up.startsWith("ALTER TABLE") => alterTable(sql); ok()
-      case CreateIndexRe(_, name, t, cols) =>
-        createIndex(clean(t), clean(name), splitCols(cols)); ok()
+      case CreateIndexRe(uniq, name, t, cols) =>
+        createIndex(clean(t), clean(name), splitCols(cols),
+          unique = uniq != null); ok()
       case DropIndexRe(name, t) =>
         dropIndex(clean(t), clean(name)); ok()
       case AdminCheckRe(t) => adminCheck(clean(t))
@@ -109,7 +110,26 @@ final class GraftSession(val spark: SparkSession) {
   // ------------------------------------------------------------------ SELECT
 
   private def select(sql: String): DataFrame =
-    spark.sql(DualRe.replaceAllIn(substituteVars(sql), ""))
+    spark.sql(stripFromDual(substituteVars(sql)))
+
+  /** Remove `FROM DUAL` outside quoted regions only. */
+  private def stripFromDual(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out += c; if (c == quote) quote = 0; i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out += c; i += 1
+      } else DualRe.findPrefixOf(sql.substring(i)) match {
+        case Some(m) => i += m.length // drop the FROM DUAL token
+        case None => out += c; i += 1
+      }
+    }
+    out.toString
+  }
 
   private def explain(inner: String): DataFrame = {
     import spark.implicits._
@@ -253,10 +273,13 @@ final class GraftSession(val spark: SparkSession) {
     val deferredIdx = mutable.Buffer.empty[(String, Boolean, Seq[String])]
     defs.foreach { d =>
       val du = d.toUpperCase
+      // a constraint clause needs both the keyword AS A WORD and a column
+      // list — `unique_id BIGINT` or a column named `key` is a column def
+      val isConstraint =
+        ConstraintRe.findFirstIn(du).isDefined && d.contains("(")
       if (du.startsWith("PRIMARY KEY"))
         primaryKeys(table) = splitCols(parenBody(d))
-      else if (du.startsWith("UNIQUE") || du.startsWith("KEY ") ||
-        du.startsWith("INDEX ")) {
+      else if (isConstraint) {
         val cols0 = splitCols(parenBody(d))
         val name = IndexNameRe.findFirstMatchIn(d).map(m => clean(m.group(2)))
           .getOrElse(s"idx_${cols0.mkString("_")}")
@@ -301,14 +324,23 @@ final class GraftSession(val spark: SparkSession) {
   private def idxPath(t: String, name: String): String =
     s"$snapshotRoot/${t}__$name"
 
-  private def createIndex(t: String, name: String, cols: Seq[String],
+  /** Record + materialize an index. `tableRef` may be db-qualified; the
+    * metadata key is always the unqualified name (what SHOW/ADMIN use),
+    * while reads go through the original reference so the statement works
+    * from any current database.
+    */
+  private def createIndex(tableRef: String, name: String, cols: Seq[String],
       unique: Boolean = false): Unit = {
-    indexes((t, name)) = IndexMeta(unique, cols, idxPath(t, name))
-    refreshIndexes(t)
+    val base = unqualified(tableRef)
+    indexes((base, name)) =
+      IndexMeta(unique, cols, idxPath(base, name), tableRef)
+    refreshIndexes(tableRef)
   }
 
-  private def dropIndex(t: String, name: String): Unit =
-    indexes.remove((unqualified(t), name))
+  private def dropIndex(t: String, name: String): Unit = {
+    val removed = indexes.remove((unqualified(t), name))
+    require(removed.isDefined, s"no such index $name on $t")
+  }
 
   /** Write-path index maintenance (the analog of index KV writes in
     * `table/tables/index.go`): re-materialize each index projection.
@@ -316,7 +348,7 @@ final class GraftSession(val spark: SparkSession) {
   private def refreshIndexes(t: String): Unit = {
     val base = unqualified(t)
     indexes.foreach { case ((tb, _), m) if tb == base =>
-      spark.table(t).select(m.cols.map(col): _*)
+      spark.table(m.tableRef).select(m.cols.map(col): _*)
         .write.mode("overwrite").parquet(m.path)
     case _ => ()
     }
@@ -329,7 +361,7 @@ final class GraftSession(val spark: SparkSession) {
     import spark.implicits._
     val base = unqualified(t)
     val rows = indexes.collect { case ((tb, name), m) if tb == base =>
-      val cur = spark.table(t).select(m.cols.map(col): _*)
+      val cur = spark.table(m.tableRef).select(m.cols.map(col): _*)
       val snap = spark.read.parquet(m.path)
       val consistent =
         cur.exceptAll(snap).isEmpty && snap.exceptAll(cur).isEmpty
@@ -394,7 +426,9 @@ final class GraftSession(val spark: SparkSession) {
 
   private def renderLiteral(v: Any): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    // backslash escaping throughout — Spark's parser does not treat ''
+    // as an escaped quote inside a single-quoted literal
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case b: Boolean => if (b) "TRUE" else "FALSE"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case d: java.sql.Date => s"DATE '$d'"
@@ -404,7 +438,8 @@ final class GraftSession(val spark: SparkSession) {
 
 object GraftSession {
 
-  final case class IndexMeta(unique: Boolean, cols: Seq[String], path: String)
+  final case class IndexMeta(unique: Boolean, cols: Seq[String],
+      path: String, tableRef: String)
 
   /** Deterministic session defaults, names per MySQL/the reference's
     * `sessionctx/variable` (values chosen for stable SHOW output).
@@ -443,6 +478,8 @@ object GraftSession {
   private val ShowTablesFromRe = "(?is)^SHOW\\s+TABLES\\s+(?:FROM|IN)\\s+([`\\w]+).*$".r
   private val ShowVarsLikeRe = "(?is)^SHOW\\s+VARIABLES\\s+LIKE\\s+'([^']*)'$".r
   private val DualRe = "(?i)\\bFROM\\s+DUAL\\b".r
+  private val ConstraintRe =
+    "^(?:UNIQUE(?:\\s+(?:KEY|INDEX))?|KEY|INDEX|CONSTRAINT)\\b".r
   private val ColumnDefRe = "(?s)^\\s*(`[^`]+`|\\w+)\\s+(\\w+(?:\\s*\\([^)]*\\))?)(.*)$".r
   private val IndexNameRe = "(?i)^(UNIQUE\\s+)?(?:KEY|INDEX)\\s+(`[^`]+`|\\w+)".r
   private val AlterAddColRe =

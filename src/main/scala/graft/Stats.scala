@@ -26,17 +26,36 @@ object Stats {
   /** ANALYZE TABLE t: table-level stats + per-column stats/histograms
     * (the analog of `ANALYZE TABLE ... COMPUTE STATISTICS` in the
     * reference, `executor/analyze.go:44-62` — histogram buckets default
-    * 254 in Spark vs 256 in the reference).
+    * 254 in Spark vs 256 in the reference). Histogram collection is
+    * enabled only for the duration of the ANALYZE — running a statement
+    * must not silently flip session-global optimizer behavior; turning
+    * CBO on is an explicit engine decision ([[enableCbo]], called from
+    * Engine.session).
     */
   def analyze(spark: SparkSession, table: String): Unit = {
-    enableCbo(spark)
-    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
-    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+    val key = "spark.sql.statistics.histogram.enabled"
+    val old = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
-  /** Row count from catalog stats (None if the table was never analyzed). */
+  /** Row count from catalog stats (None if the table was never analyzed).
+    * Read from the catalog metadata directly — plan-level `stats.rowCount`
+    * is only populated when CBO is enabled on the session.
+    */
   def rowCount(spark: SparkSession, table: String): Option[BigInt] = {
-    val rel = spark.table(table).queryExecution.optimizedPlan
-    rel.stats.rowCount
+    val parts = table.split('.')
+    val ident =
+      if (parts.length == 2)
+        org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+      else org.apache.spark.sql.catalyst.TableIdentifier(table)
+    spark.sessionState.catalog.getTableMetadata(ident).stats
+      .flatMap(_.rowCount)
   }
 }

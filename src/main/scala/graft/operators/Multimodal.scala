@@ -112,9 +112,13 @@ object Multimodal extends QueryModule {
         val fCols = (0 until 8).map(j =>
           s"coalesce(max(CASE WHEN i % 8 = $j THEN mv END), 0.0) AS f$j")
           .mkString(", ")
-        val fOut = (0 until 8).map(j => s"round(f$j, 4) AS f$j").mkString(", ")
+        // LEFT JOIN + coalesce: a zero-length text yields no per-byte rows,
+        // but the Spark side still emits a row with all-zero features
+        val fOut = (0 until 8).map(j =>
+          s"round(coalesce(f$j, 0.0), 4) AS f$j").mkString(", ")
         val rOut = (0 until 4).map(j =>
-          s"round((f${2 * j} + f${2 * j + 1}) / 2, 4) AS r$j").mkString(", ")
+          s"round((coalesce(f${2 * j}, 0.0) + coalesce(f${2 * j + 1}, 0.0)) / 2, 4) AS r$j")
+          .mkString(", ")
         val frOut = (0 until 4).map(j =>
           s"CASE WHEN ${j * 64} < b.n THEN ascii(substr(b.text, ${j * 64 + 1}, 1)) ELSE -1 END AS fr$j")
           .mkString(", ")
@@ -132,7 +136,7 @@ object Multimodal extends QueryModule {
               FROM e GROUP BY doc_id, i % 8),
             p AS (SELECT doc_id, $fCols FROM m GROUP BY doc_id)
             SELECT b.doc_id, b.n AS n_bytes, $fOut, $rOut, $frOut
-            FROM b JOIN p USING (doc_id)"""
+            FROM b LEFT JOIN p USING (doc_id)"""
       })
   )
 }

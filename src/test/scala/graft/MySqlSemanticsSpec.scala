@@ -52,11 +52,10 @@ class MySqlSemanticsSpec extends SparkSuite {
   }
 
   test("ANSI mode raises on overflow — the reference's error-on-overflow") {
-    // tinysql errors on BIGINT overflow (expression/builtin_arithmetic.go);
-    // Spark's equivalent strictness is ANSI mode. The engine default stays
-    // non-ANSI because MySQL also returns NULL (not an error) for division
-    // by zero, which ANSI would turn into an error — the two parities
-    // conflict; we document the boundary behavior on both paths.
+    // The engine dialect errors on BIGINT overflow; Spark's equivalent
+    // strictness is ANSI mode, which Engine pins ON (Engine.scala).
+    // MySQL's div-by-zero→NULL — which ANSI would also turn into an
+    // error — is routed through try_divide/nullif guards instead.
     val old = spark.conf.getOption("spark.sql.ansi.enabled")
     try {
       spark.conf.set("spark.sql.ansi.enabled", "true")

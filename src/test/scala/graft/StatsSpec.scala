@@ -46,10 +46,12 @@ class StatsSpec extends SparkSuite {
     // filter rows, far below the threshold -> broadcast join.
     Stats.analyze(spark, "statsdb.fact")
     Stats.analyze(spark, "statsdb.dim")
-    withConfs(
+    withConfs( // every CBO conf listed so the shared session is restored
       "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "65536") {
-      Stats.enableCbo(spark)
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536",
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true") {
       val plan = spark.sql(sql).queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), plan)
     }

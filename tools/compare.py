@@ -2,19 +2,29 @@
 """Local replica of the driver's DuckDB correctness gate.
 
 Usage: python3 tools/compare.py <verify_out_dir> <sf_dir> [query ...]
+(argument order is auto-detected: the sf dir is the one holding
+lineitem.parquet)
 
 For each query with an oracle in oracle_sql.json: run the oracle in DuckDB
 over the sf parquet tables, load the Spark parquet dump, sort columns by
-name, sort rows, and hash-compare values.
+name, sort rows, and hash-compare values. Exits non-zero on any failure
+and prints an "== N ok, M failed ==" summary.
 """
-import json, sys, glob, hashlib
+import json, os, sys, glob, hashlib
 import duckdb
 import pandas as pd
 
-out_dir, sf_dir = sys.argv[1], sys.argv[2]
+a, b = sys.argv[1], sys.argv[2]
+if os.path.exists(f"{a}/lineitem.parquet"):
+    sf_dir, out_dir = a, b
+else:
+    out_dir, sf_dir = a, b
 only = set(sys.argv[3:])
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+unknown = only - set(oracles)
+if unknown:
+    sys.exit(f"unknown query name(s): {sorted(unknown)}")
 
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
@@ -70,4 +80,6 @@ for name in sorted(oracles):
     except Exception as e:
         fails += 1
         print(f"{name}: ERROR {type(e).__name__}: {e}")
+total = len(only) if only else len(oracles)
+print(f"== {total - fails} ok, {fails} failed ==")
 sys.exit(1 if fails else 0)
