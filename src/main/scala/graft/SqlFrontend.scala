@@ -45,6 +45,17 @@ final class GraftSession(val spark: SparkSession) {
   private val indexes = mutable.LinkedHashMap.empty[(String, String), IndexMeta]
   private val primaryKeys = mutable.Map.empty[String, Seq[String]]
 
+  /** Explicit-transaction state: qualified table ref → overlay DataFrame
+    * (the table's next logical state). While a transaction is open, each
+    * overlay also shadows its unqualified table name as a temp view, so
+    * SELECTs read the session's own uncommitted writes — the Spark-native
+    * analog of the reference's membuffer + UnionScan merge
+    * (`executor/union_scan.go:90-130`). COMMIT applies overlays via the
+    * stage-then-overwrite sink; ROLLBACK just drops them.
+    */
+  private var txnActive = false
+  private val txnOverlay = mutable.LinkedHashMap.empty[String, DataFrame]
+
   private lazy val snapshotRoot: String =
     Files.createTempDirectory("graft-idx").toString
 
@@ -56,6 +67,9 @@ final class GraftSession(val spark: SparkSession) {
   def execute(sql0: String): DataFrame = {
     val sql = sql0.trim.stripSuffix(";").trim
     val up = sql.toUpperCase
+    // DDL implicitly commits an open transaction, as in MySQL
+    if (txnActive && (up.startsWith("CREATE") || up.startsWith("DROP") ||
+      up.startsWith("ALTER"))) commit()
     sql match {
       case _ if up.startsWith("SELECT") || up.startsWith("WITH") ||
         up.startsWith("VALUES") || up.startsWith("(") => select(sql)
@@ -79,13 +93,17 @@ final class GraftSession(val spark: SparkSession) {
         dropIndex(clean(t), clean(name)); ok()
       case AdminCheckRe(t) => adminCheck(clean(t))
       case AnalyzeRe(t) => Stats.analyze(spark, clean(t)); ok()
+      case InsertFullRe(t, colList, source) if txnActive =>
+        txnInsert(clean(t), Option(colList), source); ok()
       case InsertRe(t) =>
         spark.sql(substituteVars(sql)); refreshIndexes(clean(t)); ok()
       case ReplaceRe(t, colList, source) =>
         replaceInto(clean(t), Option(colList), source); ok()
       case DeleteRe(t, where) => delete(clean(t), Option(where)); ok()
-      case _ if up == "BEGIN" || up == "COMMIT" || up == "ROLLBACK" ||
-        up.startsWith("START TRANSACTION") => ok()
+      case _ if up == "BEGIN" || up.startsWith("START TRANSACTION") =>
+        begin(); ok()
+      case _ if up == "COMMIT" => commit(); ok()
+      case _ if up == "ROLLBACK" => rollback(); ok()
       case _ =>
         throw new IllegalArgumentException(s"unsupported statement: $sql0")
     }
@@ -373,16 +391,107 @@ final class GraftSession(val spark: SparkSession) {
 
   // --------------------------------------------------------------------- DML
 
+  // --------------------------------------------------------------- txn state
+
+  /** Qualify an unqualified name against the current database (qualified
+    * reads bypass temp-view shadowing, so they always see base data).
+    */
+  private def qualify(t: String): String =
+    if (t.contains('.')) t else s"${spark.catalog.currentDatabase}.$t"
+
+  /** The table's current LOGICAL state: the open transaction's overlay if
+    * one exists, the committed base otherwise.
+    */
+  private def tableState(t: String): DataFrame = {
+    val ref = qualify(t)
+    if (txnActive) txnOverlay.getOrElse(ref, spark.table(ref))
+    else spark.table(ref)
+  }
+
+  /** Route a table's next state: into the transaction overlay (plus the
+    * unqualified-name shadow view for read-your-own-writes) when a txn is
+    * open, straight to the rewrite sink otherwise.
+    */
+  private def applyWrite(t: String, next: DataFrame): Unit = {
+    val ref = qualify(t)
+    if (txnActive) {
+      txnOverlay(ref) = next
+      next.createOrReplaceTempView(unqualified(ref))
+    } else rewriteTable(ref, next)
+  }
+
+  private def begin(): Unit = {
+    commit() // BEGIN implicitly commits an open transaction (MySQL)
+    txnActive = true
+  }
+
+  /** Two-phase apply, echoing the reference's 2PC prewrite→commit
+    * (`store/tikv/2pc.go:545-607`): first materialize EVERY overlay to a
+    * staging dir (overlays may read each other's base files, which the
+    * second phase overwrites), then overwrite all tables.
+    */
+  private def commit(): Unit = if (txnActive) {
+    txnActive = false
+    val staged = txnOverlay.toSeq.map { case (ref, next) =>
+      val target = spark.table(ref)
+      val stage = Files.createTempDirectory("graft-txn").toString
+      next.select(target.schema.fieldNames.map(col).toSeq: _*)
+        .write.mode("overwrite").parquet(stage)
+      ref -> stage
+    }
+    // drop the shadows BEFORE applying: index refresh and any later read
+    // must resolve to the freshly-written base, not a stale overlay plan
+    txnOverlay.keys.foreach(r => spark.catalog.dropTempView(unqualified(r)))
+    txnOverlay.clear()
+    staged.foreach { case (ref, stage) =>
+      spark.read.parquet(stage).write.mode("overwrite").insertInto(ref)
+      refreshIndexes(ref)
+    }
+  }
+
+  private def rollback(): Unit = if (txnActive) {
+    txnActive = false
+    txnOverlay.keys.foreach(r => spark.catalog.dropTempView(unqualified(r)))
+    txnOverlay.clear()
+  }
+
+  /** INSERT inside an open transaction: buffered into the overlay. */
+  private def txnInsert(t: String, colList: Option[String],
+      source: String): Unit = {
+    val base = tableState(t)
+    applyWrite(t, base.unionByName(buildIncoming(base, colList, source)))
+  }
+
+  // --------------------------------------------------------------------- DML
+
   /** DELETE FROM t WHERE cond: anti-filter + table rewrite
     * (`executor/delete.go:28`); NULL/FALSE conditions keep the row.
     */
   private def delete(t: String, where: Option[String]): Unit = {
+    val base = tableState(t)
     val remaining = where match {
-      case Some(cond) => spark.table(t).where(
+      case Some(cond) => base.where(
         expr(s"NOT coalesce(CAST((${substituteVars(cond)}) AS BOOLEAN), false)"))
-      case None => spark.table(t).limit(0)
+      case None => base.limit(0)
     }
-    rewriteTable(t, remaining)
+    applyWrite(t, remaining)
+  }
+
+  /** Source rows (VALUES … or SELECT …) aligned to the target schema:
+    * listed columns cast, missing columns NULL-filled.
+    */
+  private def buildIncoming(target: DataFrame, colList: Option[String],
+      source: String): DataFrame = {
+    val names = colList.map(splitCols).getOrElse(target.schema.fieldNames.toSeq)
+    val raw =
+      if (source.toUpperCase.startsWith("VALUES"))
+        spark.sql(
+          s"SELECT * FROM (${substituteVars(source)}) AS __r(${names.mkString(", ")})")
+      else spark.sql(substituteVars(source)).toDF(names: _*)
+    target.schema.fields.foldLeft(raw) { (df, f) =>
+      if (names.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(target.schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** REPLACE INTO: delete-on-duplicate-key upsert on the primary key
@@ -390,20 +499,11 @@ final class GraftSession(val spark: SparkSession) {
     */
   private def replaceInto(t: String, colList: Option[String],
       source: String): Unit = {
-    val target = spark.table(t)
-    val names = colList.map(splitCols).getOrElse(target.schema.fieldNames.toSeq)
-    val raw =
-      if (source.toUpperCase.startsWith("VALUES"))
-        spark.sql(
-          s"SELECT * FROM (${substituteVars(source)}) AS __r(${names.mkString(", ")})")
-      else spark.sql(substituteVars(source)).toDF(names: _*)
-    val incoming = target.schema.fields.foldLeft(raw) { (df, f) =>
-      if (names.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(target.schema.fieldNames.map(col).toSeq: _*)
+    val target = tableState(t)
+    val incoming = buildIncoming(target, colList, source)
     val keys = primaryKeys.getOrElse(unqualified(t),
       Seq(target.schema.fieldNames.head))
-    rewriteTable(t, operators.Dml.replaceInto(target, incoming, keys))
+    applyWrite(t, operators.Dml.replaceInto(target, incoming, keys))
   }
 
   /** Stage-then-overwrite rewrite: materialize the next table state to a
@@ -469,6 +569,8 @@ object GraftSession {
   private val AdminCheckRe = "(?is)^ADMIN\\s+CHECK\\s+TABLE\\s+([`\\w.]+)$".r
   private val AnalyzeRe = "(?is)^ANALYZE\\s+TABLE\\s+([`\\w.]+)$".r
   private val InsertRe = "(?is)^INSERT\\s+INTO\\s+([`\\w.]+).*$".r
+  private val InsertFullRe =
+    "(?is)^INSERT\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?((?:VALUES|SELECT|WITH).*)$".r
   private val ReplaceRe =
     "(?is)^REPLACE\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?((?:VALUES|SELECT).*)$".r
   private val DeleteRe =

@@ -118,6 +118,30 @@ object SqlSurface extends QueryModule {
         s"""SELECT * FROM (VALUES $rows) t("Variable_name", "Value")"""
       }),
 
+    // Explicit transaction lifecycle: buffered writes with
+    // read-your-own-writes (UnionScan analog, `executor/union_scan.go`),
+    // COMMIT durability, ROLLBACK discard.
+    Q("sql_txn",
+      (s, d) => {
+        val gs = session(s, d)
+        scratch(gs)
+        gs.execute("DROP TABLE IF EXISTS txn_t")
+        gs.execute(
+          "CREATE TABLE txn_t (n_nationkey BIGINT PRIMARY KEY, n_name VARCHAR(32))")
+        gs.execute("INSERT INTO txn_t SELECT n_nationkey, n_name FROM nation")
+        gs.executeAll(
+          """BEGIN;
+             DELETE FROM txn_t WHERE n_nationkey % 2 = 0;
+             INSERT INTO txn_t VALUES (100, 'ATLANTIS');
+             COMMIT""")
+        gs.executeAll("BEGIN; INSERT INTO txn_t VALUES (200, 'MU'); ROLLBACK")
+        backToDefault(gs, gs.execute(
+          "SELECT n_nationkey, n_name FROM graft_sql.txn_t"))
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+              WHERE n_nationkey % 2 <> 0
+              UNION ALL SELECT 100, 'ATLANTIS'""")),
+
     // CREATE INDEX + ADMIN CHECK TABLE: index↔row consistency job
     // (`planner/core/planbuilder.go:435`).
     Q("sql_admin_check",

@@ -1,0 +1,83 @@
+package graft
+
+/** Explicit-transaction semantics: read-your-own-writes via the overlay
+  * (the UnionScan analog, reference `executor/union_scan.go:90-130`),
+  * COMMIT durability, ROLLBACK discard, BEGIN/DDL implicit commit.
+  */
+class TxnSpec extends SparkSuite {
+
+  private lazy val gs: GraftSession = {
+    val s = new GraftSession(spark)
+    s.execute("CREATE DATABASE IF NOT EXISTS txndb")
+    s.execute("USE txndb")
+    s
+  }
+
+  test("INSERT inside a txn is visible to the session, gone after ROLLBACK") {
+    gs.execute("DROP TABLE IF EXISTS t1")
+    gs.execute("CREATE TABLE t1 (id BIGINT PRIMARY KEY, v VARCHAR(10))")
+    gs.execute("INSERT INTO t1 VALUES (1, 'a')")
+    gs.execute("BEGIN")
+    gs.execute("INSERT INTO t1 VALUES (2, 'b')")
+    // read-your-own-writes: the uncommitted row is visible...
+    assert(gs.query("SELECT id FROM t1 ORDER BY id") == Seq("1", "2"))
+    // ...but the base table is untouched (qualified reads bypass the overlay)
+    assert(spark.table("txndb.t1").count() == 1)
+    gs.execute("ROLLBACK")
+    assert(gs.query("SELECT id FROM t1 ORDER BY id") == Seq("1"))
+  }
+
+  test("COMMIT makes buffered writes durable") {
+    gs.execute("DROP TABLE IF EXISTS t2")
+    gs.execute("CREATE TABLE t2 (id BIGINT PRIMARY KEY, v VARCHAR(10))")
+    gs.execute("INSERT INTO t2 VALUES (1, 'a'), (2, 'b')")
+    gs.executeAll(
+      """BEGIN;
+         INSERT INTO t2 VALUES (3, 'c');
+         DELETE FROM t2 WHERE id = 1;
+         REPLACE INTO t2 VALUES (2, 'B');
+         COMMIT""")
+    assert(gs.query("SELECT id, v FROM t2 ORDER BY id") == Seq("2 B", "3 c"))
+    assert(spark.table("txndb.t2").count() == 2)
+  }
+
+  test("multi-table txn where one overlay reads the other's base") {
+    gs.execute("DROP TABLE IF EXISTS src")
+    gs.execute("DROP TABLE IF EXISTS dst")
+    gs.execute("CREATE TABLE src (id BIGINT)")
+    gs.execute("CREATE TABLE dst (id BIGINT)")
+    gs.execute("INSERT INTO src VALUES (1), (2)")
+    gs.executeAll(
+      """BEGIN;
+         INSERT INTO dst SELECT id + 10 FROM src;
+         DELETE FROM src WHERE id = 1;
+         COMMIT""")
+    assert(gs.query("SELECT id FROM src") == Seq("2"))
+    assert(gs.query("SELECT id FROM dst ORDER BY id") == Seq("11", "12"))
+  }
+
+  test("BEGIN and DDL implicitly commit the open transaction") {
+    gs.execute("DROP TABLE IF EXISTS t3")
+    gs.execute("CREATE TABLE t3 (id BIGINT)")
+    gs.execute("BEGIN")
+    gs.execute("INSERT INTO t3 VALUES (1)")
+    gs.execute("BEGIN") // implicit commit of the first txn
+    assert(spark.table("txndb.t3").count() == 1)
+    gs.execute("INSERT INTO t3 VALUES (2)")
+    gs.execute("CREATE TABLE t3b (id BIGINT)") // DDL implicit commit
+    assert(spark.table("txndb.t3").count() == 2)
+    gs.execute("ROLLBACK") // nothing open — no-op
+    assert(gs.query("SELECT count(*) AS n FROM t3") == Seq("2"))
+  }
+
+  test("txn writes maintain indexes only at COMMIT") {
+    gs.execute("DROP TABLE IF EXISTS t4")
+    gs.execute("CREATE TABLE t4 (id BIGINT PRIMARY KEY, v VARCHAR(10))")
+    gs.execute("INSERT INTO t4 VALUES (1, 'a')")
+    gs.execute("CREATE INDEX vx ON t4 (v)")
+    gs.execute("BEGIN")
+    gs.execute("INSERT INTO t4 VALUES (2, 'b')")
+    gs.execute("COMMIT")
+    assert(gs.query("ADMIN CHECK TABLE t4") == Seq("t4 vx OK"))
+  }
+}
