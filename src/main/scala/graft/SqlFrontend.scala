@@ -71,14 +71,20 @@ final class GraftSession(val spark: SparkSession) {
     if (txnActive && (up.startsWith("CREATE") || up.startsWith("DROP") ||
       up.startsWith("ALTER"))) commit()
     sql match {
+      case SelectAssignRe(name, expr) =>
+        // SELECT @x := expr — the reference's SetVar expression
+        // (`expression/builtin_other.go:246`), constant form
+        val v = evalScalar(expr)
+        if (v == null) userVars.remove(name.toLowerCase)
+        else userVars(name.toLowerCase) = renderLiteral(v)
+        select(s"SELECT ${if (v == null) "NULL" else renderLiteral(v)} AS `@$name`")
       case _ if up.startsWith("SELECT") || up.startsWith("WITH") ||
         up.startsWith("VALUES") || up.startsWith("(") => select(sql)
       case _ if up.startsWith("SET ") => executeSet(sql.drop(4)); ok()
       case UseRe(db) => spark.sql(s"USE $db"); ok()
       case ExplainRe(inner) => explain(inner)
       case ShowRe(_*) => show(sql, up)
-      case DescRe(t) =>
-        spark.sql(s"DESCRIBE TABLE $t").select("col_name", "data_type")
+      case DescRe(t) => describe(clean(t))
       case CreateDbRe(ifNot, db) =>
         spark.sql(s"CREATE DATABASE ${opt(ifNot)}$db"); ok()
       case DropDbRe(ifEx, db) =>
@@ -128,7 +134,48 @@ final class GraftSession(val spark: SparkSession) {
   // ------------------------------------------------------------------ SELECT
 
   private def select(sql: String): DataFrame =
-    spark.sql(stripFromDual(substituteVars(sql)))
+    spark.sql(mapOutsideQuotes(stripFromDual(substituteVars(sql)))(seg =>
+      CommaLimitRe.replaceAllIn(seg,
+        m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")))
+
+  /** Apply a rewrite to the unquoted segments of a statement only. */
+  private def mapOutsideQuotes(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out += c; if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') {
+        out ++= f(seg.toString); seg.clear()
+        quote = c; out += c
+      } else seg += c
+      i += 1
+    }
+    out ++= f(seg.toString)
+    out.toString
+  }
+
+  /** MySQL-shaped DESCRIBE: Field/Type/Null/Key (PRI for primary-key
+    * columns, MUL for indexed ones — `executor/show.go` fetchShowColumns).
+    */
+  private def describe(t: String): DataFrame = {
+    import spark.implicits._
+    val base = unqualified(t)
+    val pk = primaryKeys.getOrElse(base, Nil).toSet
+    val idxCols = indexes.collect {
+      case ((tb, _), m) if tb == base => m.cols.headOption
+    }.flatten.toSet
+    spark.table(t).schema.fields.map { f =>
+      val key = if (pk(f.name)) "PRI" else if (idxCols(f.name)) "MUL" else ""
+      // PK columns are implicitly NOT NULL (parquet tables do not
+      // persist column nullability, so the PK is the reliable signal)
+      (f.name, mysqlTypeName(f.dataType),
+        if (pk(f.name) || !f.nullable) "NO" else "YES", key)
+    }.toSeq.toDF("Field", "Type", "Null", "Key")
+  }
 
   /** Remove `FROM DUAL` outside quoted regions only. */
   private def stripFromDual(sql: String): String = {
@@ -324,6 +371,8 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   private def alterTable(sql: String): Unit = sql match {
+    case AlterDropIndexRe(t, name) =>
+      dropIndex(clean(t), clean(name))
     case AlterAddIndexRe(t, name, cols) =>
       createIndex(unqualified(clean(t)), clean(name), splitCols(cols))
     case AlterAddColRe(t, rest) =>
@@ -588,6 +637,12 @@ object GraftSession {
     "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+ADD\\s+(?:COLUMNS?\\s+)?(.+)$".r
   private val AlterAddIndexRe =
     "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+ADD\\s+(?:KEY|INDEX)\\s+([`\\w]+)\\s*\\(([^)]*)\\)$".r
+  private val AlterDropIndexRe =
+    "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+DROP\\s+(?:KEY|INDEX)\\s+([`\\w]+)$".r
+  private val SelectAssignRe =
+    "(?is)^SELECT\\s+@(\\w+)\\s*:=\\s*(.+?)(?:\\s+AS\\s+[`\\w]+)?$".r
+  private val CommaLimitRe =
+    "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b".r
 
   private def opt(s: String): String = Option(s).getOrElse("")
 

@@ -65,6 +65,30 @@ class SqlFrontendSpec extends SparkSuite {
       Seq("report from dual source"))
   }
 
+  test("SELECT @x := expr assigns and returns the value") {
+    assert(gs.query("SELECT @counter := 6 * 7") == Seq("42"))
+    assert(gs.query("SELECT @counter + 1 AS v") == Seq("43"))
+  }
+
+  test("MySQL comma LIMIT: LIMIT offset, count") {
+    val rows = gs.query(
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 2, 3")
+    assert(rows == Seq("2", "3", "4"))
+    assert(gs.query("SELECT 'LIMIT 1, 2' AS s") == Seq("LIMIT 1, 2"))
+  }
+
+  test("DESCRIBE renders MySQL Field/Type/Null/Key columns") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS dsc")
+    gs.execute(
+      "CREATE TABLE dsc (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(10), KEY vk (v))")
+    val d = gs.query("DESC dsc")
+    assert(d == Seq("id bigint NO PRI", "v varchar(255) YES MUL"))
+    gs.execute("ALTER TABLE dsc DROP INDEX vk")
+    assert(gs.query("DESC dsc") == Seq("id bigint NO PRI", "v varchar(255) YES "))
+  }
+
   test("system variables: SET / SELECT @@ / SHOW VARIABLES LIKE") {
     gs.execute("SET max_allowed_packet = 1024")
     assert(gs.query("SELECT @@max_allowed_packet AS v") == Seq("1024"))
