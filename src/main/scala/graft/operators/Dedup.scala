@@ -155,8 +155,11 @@ object Dedup extends QueryModule {
 
     // MinHash (32 hashes) + LSH banding (8 bands × 4 rows): candidates
     // share a band signature; verified with exact Jaccard ≥ 0.7.
-    // Probabilistic recall → no SQL oracle (rows-only check); DedupSpec
-    // asserts every planted duplicate pair is recovered.
+    // Oracled with the exact all-pairs result: execution is deterministic
+    // (fixed corpus → fixed signatures → fixed candidates), the corpus'
+    // minimum ≥0.7 pair sits at jaccard 0.9 where banding recall is
+    // certain (miss prob (1-0.9⁴)⁸ ≈ 1e-8), and DedupSpec crosschecks
+    // LSH output == exact inverted-index output at test scale.
     Q("dedup_minhash_lsh",
       (s, d) => {
         val sh = shingles(corpus(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
@@ -180,7 +183,25 @@ object Dedup extends QueryModule {
           .filter(col("jac") >= 0.7)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       },
-      None),
+      Some(s"""WITH $corpusSql,
+               toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+                        FROM corpus),
+               sh AS (SELECT DISTINCT doc_id,
+                        unnest(list_transform(range(1, len(t)-1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                      FROM toks WHERE len(t) >= 3),
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                 count(*) AS c
+                          FROM sh a JOIN sh b
+                            ON a.s = b.s AND a.doc_id < b.doc_id
+                          GROUP BY 1, 2)
+               SELECT doc_a, doc_b,
+                      round(c / (sa.n + sb.n - c), 4) AS jaccard
+               FROM common
+               JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+               WHERE c / (sa.n + sb.n - c) >= 0.7""")),
 
     // SimHash: 64-bit signature from sign-of-weighted-bit-sums over token
     // hashes, stored as 4×16-bit bands; near-dups = hamming ≤ 3, found via

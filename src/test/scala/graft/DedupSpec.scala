@@ -37,6 +37,26 @@ class DedupSpec extends SparkSuite {
     assert(df.filter(col("jaccard") < 0.7).count() == 0)
   }
 
+  test("LSH output equals the exact inverted-index result (oracle precondition)") {
+    import graft.operators.Dedup
+    val lsh = q("dedup_minhash_lsh").select("doc_a", "doc_b", "jaccard")
+    // exact all-pairs ≥0.7 via the full (uncapped) inverted index
+    val sh = Dedup.shingles(Dedup.corpus(spark, sf))
+    val sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .count().withColumnRenamed("count", "c")
+    val exactAll = common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+    assert(lsh.exceptAll(exactAll).isEmpty && exactAll.exceptAll(lsh).isEmpty,
+      "LSH result diverges from exact all-pairs result — drop the oracle")
+  }
+
   test("simhash recovers every planted pair at hamming 0") {
     val df = q("dedup_simhash")
     val planted = df.filter(col("doc_b") === col("doc_a") + 1000000L)
