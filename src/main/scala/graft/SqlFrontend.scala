@@ -55,6 +55,8 @@ final class GraftSession(val spark: SparkSession) {
     */
   private var txnActive = false
   private val txnOverlay = mutable.LinkedHashMap.empty[String, DataFrame]
+  /** shadow view name → the temp view it displaced (restored on txn end). */
+  private val txnShadowPrev = mutable.LinkedHashMap.empty[String, Option[DataFrame]]
 
   private lazy val snapshotRoot: String =
     Files.createTempDirectory("graft-idx").toString
@@ -67,17 +69,21 @@ final class GraftSession(val spark: SparkSession) {
   def execute(sql0: String): DataFrame = {
     val sql = sql0.trim.stripSuffix(";").trim
     val up = sql.toUpperCase
-    // DDL implicitly commits an open transaction, as in MySQL
-    if (txnActive && (up.startsWith("CREATE") || up.startsWith("DROP") ||
-      up.startsWith("ALTER"))) commit()
     sql match {
-      case SelectAssignRe(name, expr) =>
-        // SELECT @x := expr — the reference's SetVar expression
-        // (`expression/builtin_other.go:246`), constant form
-        val v = evalScalar(expr)
-        if (v == null) userVars.remove(name.toLowerCase)
-        else userVars(name.toLowerCase) = renderLiteral(v)
-        select(s"SELECT ${if (v == null) "NULL" else renderLiteral(v)} AS `@$name`")
+      case SelectAssignRe(name, expr, alias) =>
+        // SELECT @x := expr [AS alias] [FROM DUAL] — the reference's
+        // SetVar expression (`expression/builtin_other.go:246`), constant
+        // form; per-row assignment is not supported (falls through to the
+        // regular SELECT path's error)
+        scala.util.Try(evalScalar(expr)).toOption match {
+          case None => select(sql) // not a constant expression
+          case Some(v) =>
+            if (v == null) userVars.remove(name.toLowerCase)
+            else userVars(name.toLowerCase) = renderLiteral(v)
+            val out = Option(alias).map(clean).getOrElse(s"@$name")
+            select(
+              s"SELECT ${if (v == null) "NULL" else renderLiteral(v)} AS `$out`")
+        }
       case _ if up.startsWith("SELECT") || up.startsWith("WITH") ||
         up.startsWith("VALUES") || up.startsWith("(") => select(sql)
       case _ if up.startsWith("SET ") => executeSet(sql.drop(4)); ok()
@@ -85,22 +91,32 @@ final class GraftSession(val spark: SparkSession) {
       case ExplainRe(inner) => explain(inner)
       case ShowRe(_*) => show(sql, up)
       case DescRe(t) => describe(clean(t))
+      // DDL implicitly commits an open transaction (as in MySQL) — but
+      // only once a statement actually routes as DDL; a malformed
+      // statement must not commit as a side effect of its prefix.
       case CreateDbRe(ifNot, db) =>
-        spark.sql(s"CREATE DATABASE ${opt(ifNot)}$db"); ok()
+        commit(); spark.sql(s"CREATE DATABASE ${opt(ifNot)}$db"); ok()
       case DropDbRe(ifEx, db) =>
-        spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE"); ok()
-      case _ if up.startsWith("CREATE TABLE") => createTable(sql); ok()
-      case DropTableRe(ifEx, t) => dropTable(opt(ifEx), t); ok()
-      case _ if up.startsWith("ALTER TABLE") => alterTable(sql); ok()
+        commit(); spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE"); ok()
+      case _ if up.startsWith("CREATE TABLE") =>
+        commit(); createTable(sql); ok()
+      case DropTableRe(ifEx, t) => commit(); dropTable(opt(ifEx), t); ok()
+      case _ if up.startsWith("ALTER TABLE") => commit(); alterTable(sql); ok()
       case CreateIndexRe(uniq, name, t, cols) =>
+        commit()
         createIndex(clean(t), clean(name), splitCols(cols),
           unique = uniq != null); ok()
       case DropIndexRe(name, t) =>
-        dropIndex(clean(t), clean(name)); ok()
+        commit(); dropIndex(clean(t), clean(name)); ok()
       case AdminCheckRe(t) => adminCheck(clean(t))
       case AnalyzeRe(t) => Stats.analyze(spark, clean(t)); ok()
       case InsertFullRe(t, colList, source) if txnActive =>
         txnInsert(clean(t), Option(colList), source); ok()
+      case InsertRe(_) if txnActive =>
+        // never let an unrecognized INSERT form bypass the overlay and
+        // mutate the base table mid-transaction
+        throw new IllegalArgumentException(
+          s"INSERT form not supported inside a transaction: $sql0")
       case InsertRe(t) =>
         spark.sql(substituteVars(sql)); refreshIndexes(clean(t)); ok()
       case ReplaceRe(t, colList, source) =>
@@ -134,11 +150,15 @@ final class GraftSession(val spark: SparkSession) {
   // ------------------------------------------------------------------ SELECT
 
   private def select(sql: String): DataFrame =
-    spark.sql(mapOutsideQuotes(stripFromDual(substituteVars(sql)))(seg =>
-      CommaLimitRe.replaceAllIn(seg,
-        m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")))
+    spark.sql(mapOutsideQuotes(substituteVars(sql)) { seg =>
+      CommaLimitRe.replaceAllIn(DualRe.replaceAllIn(seg, ""),
+        m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    })
 
-  /** Apply a rewrite to the unquoted segments of a statement only. */
+  /** Apply a rewrite to the unquoted segments of a statement only
+    * (backslash-escaped quotes inside literals are honored — the escape
+    * form [[renderLiteral]] itself emits).
+    */
   private def mapOutsideQuotes(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
@@ -147,7 +167,8 @@ final class GraftSession(val spark: SparkSession) {
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (quote != 0) {
-        out += c; if (c == quote) quote = 0
+        if (c == '\\' && i + 1 < sql.length) { out += c; i += 1; out += sql.charAt(i) }
+        else { out += c; if (c == quote) quote = 0 }
       } else if (c == '\'' || c == '"' || c == '`') {
         out ++= f(seg.toString); seg.clear()
         quote = c; out += c
@@ -165,11 +186,12 @@ final class GraftSession(val spark: SparkSession) {
     import spark.implicits._
     val base = unqualified(t)
     val pk = primaryKeys.getOrElse(base, Nil).toSet
-    val idxCols = indexes.collect {
-      case ((tb, _), m) if tb == base => m.cols.headOption
-    }.flatten.toSet
+    val keyKind = indexes.collect {
+      case ((tb, _), m) if tb == base =>
+        m.cols.headOption.map(_ -> (if (m.unique) "UNI" else "MUL"))
+    }.flatten.toMap
     spark.table(t).schema.fields.map { f =>
-      val key = if (pk(f.name)) "PRI" else if (idxCols(f.name)) "MUL" else ""
+      val key = if (pk(f.name)) "PRI" else keyKind.getOrElse(f.name, "")
       // PK columns are implicitly NOT NULL (parquet tables do not
       // persist column nullability, so the PK is the reliable signal)
       (f.name, mysqlTypeName(f.dataType),
@@ -177,24 +199,6 @@ final class GraftSession(val spark: SparkSession) {
     }.toSeq.toDF("Field", "Type", "Null", "Key")
   }
 
-  /** Remove `FROM DUAL` outside quoted regions only. */
-  private def stripFromDual(sql: String): String = {
-    val out = new StringBuilder
-    var i = 0
-    var quote: Char = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (quote != 0) {
-        out += c; if (c == quote) quote = 0; i += 1
-      } else if (c == '\'' || c == '"' || c == '`') {
-        quote = c; out += c; i += 1
-      } else DualRe.findPrefixOf(sql.substring(i)) match {
-        case Some(m) => i += m.length // drop the FROM DUAL token
-        case None => out += c; i += 1
-      }
-    }
-    out.toString
-  }
 
   private def explain(inner: String): DataFrame = {
     import spark.implicits._
@@ -247,7 +251,9 @@ final class GraftSession(val spark: SparkSession) {
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (quote != 0) {
-        out += c; if (c == quote) quote = 0; i += 1
+        if (c == '\\' && i + 1 < sql.length) {
+          out += c; out += sql.charAt(i + 1); i += 2
+        } else { out += c; if (c == quote) quote = 0; i += 1 }
       } else if (c == '\'' || c == '"' || c == '`') {
         quote = c; out += c; i += 1
       } else if (c == '@') {
@@ -464,9 +470,26 @@ final class GraftSession(val spark: SparkSession) {
   private def applyWrite(t: String, next: DataFrame): Unit = {
     val ref = qualify(t)
     if (txnActive) {
+      val name = unqualified(ref)
+      if (!txnShadowPrev.contains(name))
+        // plain reads resolve a temp view first, so spark.table captures
+        // the displaced view's DataFrame when one exists
+        txnShadowPrev(name) =
+          if (spark.sessionState.catalog.getTempView(name).isDefined)
+            Some(spark.table(name))
+          else None
       txnOverlay(ref) = next
-      next.createOrReplaceTempView(unqualified(ref))
+      next.createOrReplaceTempView(name)
     } else rewriteTable(ref, next)
+  }
+
+  /** Remove overlay shadows, restoring any temp view they displaced. */
+  private def clearShadows(): Unit = {
+    txnShadowPrev.foreach {
+      case (name, Some(prev)) => prev.createOrReplaceTempView(name)
+      case (name, None) => spark.catalog.dropTempView(name)
+    }
+    txnShadowPrev.clear()
   }
 
   private def begin(): Unit = {
@@ -490,7 +513,7 @@ final class GraftSession(val spark: SparkSession) {
     }
     // drop the shadows BEFORE applying: index refresh and any later read
     // must resolve to the freshly-written base, not a stale overlay plan
-    txnOverlay.keys.foreach(r => spark.catalog.dropTempView(unqualified(r)))
+    clearShadows()
     txnOverlay.clear()
     staged.foreach { case (ref, stage) =>
       spark.read.parquet(stage).write.mode("overwrite").insertInto(ref)
@@ -500,7 +523,7 @@ final class GraftSession(val spark: SparkSession) {
 
   private def rollback(): Unit = if (txnActive) {
     txnActive = false
-    txnOverlay.keys.foreach(r => spark.catalog.dropTempView(unqualified(r)))
+    clearShadows()
     txnOverlay.clear()
   }
 
@@ -640,7 +663,7 @@ object GraftSession {
   private val AlterDropIndexRe =
     "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+DROP\\s+(?:KEY|INDEX)\\s+([`\\w]+)$".r
   private val SelectAssignRe =
-    "(?is)^SELECT\\s+@(\\w+)\\s*:=\\s*(.+?)(?:\\s+AS\\s+[`\\w]+)?$".r
+    "(?is)^SELECT\\s+@(\\w+)\\s*:=\\s*(.+?)(?:\\s+AS\\s+(`[^`]+`|\\w+))?(?:\\s+FROM\\s+DUAL)?$".r
   private val CommaLimitRe =
     "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b".r
 
@@ -677,8 +700,13 @@ object GraftSession {
     val cur = new StringBuilder
     var depth = 0
     var quote: Char = 0
+    var esc = false
     s.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      if (esc) { cur += c; esc = false }
+      else if (quote != 0) {
+        cur += c
+        if (c == '\\') esc = true else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"' || c == '`') { quote = c; cur += c }
       else if (c == '(') { depth += 1; cur += c }
       else if (c == ')') { depth -= 1; cur += c }

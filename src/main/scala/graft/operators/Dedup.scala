@@ -45,6 +45,31 @@ object Dedup extends QueryModule {
     """corpus AS (SELECT doc_id, lower(text) AS text FROM documents
        UNION ALL SELECT doc_id + 1000000, lower(text) FROM documents)"""
 
+  /** DuckDB oracle for exact inverted-index Jaccard at a threshold —
+    * shared by the n-gram (0.8) and the LSH-verified (0.7) queries so
+    * the shingle definition lives in one place.
+    */
+  private def invertedIndexOracle(threshold: Double): String =
+    s"""WITH $corpusSql,
+        toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+                 FROM corpus),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+               FROM toks WHERE len(t) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*) AS c
+                   FROM sh a JOIN sh b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(c / (sa.n + sb.n - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE c / (sa.n + sb.n - c) >= $threshold"""
+
   /** Distinct word 3-gram shingles per doc: (doc_id, s). */
   private[graft] def shingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
@@ -133,25 +158,7 @@ object Dedup extends QueryModule {
           .filter(col("jac") >= 0.8)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       },
-      Some(s"""WITH $corpusSql,
-               toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
-                        FROM corpus),
-               sh AS (SELECT DISTINCT doc_id,
-                        unnest(list_transform(range(1, len(t)-1),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-                      FROM toks WHERE len(t) >= 3),
-               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-               common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                 count(*) AS c
-                          FROM sh a JOIN sh b
-                            ON a.s = b.s AND a.doc_id < b.doc_id
-                          GROUP BY 1, 2)
-               SELECT doc_a, doc_b,
-                      round(c / (sa.n + sb.n - c), 4) AS jaccard
-               FROM common
-               JOIN sizes sa ON doc_a = sa.doc_id
-               JOIN sizes sb ON doc_b = sb.doc_id
-               WHERE c / (sa.n + sb.n - c) >= 0.8""")),
+      Some(invertedIndexOracle(0.8))),
 
     // MinHash (32 hashes) + LSH banding (8 bands × 4 rows): candidates
     // share a band signature; verified with exact Jaccard ≥ 0.7.
@@ -183,25 +190,7 @@ object Dedup extends QueryModule {
           .filter(col("jac") >= 0.7)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       },
-      Some(s"""WITH $corpusSql,
-               toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
-                        FROM corpus),
-               sh AS (SELECT DISTINCT doc_id,
-                        unnest(list_transform(range(1, len(t)-1),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-                      FROM toks WHERE len(t) >= 3),
-               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-               common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                 count(*) AS c
-                          FROM sh a JOIN sh b
-                            ON a.s = b.s AND a.doc_id < b.doc_id
-                          GROUP BY 1, 2)
-               SELECT doc_a, doc_b,
-                      round(c / (sa.n + sb.n - c), 4) AS jaccard
-               FROM common
-               JOIN sizes sa ON doc_a = sa.doc_id
-               JOIN sizes sb ON doc_b = sb.doc_id
-               WHERE c / (sa.n + sb.n - c) >= 0.7""")),
+      Some(invertedIndexOracle(0.7))),
 
     // SimHash: 64-bit signature from sign-of-weighted-bit-sums over token
     // hashes, stored as 4×16-bit bands; near-dups = hamming ≤ 3, found via

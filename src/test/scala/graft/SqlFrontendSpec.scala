@@ -68,6 +68,16 @@ class SqlFrontendSpec extends SparkSuite {
   test("SELECT @x := expr assigns and returns the value") {
     assert(gs.query("SELECT @counter := 6 * 7") == Seq("42"))
     assert(gs.query("SELECT @counter + 1 AS v") == Seq("43"))
+    // alias and FROM DUAL forms
+    val df = gs.execute("SELECT @counter := 10 AS answer FROM DUAL")
+    assert(df.schema.fieldNames.toSeq == Seq("answer"))
+    assert(df.collect()(0).getInt(0) == 10)
+    assert(gs.query("SELECT @counter AS v") == Seq("10"))
+  }
+
+  test("escaped quote in a variable does not break later rewrites") {
+    gs.execute("SET @qq = concat('it', char(39), 's LIMIT 1, 2')")
+    assert(gs.query("SELECT @qq AS v") == Seq("it's LIMIT 1, 2"))
   }
 
   test("MySQL comma LIMIT: LIMIT offset, count") {
@@ -85,6 +95,11 @@ class SqlFrontendSpec extends SparkSuite {
       "CREATE TABLE dsc (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(10), KEY vk (v))")
     val d = gs.query("DESC dsc")
     assert(d == Seq("id bigint NO PRI", "v varchar(255) YES MUL"))
+    gs.execute("DROP TABLE IF EXISTS dscu")
+    gs.execute(
+      "CREATE TABLE dscu (id BIGINT PRIMARY KEY, u VARCHAR(10), UNIQUE KEY uu (u))")
+    assert(gs.query("DESC dscu") ==
+      Seq("id bigint NO PRI", "u varchar(255) YES UNI"))
     gs.execute("ALTER TABLE dsc DROP INDEX vk")
     assert(gs.query("DESC dsc") == Seq("id bigint NO PRI", "v varchar(255) YES "))
   }

@@ -70,6 +70,45 @@ class TxnSpec extends SparkSuite {
     assert(gs.query("SELECT count(*) AS n FROM t3") == Seq("2"))
   }
 
+  test("txn shadow preserves a displaced temp view across rollback") {
+    // note: DROP TABLE must run before the view exists — Spark's DROP
+    // TABLE resolves (and drops) a same-named temp view first
+    gs.execute("DROP TABLE IF EXISTS shadowed")
+    gs.execute("CREATE TABLE shadowed (id BIGINT)")
+    gs.execute("INSERT INTO shadowed VALUES (42)")
+    spark.range(3).toDF("id").createOrReplaceTempView("shadowed")
+    gs.execute("BEGIN")
+    // unqualified DML resolves the catalog table (the view keeps its name
+    // for reads, but the write targets the table in the current db)
+    gs.execute("DELETE FROM shadowed WHERE id = 42")
+    gs.execute("ROLLBACK")
+    // the original temp view is back, and the base table is untouched
+    assert(spark.table("shadowed").count() == 3)
+    assert(spark.table("txndb.shadowed").count() == 1)
+    spark.catalog.dropTempView("shadowed")
+  }
+
+  test("unsupported INSERT form inside a txn raises instead of bypassing") {
+    gs.execute("DROP TABLE IF EXISTS t5")
+    gs.execute("CREATE TABLE t5 (id BIGINT)")
+    gs.execute("BEGIN")
+    intercept[IllegalArgumentException](
+      gs.execute("INSERT INTO t5 TABLE t5"))
+    gs.execute("ROLLBACK")
+  }
+
+  test("malformed CREATE does not implicitly commit") {
+    gs.execute("DROP TABLE IF EXISTS t6")
+    gs.execute("CREATE TABLE t6 (id BIGINT)")
+    gs.execute("BEGIN")
+    gs.execute("INSERT INTO t6 VALUES (1)")
+    intercept[Exception](gs.execute("CREATE VIEWX nonsense"))
+    // txn still open: the insert is visible to the session, not the base
+    assert(gs.query("SELECT count(*) AS n FROM t6") == Seq("1"))
+    assert(spark.table("txndb.t6").count() == 0)
+    gs.execute("ROLLBACK")
+  }
+
   test("txn writes maintain indexes only at COMMIT") {
     gs.execute("DROP TABLE IF EXISTS t4")
     gs.execute("CREATE TABLE t4 (id BIGINT PRIMARY KEY, v VARCHAR(10))")
