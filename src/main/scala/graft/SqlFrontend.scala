@@ -44,6 +44,10 @@ final class GraftSession(val spark: SparkSession) {
   private val sysVars = mutable.LinkedHashMap(defaultSysVars: _*)
   private val indexes = mutable.LinkedHashMap.empty[(String, String), IndexMeta]
   private val primaryKeys = mutable.Map.empty[String, Seq[String]]
+  /** table → (column → DEFAULT expression), from CREATE TABLE. */
+  private val columnDefaults = mutable.Map.empty[String, Map[String, String]]
+  /** table → AUTO_INCREMENT column. */
+  private val autoIncCols = mutable.Map.empty[String, String]
 
   /** Explicit-transaction state: qualified table ref → overlay DataFrame
     * (the table's next logical state). While a transaction is open, each
@@ -110,6 +114,10 @@ final class GraftSession(val spark: SparkSession) {
         commit(); dropIndex(clean(t), clean(name)); ok()
       case AdminCheckRe(t) => adminCheck(clean(t))
       case AnalyzeRe(t) => Stats.analyze(spark, clean(t)); ok()
+      case InsertSetRe(kw, t, asgns) =>
+        // MySQL `INSERT/REPLACE t SET c = v, ...` → column-list VALUES form
+        val (cols, vals) = parseSetAssignments(asgns)
+        execute(s"$kw INTO $t (${cols.mkString(", ")}) VALUES (${vals.mkString(", ")})")
       case InsertFullRe(t, colList, source) if txnActive =>
         txnInsert(clean(t), Option(colList), source); ok()
       case InsertRe(_) if txnActive =>
@@ -117,6 +125,12 @@ final class GraftSession(val spark: SparkSession) {
         // mutate the base table mid-transaction
         throw new IllegalArgumentException(
           s"INSERT form not supported inside a transaction: $sql0")
+      case InsertFullRe(t, colList, source) =>
+        val ref = qualify(clean(t))
+        buildIncoming(spark.table(ref), Option(colList), source,
+          Some(unqualified(ref)))
+          .write.mode("append").insertInto(ref)
+        refreshIndexes(ref); ok()
       case InsertRe(t) =>
         spark.sql(substituteVars(sql)); refreshIndexes(clean(t)); ok()
       case ReplaceRe(t, colList, source) =>
@@ -359,6 +373,12 @@ final class GraftSession(val spark: SparkSession) {
         case ColumnDefRe(name, tpe, extras) =>
           val eu = extras.toUpperCase
           if (eu.contains("PRIMARY KEY")) primaryKeys(table) = Seq(clean(name))
+          if (eu.contains("AUTO_INCREMENT")) autoIncCols(table) = clean(name)
+          DefaultRe.findFirstMatchIn(extras).foreach { m =>
+            columnDefaults(table) =
+              columnDefaults.getOrElse(table, Map.empty) +
+                (clean(name) -> m.group(1))
+          }
           val notNull = if (eu.contains("NOT NULL")) " NOT NULL" else ""
           cols += s"`${clean(name)}` ${mysqlToSparkType(tpe)}$notNull"
         case other =>
@@ -374,6 +394,8 @@ final class GraftSession(val spark: SparkSession) {
     val base = unqualified(clean(t))
     indexes.keys.filter(_._1 == base).toSeq.foreach(indexes.remove)
     primaryKeys.remove(base)
+    columnDefaults.remove(base)
+    autoIncCols.remove(base)
   }
 
   private def alterTable(sql: String): Unit = sql match {
@@ -483,6 +505,19 @@ final class GraftSession(val spark: SparkSession) {
     } else rewriteTable(ref, next)
   }
 
+  /** `SET c1 = v1, c2 = v2` → (cols, value exprs); duplicates raise. */
+  private def parseSetAssignments(asgns: String): (Seq[String], Seq[String]) = {
+    val pairs = splitTopLevel(asgns, ',').map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"cannot parse assignment: $a")
+      (clean(a.substring(0, eq)), a.substring(eq + 1).trim)
+    }
+    val cols = pairs.map(_._1)
+    require(cols.distinct.size == cols.size,
+      s"column specified twice: ${cols.diff(cols.distinct).distinct}")
+    (cols, pairs.map(_._2))
+  }
+
   /** Remove overlay shadows, restoring any temp view they displaced. */
   private def clearShadows(): Unit = {
     txnShadowPrev.foreach {
@@ -531,7 +566,8 @@ final class GraftSession(val spark: SparkSession) {
   private def txnInsert(t: String, colList: Option[String],
       source: String): Unit = {
     val base = tableState(t)
-    applyWrite(t, base.unionByName(buildIncoming(base, colList, source)))
+    applyWrite(t, base.unionByName(
+      buildIncoming(base, colList, source, Some(unqualified(t)))))
   }
 
   // --------------------------------------------------------------------- DML
@@ -550,19 +586,41 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   /** Source rows (VALUES … or SELECT …) aligned to the target schema:
-    * listed columns cast, missing columns NULL-filled.
+    * listed columns cast; missing columns take the recorded DEFAULT
+    * (`insert_common.go` default evaluation), the AUTO_INCREMENT column
+    * takes max(existing)+n, anything else NULL. Unknown or duplicate
+    * listed columns raise, as in MySQL.
     */
   private def buildIncoming(target: DataFrame, colList: Option[String],
-      source: String): DataFrame = {
+      source: String, tableBase: Option[String]): DataFrame = {
     val names = colList.map(splitCols).getOrElse(target.schema.fieldNames.toSeq)
+    val unknown = names.filterNot(target.schema.fieldNames.contains)
+    require(unknown.isEmpty, s"unknown column(s) in field list: $unknown")
+    require(names.distinct.size == names.size,
+      s"column specified twice: ${names.diff(names.distinct).distinct}")
     val raw =
       if (source.toUpperCase.startsWith("VALUES"))
         spark.sql(
           s"SELECT * FROM (${substituteVars(source)}) AS __r(${names.mkString(", ")})")
       else spark.sql(substituteVars(source)).toDF(names: _*)
+    val defaults = tableBase.flatMap(columnDefaults.get).getOrElse(Map.empty)
+    val autoInc = tableBase.flatMap(autoIncCols.get)
     target.schema.fields.foldLeft(raw) { (df, f) =>
-      if (names.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
+      if (names.contains(f.name))
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else if (autoInc.contains(f.name)) {
+        // max(existing)+row_number: VALUES batches are small; the window
+        // is over the incoming rows only, never the table. Ordering by
+        // monotonically_increasing_id preserves the VALUES row order.
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(monotonically_increasing_id())
+        val base = target.agg(
+          coalesce(max(col(f.name)), lit(0)).cast("bigint").as("__maxid"))
+        df.crossJoin(base).withColumn(f.name,
+          (col("__maxid") + row_number().over(w)).cast(f.dataType))
+          .drop("__maxid")
+      } else df.withColumn(f.name,
+        expr(defaults.getOrElse(f.name, "NULL")).cast(f.dataType))
     }.select(target.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -572,7 +630,7 @@ final class GraftSession(val spark: SparkSession) {
   private def replaceInto(t: String, colList: Option[String],
       source: String): Unit = {
     val target = tableState(t)
-    val incoming = buildIncoming(target, colList, source)
+    val incoming = buildIncoming(target, colList, source, Some(unqualified(t)))
     val keys = primaryKeys.getOrElse(unqualified(t),
       Seq(target.schema.fieldNames.head))
     applyWrite(t, operators.Dml.replaceInto(target, incoming, keys))
@@ -640,11 +698,16 @@ object GraftSession {
     "(?is)^DROP\\s+INDEX\\s+([`\\w]+)\\s+ON\\s+([`\\w.]+)$".r
   private val AdminCheckRe = "(?is)^ADMIN\\s+CHECK\\s+TABLE\\s+([`\\w.]+)$".r
   private val AnalyzeRe = "(?is)^ANALYZE\\s+TABLE\\s+([`\\w.]+)$".r
-  private val InsertRe = "(?is)^INSERT\\s+INTO\\s+([`\\w.]+).*$".r
+  // MySQL allows omitting INTO in INSERT/REPLACE
+  private val InsertRe = "(?is)^INSERT\\s+(?:INTO\\s+)?([`\\w.]+).*$".r
   private val InsertFullRe =
-    "(?is)^INSERT\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?((?:VALUES|SELECT|WITH).*)$".r
+    "(?is)^INSERT\\s+(?:INTO\\s+)?([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?((?:VALUES|SELECT|WITH).*)$".r
   private val ReplaceRe =
-    "(?is)^REPLACE\\s+INTO\\s+([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?((?:VALUES|SELECT).*)$".r
+    "(?is)^REPLACE\\s+(?:INTO\\s+)?([`\\w.]+)\\s*(?:\\(([^)]*)\\)\\s*)?((?:VALUES|SELECT).*)$".r
+  private val InsertSetRe =
+    "(?is)^(INSERT|REPLACE)\\s+(?:INTO\\s+)?([`\\w.]+)\\s+SET\\s+(.+)$".r
+  private val DefaultRe =
+    "(?i)DEFAULT\\s+('(?:[^'\\\\]|\\\\.)*'|[-+]?[0-9]*\\.?[0-9]+|NULL|TRUE|FALSE|\\w+\\(\\))".r
   private val DeleteRe =
     "(?is)^DELETE\\s+FROM\\s+([`\\w.]+)(?:\\s+WHERE\\s+(.+))?$".r
   private val UserVarAsgnRe = "(?s)^@(\\w+)\\s*:?=\\s*(.+)$".r

@@ -1,0 +1,157 @@
+package graft
+
+/** Reference test-suite parity: the reference's own testkit cases, run
+  * verbatim (modulo dialect glue) through the SQL front-end and checked
+  * against the reference's expected rows. Sources cited per test; the
+  * reference renders NULL as "<nil>", as does GraftSession.query.
+  */
+class ReferenceParitySpec extends SparkSuite {
+
+  private lazy val gs: GraftSession = {
+    val s = new GraftSession(spark)
+    s.execute("CREATE DATABASE IF NOT EXISTS refdb")
+    s.execute("USE refdb")
+    s
+  }
+
+  test("constant expressions (executor_test.go:153-160, 255-283)") {
+    assert(gs.query("select 1 + 2*3") == Seq("7"))
+    assert(gs.query("select 1 order by 1") == Seq("1"))
+    assert(gs.query("select nUll") == Seq("<nil>"))
+    assert(gs.query("select (null)") == Seq("<nil>"))
+    assert(gs.query("select null+NULL") == Seq("<nil>"))
+    assert(gs.query("select 'abc'") == Seq("abc"))
+  }
+
+  test("aggregation over empty and tiny tables (aggregate_test.go:50-68)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS t;
+         CREATE TABLE t (a INT, b INT, c INT)""")
+    assert(gs.query("select count(a) from t group by a") == Seq())
+    assert(gs.query("select count(a) from t") == Seq("0"))
+    gs.execute("INSERT INTO t VALUES (0,0,0)")
+    assert(gs.query("select distinct b from t") == Seq("0"))
+    assert(gs.query("select count(b) from t group by a") == Seq("1"))
+    gs.execute("INSERT INTO t VALUES (1,1,1),(3,3,6),(3,2,5),(2,1,4),(1,1,3),(1,1,2)")
+    assert(gs.query("select count(a) from t where b>0 group by a, b").sorted ==
+      Seq("1", "1", "1", "3"))
+    assert(gs.query(
+      "select count(a) from t where b>0 group by a, b order by a") ==
+      Seq("3", "1", "1", "1"))
+    assert(gs.query(
+      "select count(a) from t where b>0 group by a, b order by a limit 1") ==
+      Seq("3"))
+  }
+
+  test("min/max incl. empty input and expressions (aggregate_test.go:73-80)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS te;
+         CREATE TABLE te (a INT PRIMARY KEY, b INT)""")
+    assert(gs.query("select min(a), min(a) from te") == Seq("<nil> <nil>"))
+    gs.execute("INSERT INTO te VALUES (1, -1), (2, -2), (3, 1), (4, NULL)")
+    assert(gs.query("select max(a) from te") == Seq("4"))
+    assert(gs.query("select min(b) from te") == Seq("-2"))
+    assert(gs.query("select max(b*b) from te") == Seq("4"))
+    assert(gs.query("select min(b*b) from te") == Seq("1"))
+  }
+
+  test("outer-join simplification under WHERE (join_test.go:69-84)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS t;
+         DROP TABLE IF EXISTS t1;
+         CREATE TABLE t (c1 INT, c2 INT);
+         CREATE TABLE t1 (c1 INT, c2 INT);
+         INSERT INTO t VALUES (1,1),(2,2);
+         INSERT INTO t1 VALUES (2,3),(4,4)""")
+    assert(gs.query(
+      "select * from t left outer join t1 on t.c1 = t1.c1 where t.c1 = 1 or t1.c2 > 20") ==
+      Seq("1 1 <nil> <nil>"))
+    assert(gs.query(
+      "select * from t1 right outer join t on t.c1 = t1.c1 where t.c1 = 1 or t1.c2 > 20") ==
+      Seq("<nil> <nil> 1 1"))
+    assert(gs.query(
+      "select * from t right outer join t1 on t.c1 = t1.c1 where t.c1 = 1 or t1.c2 > 20") ==
+      Seq())
+    assert(gs.query(
+      "select * from t left outer join t1 on t.c1 = t1.c1 where t1.c1 = 3 or false") ==
+      Seq())
+    assert(gs.query(
+      "select * from t left outer join t1 on t.c1 = t1.c1 and t.c1 != 1 order by t1.c1") ==
+      Seq("1 1 <nil> <nil>", "2 2 2 3"))
+  }
+
+  test("left join feeding a right join (join_test.go:89-98)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS t1;
+         DROP TABLE IF EXISTS t2;
+         DROP TABLE IF EXISTS t3;
+         CREATE TABLE t1 (c1 INT, c2 INT);
+         CREATE TABLE t2 (c1 INT, c2 INT);
+         CREATE TABLE t3 (c1 INT, c2 INT);
+         INSERT INTO t1 VALUES (1,1), (2,2), (3,3);
+         INSERT INTO t2 VALUES (1,1), (3,3), (5,5);
+         INSERT INTO t3 VALUES (1,1), (5,5), (9,9)""")
+    assert(gs.query(
+      """select * from t1 left join t2 on t1.c1 = t2.c1
+         right join t3 on t2.c1 = t3.c1
+         order by t1.c1, t1.c2, t2.c1, t2.c2, t3.c1, t3.c2""") ==
+      Seq("<nil> <nil> <nil> <nil> 5 5", "<nil> <nil> <nil> <nil> 9 9",
+        "1 1 1 1 1 1"))
+  }
+
+  test("INSERT: auto-increment, DEFAULT, SET form, errors (write_test.go:33-90)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS insert_test;
+         CREATE TABLE insert_test (id INT PRIMARY KEY AUTO_INCREMENT,
+           c1 INT, c2 INT, c3 INT DEFAULT 1)""")
+    gs.execute("insert insert_test (c1) values (1),(2),(NULL)")
+    assert(gs.query("select id, c1, c3 from insert_test order by id") ==
+      Seq("1 1 1", "2 2 1", "3 <nil> 1"))
+    intercept[Exception](
+      gs.execute("insert insert_test (c1, c2) values (1,2),(1)"))
+    intercept[Exception](gs.execute("insert insert_test (xxx) values (3)"))
+    intercept[Exception](gs.execute("insert insert_test_xxx (c1) values (1)"))
+    gs.execute("insert insert_test set c1 = 3")
+    assert(gs.query("select id, c1, c3 from insert_test where c1 = 3") ==
+      Seq("4 3 1"))
+    intercept[Exception](gs.execute("insert insert_test set c1 = 4, c1 = 5"))
+    gs.executeAll(
+      """DROP TABLE IF EXISTS insert_test_1;
+         CREATE TABLE insert_test_1 (id INT, c1 INT)""")
+    gs.execute("insert insert_test_1 select id, c1 from insert_test")
+    assert(gs.query("select count(*) from insert_test_1") == Seq("4"))
+  }
+
+  test("REPLACE: SET form, key dedup, errors (write_test.go:317-360)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS replace_test;
+         CREATE TABLE replace_test (id INT PRIMARY KEY AUTO_INCREMENT,
+           c1 INT, c2 INT, c3 INT DEFAULT 1)""")
+    gs.execute("replace replace_test (c1) values (1),(2),(NULL)")
+    assert(gs.query("select id, c1, c3 from replace_test order by id") ==
+      Seq("1 1 1", "2 2 1", "3 <nil> 1"))
+    intercept[Exception](gs.execute("replace replace_test (xxx) values (3)"))
+    gs.execute("replace replace_test set c1 = 3")
+    assert(gs.query("select count(*) from replace_test") == Seq("4"))
+    intercept[Exception](gs.execute("replace replace_test set c1 = 4, c1 = 5"))
+    // delete-on-duplicate-key: replacing id 1 keeps 4 rows
+    gs.execute("replace replace_test (id, c1) values (1, 99)")
+    assert(gs.query("select c1 from replace_test where id = 1") == Seq("99"))
+    assert(gs.query("select count(*) from replace_test") == Seq("4"))
+  }
+
+  test("self joins and comma joins (join_test.go:103-115)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS t;
+         DROP TABLE IF EXISTS t1;
+         CREATE TABLE t (c1 INT, c2 INT);
+         CREATE TABLE t1 (c1 INT, c2 INT);
+         INSERT INTO t VALUES (1,1),(2,2),(3,3);
+         INSERT INTO t1 VALUES (1,2),(2,3),(3,4)""")
+    assert(gs.query("select a.c1 from t a , t1 b where a.c1 = b.c1 order by a.c1") ==
+      Seq("1", "2", "3"))
+    assert(gs.query(
+      "select a.c1 from t a , t1 b where a.c1 = b.c1 and a.c1 + b.c1 > 5 order by b.c1") ==
+      Seq("3"))
+  }
+}
