@@ -606,20 +606,26 @@ final class GraftSession(val spark: SparkSession) {
     val defaults = tableBase.flatMap(columnDefaults.get).getOrElse(Map.empty)
     val autoInc = tableBase.flatMap(autoIncCols.get)
     target.schema.fields.foldLeft(raw) { (df, f) =>
-      if (names.contains(f.name))
-        df.withColumn(f.name, col(f.name).cast(f.dataType))
-      else if (autoInc.contains(f.name)) {
-        // max(existing)+row_number: VALUES batches are small; the window
-        // is over the incoming rows only, never the table. Ordering by
-        // monotonically_increasing_id preserves the VALUES row order.
+      val provided = names.contains(f.name)
+      if (autoInc.contains(f.name)) {
+        // max(existing)+row_number for omitted or NULL values (MySQL
+        // assigns the next id for NULL too — write_test.go TestInsertAutoInc).
+        // VALUES batches are small; the window is over the incoming rows
+        // only, never the table; monotonically_increasing_id preserves
+        // the VALUES row order.
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(monotonically_increasing_id())
         val base = target.agg(
           coalesce(max(col(f.name)), lit(0)).cast("bigint").as("__maxid"))
-        df.crossJoin(base).withColumn(f.name,
-          (col("__maxid") + row_number().over(w)).cast(f.dataType))
+        val next = (col("__maxid") + row_number().over(w)).cast(f.dataType)
+        df.crossJoin(base)
+          .withColumn(f.name,
+            if (provided) coalesce(col(f.name).cast(f.dataType), next)
+            else next)
           .drop("__maxid")
-      } else df.withColumn(f.name,
+      } else if (provided)
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df.withColumn(f.name,
         expr(defaults.getOrElse(f.name, "NULL")).cast(f.dataType))
     }.select(target.schema.fieldNames.map(col).toSeq: _*)
   }

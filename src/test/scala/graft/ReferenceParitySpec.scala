@@ -122,6 +122,18 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("select count(*) from insert_test_1") == Seq("4"))
   }
 
+  test("NULL into AUTO_INCREMENT assigns the next id (write_test.go:160-205)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS ai;
+         CREATE TABLE ai (id INT PRIMARY KEY AUTO_INCREMENT, c1 INT)""")
+    gs.execute("insert into ai (id, c1) values (NULL, 10)")
+    gs.execute("insert into ai (id, c1) values (NULL, 20)")
+    gs.execute("insert into ai (id, c1) values (25, 30)")
+    gs.execute("insert into ai (id, c1) values (NULL, 40)")
+    assert(gs.query("select id, c1 from ai order by c1") ==
+      Seq("1 10", "2 20", "25 30", "26 40"))
+  }
+
   test("REPLACE: SET form, key dedup, errors (write_test.go:317-360)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS replace_test;
