@@ -102,10 +102,9 @@ final class GraftSession(val spark: SparkSession) {
         commit(); spark.sql(s"CREATE DATABASE ${opt(ifNot)}$db"); ok()
       case DropDbRe(ifEx, db) =>
         commit(); spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE"); ok()
-      case _ if up.startsWith("CREATE TABLE") =>
-        commit(); createTable(sql); ok()
+      case _ if up.startsWith("CREATE TABLE") => createTable(sql); ok()
       case DropTableRe(ifEx, t) => commit(); dropTable(opt(ifEx), t); ok()
-      case _ if up.startsWith("ALTER TABLE") => commit(); alterTable(sql); ok()
+      case _ if up.startsWith("ALTER TABLE") => alterTable(sql); ok()
       case CreateIndexRe(uniq, name, t, cols) =>
         commit()
         createIndex(clean(t), clean(name), splitCols(cols),
@@ -117,7 +116,8 @@ final class GraftSession(val spark: SparkSession) {
       case InsertSetRe(kw, t, asgns) =>
         // MySQL `INSERT/REPLACE t SET c = v, ...` → column-list VALUES form
         val (cols, vals) = parseSetAssignments(asgns)
-        execute(s"$kw INTO $t (${cols.mkString(", ")}) VALUES (${vals.mkString(", ")})")
+        execute(s"$kw INTO $t (${cols.map(c => s"`$c`").mkString(", ")}) " +
+          s"VALUES (${vals.mkString(", ")})")
       case InsertFullRe(t, colList, source) if txnActive =>
         txnInsert(clean(t), Option(colList), source); ok()
       case InsertRe(_) if txnActive =>
@@ -200,10 +200,13 @@ final class GraftSession(val spark: SparkSession) {
     import spark.implicits._
     val base = unqualified(t)
     val pk = primaryKeys.getOrElse(base, Nil).toSet
+    // a column under both a unique and a non-unique index shows UNI
     val keyKind = indexes.collect {
       case ((tb, _), m) if tb == base =>
-        m.cols.headOption.map(_ -> (if (m.unique) "UNI" else "MUL"))
-    }.flatten.toMap
+        m.cols.headOption.map(_ -> m.unique)
+    }.flatten.groupBy(_._1).map { case (c, ks) =>
+      c -> (if (ks.exists(_._2)) "UNI" else "MUL")
+    }
     spark.table(t).schema.fields.map { f =>
       val key = if (pk(f.name)) "PRI" else keyKind.getOrElse(f.name, "")
       // PK columns are implicitly NOT NULL (parquet tables do not
@@ -371,22 +374,53 @@ final class GraftSession(val spark: SparkSession) {
         deferredIdx += ((name, du.startsWith("UNIQUE"), cols0))
       } else d match {
         case ColumnDefRe(name, tpe, extras) =>
-          val eu = extras.toUpperCase
-          if (eu.contains("PRIMARY KEY")) primaryKeys(table) = Seq(clean(name))
-          if (eu.contains("AUTO_INCREMENT")) autoIncCols(table) = clean(name)
-          DefaultRe.findFirstMatchIn(extras).foreach { m =>
-            columnDefaults(table) =
-              columnDefaults.getOrElse(table, Map.empty) +
-                (clean(name) -> m.group(1))
-          }
-          val notNull = if (eu.contains("NOT NULL")) " NOT NULL" else ""
+          val notNull = recordColumnExtras(table, clean(name), extras)
           cols += s"`${clean(name)}` ${mysqlToSparkType(tpe)}$notNull"
         case other =>
           throw new IllegalArgumentException(s"cannot parse column def: $other")
       }
     }
+    // parsing is complete — only now may the statement implicitly commit
+    commit()
     spark.sql(s"$header (${cols.mkString(", ")}) USING parquet")
     deferredIdx.foreach { case (n, u, cs) => createIndex(table, n, cs, u) }
+  }
+
+  /** Record PRIMARY KEY / AUTO_INCREMENT / DEFAULT metadata from a column
+    * definition's trailing clauses, scanning with quoted text masked so a
+    * COMMENT containing the keywords cannot trigger them. Returns the
+    * " NOT NULL" suffix to carry into the Spark DDL.
+    */
+  private def recordColumnExtras(table: String, name: String,
+      extras: String): String = {
+    val masked = maskQuoted(extras)
+    val mu = masked.toUpperCase
+    if (mu.contains("PRIMARY KEY")) primaryKeys(table) = Seq(name)
+    if (mu.contains("AUTO_INCREMENT")) autoIncCols(table) = name
+    DefaultRe.findFirstMatchIn(masked).foreach { m =>
+      columnDefaults(table) = columnDefaults.getOrElse(table, Map.empty) +
+        (name -> extras.substring(m.start(1), m.end(1)))
+    }
+    if (mu.contains("NOT NULL")) " NOT NULL" else ""
+  }
+
+  /** Same-length copy with quoted CONTENT replaced by 'x' (quotes kept),
+    * so keyword scans and regex offsets ignore string literals.
+    */
+  private def maskQuoted(s: String): String = {
+    val sb = new StringBuilder
+    var q: Char = 0
+    var esc = false
+    s.foreach { c =>
+      if (esc) { sb += 'x'; esc = false }
+      else if (q != 0) {
+        if (c == '\\') { sb += 'x'; esc = true }
+        else if (c == q) { q = 0; sb += c }
+        else sb += 'x'
+      } else if (c == '\'' || c == '"' || c == '`') { q = c; sb += c }
+      else sb += c
+    }
+    sb.toString
   }
 
   private def dropTable(ifExists: String, t: String): Unit = {
@@ -400,16 +434,22 @@ final class GraftSession(val spark: SparkSession) {
 
   private def alterTable(sql: String): Unit = sql match {
     case AlterDropIndexRe(t, name) =>
-      dropIndex(clean(t), clean(name))
+      commit(); dropIndex(clean(t), clean(name))
     case AlterAddIndexRe(t, name, cols) =>
-      createIndex(unqualified(clean(t)), clean(name), splitCols(cols))
+      commit(); createIndex(unqualified(clean(t)), clean(name), splitCols(cols))
     case AlterAddColRe(t, rest) =>
       val body = if (rest.trim.startsWith("(")) parenBody(rest) else rest
+      val base = unqualified(clean(t))
       val cols = splitTopLevel(body, ',').map {
-        case ColumnDefRe(name, tpe, _) => s"`${clean(name)}` ${mysqlToSparkType(tpe)}"
+        case ColumnDefRe(name, tpe, extras) =>
+          // record DEFAULT/AUTO_INCREMENT metadata for ALTER-added
+          // columns too (NOT NULL is not applicable to added columns)
+          recordColumnExtras(base, clean(name), extras)
+          s"`${clean(name)}` ${mysqlToSparkType(tpe)}"
         case other =>
           throw new IllegalArgumentException(s"cannot parse column def: $other")
       }
+      commit() // parsing complete — the statement may now implicitly commit
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (${cols.mkString(", ")})")
     case _ => throw new IllegalArgumentException(s"unsupported ALTER: $sql")
   }
@@ -593,34 +633,51 @@ final class GraftSession(val spark: SparkSession) {
     */
   private def buildIncoming(target: DataFrame, colList: Option[String],
       source: String, tableBase: Option[String]): DataFrame = {
-    val names = colList.map(splitCols).getOrElse(target.schema.fieldNames.toSeq)
-    val unknown = names.filterNot(target.schema.fieldNames.contains)
+    // resolve listed names case-insensitively, like Spark's analyzer
+    val canon = target.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+    val rawNames = colList.map(splitCols).getOrElse(target.schema.fieldNames.toSeq)
+    val unknown = rawNames.filterNot(n => canon.contains(n.toLowerCase))
     require(unknown.isEmpty, s"unknown column(s) in field list: $unknown")
+    val names = rawNames.map(n => canon(n.toLowerCase))
     require(names.distinct.size == names.size,
       s"column specified twice: ${names.diff(names.distinct).distinct}")
+    val quoted = names.map(n => s"`$n`")
     val raw =
       if (source.toUpperCase.startsWith("VALUES"))
         spark.sql(
-          s"SELECT * FROM (${substituteVars(source)}) AS __r(${names.mkString(", ")})")
+          s"SELECT * FROM (${substituteVars(source)}) AS __r(${quoted.mkString(", ")})")
       else spark.sql(substituteVars(source)).toDF(names: _*)
     val defaults = tableBase.flatMap(columnDefaults.get).getOrElse(Map.empty)
     val autoInc = tableBase.flatMap(autoIncCols.get)
     target.schema.fields.foldLeft(raw) { (df, f) =>
       val provided = names.contains(f.name)
       if (autoInc.contains(f.name)) {
-        // max(existing)+row_number for omitted or NULL values (MySQL
-        // assigns the next id for NULL too — write_test.go TestInsertAutoInc).
-        // VALUES batches are small; the window is over the incoming rows
+        // Omitted or NULL values take generated ids starting above both
+        // max(existing) and the batch's explicit ids, counting only the
+        // rows that consume an id (MySQL's counter semantics modulo
+        // explicit-low-id interleaving — write_test.go TestInsertAutoInc).
+        // VALUES batches are small; the windows span the incoming rows
         // only, never the table; monotonically_increasing_id preserves
         // the VALUES row order.
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(monotonically_increasing_id())
+        import org.apache.spark.sql.expressions.Window
+        val ordW = Window.orderBy(monotonically_increasing_id())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val allW = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val base = target.agg(
           coalesce(max(col(f.name)), lit(0)).cast("bigint").as("__maxid"))
-        val next = (col("__maxid") + row_number().over(w)).cast(f.dataType)
+        val needsId =
+          if (provided) col(f.name).isNull else lit(true)
+        val start =
+          if (provided)
+            greatest(col("__maxid"),
+              coalesce(max(col(f.name).cast("bigint")).over(allW), lit(0L)))
+          else col("__maxid")
+        val ord = sum(when(needsId, 1).otherwise(0)).over(ordW)
+        val next = (start + ord).cast(f.dataType)
         df.crossJoin(base)
           .withColumn(f.name,
-            if (provided) coalesce(col(f.name).cast(f.dataType), next)
+            if (provided) when(needsId, next).otherwise(col(f.name).cast(f.dataType))
             else next)
           .drop("__maxid")
       } else if (provided)

@@ -152,6 +152,61 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("select count(*) from replace_test") == Seq("4"))
   }
 
+  test("mixed explicit/NULL auto-increment ids in one batch never collide") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS aim;
+         CREATE TABLE aim (id INT PRIMARY KEY AUTO_INCREMENT, c1 INT)""")
+    gs.execute("insert into aim (id, c1) values (2, 10), (NULL, 20)")
+    assert(gs.query("select id, c1 from aim order by c1") ==
+      Seq("2 10", "3 20"))
+    gs.execute("insert into aim (id, c1) values (25, 30), (NULL, 40), (NULL, 50)")
+    assert(gs.query("select id, c1 from aim order by c1") ==
+      Seq("2 10", "3 20", "25 30", "26 40", "27 50"))
+  }
+
+  test("column lists resolve case-insensitively") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS ci;
+         CREATE TABLE ci (id INT, v INT);
+         INSERT INTO ci (ID, V) VALUES (1, 2)""")
+    assert(gs.query("select id, v from ci") == Seq("1 2"))
+  }
+
+  test("keywords inside COMMENT strings do not register metadata") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS cm;
+         CREATE TABLE cm (c INT COMMENT 'default 7 rows AUTO_INCREMENT',
+                          d INT DEFAULT 5);
+         INSERT INTO cm (c) VALUES (1)""")
+    // c has no default and is not auto-increment; d defaults to 5
+    assert(gs.query("select c, d from cm") == Seq("1 5"))
+    gs.execute("INSERT INTO cm (d) VALUES (9)")
+    assert(gs.query("select c, d from cm where d = 9") == Seq("<nil> 9"))
+  }
+
+  test("ALTER TABLE ADD COLUMN records its DEFAULT") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS ad;
+         CREATE TABLE ad (id INT);
+         INSERT INTO ad VALUES (1)""")
+    gs.execute("ALTER TABLE ad ADD COLUMN extra INT DEFAULT 42")
+    gs.execute("INSERT INTO ad (id) VALUES (2)")
+    assert(gs.query("select id, extra from ad order by id") ==
+      Seq("1 <nil>", "2 42"))
+  }
+
+  test("a CREATE TABLE that fails to parse does not implicitly commit") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS pc;
+         CREATE TABLE pc (id INT);
+         BEGIN;
+         INSERT INTO pc VALUES (1)""")
+    intercept[Exception](gs.execute("CREATE TABLE pc2 LIKE pc")) // unsupported
+    assert(spark.table("refdb.pc").count() == 0) // txn still open
+    gs.execute("ROLLBACK")
+    assert(gs.query("select count(*) from pc") == Seq("0"))
+  }
+
   test("self joins and comma joins (join_test.go:103-115)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS t;
