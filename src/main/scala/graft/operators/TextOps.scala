@@ -138,6 +138,55 @@ object TextOps extends QueryModule {
                          list_transform(string_split(text, ''),
                                         c -> CAST(ascii(c) AS BIGINT))),
                        (a, b) -> (a * 31 + b) % 1000000007) AS fp
-              FROM documents"""))
+              FROM documents""")),
+
+    // TF-IDF-style term weighting: tf × (N / df), top-3 terms per doc.
+    // Linear inverse document frequency keeps the score exact rational
+    // arithmetic so the DuckDB oracle hash-matches bit-for-bit; the
+    // classic log-idf is a one-expression swap (ln(N/df)) whose libm
+    // rounding Spark and DuckDB do not contractually share. Shape:
+    // tokenize → per-(doc,term) tf (one shuffle) → per-term df (one
+    // shuffle, map-combined) → broadcast-size join → per-doc top-k
+    // window. At 100 TB the df table is vocabulary-sized, not
+    // corpus-sized, and everything is hash-partitioned.
+    Q("text_tfidf",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
+        val terms = docs.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]{4,}"), lit(0))).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df, "term").crossJoin(nDocs)
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * col("n") / col("df"), 4).as("score"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), col("score"),
+            col("rk").cast("int").as("rank"))
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs
+                         FROM documents),
+              terms AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '[a-z]{4,}'))
+                            AS term
+                        FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM terms GROUP BY doc_id, term),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              scored AS (SELECT doc_id, tf.term,
+                           round(tf * n_docs / df, 4) AS score
+                         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+              ranked AS (SELECT doc_id, term, score,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, term) AS rank
+                         FROM scored)
+              SELECT doc_id, term, score, CAST(rank AS INT) AS rank
+              FROM ranked WHERE rank <= 3"""))
   )
 }

@@ -8,6 +8,13 @@ import org.apache.spark.sql.types._
 /** One event, with ts pre-converted to epoch micros. */
 final case class Ev(user_id: Long, ts_us: Long)
 
+/** An open gap-session's running state (event-time-timeout variant). */
+final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+/** A closed session emitted once the watermark passes its gap timeout. */
+final case class SessionWindow(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
 /** Running per-user session state (gap-based, 30-min inactivity). */
 final case class UserSessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
 
@@ -82,5 +89,57 @@ object EventsStream {
     sessionize(source(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[Ev])
+  }
+
+  /** Gap-based sessionization with an EVENT-TIME timeout: closed sessions
+    * are emitted exactly once, when the watermark passes the session's
+    * 30-minute inactivity gap — the production shape for "emit finished
+    * sessions downstream" (append mode), complementing [[sessionize]]'s
+    * running per-user counters (update mode). State is one small record
+    * per OPEN session; the watermark bounds it, so state size is
+    * O(active users), not O(history).
+    *
+    * `events` must have columns (user_id LONG, ts TIMESTAMP) and is
+    * watermarked here.
+    */
+  def closedSessions(events: DataFrame): Dataset[SessionWindow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionWindow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionWindow(user, s.startUs, s.lastUs, s.n))
+          } else {
+            // micro-batch arrival order is not time order: sort the batch
+            val ts = it.map(_._2.getTime * 1000L).toSeq.sorted
+            var closed = List.empty[SessionWindow]
+            var st = state.getOption
+            ts.foreach { t =>
+              st match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  st = Some(s.copy(lastUs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionWindow(user, s.startUs, s.lastUs, s.n)
+                  st = Some(OpenSession(t, t, 1))
+                case None => st = Some(OpenSession(t, t, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // close when the WATERMARK (not wall clock) passes last+gap
+              state.setTimeoutTimestamp(s.lastUs / 1000L + 1800L * 1000L)
+            }
+            closed.reverse.iterator
+          }
+      }
   }
 }

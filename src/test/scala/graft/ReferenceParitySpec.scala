@@ -23,6 +23,35 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("select 'abc'") == Seq("abc"))
   }
 
+  test("every function in the reference registry (builtin.go:332-364)") {
+    // common / string
+    assert(gs.query("select isnull(NULL), isnull(1)") == Seq("true false"))
+    // the dialect's LENGTH counts bytes (builtin_string.go:128) — that is
+    // Spark's octet_length; Spark's length is character-based
+    assert(gs.query("select length('héllo'), octet_length('héllo')") ==
+      Seq("5 6"))
+    assert(gs.query("select strcmp('a','b'), strcmp('b','a'), strcmp('a','a')") ==
+      Seq("-1 1 0"))
+    // control
+    assert(gs.query("select if(1 < 2, 'y', 'n'), ifnull(NULL, 7)") ==
+      Seq("y 7"))
+    // logic + comparison + arithmetic + unary
+    assert(gs.query(
+      "select (1 < 2) and (2 <= 2), (1 > 2) or (2 >= 2), not (1 = 2), 1 != 2") ==
+      Seq("true true true true"))
+    assert(gs.query("select 7 + 3, 7 - 3, 7 * 3, 7 / 2, -(-5)") ==
+      Seq("10 4 21 3.5 5"))
+    // IN and ROW comparison (rowFunctionClass)
+    assert(gs.query("select 2 in (1, 2, 3), 5 in (1, 2, 3)") ==
+      Seq("true false"))
+    assert(gs.query("select (1, 2) = (1, 2), (1, 2) = (1, 3)") ==
+      Seq("true false"))
+    assert(gs.query("select (1, 2) in ((1, 2), (3, 4))") == Seq("true"))
+    // SetVar / GetVar
+    gs.execute("SET @fn_reg = 11")
+    assert(gs.query("select @fn_reg * 2") == Seq("22"))
+  }
+
   test("aggregation over empty and tiny tables (aggregate_test.go:50-68)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS t;

@@ -22,6 +22,41 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("event-time-timeout sessionization emits closed sessions exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sq = EventsStream.closedSessions(
+      in.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: user 1 has 2 events 5 min apart; user 2 has 1 event
+      in.addData((1L, at(0)), (1L, at(5)), (2L, at(0)))
+      sq.processAllAvailable()
+      // nothing closed yet — watermark has not passed the gap
+      assert(spark.table("closed_sessions").count() == 0)
+      // two advancing batches: the first moves the watermark past
+      // last_event + 30min gap, the second triggers the timeout sweep
+      in.addData((3L, at(120)))
+      sq.processAllAvailable()
+      in.addData((3L, at(121)))
+      sq.processAllAvailable()
+      val closed = spark.table("closed_sessions")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val us = (m: Int) => at(m).getTime * 1000L
+      assert(closed == Set(
+        (1L, us(0), us(5), 2L),
+        (2L, us(0), us(0), 1L)))
+    } finally sq.stop()
+  }
+
   test("stateful sessionization equals the batch lag-window version") {
     val sq = EventsStream.sessionCounts(spark, sf)
       .writeStream.format("memory").queryName("sess_stream")
