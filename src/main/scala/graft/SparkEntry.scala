@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Multimodal,
     operators.Meta,
     operators.SqlSurface,
-    operators.Indexing)
+    operators.Indexing,
+    operators.Curation)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

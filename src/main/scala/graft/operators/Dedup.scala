@@ -41,7 +41,7 @@ object Dedup extends QueryModule {
       docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
-  private val corpusSql =
+  private[operators] val corpusSql =
     """corpus AS (SELECT doc_id, lower(text) AS text FROM documents
        UNION ALL SELECT doc_id + 1000000, lower(text) FROM documents)"""
 
