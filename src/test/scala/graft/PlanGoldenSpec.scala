@@ -21,7 +21,8 @@ class PlanGoldenSpec extends SparkSuite {
   private val snapshot = Seq(
     "scan_pruned", "filter_selection", "join_inner", "join_multiway",
     "join_merge", "agg_group", "agg_distinct", "topn", "limit_offset",
-    "dedup_exact", "text_quality", "events_window_agg")
+    "dedup_exact", "text_quality", "events_window_agg", "text_tfidf",
+    "pipeline_curation")
 
   snapshot.foreach { name =>
     test(s"plan shape of $name matches golden snapshot") {
