@@ -800,8 +800,14 @@ object GraftSession {
   private def unqualified(t: String): String =
     clean(clean(t).split('.').last)
 
+  /** Split an index/insert column list; index prefix lengths like
+    * `c_str(10)` (reference `parser/model/model.go:507` prefix indexes)
+    * reduce to the column — parquet has no prefix-key layout, and result
+    * semantics are unchanged.
+    */
   private def splitCols(s: String): Seq[String] =
-    s.split(',').map(clean).filter(_.nonEmpty).toSeq
+    s.split(',').map(c => clean(c).replaceAll("\\(\\d+\\)$", "").trim)
+      .filter(_.nonEmpty).toSeq
 
   private def parenBody(s: String): String = {
     val open = s.indexOf('(')

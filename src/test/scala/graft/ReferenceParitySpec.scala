@@ -236,6 +236,35 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("select count(*) from pc") == Seq("0"))
   }
 
+  test("the canonical planner mock schema round-trips (mock.go:40-220)") {
+    gs.execute("DROP TABLE IF EXISTS mock_t")
+    gs.execute("""CREATE TABLE mock_t (
+        a BIGINT PRIMARY KEY,
+        b BIGINT,
+        c BIGINT, d BIGINT, e BIGINT,
+        c_str VARCHAR(64), d_str VARCHAR(64), e_str VARCHAR(64),
+        f BIGINT, g BIGINT,
+        UNIQUE INDEX c_d_e (c, d, e),
+        UNIQUE INDEX e (e),
+        UNIQUE INDEX f (f),
+        INDEX g (g),
+        UNIQUE INDEX f_g (f, g),
+        INDEX c_d_e_str (c_str, d_str, e_str),
+        INDEX c_d_e_str_prefix (c_str, d_str, e_str(10)))""")
+    gs.execute(
+      """INSERT INTO mock_t VALUES
+         (1, 1, 1, 1, 1, 'a', 'a', 'a', 1, 1),
+         (2, 2, 2, 2, 2, 'b', 'b', 'b', 2, 2)""")
+    val create = gs.query("SHOW CREATE TABLE mock_t").head
+    assert(create.contains("PRIMARY KEY (`a`)"))
+    assert(create.contains("UNIQUE KEY `c_d_e` (`c`,`d`,`e`)"))
+    assert(create.contains("KEY `c_d_e_str_prefix` (`c_str`,`d_str`,`e_str`)"))
+    // every index projection is consistent with the rows
+    val checks = gs.query("ADMIN CHECK TABLE mock_t")
+    assert(checks.length == 7 && checks.forall(_.endsWith(" OK")), checks)
+    assert(gs.query("SELECT count(*) FROM mock_t") == Seq("2"))
+  }
+
   test("self joins and comma joins (join_test.go:103-115)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS t;
