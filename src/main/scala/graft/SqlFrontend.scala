@@ -165,9 +165,20 @@ final class GraftSession(val spark: SparkSession) {
 
   private def select(sql: String): DataFrame =
     spark.sql(mapOutsideQuotes(substituteVars(sql)) { seg =>
-      CommaLimitRe.replaceAllIn(DualRe.replaceAllIn(seg, ""),
+      CommaLimitRe.replaceAllIn(
+        DualRe.replaceAllIn(mysqlFunctionRewrites(seg), ""),
         m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     })
+
+  /** MySQL function-name deltas: LENGTH counts BYTES (Spark's
+    * octet_length; reference `builtin_string.go:128`), CHAR_LENGTH
+    * counts characters (Spark's length).
+    */
+  private def mysqlFunctionRewrites(seg: String): String = {
+    val s1 = CharLengthRe.replaceAllIn(seg, "__graft_charlen(")
+    val s2 = LengthRe.replaceAllIn(s1, "octet_length(")
+    s2.replace("__graft_charlen(", "length(")
+  }
 
   /** Apply a rewrite to the unquoted segments of a statement only
     * (backslash-escaped quotes inside literals are honored — the escape
@@ -755,8 +766,8 @@ object GraftSession {
     "(?is)^DROP\\s+(?:DATABASE|SCHEMA)\\s+(IF\\s+EXISTS\\s+)?([`\\w]+)$".r
   private val DropTableRe =
     "(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)$".r
-  private val CreateIndexRe =
-    "(?is)^CREATE\\s+(UNIQUE\\s+)?INDEX\\s+([`\\w]+)\\s+ON\\s+([`\\w.]+)\\s*\\(([^)]*)\\)$".r
+  private val CreateIndexRe = // (.*) so prefix lengths like col(10) match
+    "(?is)^CREATE\\s+(UNIQUE\\s+)?INDEX\\s+([`\\w]+)\\s+ON\\s+([`\\w.]+)\\s*\\((.*)\\)$".r
   private val DropIndexRe =
     "(?is)^DROP\\s+INDEX\\s+([`\\w]+)\\s+ON\\s+([`\\w.]+)$".r
   private val AdminCheckRe = "(?is)^ADMIN\\s+CHECK\\s+TABLE\\s+([`\\w.]+)$".r
@@ -785,13 +796,15 @@ object GraftSession {
   private val AlterAddColRe =
     "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+ADD\\s+(?:COLUMNS?\\s+)?(.+)$".r
   private val AlterAddIndexRe =
-    "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+ADD\\s+(?:KEY|INDEX)\\s+([`\\w]+)\\s*\\(([^)]*)\\)$".r
+    "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+ADD\\s+(?:KEY|INDEX)\\s+([`\\w]+)\\s*\\((.*)\\)$".r
   private val AlterDropIndexRe =
     "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+DROP\\s+(?:KEY|INDEX)\\s+([`\\w]+)$".r
   private val SelectAssignRe =
     "(?is)^SELECT\\s+@(\\w+)\\s*:=\\s*(.+?)(?:\\s+AS\\s+(`[^`]+`|\\w+))?(?:\\s+FROM\\s+DUAL)?$".r
   private val CommaLimitRe =
     "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b".r
+  private val CharLengthRe = "(?i)(?<![\\w_])char_length\\s*\\(".r
+  private val LengthRe = "(?i)(?<![\\w_])length\\s*\\(".r
 
   private def opt(s: String): String = Option(s).getOrElse("")
 
@@ -806,7 +819,8 @@ object GraftSession {
     * semantics are unchanged.
     */
   private def splitCols(s: String): Seq[String] =
-    s.split(',').map(c => clean(c).replaceAll("\\(\\d+\\)$", "").trim)
+    s.split(',')
+      .map(c => clean(c.trim.replaceAll("\\(\\s*\\d+\\s*\\)\\s*$", "")))
       .filter(_.nonEmpty).toSeq
 
   private def parenBody(s: String): String = {

@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.{Q, QueryModule}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Capstone training-data curation pipeline: the individual operators
   * composed the way a real 100 TB corpus build chains them —
@@ -20,26 +20,14 @@ object Curation extends QueryModule {
   override val queries: Seq[Q] = Seq(
     Q("pipeline_curation",
       (s, d) => {
-        val txt = col("text")
-        val nTok = TextOps.wsTokens(txt)
-        val meanTok = length(regexp_replace(txt, "\\s", "")) / nullif(nTok, lit(0))
         val kept = Dedup.corpus(s, d)
-          .where(nTok >= 20 && meanTok >= 2 && meanTok <= 12)
-        val deduped = kept.groupBy(txt)
+          .where(TextOps.qualityKeep(col("text")))
+        // persisted: three consumers (term stats, doc count, final join) —
+        // Spark has no cross-branch CSE
+        val deduped = kept.groupBy(col("text"))
           .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-        val terms = deduped.select(col("doc_id"),
-          explode(regexp_extract_all(txt, lit("[a-z]{4,}"), lit(0))).as("term"))
-        val tf = terms.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val nDocs = deduped.agg(count(lit(1)).cast("double").as("n"))
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("term"))
-        val top = tf.join(df, "term").crossJoin(nDocs)
-          .select(col("doc_id"), col("term"),
-            round(col("tf") * col("n") / col("df"), 4).as("score"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val top = TextOps.topTerms(deduped, 1)
           .select(col("doc_id"), col("term").as("top_term"),
             col("score").as("top_score"))
         deduped.select(col("doc_id"), col("n_copies")).join(top, "doc_id")

@@ -27,6 +27,38 @@ object TextOps extends QueryModule {
   private def stopCount(text: Column, words: String): Column =
     size(regexp_extract_all(lower(text), lit(s"\\b($words)\\b"), lit(0)))
 
+  /** The pre-training keep/drop predicate (token count + mean token
+    * length band) — shared by text_quality and the curation pipeline.
+    */
+  def qualityKeep(text: Column): Column = {
+    val nTok = wsTokens(text)
+    val meanTok = length(regexp_replace(text, "\\s", "")) / nullif(nTok, lit(0))
+    nTok >= 20 && meanTok >= 2 && meanTok <= 12
+  }
+
+  /** TF × (N/df) top-k terms per document over (doc_id, text) rows —
+    * shared by text_tfidf and the curation pipeline; see text_tfidf's
+    * note on why the inverse document frequency stays linear (exact
+    * rational arithmetic ⇒ bit-exact oracle).
+    */
+  def topTerms(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]{4,}"), lit(0))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(nDocs)
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * col("n") / col("df"), 4).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Rolling polynomial hash (base 31, mod 1e9+7) over the characters —
     * a deterministic document fingerprint via a higher-order fold; no UDF.
     */
@@ -63,7 +95,7 @@ object TextOps extends QueryModule {
           round(stops / nullif(nTok, lit(0)), 4).as("stop_ratio"),
           round(size(regexp_extract_all(txt, lit("[0-9]"), lit(0)))
             / nullif(length(txt), lit(0)), 4).as("digit_ratio"),
-          (nTok >= 20 && meanTok >= 2 && meanTok <= 12).as("keep"))
+          qualityKeep(txt).as("keep"))
       },
       Some("""SELECT doc_id,
                      len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -150,26 +182,9 @@ object TextOps extends QueryModule {
     // window. At 100 TB the df table is vocabulary-sized, not
     // corpus-sized, and everything is hash-partitioned.
     Q("text_tfidf",
-      (s, d) => {
-        val docs = Tables.load(s, d, "documents")
-        val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
-        val terms = docs.select(col("doc_id"),
-          explode(regexp_extract_all(lower(col("text")),
-            lit("[a-z]{4,}"), lit(0))).as("term"))
-        val tf = terms.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("term"))
-        tf.join(df, "term").crossJoin(nDocs)
-          .select(col("doc_id"), col("term"),
-            round(col("tf") * col("n") / col("df"), 4).as("score"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("doc_id"), col("term"), col("score"),
-            col("rk").cast("int").as("rank"))
-      },
+      (s, d) => topTerms(Tables.load(s, d, "documents"), 3)
+        .select(col("doc_id"), col("term"), col("score"),
+          col("rk").cast("int").as("rank")),
       Some("""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs
                          FROM documents),
               terms AS (SELECT doc_id,

@@ -91,55 +91,60 @@ object EventsStream {
       .as[Ev])
   }
 
-  /** Gap-based sessionization with an EVENT-TIME timeout: closed sessions
-    * are emitted exactly once, when the watermark passes the session's
+  /** Gap-based sessionization with an EVENT-TIME timeout: a session is
+    * emitted exactly once, only after the WATERMARK passes its
     * 30-minute inactivity gap — the production shape for "emit finished
     * sessions downstream" (append mode), complementing [[sessionize]]'s
-    * running per-user counters (update mode). State is one small record
-    * per OPEN session; the watermark bounds it, so state size is
-    * O(active users), not O(history).
+    * running per-user counters (update mode).
     *
-    * `events` must have columns (user_id LONG, ts TIMESTAMP) and is
-    * watermarked here.
+    * State holds EVERY not-yet-safe session as an interval list (merged
+    * by the gap rule), never just the latest: an intra-batch gap must
+    * NOT emit immediately, because an out-of-order event still above
+    * the watermark may yet extend or bridge those sessions. Events
+    * below the watermark are dropped (standard late-data policy —
+    * flatMapGroupsWithState does not drop them for us). State size is
+    * O(sessions inside one watermark delay) per user.
+    *
+    * `events` must have columns (user_id LONG, ts TIMESTAMP); event time
+    * is kept in true microseconds end to end, matching the batch
+    * `events_sessionize` arithmetic.
     */
   def closedSessions(events: DataFrame): Dataset[SessionWindow] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = 1800L * 1000000L
-    events.select(col("user_id"), col("ts"))
+    events.select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
       .withWatermark("ts", "10 minutes")
-      .as[(Long, java.sql.Timestamp)]
+      .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, SessionWindow](
+      .flatMapGroupsWithState[List[OpenSession], SessionWindow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, it: Iterator[(Long, java.sql.Timestamp)],
-            state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionWindow(user, s.startUs, s.lastUs, s.n))
-          } else {
-            // micro-batch arrival order is not time order: sort the batch
-            val ts = it.map(_._2.getTime * 1000L).toSeq.sorted
-            var closed = List.empty[SessionWindow]
-            var st = state.getOption
-            ts.foreach { t =>
-              st match {
-                case Some(s) if t - s.lastUs <= gapUs =>
-                  st = Some(s.copy(lastUs = t, n = s.n + 1))
-                case Some(s) =>
-                  closed ::= SessionWindow(user, s.startUs, s.lastUs, s.n)
-                  st = Some(OpenSession(t, t, 1))
-                case None => st = Some(OpenSession(t, t, 1))
-              }
-            }
-            st.foreach { s =>
-              state.update(s)
-              // close when the WATERMARK (not wall clock) passes last+gap
-              state.setTimeoutTimestamp(s.lastUs / 1000L + 1800L * 1000L)
-            }
-            closed.reverse.iterator
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[List[OpenSession]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // merge stored sessions + fresh in-watermark events by the gap
+          // rule: sort by start, sweep, join runs closer than the gap
+          val fresh = it.map(_._3).filter(_ >= wmUs)
+            .map(t => OpenSession(t, t, 1)).toList
+          val all = (state.getOption.getOrElse(Nil) ++ fresh).sortBy(_.startUs)
+          val merged = all.foldLeft(List.empty[OpenSession]) {
+            case (acc @ (prev :: rest), cur)
+                if cur.startUs - prev.lastUs <= gapUs =>
+              OpenSession(prev.startUs, math.max(prev.lastUs, cur.lastUs),
+                prev.n + cur.n) :: rest
+            case (acc, cur) => cur :: acc
+          }.reverse
+          // a session is safe once no in-watermark event can extend it
+          val (closed, open) = merged.partition(_.lastUs + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(open.map(_.lastUs).min / 1000L +
+              1800L * 1000L)
           }
+          closed.iterator
+            .map(s => SessionWindow(user, s.startUs, s.lastUs, s.n))
       }
   }
 }

@@ -26,10 +26,12 @@ class ReferenceParitySpec extends SparkSuite {
   test("every function in the reference registry (builtin.go:332-364)") {
     // common / string
     assert(gs.query("select isnull(NULL), isnull(1)") == Seq("true false"))
-    // the dialect's LENGTH counts bytes (builtin_string.go:128) — that is
-    // Spark's octet_length; Spark's length is character-based
-    assert(gs.query("select length('héllo'), octet_length('héllo')") ==
-      Seq("5 6"))
+    // the dialect's LENGTH counts bytes (builtin_string.go:128); the
+    // front-end rewrites it to Spark's octet_length, and CHAR_LENGTH to
+    // Spark's character-based length
+    assert(gs.query(
+      "select length('héllo'), octet_length('héllo'), char_length('héllo')") ==
+      Seq("6 6 5"))
     assert(gs.query("select strcmp('a','b'), strcmp('b','a'), strcmp('a','a')") ==
       Seq("-1 1 0"))
     // control

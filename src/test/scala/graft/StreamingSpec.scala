@@ -57,6 +57,39 @@ class StreamingSpec extends SparkSuite {
     } finally sq.stop()
   }
 
+  test("out-of-order in-watermark event bridges two provisional sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 08:00:00")
+    def at(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sq = EventsStream.closedSessions(in.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("bridged_sessions")
+      .outputMode("append").start()
+    try {
+      // t=0 and t=35min are >30min apart — provisionally two sessions,
+      // but NOTHING may be emitted yet (watermark is only at 25min)
+      in.addData((1L, at(0)), (1L, at(35)))
+      sq.processAllAvailable()
+      assert(spark.table("bridged_sessions").count() == 0)
+      // t=28min is above the watermark and bridges both into ONE session
+      in.addData((1L, at(28)))
+      sq.processAllAvailable()
+      in.addData((9L, at(120)))
+      sq.processAllAvailable()
+      in.addData((9L, at(121)))
+      sq.processAllAvailable()
+      val us = (m: Int) => at(m).getTime * 1000L
+      val closed = spark.table("bridged_sessions")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(closed == Set((1L, us(0), us(35), 3L)))
+    } finally sq.stop()
+  }
+
   test("stateful sessionization equals the batch lag-window version") {
     val sq = EventsStream.sessionCounts(spark, sf)
       .writeStream.format("memory").queryName("sess_stream")
