@@ -436,6 +436,10 @@ final class GraftSession(val spark: SparkSession) {
 
   private def dropTable(ifExists: String, t: String): Unit = {
     spark.sql(s"DROP TABLE $ifExists$t")
+    // a FRESH in-memory catalog does not know about managed-table dirs a
+    // previous session left in the warehouse; CREATE TABLE refuses a
+    // non-empty location, so IF EXISTS must clear the stale dir too
+    if (ifExists.nonEmpty) GraftSession.dropStaleLocation(spark, qualify(clean(t)))
     val base = unqualified(clean(t))
     indexes.keys.filter(_._1 == base).toSeq.foreach(indexes.remove)
     primaryKeys.remove(base)
@@ -744,6 +748,27 @@ object GraftSession {
 
   final case class IndexMeta(unique: Boolean, cols: Seq[String],
       path: String, tableRef: String)
+
+  /** Remove a managed table's on-disk location if it survived a previous
+    * session whose (in-memory) catalog is gone — otherwise CREATE TABLE
+    * fails with LOCATION_ALREADY_EXISTS on every rerun in a long-lived
+    * warehouse directory.
+    */
+  def dropStaleLocation(spark: SparkSession, qualified: String): Unit = {
+    val parts = qualified.split('.')
+    if (parts.length == 2 && spark.catalog.databaseExists(parts(0)) &&
+      !spark.catalog.tableExists(qualified)) {
+      val dbLoc = spark.sessionState.catalog
+        .getDatabaseMetadata(parts(0)).locationUri
+      val dir = java.nio.file.Paths.get(
+        new java.net.URI(dbLoc.toString).getPath, parts(1))
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 
   /** Deterministic session defaults, names per MySQL/the reference's
     * `sessionctx/variable` (values chosen for stable SHOW output).

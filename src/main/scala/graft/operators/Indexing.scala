@@ -34,6 +34,9 @@ object Indexing extends QueryModule {
       buckets: Int = 8): String = {
     val name = s"$db.${table}_by_$key"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // a stale location from a previous session's catalog would make the
+    // (mode=overwrite) save fail with LOCATION_ALREADY_EXISTS
+    graft.GraftSession.dropStaleLocation(s, name)
     Tables.load(s, d, table).write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(name)
     name
