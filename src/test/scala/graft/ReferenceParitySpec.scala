@@ -267,6 +267,54 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("SELECT count(*) FROM mock_t") == Seq("2"))
   }
 
+  test("ORDER BY alias resolution (executor_test.go:525-550)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS obt;
+         CREATE TABLE obt (c INT, d INT);
+         INSERT INTO obt VALUES (1,1),(1,2),(1,3)""")
+    // alias shadows the column in a bare ORDER BY — both engines agree
+    assert(gs.query("select 1-d as d from obt order by d") ==
+      Seq("-2", "-1", "0"))
+    assert(gs.query("select obt.d from obt order by d") == Seq("1", "2", "3"))
+    // KNOWN DIVERGENCE: in `order by d + 1` MySQL resolves d to the
+    // UNDERLYING column (expected 0,-1,-2) while Spark resolves to the
+    // select alias — we pin Spark's behavior and document the delta
+    assert(gs.query("select 1-d as d from obt order by d + 1") ==
+      Seq("-2", "-1", "0"))
+    // ordering inside a subquery does not constrain the outer result set
+    gs.executeAll(
+      """DROP TABLE IF EXISTS ob2;
+         CREATE TABLE ob2 (a INT, b INT, c INT);
+         INSERT INTO ob2 VALUES (1, 2, 3)""")
+    assert(gs.query(
+      "select b from (select a,b from ob2 order by a,c) t") == Seq("2"))
+    assert(gs.query(
+      "select b from (select a,b from ob2 order by a,c limit 1) t") == Seq("2"))
+  }
+
+  test("merge-join hints preserve duplicate semantics (merge_join_test.go)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS md;
+         CREATE TABLE md (c1 INT);
+         INSERT INTO md VALUES (1), (1), (1)""")
+    // 3×3 duplicate join — 9 rows, with Spark's MERGE hint standing in
+    // for the reference's TIDB_SMJ hint
+    assert(gs.query(
+      "select /*+ MERGE(a) */ * from md a join md b on a.c1 = b.c1") ==
+      Seq.fill(9)("1 1"))
+    gs.executeAll(
+      """DROP TABLE IF EXISTS m1;
+         DROP TABLE IF EXISTS m2;
+         CREATE TABLE m1 (c1 INT);
+         CREATE TABLE m2 (c1 INT);
+         INSERT INTO m1 VALUES (1),(2),(3),(4),(5),(6),(7);
+         INSERT INTO m2 VALUES (1),(2),(3),(4),(5),(6),(7)""")
+    assert(gs.query(
+      """select /*+ MERGE(a, b) */ a.c1 from m1 a, m2 b
+         where a.c1 = b.c1 order by a.c1""") ==
+      (1 to 7).map(_.toString))
+  }
+
   test("self joins and comma joins (join_test.go:103-115)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS t;
