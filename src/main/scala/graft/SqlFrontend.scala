@@ -163,12 +163,44 @@ final class GraftSession(val spark: SparkSession) {
 
   // ------------------------------------------------------------------ SELECT
 
-  private def select(sql: String): DataFrame =
+  private def select(sql: String): DataFrame = {
+    if (InfoSchemaRe.findFirstIn(sql).isDefined) refreshInfoSchema()
     spark.sql(mapOutsideQuotes(substituteVars(sql)) { seg =>
       CommaLimitRe.replaceAllIn(
-        DualRe.replaceAllIn(mysqlFunctionRewrites(seg), ""),
+        DualRe.replaceAllIn(
+          InfoSchemaRe.replaceAllIn(mysqlFunctionRewrites(seg),
+            m => s"__info_schema_${m.group(1).toLowerCase}"), ""),
         m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     })
+  }
+
+  /** INFORMATION_SCHEMA memtables (the reference's MemTableReader
+    * surface, `infoschema/tables.go` — SCHEMATA/TABLES/COLUMNS), rendered
+    * from catalog metadata on access. Metadata is inherently
+    * driver-sized, exactly as in the reference's in-memory tables.
+    */
+  private def refreshInfoSchema(): Unit = {
+    import spark.implicits._
+    val cat = spark.sessionState.catalog
+    val dbs = spark.catalog.listDatabases().collect().map(_.name).sorted
+    dbs.toSeq.map(("def", _)).toDF("CATALOG_NAME", "SCHEMA_NAME")
+      .createOrReplaceTempView("__info_schema_schemata")
+    val tables = dbs.flatMap(db => cat.listTables(db).map(t =>
+      (db, t.table, "BASE TABLE")))
+    tables.toSeq.toDF("TABLE_SCHEMA", "TABLE_NAME", "TABLE_TYPE")
+      .createOrReplaceTempView("__info_schema_tables")
+    val columns = tables.flatMap { case (db, t, _) =>
+      scala.util.Try(spark.table(s"$db.$t").schema).toOption.toSeq.flatMap {
+        schema => schema.fields.zipWithIndex.map { case (f, i) =>
+          (db, t, f.name, i + 1L, mysqlTypeName(f.dataType),
+            if (f.nullable) "YES" else "NO")
+        }
+      }
+    }
+    columns.toSeq.toDF("TABLE_SCHEMA", "TABLE_NAME", "COLUMN_NAME",
+      "ORDINAL_POSITION", "DATA_TYPE", "IS_NULLABLE")
+      .createOrReplaceTempView("__info_schema_columns")
+  }
 
   /** MySQL function-name deltas: LENGTH counts BYTES (Spark's
     * octet_length; reference `builtin_string.go:128`), CHAR_LENGTH
@@ -830,6 +862,8 @@ object GraftSession {
     "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b".r
   private val CharLengthRe = "(?i)(?<![\\w_])char_length\\s*\\(".r
   private val LengthRe = "(?i)(?<![\\w_])length\\s*\\(".r
+  private val InfoSchemaRe =
+    "(?i)\\binformation_schema\\.(schemata|tables|columns)\\b".r
 
   private def opt(s: String): String = Option(s).getOrElse("")
 

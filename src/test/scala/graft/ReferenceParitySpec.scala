@@ -238,6 +238,25 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("select count(*) from pc") == Seq("0"))
   }
 
+  test("information_schema memtables (infoschema/tables.go, union_scan_test.go:30)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS ist;
+         CREATE TABLE ist (id BIGINT, v VARCHAR(10))""")
+    assert(gs.query(
+      "select SCHEMA_NAME from information_schema.schemata where SCHEMA_NAME = 'refdb'") ==
+      Seq("refdb"))
+    assert(gs.query(
+      """select TABLE_NAME, TABLE_TYPE from information_schema.tables
+         where TABLE_SCHEMA = 'refdb' and TABLE_NAME = 'ist'""") ==
+      Seq("ist BASE TABLE"))
+    assert(gs.query(
+      """select COLUMN_NAME, ORDINAL_POSITION, DATA_TYPE, IS_NULLABLE
+         from information_schema.columns
+         where TABLE_SCHEMA = 'refdb' and TABLE_NAME = 'ist'
+         order by ORDINAL_POSITION""") ==
+      Seq("id 1 bigint YES", "v 2 varchar(255) YES"))
+  }
+
   test("the canonical planner mock schema round-trips (mock.go:40-220)") {
     gs.execute("DROP TABLE IF EXISTS mock_t")
     gs.execute("""CREATE TABLE mock_t (
