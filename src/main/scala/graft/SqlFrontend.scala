@@ -447,6 +447,20 @@ final class GraftSession(val spark: SparkSession) {
     if (mu.contains("NOT NULL")) " NOT NULL" else ""
   }
 
+  /** MySQL's implicit zero value for a NOT NULL column without DEFAULT
+    * (`types/datum.go` zero datums); None for types we leave NULL.
+    */
+  private def zeroLiteral(sparkType: String): Option[String] = {
+    val base = sparkType.takeWhile(_ != '(').toUpperCase
+    base match {
+      case "TINYINT" | "SMALLINT" | "INT" | "BIGINT" | "FLOAT" | "DOUBLE" |
+        "DECIMAL" => Some("0")
+      case "STRING" => Some("''")
+      case "BOOLEAN" => Some("false")
+      case _ => None
+    }
+  }
+
   /** Same-length copy with quoted CONTENT replaced by 'x' (quotes kept),
     * so keyword scans and regex offsets ignore string literals.
     */
@@ -487,17 +501,36 @@ final class GraftSession(val spark: SparkSession) {
     case AlterAddColRe(t, rest) =>
       val body = if (rest.trim.startsWith("(")) parenBody(rest) else rest
       val base = unqualified(clean(t))
-      val cols = splitTopLevel(body, ',').map {
+      val parsed = splitTopLevel(body, ',').map {
         case ColumnDefRe(name, tpe, extras) =>
-          // record DEFAULT/AUTO_INCREMENT metadata for ALTER-added
-          // columns too (NOT NULL is not applicable to added columns)
-          recordColumnExtras(base, clean(name), extras)
-          s"`${clean(name)}` ${mysqlToSparkType(tpe)}"
+          val notNull = recordColumnExtras(base, clean(name), extras).nonEmpty
+          // MySQL fills a new NOT NULL column (no DEFAULT) with the
+          // type's zero value on existing AND future rows
+          // (ddl_test.go:68 TestAddNotNullColumnNoDefault)
+          val sparkType = mysqlToSparkType(tpe)
+          if (notNull &&
+            !columnDefaults.getOrElse(base, Map.empty).contains(clean(name)))
+            zeroLiteral(sparkType).foreach { z =>
+              columnDefaults(base) =
+                columnDefaults.getOrElse(base, Map.empty) + (clean(name) -> z)
+            }
+          (clean(name), sparkType, notNull)
         case other =>
           throw new IllegalArgumentException(s"cannot parse column def: $other")
       }
       commit() // parsing complete — the statement may now implicitly commit
-      spark.sql(s"ALTER TABLE $t ADD COLUMNS (${cols.mkString(", ")})")
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (" +
+        parsed.map(p => s"`${p._1}` ${p._2}").mkString(", ") + ")")
+      // backfill existing rows of NOT NULL columns with their default
+      val backfill = parsed.filter(_._3).map(_._1)
+        .flatMap(n => columnDefaults.getOrElse(base, Map.empty).get(n).map(n -> _))
+      if (backfill.nonEmpty) {
+        val ref = qualify(clean(t))
+        val next = backfill.foldLeft(spark.table(ref)) { case (df, (n, z)) =>
+          df.withColumn(n, coalesce(col(n), expr(z).cast(df.schema(n).dataType)))
+        }
+        rewriteTable(ref, next)
+      }
     case _ => throw new IllegalArgumentException(s"unsupported ALTER: $sql")
   }
 

@@ -238,6 +238,38 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("select count(*) from pc") == Seq("0"))
   }
 
+  test("DDL lifecycles: database, table, index (ddl_test.go:31-66)") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS ddl_drop_test")
+    gs.execute("DROP DATABASE IF EXISTS ddl_drop_test")
+    gs.execute("CREATE DATABASE ddl_drop_test")
+    gs.execute("USE ddl_drop_test")
+    gs.execute("DROP DATABASE ddl_drop_test")
+    // after dropping the current db, unresolved references raise
+    intercept[Exception](gs.execute("SELECT * FROM t"))
+    gs.execute("USE refdb")
+    gs.execute("CREATE TABLE IF NOT EXISTS ddl_t (a INT)")
+    gs.execute("DROP TABLE IF EXISTS ddl_t")
+    gs.execute("CREATE TABLE ddl_t (a INT)")
+    gs.execute("CREATE INDEX idx_a ON ddl_t (a)")
+    gs.execute("DROP INDEX idx_a ON ddl_t")
+    gs.execute("DROP TABLE ddl_t")
+    assert(!spark.catalog.tableExists("refdb.ddl_t"))
+  }
+
+  test("ADD COLUMN NOT NULL backfills the zero value (ddl_test.go:68-88)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS nn;
+         CREATE TABLE nn (c1 INT);
+         INSERT INTO nn VALUES (1), (2)""")
+    gs.execute("ALTER TABLE nn ADD COLUMN c2 INT NOT NULL")
+    assert(gs.query("select * from nn order by c1") == Seq("1 0", "2 0"))
+    // future inserts that omit c2 also take the zero value (the
+    // reference's non-strict sql_mode path)
+    gs.execute("insert nn (c1) values (3)")
+    assert(gs.query("select * from nn order by c1") ==
+      Seq("1 0", "2 0", "3 0"))
+  }
+
   test("information_schema memtables (infoschema/tables.go, union_scan_test.go:30)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS ist;
