@@ -37,11 +37,26 @@ import org.apache.spark.sql.types._
 final class GraftSession(val spark: SparkSession) {
   import GraftSession._
 
-  functions.StrCmp.register(spark)
+  if (!spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("strcmp")))
+    functions.StrCmp.register(spark)
+  // partition-pruned writes: overwrite only the bucket partitions present
+  // in the written data (the file-level analog of the reference's
+  // row-granular writes, `table/tables/tables.go:378`)
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
   /** lower-cased user variable name -> rendered SQL literal. */
   private val userVars = mutable.LinkedHashMap.empty[String, String]
   private val sysVars = mutable.LinkedHashMap(defaultSysVars: _*)
+  /** GLOBAL-scoped sysvars (`executor/set.go:40` IsGlobal): sessions read
+    * @@x from session scope first; SET GLOBAL never touches session scope.
+    */
+  private val globalVars = mutable.LinkedHashMap(defaultSysVars: _*)
+  /** Per-statement diagnostics area (the reference's stmtctx warnings):
+    * cleared by every statement except SHOW WARNINGS/ERRORS.
+    */
+  private val warnings = mutable.Buffer.empty[(String, Int, String)]
+  private var execDepth = 0
   private val indexes = mutable.LinkedHashMap.empty[(String, String), IndexMeta]
   private val primaryKeys = mutable.Map.empty[String, Seq[String]]
   /** table → (column → DEFAULT expression), from CREATE TABLE. */
@@ -67,12 +82,30 @@ final class GraftSession(val spark: SparkSession) {
 
   // ------------------------------------------------------------------ router
 
+  /** Record a statement warning (MySQL diagnostics area). */
+  private def warn(level: String, code: Int, msg: String): Unit =
+    warnings += ((level, code, msg))
+
   /** Execute one statement; statements without a result set return an
     * empty DataFrame (the analog of MySQL's OK packet).
     */
   def execute(sql0: String): DataFrame = {
-    val sql = sql0.trim.stripSuffix(";").trim
+    // comments are parser-level noise in the reference (goyacc lexer);
+    // strip them before routing so a leading `-- note` cannot derail
+    // the regex dispatch
+    val sql = stripComments(sql0).trim.stripSuffix(";").trim
     val up = sql.toUpperCase
+    // a new statement clears the previous statement's warnings — except
+    // the diagnostic statements that READ them, and nested re-dispatch
+    // (INSERT ... SET re-enters execute with the VALUES form)
+    if (execDepth == 0 && !up.startsWith("SHOW WARNINGS") &&
+      !up.startsWith("SHOW ERRORS") && !up.startsWith("SHOW COUNT"))
+      warnings.clear()
+    execDepth += 1
+    try executeRouted(sql, up, sql0) finally execDepth -= 1
+  }
+
+  private def executeRouted(sql: String, up: String, sql0: String): DataFrame = {
     sql match {
       case SelectAssignRe(name, expr, alias) =>
         // SELECT @x := expr [AS alias] [FROM DUAL] — the reference's
@@ -150,7 +183,7 @@ final class GraftSession(val spark: SparkSession) {
     * one RecordSet per parsed statement (`session/session.go:569`).
     */
   def executeAll(script: String): Seq[DataFrame] =
-    splitTopLevel(script, ';').map(execute)
+    splitTopLevel(stripComments(script), ';').map(execute)
 
   /** MustQuery-style helper (reference `util/testkit/testkit.go:200`):
     * rows rendered as space-joined strings, NULLs as "<nil>".
@@ -185,8 +218,12 @@ final class GraftSession(val spark: SparkSession) {
     val dbs = spark.catalog.listDatabases().collect().map(_.name).sorted
     dbs.toSeq.map(("def", _)).toDF("CATALOG_NAME", "SCHEMA_NAME")
       .createOrReplaceTempView("__info_schema_schemata")
-    val tables = dbs.flatMap(db => cat.listTables(db).map(t =>
-      (db, t.table, "BASE TABLE")))
+    // listTables(db) also returns session temp views (including these
+    // __info_schema_* views); keep catalog-resident entries only, and
+    // hide managed tables' physical __data twin behind their logical name
+    val tables = dbs.flatMap(db => cat.listTables(db)
+      .filter(t => t.database.contains(db) && !t.table.endsWith(PhysSuffix))
+      .map(t => (db, t.table, "BASE TABLE")))
     tables.toSeq.toDF("TABLE_SCHEMA", "TABLE_NAME", "TABLE_TYPE")
       .createOrReplaceTempView("__info_schema_tables")
     val columns = tables.flatMap { case (db, t, _) =>
@@ -243,10 +280,11 @@ final class GraftSession(val spark: SparkSession) {
     import spark.implicits._
     val base = unqualified(t)
     val pk = primaryKeys.getOrElse(base, Nil).toSet
-    // a column under both a unique and a non-unique index shows UNI
+    // MySQL shows UNI only for SINGLE-column unique indexes; the first
+    // column of a composite unique (or any non-unique) index shows MUL
     val keyKind = indexes.collect {
       case ((tb, _), m) if tb == base =>
-        m.cols.headOption.map(_ -> m.unique)
+        m.cols.headOption.map(_ -> (m.unique && m.cols.size == 1))
     }.flatten.groupBy(_._1).map { case (c, ks) =>
       c -> (if (ks.exists(_._2)) "UNI" else "MUL")
     }
@@ -262,14 +300,36 @@ final class GraftSession(val spark: SparkSession) {
 
   private def explain(inner: String): DataFrame = {
     import spark.implicits._
-    // Only read-only statements may be explained inline: the reference
-    // builds (never runs) the explained plan (`planbuilder.go` buildExplain),
-    // so EXPLAIN INSERT/DELETE must not execute the side effect here.
-    val up = inner.trim.toUpperCase
-    require(up.startsWith("SELECT") || up.startsWith("WITH") ||
-      up.startsWith("VALUES"),
-      s"EXPLAIN supports read-only statements, got: $inner")
-    val df = select(inner)
+    // The reference builds (never runs) the explained plan for ANY
+    // statement (`planner/core/planbuilder.go:252` buildExplain). Write
+    // statements render the DataFrame their sink WOULD write — the plan
+    // is built, the side effect (table rewrite, index refresh) is not.
+    val trimmed = inner.trim
+    val up = trimmed.toUpperCase
+    val df =
+      if (up.startsWith("SELECT") || up.startsWith("WITH") ||
+        up.startsWith("VALUES") || up.startsWith("(")) select(trimmed)
+      else trimmed match {
+        case DeleteRe(t, where) =>
+          remainingAfterDelete(tableState(clean(t)), Option(where))
+        case InsertSetRe(_, t, asgns) =>
+          val (cols, vals) = parseSetAssignments(asgns)
+          buildIncoming(tableState(clean(t)), Some(cols.mkString(", ")),
+            s"VALUES (${vals.mkString(", ")})",
+            Some(unqualified(clean(t))))
+        case InsertFullRe(t, colList, source) =>
+          buildIncoming(tableState(clean(t)), Option(colList), source,
+            Some(unqualified(clean(t))))
+        case ReplaceRe(t, colList, source) =>
+          val target = tableState(clean(t))
+          val incoming = buildIncoming(target, Option(colList), source,
+            Some(unqualified(clean(t))))
+          operators.Dml.replaceInto(target, incoming,
+            primaryKeys.getOrElse(unqualified(clean(t)),
+              Seq(target.schema.fieldNames.head)))
+        case other =>
+          throw new IllegalArgumentException(s"cannot EXPLAIN: $other")
+      }
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
       .split("\n").toSeq.toDF("plan")
@@ -285,11 +345,20 @@ final class GraftSession(val spark: SparkSession) {
           val v = evalScalar(expr)
           if (v == null) userVars.remove(name.toLowerCase)
           else userVars(name.toLowerCase) = renderLiteral(v)
+        case SetScopeRe(scope, name, expr) =>
+          // `SET GLOBAL x` / `SET SESSION x` keyword form
+          // (`executor/set.go:40` IsGlobal dispatch)
+          val target =
+            if (scope.equalsIgnoreCase("GLOBAL")) globalVars else sysVars
+          target(name.toLowerCase) = String.valueOf(evalScalar(expr))
         case SysVarAsgnRe(name, expr) =>
-          val key = name.toLowerCase
-            .stripPrefix("@@").stripPrefix("global.").stripPrefix("session.")
-          if (key == "names") () // SET NAMES charset: accepted, no-op
-          else sysVars(key) = String.valueOf(evalScalar(expr))
+          val key0 = name.toLowerCase.stripPrefix("@@")
+          if (key0 == "names") () // SET NAMES charset: accepted, no-op
+          else if (key0.startsWith("global."))
+            globalVars(key0.stripPrefix("global.")) =
+              String.valueOf(evalScalar(expr))
+          else sysVars(key0.stripPrefix("session.")) =
+            String.valueOf(evalScalar(expr))
         case other =>
           throw new IllegalArgumentException(s"cannot parse SET $other")
       }
@@ -326,10 +395,19 @@ final class GraftSession(val spark: SparkSession) {
         if (name.isEmpty) { out += c; i += 1 }
         else {
           val lit =
-            if (sys) sysVars.get(
-              name.stripPrefix("global.").stripPrefix("session."))
-              .map(renderLiteral).getOrElse("NULL")
-            else userVars.getOrElse(name, "NULL")
+            if (sys) {
+              // @@global.x reads global scope; @@session.x / @@x read
+              // session scope (falling back to global for vars that only
+              // ever received a GLOBAL write)
+              val v =
+                if (name.startsWith("global."))
+                  globalVars.get(name.stripPrefix("global."))
+                else {
+                  val k = name.stripPrefix("session.")
+                  sysVars.get(k).orElse(globalVars.get(k))
+                }
+              v.map(renderLiteral).getOrElse("NULL")
+            } else userVars.getOrElse(name, "NULL")
           out ++= s"($lit)"
           i = j
         }
@@ -352,8 +430,11 @@ final class GraftSession(val spark: SparkSession) {
       }
       spark.sql(s"SHOW TABLES IN $db").where(!col("isTemporary"))
         .select(col("tableName").as(s"Tables_in_$db")).orderBy(col(s"Tables_in_$db"))
-    } else if (up.startsWith("SHOW VARIABLES")) {
-      val all = sysVars.toSeq.toDF("Variable_name", "Value")
+    } else if (up.startsWith("SHOW VARIABLES") ||
+      up.startsWith("SHOW SESSION VARIABLES") ||
+      up.startsWith("SHOW GLOBAL VARIABLES")) {
+      val source = if (up.startsWith("SHOW GLOBAL")) globalVars else sysVars
+      val all = source.toSeq.toDF("Variable_name", "Value")
       val filtered = sql match {
         case ShowVarsLikeRe(pat) => all.where(col("Variable_name").like(pat))
         case _ => all
@@ -366,12 +447,20 @@ final class GraftSession(val spark: SparkSession) {
       val t = clean(sql.substring("SHOW CREATE TABLE".length).trim)
       Seq((unqualified(t), renderCreateTable(t)))
         .toDF("Table", "Create Table")
-    } else if (up.startsWith("SHOW WARNINGS") || up.startsWith("SHOW ERRORS"))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("Level", StringType),
-          StructField("Code", IntegerType),
-          StructField("Message", StringType))))
+    } else if (up.startsWith("SHOW WARNINGS") || up.startsWith("SHOW ERRORS")) {
+      // the statement diagnostics area (reference stmtctx warnings,
+      // surfaced by `executor/show.go` fetchShowWarnings)
+      val rows = warnings.toSeq
+        .filter(w => !up.startsWith("SHOW ERRORS") || w._1 == "Error")
+      if (rows.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("Level", StringType),
+            StructField("Code", IntegerType),
+            StructField("Message", StringType))))
+      else rows.toDF("Level", "Code", "Message")
+    } else if (up.startsWith("SHOW COUNT(*) WARNINGS"))
+      Seq(warnings.size).toDF("@@session.warning_count")
     else throw new IllegalArgumentException(s"unsupported SHOW: $sql")
   }
 
@@ -481,6 +570,12 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   private def dropTable(ifExists: String, t: String): Unit = {
+    // MySQL records Note 1051 when IF EXISTS skips a missing table
+    val isTemp = !clean(t).contains('.') &&
+      spark.sessionState.catalog.getTempView(clean(t)).isDefined
+    if (ifExists.nonEmpty && !isTemp &&
+      !spark.catalog.tableExists(qualify(clean(t))))
+      warn("Note", 1051, s"Unknown table '${qualify(clean(t))}'")
     spark.sql(s"DROP TABLE $ifExists$t")
     // a FRESH in-memory catalog does not know about managed-table dirs a
     // previous session left in the warehouse; CREATE TABLE refuses a
@@ -521,8 +616,11 @@ final class GraftSession(val spark: SparkSession) {
       commit() // parsing complete — the statement may now implicitly commit
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (" +
         parsed.map(p => s"`${p._1}` ${p._2}").mkString(", ") + ")")
-      // backfill existing rows of NOT NULL columns with their default
-      val backfill = parsed.filter(_._3).map(_._1)
+      // backfill existing rows of every added column that has a default —
+      // explicit DEFAULTs and the NOT-NULL zero value alike (the
+      // reference fills existing rows via OriginDefaultValue,
+      // `ddl/ddl_api.go:1085` -> `ddl/column.go`)
+      val backfill = parsed.map(_._1)
         .flatMap(n => columnDefaults.getOrElse(base, Map.empty).get(n).map(n -> _))
       if (backfill.nonEmpty) {
         val ref = qualify(clean(t))
@@ -658,14 +756,20 @@ final class GraftSession(val spark: SparkSession) {
     * second phase overwrites), then overwrite all tables.
     */
   private def commit(): Unit = if (txnActive) {
+    // Phase 1 (prewrite) may throw — e.g. a schema mismatch surfacing at
+    // materialization. Session state must not be left half-open: a failed
+    // prewrite rolls the transaction back (shadows restored, overlays
+    // dropped) instead of leaving shadow views serving uncommitted data
+    // with txnActive already false.
+    val staged =
+      try txnOverlay.toSeq.map { case (ref, next) =>
+        val target = spark.table(ref)
+        val stage = Files.createTempDirectory("graft-txn").toString
+        next.select(target.schema.fieldNames.map(col).toSeq: _*)
+          .write.mode("overwrite").parquet(stage)
+        ref -> stage
+      } catch { case e: Throwable => rollback(); throw e }
     txnActive = false
-    val staged = txnOverlay.toSeq.map { case (ref, next) =>
-      val target = spark.table(ref)
-      val stage = Files.createTempDirectory("graft-txn").toString
-      next.select(target.schema.fieldNames.map(col).toSeq: _*)
-        .write.mode("overwrite").parquet(stage)
-      ref -> stage
-    }
     // drop the shadows BEFORE applying: index refresh and any later read
     // must resolve to the freshly-written base, not a stale overlay plan
     clearShadows()
@@ -692,18 +796,19 @@ final class GraftSession(val spark: SparkSession) {
 
   // --------------------------------------------------------------------- DML
 
+  /** Rows surviving `DELETE ... WHERE cond` (NULL/FALSE keep the row). */
+  private def remainingAfterDelete(base: DataFrame,
+      where: Option[String]): DataFrame = where match {
+    case Some(cond) => base.where(
+      expr(s"NOT coalesce(CAST((${substituteVars(cond)}) AS BOOLEAN), false)"))
+    case None => base.limit(0)
+  }
+
   /** DELETE FROM t WHERE cond: anti-filter + table rewrite
     * (`executor/delete.go:28`); NULL/FALSE conditions keep the row.
     */
-  private def delete(t: String, where: Option[String]): Unit = {
-    val base = tableState(t)
-    val remaining = where match {
-      case Some(cond) => base.where(
-        expr(s"NOT coalesce(CAST((${substituteVars(cond)}) AS BOOLEAN), false)"))
-      case None => base.limit(0)
-    }
-    applyWrite(t, remaining)
-  }
+  private def delete(t: String, where: Option[String]): Unit =
+    applyWrite(t, remainingAfterDelete(tableState(t), where))
 
   /** Source rows (VALUES … or SELECT …) aligned to the target schema:
     * listed columns cast; missing columns take the recorded DEFAULT
@@ -846,6 +951,56 @@ object GraftSession {
     "transaction_isolation" -> "REPEATABLE-READ",
     "version_comment" -> "graft analytics engine")
 
+  /** Managed tables store their bucket-partitioned data under
+    * `<name>__data`, read through a logical view named `<name>`.
+    */
+  val PhysSuffix = "__data"
+
+  /** Strip SQL comments outside string/identifier literals: `-- ` (MySQL
+    * requires whitespace after `--`, so `1--2` stays arithmetic), `#` to
+    * end of line, and bracketed slash-star comments — EXCEPT
+    * optimizer-hint (slash-star-plus) and MySQL version
+    * (slash-star-bang) comments, which carry semantics and pass through.
+    * Each stripped comment becomes one space so token boundaries
+    * survive. The reference's lexer discards comments the same way
+    * (goyacc-generated scanner in `parser/`).
+    */
+  private[graft] def stripComments(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          out += c; out += sql.charAt(i + 1); i += 2
+        } else { out += c; if (c == quote) quote = 0; i += 1 }
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out += c; i += 1
+      } else if (c == '#') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        out += ' '
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        if (i + 2 >= sql.length || sql.charAt(i + 2).isWhitespace) {
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+          out += ' '
+        } else {
+          // MySQL requires whitespace after `--`; Spark does not — keep
+          // `1--2` double negation by spacing the dashes apart
+          out ++= "- "; i += 1
+        }
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*' &&
+        !(i + 2 < sql.length &&
+          (sql.charAt(i + 2) == '+' || sql.charAt(i + 2) == '!'))) {
+        val end = sql.indexOf("*/", i + 2)
+        require(end >= 0, s"unterminated comment in: $sql")
+        i = end + 2
+        out += ' '
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   private val UseRe = "(?is)^USE\\s+([`\\w]+)$".r
   private val ExplainRe = "(?is)^EXPLAIN\\s+(?:FORMAT\\s*=\\s*\\w+\\s+)?(.+)$".r
   private val ShowRe = "(?is)^SHOW\\s.*".r
@@ -875,9 +1030,12 @@ object GraftSession {
   private val DeleteRe =
     "(?is)^DELETE\\s+FROM\\s+([`\\w.]+)(?:\\s+WHERE\\s+(.+))?$".r
   private val UserVarAsgnRe = "(?s)^@(\\w+)\\s*:?=\\s*(.+)$".r
+  private val SetScopeRe =
+    "(?is)^(GLOBAL|SESSION|LOCAL)\\s+([\\w.]+)\\s*:?=\\s*(.+)$".r
   private val SysVarAsgnRe = "(?s)^((?:@@)?[\\w.]+)\\s*:?=\\s*(.+)$".r
   private val ShowTablesFromRe = "(?is)^SHOW\\s+TABLES\\s+(?:FROM|IN)\\s+([`\\w]+).*$".r
-  private val ShowVarsLikeRe = "(?is)^SHOW\\s+VARIABLES\\s+LIKE\\s+'([^']*)'$".r
+  private val ShowVarsLikeRe =
+    "(?is)^SHOW\\s+(?:GLOBAL\\s+|SESSION\\s+)?VARIABLES\\s+LIKE\\s+'([^']*)'$".r
   private val DualRe = "(?i)\\bFROM\\s+DUAL\\b".r
   private val ConstraintRe =
     "^(?:UNIQUE(?:\\s+(?:KEY|INDEX))?|KEY|INDEX|CONSTRAINT)\\b".r

@@ -215,15 +215,34 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("select c, d from cm where d = 9") == Seq("<nil> 9"))
   }
 
-  test("ALTER TABLE ADD COLUMN records its DEFAULT") {
+  test("ALTER TABLE ADD COLUMN DEFAULT backfills existing rows") {
     gs.executeAll(
       """DROP TABLE IF EXISTS ad;
          CREATE TABLE ad (id INT);
          INSERT INTO ad VALUES (1)""")
     gs.execute("ALTER TABLE ad ADD COLUMN extra INT DEFAULT 42")
     gs.execute("INSERT INTO ad (id) VALUES (2)")
+    // existing AND future rows take the declared default — the
+    // reference fills old rows via OriginDefaultValue
+    // (ddl/ddl_api.go:1085), as does MySQL
     assert(gs.query("select id, extra from ad order by id") ==
-      Seq("1 <nil>", "2 42"))
+      Seq("1 42", "2 42"))
+  }
+
+  test("comments strip anywhere the lexer allows them (parser parity)") {
+    assert(gs.query("-- leading note\nselect 1 + 1") == Seq("2"))
+    assert(gs.query("select /* inline */ 3 # trailing") == Seq("3"))
+    // MySQL requires whitespace after `--`: this is double negation
+    assert(gs.query("select 1--2") == Seq("3"))
+    assert(gs.query("select '--not a comment' as s") ==
+      Seq("--not a comment"))
+    gs.executeAll(
+      """-- script header
+         DROP TABLE IF EXISTS cmt;
+         CREATE TABLE cmt (id INT); /* mid */ INSERT INTO cmt VALUES (1); -- tail
+         # hash comment
+         INSERT INTO cmt VALUES (2)""")
+    assert(gs.query("select count(*) from cmt") == Seq("2"))
   }
 
   test("a CREATE TABLE that fails to parse does not implicitly commit") {

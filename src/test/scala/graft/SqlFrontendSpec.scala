@@ -102,6 +102,12 @@ class SqlFrontendSpec extends SparkSuite {
       Seq("id bigint NO PRI", "u varchar(255) YES UNI"))
     gs.execute("ALTER TABLE dsc DROP INDEX vk")
     assert(gs.query("DESC dsc") == Seq("id bigint NO PRI", "v varchar(255) YES "))
+    // composite unique index: MySQL shows MUL on its first column, never UNI
+    gs.execute("DROP TABLE IF EXISTS dscc")
+    gs.execute(
+      "CREATE TABLE dscc (a BIGINT, b BIGINT, UNIQUE KEY ab (a, b))")
+    assert(gs.query("DESC dscc") ==
+      Seq("a bigint YES MUL", "b bigint YES "))
   }
 
   test("system variables: SET / SELECT @@ / SHOW VARIABLES LIKE") {
@@ -209,16 +215,50 @@ class SqlFrontendSpec extends SparkSuite {
       Seq("semi;colon", "b"))
   }
 
-  test("EXPLAIN of a write statement refuses instead of executing it") {
+  test("EXPLAIN of a write statement plans the sink without executing it") {
     gs.execute("USE sqlfe")
     gs.execute("DROP TABLE IF EXISTS expl")
     gs.execute("CREATE TABLE expl (id BIGINT)")
     gs.execute("INSERT INTO expl VALUES (1)")
-    intercept[IllegalArgumentException](
-      gs.execute("EXPLAIN INSERT INTO expl VALUES (2)"))
+    val ins = gs.query("EXPLAIN INSERT INTO expl VALUES (2)")
+    assert(ins.exists(_.contains("Physical Plan")), ins)
+    val del = gs.query("EXPLAIN DELETE FROM expl WHERE id = 1")
+    assert(del.exists(_.contains("Physical Plan")), del)
+    val rep = gs.query("EXPLAIN REPLACE INTO expl VALUES (1)")
+    assert(rep.exists(_.contains("Physical Plan")), rep)
+    // none of the explained writes executed their side effect
     assert(gs.query("SELECT count(*) AS n FROM expl") == Seq("1"))
     assert(gs.query("SHOW CREATE DATABASE sqlfe") ==
       Seq("sqlfe CREATE DATABASE `sqlfe`"))
+    intercept[IllegalArgumentException](
+      gs.execute("EXPLAIN GRANT ALL ON x TO y"))
+  }
+
+  test("@@GLOBAL vs @@SESSION sysvar scoping is distinct") {
+    gs.execute("SET max_allowed_packet = 2048")
+    gs.execute("SET GLOBAL max_allowed_packet = 128")
+    // the GLOBAL write does not leak into session scope, and vice versa
+    assert(gs.query("SELECT @@max_allowed_packet AS v") == Seq("2048"))
+    assert(gs.query("SELECT @@session.max_allowed_packet AS v") == Seq("2048"))
+    assert(gs.query("SELECT @@global.max_allowed_packet AS v") == Seq("128"))
+    assert(gs.query("SHOW VARIABLES LIKE 'max_allowed%'") ==
+      Seq("max_allowed_packet 2048"))
+    assert(gs.query("SHOW GLOBAL VARIABLES LIKE 'max_allowed%'") ==
+      Seq("max_allowed_packet 128"))
+    gs.execute("SET @@global.version_comment = 'patched'")
+    assert(gs.query("SELECT @@global.version_comment AS v") == Seq("patched"))
+    assert(gs.query("SELECT @@version_comment AS v") ==
+      Seq("graft analytics engine"))
+  }
+
+  test("SHOW WARNINGS surfaces statement notes, cleared by the next one") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS definitely_missing_tbl")
+    val w = gs.query("SHOW WARNINGS")
+    assert(w.exists(l => l.contains("1051") && l.contains("Note")), w)
+    assert(gs.query("SHOW COUNT(*) WARNINGS") == Seq("1"))
+    gs.execute("SELECT 1") // any next statement clears the area
+    assert(gs.query("SHOW WARNINGS").isEmpty)
   }
 
   test("error parity: unknown objects and unsupported statements raise") {
