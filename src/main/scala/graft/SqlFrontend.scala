@@ -76,9 +76,82 @@ final class GraftSession(val spark: SparkSession) {
   private val txnOverlay = mutable.LinkedHashMap.empty[String, DataFrame]
   /** shadow view name → the temp view it displaced (restored on txn end). */
   private val txnShadowPrev = mutable.LinkedHashMap.empty[String, Option[DataFrame]]
+  /** ref → lazy frames of the bucket ids each buffered statement touched
+    * (collected once at COMMIT to prune the rewrite); None = a statement
+    * gave no bucket information, forcing a full rewrite of that table.
+    */
+  private val txnBuckets =
+    mutable.LinkedHashMap.empty[String, Option[mutable.Buffer[DataFrame]]]
 
   private lazy val snapshotRoot: String =
     Files.createTempDirectory("graft-idx").toString
+
+  // ------------------------------------------------- managed-table layout
+
+  /** Managed tables are bucket-PARTITIONED on a hash of their key
+    * (PK, else first column), read through a logical view that hides the
+    * bucket column. Keyed DML then rewrites ONLY the bucket partitions
+    * containing affected keys — the file-level analog of the reference's
+    * row-granular writes (`table/tables/tables.go:378` AddRecord touches
+    * only the written keys) — instead of the whole table. At lake scale
+    * this bounds every DELETE/REPLACE/COMMIT at
+    * O(affected buckets / total buckets × table), not O(table).
+    */
+  private def physRef(ref: String): String = {
+    val p = ref.split('.')
+    (p.dropRight(1) :+ (p.last + PhysSuffix)).mkString(".")
+  }
+
+  private def isManaged(ref: String): Boolean =
+    spark.catalog.tableExists(physRef(ref))
+
+  /** Durable layout metadata from the physical table's properties, so a
+    * NEW session keeps hashing keys into the same buckets.
+    */
+  private def tableProps(ref: String): Map[String, String] = {
+    val p = physRef(ref).split('.')
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(p(1), Some(p(0))))
+      .properties
+  }
+
+  private def bucketKeys(ref: String): Seq[String] =
+    tableProps(ref).get("graft.keys").map(_.split(',').toSeq)
+      .orElse(primaryKeys.get(unqualified(ref)))
+      .getOrElse(Seq(spark.table(ref).schema.fieldNames.head))
+
+  private def bucketCount(ref: String): Int =
+    tableProps(ref).get("graft.buckets").map(_.toInt).getOrElse(Buckets)
+
+  /** Bucket id of a row: hash of the key columns mod bucket count. */
+  private def bucketCol(ref: String): org.apache.spark.sql.Column =
+    pmod(xxhash64(bucketKeys(ref).map(col): _*), lit(bucketCount(ref)))
+      .cast("int")
+
+  private def withBucket(ref: String, df: DataFrame): DataFrame =
+    if (df.columns.contains(GbCol)) df
+    else df.withColumn(GbCol, bucketCol(ref))
+
+  /** Physical column order (data columns then the bucket column). */
+  private def physCols(ref: String): Seq[String] =
+    spark.table(physRef(ref)).schema.fieldNames.toSeq
+
+  private def currentPartitions(ref: String): Seq[Int] =
+    spark.sql(s"SHOW PARTITIONS ${physRef(ref)}").collect()
+      .map(_.getString(0).stripPrefix(s"$GbCol=").toInt).toSeq
+
+  /** (Re)create the logical view exposing the data columns only. */
+  private def createLogicalView(ref: String): Unit = {
+    val cols = spark.table(physRef(ref)).schema.fieldNames
+      .filterNot(_ == GbCol)
+    spark.sql(s"CREATE OR REPLACE VIEW $ref AS SELECT " +
+      cols.map(c => s"`$c`").mkString(", ") + s" FROM ${physRef(ref)}")
+  }
+
+  /** Record of the last managed rewrite: (buckets rewritten, bucket
+    * count) — observability hook for the partition-pruning plan tests.
+    */
+  private[graft] var lastRewrite: Option[(Int, Int)] = None
 
   // ------------------------------------------------------------------ router
 
@@ -145,7 +218,12 @@ final class GraftSession(val spark: SparkSession) {
       case DropIndexRe(name, t) =>
         commit(); dropIndex(clean(t), clean(name)); ok()
       case AdminCheckRe(t) => adminCheck(clean(t))
-      case AnalyzeRe(t) => Stats.analyze(spark, clean(t)); ok()
+      case AnalyzeRe(t) =>
+        // stats live on the physical table (the view is plan expansion;
+        // the optimizer reads the underlying scan's statistics)
+        val ref = qualify(clean(t))
+        Stats.analyze(spark, if (isManaged(ref)) physRef(ref) else clean(t))
+        ok()
       case InsertSetRe(kw, t, asgns) =>
         // MySQL `INSERT/REPLACE t SET c = v, ...` → column-list VALUES form
         val (cols, vals) = parseSetAssignments(asgns)
@@ -160,11 +238,28 @@ final class GraftSession(val spark: SparkSession) {
           s"INSERT form not supported inside a transaction: $sql0")
       case InsertFullRe(t, colList, source) =>
         val ref = qualify(clean(t))
-        buildIncoming(spark.table(ref), Option(colList), source,
-          Some(unqualified(ref)))
-          .write.mode("append").insertInto(ref)
-        refreshIndexes(ref); ok()
+        val incoming = buildIncoming(spark.table(ref), Option(colList),
+          source, Some(unqualified(ref)))
+        if (isManaged(ref)) {
+          val incB = withBucket(ref, incoming)
+          // affected buckets for the pruned index refresh — computed
+          // only when indexes exist (one tiny distinct job)
+          val affected =
+            if (indexes.keys.exists(_._1 == unqualified(ref)))
+              Some(incB.select(GbCol).distinct().collect()
+                .map(_.getInt(0)).toSeq)
+            else None
+          incB.select(physCols(ref).map(col): _*)
+            .write.mode("append").insertInto(physRef(ref))
+          affected.foreach(a => refreshIndexes(ref, Some(a)))
+        } else {
+          incoming.write.mode("append").insertInto(ref)
+          refreshIndexes(ref)
+        }
+        ok()
       case InsertRe(t) =>
+        require(!isManaged(qualify(clean(t))),
+          s"INSERT form not supported on a managed table: $sql0")
         spark.sql(substituteVars(sql)); refreshIndexes(clean(t)); ok()
       case ReplaceRe(t, colList, source) =>
         replaceInto(clean(t), Option(colList), source); ok()
@@ -429,6 +524,7 @@ final class GraftSession(val spark: SparkSession) {
         case _ => spark.catalog.currentDatabase
       }
       spark.sql(s"SHOW TABLES IN $db").where(!col("isTemporary"))
+        .where(!col("tableName").endsWith(PhysSuffix))
         .select(col("tableName").as(s"Tables_in_$db")).orderBy(col(s"Tables_in_$db"))
     } else if (up.startsWith("SHOW VARIABLES") ||
       up.startsWith("SHOW SESSION VARIABLES") ||
@@ -487,9 +583,11 @@ final class GraftSession(val spark: SparkSession) {
     require(open > 0, s"cannot parse CREATE TABLE: $sql")
     val close = matchingParen(sql, open)
     val header = sql.substring(0, open).trim
-    val table = unqualified(clean(header.split("\\s+").last))
+    val rawName = header.split("\\s+").last
+    val table = unqualified(clean(rawName))
+    val ifNotExists = header.toUpperCase.contains("IF NOT EXISTS")
     val defs = splitTopLevel(sql.substring(open + 1, close), ',')
-    val cols = mutable.Buffer.empty[String]
+    val cols = mutable.Buffer.empty[(String, String, String)] // name, type, suffix
     val deferredIdx = mutable.Buffer.empty[(String, Boolean, Seq[String])]
     defs.foreach { d =>
       val du = d.toUpperCase
@@ -507,16 +605,50 @@ final class GraftSession(val spark: SparkSession) {
       } else d match {
         case ColumnDefRe(name, tpe, extras) =>
           val notNull = recordColumnExtras(table, clean(name), extras)
-          cols += s"`${clean(name)}` ${mysqlToSparkType(tpe)}$notNull"
+          cols += ((clean(name),
+            applyUnsigned(mysqlToSparkType(tpe), extras), notNull))
         case other =>
           throw new IllegalArgumentException(s"cannot parse column def: $other")
       }
     }
+    require(cols.nonEmpty, s"CREATE TABLE without columns: $sql")
     // parsing is complete — only now may the statement implicitly commit
     commit()
-    spark.sql(s"$header (${cols.mkString(", ")}) USING parquet")
+    val ref = qualify(clean(rawName))
+    if (spark.catalog.tableExists(ref)) {
+      if (ifNotExists) {
+        warn("Note", 1050, s"Table '$table' already exists"); return
+      }
+      throw new IllegalArgumentException(s"Table '$ref' already exists")
+    }
+    dropStaleLocation(spark, ref)
+    dropStaleLocation(spark, physRef(ref))
+    val keys = primaryKeys.getOrElse(table, Seq(cols.head._1))
+    spark.sql(s"CREATE TABLE ${physRef(ref)} (" +
+      cols.map(c => s"`${c._1}` ${c._2}${c._3}").mkString(", ") +
+      s", `$GbCol` INT) USING parquet PARTITIONED BY ($GbCol) " +
+      s"TBLPROPERTIES ('graft.keys'='${keys.mkString(",")}', " +
+      s"'graft.buckets'='$Buckets')")
+    createLogicalView(ref)
     deferredIdx.foreach { case (n, u, cs) => createIndex(table, n, cs, u) }
   }
+
+  /** SURVEY §1.4 unsigned mapping: widen to the next integer type
+    * (BIGINT UNSIGNED → DECIMAL(20,0)) so the full 0..2⁶⁴-1 range round-
+    * trips (reference unsigned paths:
+    * `expression/builtin_arithmetic.go:402-409`, `types/datum.go`
+    * KindUint64). Documented delta: negative values are not rejected —
+    * parquet has no unsigned physical type and Spark no CHECK constraint.
+    */
+  private def applyUnsigned(sparkType: String, extras: String): String =
+    if (UnsignedRe.findFirstIn(maskQuoted(extras)).isEmpty) sparkType
+    else sparkType match {
+      case "TINYINT" => "SMALLINT"
+      case "SMALLINT" => "INT"
+      case "INT" => "BIGINT"
+      case "BIGINT" => "DECIMAL(20,0)"
+      case other => other // FLOAT/DOUBLE/DECIMAL UNSIGNED keep their range
+    }
 
   /** Record PRIMARY KEY / AUTO_INCREMENT / DEFAULT metadata from a column
     * definition's trailing clauses, scanning with quoted text masked so a
@@ -570,18 +702,30 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   private def dropTable(ifExists: String, t: String): Unit = {
-    // MySQL records Note 1051 when IF EXISTS skips a missing table
-    val isTemp = !clean(t).contains('.') &&
-      spark.sessionState.catalog.getTempView(clean(t)).isDefined
-    if (ifExists.nonEmpty && !isTemp &&
-      !spark.catalog.tableExists(qualify(clean(t))))
-      warn("Note", 1051, s"Unknown table '${qualify(clean(t))}'")
-    spark.sql(s"DROP TABLE $ifExists$t")
-    // a FRESH in-memory catalog does not know about managed-table dirs a
-    // previous session left in the warehouse; CREATE TABLE refuses a
-    // non-empty location, so IF EXISTS must clear the stale dir too
-    if (ifExists.nonEmpty) GraftSession.dropStaleLocation(spark, qualify(clean(t)))
-    val base = unqualified(clean(t))
+    val name = clean(t)
+    val isTemp = !name.contains('.') &&
+      spark.sessionState.catalog.getTempView(name).isDefined
+    if (isTemp) spark.sql(s"DROP TABLE $ifExists$name") // Spark semantics:
+    // DROP TABLE resolves (and drops) a same-named temp view first
+    else {
+      val ref = qualify(name)
+      if (isManaged(ref)) {
+        spark.sql(s"DROP VIEW IF EXISTS $ref")
+        spark.sql(s"DROP TABLE IF EXISTS ${physRef(ref)}")
+      } else if (spark.catalog.tableExists(ref)) spark.sql(s"DROP TABLE $ref")
+      else if (ifExists.nonEmpty)
+        // MySQL records Note 1051 when IF EXISTS skips a missing table
+        warn("Note", 1051, s"Unknown table '$ref'")
+      else throw new IllegalArgumentException(s"Unknown table '$ref'")
+      // a FRESH in-memory catalog does not know about managed-table dirs a
+      // previous session left in the warehouse; CREATE TABLE refuses a
+      // non-empty location, so IF EXISTS must clear the stale dirs too
+      if (ifExists.nonEmpty) {
+        GraftSession.dropStaleLocation(spark, ref)
+        GraftSession.dropStaleLocation(spark, physRef(ref))
+      }
+    }
+    val base = unqualified(name)
     indexes.keys.filter(_._1 == base).toSeq.foreach(indexes.remove)
     primaryKeys.remove(base)
     columnDefaults.remove(base)
@@ -602,7 +746,7 @@ final class GraftSession(val spark: SparkSession) {
           // MySQL fills a new NOT NULL column (no DEFAULT) with the
           // type's zero value on existing AND future rows
           // (ddl_test.go:68 TestAddNotNullColumnNoDefault)
-          val sparkType = mysqlToSparkType(tpe)
+          val sparkType = applyUnsigned(mysqlToSparkType(tpe), extras)
           if (notNull &&
             !columnDefaults.getOrElse(base, Map.empty).contains(clean(name)))
             zeroLiteral(sparkType).foreach { z =>
@@ -614,8 +758,11 @@ final class GraftSession(val spark: SparkSession) {
           throw new IllegalArgumentException(s"cannot parse column def: $other")
       }
       commit() // parsing complete — the statement may now implicitly commit
-      spark.sql(s"ALTER TABLE $t ADD COLUMNS (" +
+      val ref = qualify(clean(t))
+      val addTarget = if (isManaged(ref)) physRef(ref) else t
+      spark.sql(s"ALTER TABLE $addTarget ADD COLUMNS (" +
         parsed.map(p => s"`${p._1}` ${p._2}").mkString(", ") + ")")
+      if (isManaged(ref)) createLogicalView(ref)
       // backfill existing rows of every added column that has a default —
       // explicit DEFAULTs and the NOT-NULL zero value alike (the
       // reference fills existing rows via OriginDefaultValue,
@@ -623,13 +770,123 @@ final class GraftSession(val spark: SparkSession) {
       val backfill = parsed.map(_._1)
         .flatMap(n => columnDefaults.getOrElse(base, Map.empty).get(n).map(n -> _))
       if (backfill.nonEmpty) {
-        val ref = qualify(clean(t))
         val next = backfill.foldLeft(spark.table(ref)) { case (df, (n, z)) =>
           df.withColumn(n, coalesce(col(n), expr(z).cast(df.schema(n).dataType)))
         }
-        rewriteTable(ref, next)
+        if (isManaged(ref)) rewriteManaged(ref, withBucket(ref, next), None)
+        else rewriteTable(ref, next)
       }
+    case AlterDropColRe(t, c) =>
+      commit(); alterDropColumn(qualify(clean(t)), clean(c))
+    case AlterChangeColRe(t, oldName, body) =>
+      commit(); alterRetypeColumn(qualify(clean(t)), clean(oldName), body)
+    case AlterModifyColRe(t, body) =>
+      commit()
+      val name = body match {
+        case ColumnDefRe(n, _, _) => clean(n)
+        case other =>
+          throw new IllegalArgumentException(s"cannot parse column def: $other")
+      }
+      alterRetypeColumn(qualify(clean(t)), name, body)
     case _ => throw new IllegalArgumentException(s"unsupported ALTER: $sql")
+  }
+
+  /** ALTER TABLE DROP COLUMN (`ddl/ddl_api.go:1110` DropColumn): parquet
+    * v1 tables cannot drop columns in place, so the managed table is
+    * recreated around the projected data — the Spark analog of MySQL's
+    * copy-based ALTER.
+    */
+  private def alterDropColumn(ref: String, c: String): Unit = {
+    require(isManaged(ref), s"ALTER DROP COLUMN requires a managed table: $ref")
+    val data = spark.table(ref)
+    val actual = resolveColumn(data, c)
+    require(data.schema.fieldNames.length > 1,
+      s"cannot drop the only column of $ref")
+    val base = unqualified(ref)
+    // metadata follows the column out (MySQL drops the column from any
+    // index; an index left with no columns is dropped)
+    primaryKeys.get(base).foreach { pk =>
+      val left = pk.filterNot(_ == actual)
+      if (left.isEmpty) primaryKeys.remove(base) else primaryKeys(base) = left
+    }
+    columnDefaults.get(base).foreach(m => columnDefaults(base) = m - actual)
+    if (autoIncCols.get(base).contains(actual)) autoIncCols.remove(base)
+    indexes.filter(_._1._1 == base).foreach { case (k, m) =>
+      val left = m.cols.filterNot(_ == actual)
+      if (left.isEmpty) indexes.remove(k)
+      else indexes(k) = m.copy(cols = left)
+    }
+    recreateManagedTable(ref, data.drop(actual))
+  }
+
+  /** ALTER TABLE MODIFY/CHANGE COLUMN (`ddl/ddl_api.go:1488` Change,
+    * `:1524` Modify): retype (and for CHANGE rename) via recreate.
+    */
+  private def alterRetypeColumn(ref: String, oldName: String,
+      body: String): Unit = body match {
+    case ColumnDefRe(name0, tpe, extras) =>
+      require(isManaged(ref),
+        s"ALTER MODIFY/CHANGE COLUMN requires a managed table: $ref")
+      val newName = clean(name0)
+      val base = unqualified(ref)
+      val data = spark.table(ref)
+      val actual = resolveColumn(data, oldName)
+      val sparkType = applyUnsigned(mysqlToSparkType(tpe), extras)
+      recordColumnExtras(base, newName, extras)
+      if (newName != actual) {
+        primaryKeys.get(base).foreach(pk => primaryKeys(base) =
+          pk.map(k => if (k == actual) newName else k))
+        columnDefaults.get(base).foreach { m =>
+          m.get(actual).foreach(d => columnDefaults(base) =
+            (m - actual) + (newName -> d))
+        }
+        if (autoIncCols.get(base).contains(actual)) autoIncCols(base) = newName
+        indexes.filter(_._1._1 == base).foreach { case (k, m) =>
+          indexes(k) = m.copy(cols =
+            m.cols.map(cn => if (cn == actual) newName else cn))
+        }
+      }
+      val next = data.withColumnRenamed(actual, newName)
+        .withColumn(newName, col(newName).cast(sparkType))
+      recreateManagedTable(ref, next)
+    case other =>
+      throw new IllegalArgumentException(s"cannot parse column def: $other")
+  }
+
+  /** Resolve a column name case-insensitively against a frame. */
+  private def resolveColumn(df: DataFrame, name: String): String =
+    df.schema.fieldNames.find(_.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"unknown column: $name"))
+
+  /** Copy-based DDL: stage the transformed data, drop and recreate the
+    * physical table + view around the new schema, restore the data, and
+    * rebuild index snapshots.
+    */
+  private def recreateManagedTable(ref: String, next: DataFrame): Unit = {
+    val phys = physRef(ref)
+    val nb = bucketCount(ref)
+    val base = unqualified(ref)
+    val keys = primaryKeys.get(base)
+      .filter(_.forall(next.columns.contains))
+      .getOrElse(Seq(next.columns.head))
+    val nextGb = next.withColumn(GbCol,
+      pmod(xxhash64(keys.map(col): _*), lit(nb)).cast("int"))
+    val stage = Files.createTempDirectory("graft-ddl").toString
+    nextGb.write.partitionBy(GbCol).mode("overwrite").parquet(stage)
+    spark.sql(s"DROP VIEW IF EXISTS $ref")
+    spark.sql(s"DROP TABLE IF EXISTS $phys")
+    dropStaleLocation(spark, ref)
+    dropStaleLocation(spark, phys)
+    val colsDdl = next.schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"CREATE TABLE $phys ($colsDdl, `$GbCol` INT) USING parquet " +
+      s"PARTITIONED BY ($GbCol) TBLPROPERTIES " +
+      s"('graft.keys'='${keys.mkString(",")}', 'graft.buckets'='$nb')")
+    if (listBucketDirs(stage).nonEmpty)
+      spark.read.parquet(stage).select(physCols(ref).map(col): _*)
+        .write.mode("append").insertInto(phys)
+    createLogicalView(ref)
+    refreshIndexes(ref)
   }
 
   // ----------------------------------------------------------------- indexes
@@ -656,13 +913,34 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   /** Write-path index maintenance (the analog of index KV writes in
-    * `table/tables/index.go`): re-materialize each index projection.
+    * `table/tables/index.go`). Managed-table snapshots are bucket-
+    * partitioned like the table itself, so a keyed write re-projects only
+    * the affected buckets (dynamic partition overwrite of the snapshot)
+    * instead of rescanning the base table; `emptied` buckets have their
+    * snapshot partitions deleted outright.
     */
-  private def refreshIndexes(t: String): Unit = {
+  private def refreshIndexes(t: String, affected: Option[Seq[Int]] = None,
+      emptied: Seq[Int] = Nil): Unit = {
     val base = unqualified(t)
     indexes.foreach { case ((tb, _), m) if tb == base =>
-      spark.table(m.tableRef).select(m.cols.map(col): _*)
-        .write.mode("overwrite").parquet(m.path)
+      val ref = qualify(m.tableRef)
+      if (isManaged(ref)) {
+        val phys = spark.table(physRef(ref))
+        affected match {
+          case Some(a) =>
+            phys.where(col(GbCol).isin(a: _*))
+              .select((m.cols :+ GbCol).map(col): _*)
+              .write.partitionBy(GbCol).mode("overwrite").parquet(m.path)
+            emptied.foreach(b =>
+              deleteRecursively(java.nio.file.Paths.get(m.path, s"$GbCol=$b")))
+          case None =>
+            deleteRecursively(java.nio.file.Paths.get(m.path))
+            phys.select((m.cols :+ GbCol).map(col): _*)
+              .write.partitionBy(GbCol).mode("overwrite").parquet(m.path)
+        }
+      } else
+        spark.table(m.tableRef).select(m.cols.map(col): _*)
+          .write.mode("overwrite").parquet(m.path)
     case _ => ()
     }
   }
@@ -675,7 +953,11 @@ final class GraftSession(val spark: SparkSession) {
     val base = unqualified(t)
     val rows = indexes.collect { case ((tb, name), m) if tb == base =>
       val cur = spark.table(m.tableRef).select(m.cols.map(col): _*)
-      val snap = spark.read.parquet(m.path)
+      // managed snapshots carry the bucket partition column — project it
+      // away; an empty snapshot dir (empty table) reads as zero rows
+      val snap = scala.util.Try(
+        spark.read.parquet(m.path).select(m.cols.map(col): _*))
+        .getOrElse(cur.limit(0))
       val consistent =
         cur.exceptAll(snap).isEmpty && snap.exceptAll(cur).isEmpty
       (base, name, if (consistent) "OK" else "CORRUPT")
@@ -705,9 +987,12 @@ final class GraftSession(val spark: SparkSession) {
 
   /** Route a table's next state: into the transaction overlay (plus the
     * unqualified-name shadow view for read-your-own-writes) when a txn is
-    * open, straight to the rewrite sink otherwise.
+    * open, straight to the rewrite sink otherwise. `buckets` is a lazy
+    * single-column frame of the bucket ids the statement touches
+    * (managed tables only) — it prunes the eventual rewrite.
     */
-  private def applyWrite(t: String, next: DataFrame): Unit = {
+  private def applyWrite(t: String, next: DataFrame,
+      buckets: Option[DataFrame] = None): Unit = {
     val ref = qualify(t)
     if (txnActive) {
       val name = unqualified(ref)
@@ -719,7 +1004,17 @@ final class GraftSession(val spark: SparkSession) {
             Some(spark.table(name))
           else None
       txnOverlay(ref) = next
+      txnBuckets(ref) =
+        (txnBuckets.getOrElse(ref,
+          Some(mutable.Buffer.empty[DataFrame])), buckets) match {
+          case (Some(buf), Some(b)) => Some(buf += b)
+          case _ => None
+        }
       next.createOrReplaceTempView(name)
+    } else if (isManaged(ref)) {
+      val affected = buckets.map(
+        _.distinct().collect().map(_.getInt(0)).toSeq)
+      rewriteManaged(ref, withBucket(ref, next), affected)
     } else rewriteTable(ref, next)
   }
 
@@ -763,20 +1058,43 @@ final class GraftSession(val spark: SparkSession) {
     // with txnActive already false.
     val staged =
       try txnOverlay.toSeq.map { case (ref, next) =>
-        val target = spark.table(ref)
         val stage = Files.createTempDirectory("graft-txn").toString
-        next.select(target.schema.fieldNames.map(col).toSeq: _*)
-          .write.mode("overwrite").parquet(stage)
-        ref -> stage
+        if (isManaged(ref)) {
+          // prune the commit to the union of buckets the buffered
+          // statements touched (collected here, once per table)
+          val affected: Option[Seq[Int]] =
+            txnBuckets.getOrElse(ref, None).map { frames =>
+              if (frames.isEmpty) Seq.empty[Int]
+              else frames.reduce(_ unionByName _).distinct()
+                .collect().map(_.getInt(0)).toSeq.distinct
+            }
+          val frame = affected match {
+            case Some(a) =>
+              withBucket(ref, next).where(col(GbCol).isin(a: _*))
+            case None => withBucket(ref, next)
+          }
+          frame.select(physCols(ref).map(col): _*)
+            .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
+          (ref, stage, Some(affected))
+        } else {
+          val target = spark.table(ref)
+          next.select(target.schema.fieldNames.map(col).toSeq: _*)
+            .write.mode("overwrite").parquet(stage)
+          (ref, stage, None)
+        }
       } catch { case e: Throwable => rollback(); throw e }
     txnActive = false
     // drop the shadows BEFORE applying: index refresh and any later read
     // must resolve to the freshly-written base, not a stale overlay plan
     clearShadows()
     txnOverlay.clear()
-    staged.foreach { case (ref, stage) =>
-      spark.read.parquet(stage).write.mode("overwrite").insertInto(ref)
-      refreshIndexes(ref)
+    txnBuckets.clear()
+    staged.foreach {
+      case (ref, stage, Some(affected)) =>
+        applyStagedManaged(ref, stage, affected)
+      case (ref, stage, None) =>
+        spark.read.parquet(stage).write.mode("overwrite").insertInto(ref)
+        refreshIndexes(ref)
     }
   }
 
@@ -784,14 +1102,19 @@ final class GraftSession(val spark: SparkSession) {
     txnActive = false
     clearShadows()
     txnOverlay.clear()
+    txnBuckets.clear()
   }
 
   /** INSERT inside an open transaction: buffered into the overlay. */
   private def txnInsert(t: String, colList: Option[String],
       source: String): Unit = {
     val base = tableState(t)
-    applyWrite(t, base.unionByName(
-      buildIncoming(base, colList, source, Some(unqualified(t)))))
+    val incoming = buildIncoming(base, colList, source, Some(unqualified(t)))
+    val buckets =
+      if (isManaged(qualify(t))) Some(
+        incoming.select(bucketCol(qualify(t)).as(GbCol)))
+      else None
+    applyWrite(t, base.unionByName(incoming), buckets)
   }
 
   // --------------------------------------------------------------------- DML
@@ -804,11 +1127,43 @@ final class GraftSession(val spark: SparkSession) {
     case None => base.limit(0)
   }
 
+  /** TRUE-evaluating form of a WHERE condition (rows the statement
+    * touches); tri-valued: NULL/FALSE rows are untouched.
+    */
+  private def touchedBy(base: DataFrame, cond: String): DataFrame =
+    base.where(
+      expr(s"coalesce(CAST((${substituteVars(cond)}) AS BOOLEAN), false)"))
+
   /** DELETE FROM t WHERE cond: anti-filter + table rewrite
     * (`executor/delete.go:28`); NULL/FALSE conditions keep the row.
+    *
+    * Managed fast path: affected buckets come from the STORED partition
+    * column of the rows the predicate matches (one column-pruned scan);
+    * the rewrite then reads and writes only those partitions.
     */
-  private def delete(t: String, where: Option[String]): Unit =
-    applyWrite(t, remainingAfterDelete(tableState(t), where))
+  private def delete(t: String, where: Option[String]): Unit = {
+    val ref = qualify(t)
+    if (!txnActive && isManaged(ref)) {
+      val phys = spark.table(physRef(ref))
+      val affected: Seq[Int] = where match {
+        case Some(cond) => touchedBy(phys, cond)
+          .select(GbCol).distinct().collect().map(_.getInt(0)).toSeq
+        case None => currentPartitions(ref)
+      }
+      if (affected.isEmpty) lastRewrite = Some((0, bucketCount(ref)))
+      else rewriteManaged(ref,
+        remainingAfterDelete(phys.where(col(GbCol).isin(affected: _*)), where),
+        Some(affected))
+    } else {
+      val base = tableState(t)
+      val buckets =
+        if (isManaged(ref))
+          Some(where.map(touchedBy(base, _)).getOrElse(base)
+            .select(bucketCol(ref).as(GbCol)))
+        else None
+      applyWrite(t, remainingAfterDelete(base, where), buckets)
+    }
+  }
 
   /** Source rows (VALUES … or SELECT …) aligned to the target schema:
     * listed columns cast; missing columns take the recorded DEFAULT
@@ -827,67 +1182,172 @@ final class GraftSession(val spark: SparkSession) {
     require(names.distinct.size == names.size,
       s"column specified twice: ${names.diff(names.distinct).distinct}")
     val quoted = names.map(n => s"`$n`")
+    val isValues = source.toUpperCase.startsWith("VALUES")
     val raw =
-      if (source.toUpperCase.startsWith("VALUES"))
+      if (isValues)
         spark.sql(
           s"SELECT * FROM (${substituteVars(source)}) AS __r(${quoted.mkString(", ")})")
       else spark.sql(substituteVars(source)).toDF(names: _*)
     val defaults = tableBase.flatMap(columnDefaults.get).getOrElse(Map.empty)
     val autoInc = tableBase.flatMap(autoIncCols.get)
+    // Non-strict sql_mode: string→number coercion takes the longest
+    // numeric prefix with a truncation warning instead of the strict
+    // ANSI-cast error (reference `types/convert.go` StrToFloat +
+    // stmtctx truncation warnings; strict mode errors, as MySQL does).
+    val strict = sysVars.getOrElse("sql_mode", "")
+      .toUpperCase.contains("STRICT")
+    def numeric(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val coerced = names.filter { n =>
+      !strict && raw.schema(n).dataType == StringType &&
+        numeric(target.schema(canon(n.toLowerCase)).dataType) &&
+        !autoInc.contains(n)
+    }
+    if (coerced.nonEmpty && isValues) {
+      // VALUES batches are driver-bounded: count per-column truncations
+      // for the diagnostics area (one tiny aggregate)
+      val checks = coerced.map(c => sum(when(col(c).isNotNull &&
+        !col(c).rlike(FullNumericRe), 1L).otherwise(0L)).as(c))
+      val row = raw.agg(checks.head, checks.tail: _*).collect()(0)
+      coerced.zipWithIndex.foreach { case (c, i) =>
+        (0L until math.min(row.getLong(i), 64L)).foreach(_ =>
+          warn("Warning", 1265, s"Data truncated for column '$c'"))
+      }
+    }
     target.schema.fields.foldLeft(raw) { (df, f) =>
       val provided = names.contains(f.name)
       if (autoInc.contains(f.name)) {
-        // Omitted or NULL values take generated ids starting above both
-        // max(existing) and the batch's explicit ids, counting only the
-        // rows that consume an id (MySQL's counter semantics modulo
-        // explicit-low-id interleaving — write_test.go TestInsertAutoInc).
-        // VALUES batches are small; the windows span the incoming rows
-        // only, never the table; monotonically_increasing_id preserves
-        // the VALUES row order.
-        import org.apache.spark.sql.expressions.Window
-        val ordW = Window.orderBy(monotonically_increasing_id())
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val allW = Window.partitionBy(lit(1))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val base = target.agg(
-          coalesce(max(col(f.name)), lit(0)).cast("bigint").as("__maxid"))
-        val needsId =
-          if (provided) col(f.name).isNull else lit(true)
-        val start =
-          if (provided)
-            greatest(col("__maxid"),
-              coalesce(max(col(f.name).cast("bigint")).over(allW), lit(0L)))
-          else col("__maxid")
-        val ord = sum(when(needsId, 1).otherwise(0)).over(ordW)
-        val next = (start + ord).cast(f.dataType)
-        df.crossJoin(base)
-          .withColumn(f.name,
-            if (provided) when(needsId, next).otherwise(col(f.name).cast(f.dataType))
-            else next)
-          .drop("__maxid")
-      } else if (provided)
-        df.withColumn(f.name, col(f.name).cast(f.dataType))
-      else df.withColumn(f.name,
+        if (isValues) assignAutoIncValues(df, target, f, provided)
+        else assignAutoIncScan(df, target, f, provided)
+      } else if (provided) {
+        if (coerced.contains(f.name))
+          df.withColumn(f.name,
+            functions.MySqlCoerce.toDouble(col(f.name)).cast(f.dataType))
+        else df.withColumn(f.name, col(f.name).cast(f.dataType))
+      } else df.withColumn(f.name,
         expr(defaults.getOrElse(f.name, "NULL")).cast(f.dataType))
     }.select(target.schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** AUTO_INCREMENT fill for literal VALUES batches: omitted or NULL
+    * values take generated ids starting above both max(existing) and the
+    * batch's explicit ids, counting only the rows that consume an id
+    * (MySQL's counter semantics modulo explicit-low-id interleaving —
+    * write_test.go TestInsertAutoInc). VALUES batches are driver-sized;
+    * the global-ordered window spans the incoming rows only, never the
+    * table, and monotonically_increasing_id preserves the VALUES order.
+    */
+  private def assignAutoIncValues(df: DataFrame, target: DataFrame,
+      f: StructField, provided: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordW = Window.orderBy(monotonically_increasing_id())
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = target.agg(
+      coalesce(max(col(f.name)), lit(0)).cast("bigint").as("__maxid"))
+    val needsId = if (provided) col(f.name).isNull else lit(true)
+    val start =
+      if (provided)
+        greatest(col("__maxid"),
+          coalesce(max(col(f.name).cast("bigint")).over(allW), lit(0L)))
+      else col("__maxid")
+    val ord = sum(when(needsId, 1).otherwise(0)).over(ordW)
+    val next = (start + ord).cast(f.dataType)
+    df.crossJoin(base)
+      .withColumn(f.name,
+        if (provided) when(needsId, next).otherwise(col(f.name).cast(f.dataType))
+        else next)
+      .drop("__maxid")
+  }
+
+  /** AUTO_INCREMENT fill for INSERT ... SELECT (unbounded input): ids are
+    * assigned per input partition — a per-partition running count plus a
+    * per-partition base offset — so no single-partition global sort ever
+    * materializes. The per-partition counts and the batch's explicit max
+    * are one metadata-sized collect (the analog of the reference's
+    * allocator claiming an id range per batch,
+    * `table/tables/tables.go` allocHandle). The input is pinned with
+    * persist so the stats job and the write see identical partitions.
+    * Ids are unique and above max(existing); MySQL makes no ordering or
+    * density promise for SELECT sources.
+    */
+  private def assignAutoIncScan(df: DataFrame, target: DataFrame,
+      f: StructField, provided: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val session = df.sparkSession
+    import session.implicits._
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val needsId = if (provided) col(f.name).isNull else lit(true)
+    val withPid = pinned.withColumn("__pid", spark_partition_id())
+    val stats = withPid.groupBy(col("__pid"))
+      .agg(sum(when(needsId, 1L).otherwise(0L)).as("__n"),
+        (if (provided) max(col(f.name).cast("bigint"))
+         else lit(null).cast("bigint")).as("__mx"))
+      .collect()
+    val tableMax = target
+      .agg(coalesce(max(col(f.name)), lit(0)).cast("bigint"))
+      .collect()(0).getLong(0)
+    val batchMax = stats
+      .flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      .foldLeft(0L)(math.max)
+    val start = math.max(tableMax, batchMax)
+    var acc = 0L
+    val offsets = stats.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getInt(0), o)
+    }.toSeq
+    val offDf = offsets.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(monotonically_increasing_id())
+    val rn = sum(when(needsId, 1L).otherwise(0L)).over(w)
+    val next = (lit(start) + col("__off") + rn).cast(f.dataType)
+    withPid.join(broadcast(offDf), "__pid")
+      .withColumn(f.name,
+        if (provided) when(needsId, next).otherwise(col(f.name).cast(f.dataType))
+        else next)
+      .drop("__pid", "__off")
+  }
+
   /** REPLACE INTO: delete-on-duplicate-key upsert on the primary key
     * (`executor/replace.go:29`), one shuffle via window dedup.
+    *
+    * Managed fast path: a key collides only within its own bucket, so the
+    * upsert merges the incoming rows against JUST their buckets' base
+    * partitions (partition-pruned scan) and rewrites those buckets.
     */
   private def replaceInto(t: String, colList: Option[String],
       source: String): Unit = {
+    val ref = qualify(t)
     val target = tableState(t)
     val incoming = buildIncoming(target, colList, source, Some(unqualified(t)))
-    val keys = primaryKeys.getOrElse(unqualified(t),
-      Seq(target.schema.fieldNames.head))
-    applyWrite(t, operators.Dml.replaceInto(target, incoming, keys))
+    val keys =
+      if (isManaged(ref)) bucketKeys(ref)
+      else primaryKeys.getOrElse(unqualified(t),
+        Seq(target.schema.fieldNames.head))
+    if (!txnActive && isManaged(ref)) {
+      val incB = withBucket(ref, incoming)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val affected = incB.select(GbCol).distinct().collect()
+          .map(_.getInt(0)).toSeq
+        val baseAff = spark.table(physRef(ref))
+          .where(col(GbCol).isin(affected: _*))
+        val merged = operators.Dml.replaceInto(
+          baseAff, incB.select(physCols(ref).map(col): _*), keys)
+        rewriteManaged(ref, merged, Some(affected))
+      } finally incB.unpersist()
+    } else {
+      val buckets =
+        if (isManaged(ref)) Some(incoming.select(bucketCol(ref).as(GbCol)))
+        else None
+      applyWrite(t, operators.Dml.replaceInto(target, incoming, keys), buckets)
+    }
   }
 
-  /** Stage-then-overwrite rewrite: materialize the next table state to a
-    * scratch dir, then INSERT OVERWRITE (Spark refuses to overwrite a
-    * table that is also being read). Partition-level rewrite would bound
-    * this at lake scale; the dataflow shape is identical.
+  /** Legacy stage-then-overwrite rewrite for UNmanaged tables (tables not
+    * created through this front-end): materialize the next table state to
+    * a scratch dir, then INSERT OVERWRITE the whole table (Spark refuses
+    * to overwrite a table that is also being read).
     */
   private def rewriteTable(t: String, next: DataFrame): Unit = {
     val target = spark.table(t)
@@ -897,6 +1357,65 @@ final class GraftSession(val spark: SparkSession) {
     spark.read.parquet(stage).write.mode("overwrite").insertInto(t)
     refreshIndexes(t)
   }
+
+  /** Partition-pruned rewrite of a managed table: stage `nextWithGb`
+    * restricted to the affected buckets, dynamic-overwrite ONLY the
+    * staged bucket partitions, explicitly clear buckets the statement
+    * emptied, and refresh index snapshots for the affected buckets alone.
+    * `affected = None` means a full rewrite (schema backfill, unkeyed
+    * statements): no restriction, and stale buckets are computed against
+    * the table's current partition list.
+    */
+  private def rewriteManaged(ref: String, nextWithGb: DataFrame,
+      affected: Option[Seq[Int]]): Unit = {
+    val stage = Files.createTempDirectory("graft-rw").toString
+    val order = physCols(ref)
+    val frame = affected match {
+      case Some(a) => nextWithGb.where(col(GbCol).isin(a: _*))
+      case None => nextWithGb
+    }
+    frame.select(order.map(col): _*)
+      .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
+    applyStagedManaged(ref, stage, affected)
+  }
+
+  /** Apply a staged managed rewrite: dynamic partition overwrite of the
+    * staged buckets, then clear affected buckets the stage did not touch
+    * (their rows were all deleted).
+    */
+  private def applyStagedManaged(ref: String, stage: String,
+      affected: Option[Seq[Int]]): Unit = {
+    val phys = physRef(ref)
+    val order = physCols(ref)
+    val toClear = affected.getOrElse(currentPartitions(ref))
+    val present = listBucketDirs(stage)
+    if (present.nonEmpty)
+      spark.read.parquet(stage).select(order.map(col): _*)
+        .write.mode("overwrite").insertInto(phys)
+    val emptied = toClear.filterNot(present.contains)
+    emptied.foreach(clearPartition(ref, _))
+    refreshIndexes(ref, Some(toClear), emptied)
+    lastRewrite = Some((toClear.size, bucketCount(ref)))
+  }
+
+  /** Remove every row of one bucket partition: a static-partition
+    * INSERT OVERWRITE from an empty one-row-relation source (validated:
+    * clears the partition without reading the table).
+    */
+  private def clearPartition(ref: String, b: Int): Unit = {
+    val sel = spark.table(ref).schema.fields
+      .map(f => s"CAST(NULL AS ${f.dataType.sql})").mkString(", ")
+    spark.sql(s"INSERT OVERWRITE TABLE ${physRef(ref)} " +
+      s"PARTITION ($GbCol=$b) SELECT $sel WHERE false")
+  }
+
+  /** Bucket ids present in a staged partitioned write (directory names —
+    * no Spark job needed).
+    */
+  private def listBucketDirs(dir: String): Seq[Int] =
+    Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith(s"$GbCol="))
+      .map(_.stripPrefix(s"$GbCol=").toInt).toSeq
 
   // ----------------------------------------------------------------- helpers
 
@@ -930,15 +1449,18 @@ object GraftSession {
       !spark.catalog.tableExists(qualified)) {
       val dbLoc = spark.sessionState.catalog
         .getDatabaseMetadata(parts(0)).locationUri
-      val dir = java.nio.file.Paths.get(
-        new java.net.URI(dbLoc.toString).getPath, parts(1))
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      deleteRecursively(java.nio.file.Paths.get(
+        new java.net.URI(dbLoc.toString).getPath, parts(1)))
     }
   }
+
+  /** Delete a directory tree if it exists (local scratch/snapshot dirs). */
+  private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
   /** Deterministic session defaults, names per MySQL/the reference's
     * `sessionctx/variable` (values chosen for stable SHOW output).
@@ -955,6 +1477,15 @@ object GraftSession {
     * `<name>__data`, read through a logical view named `<name>`.
     */
   val PhysSuffix = "__data"
+
+  /** The hidden bucket-partition column of managed tables. */
+  val GbCol = "__gb"
+
+  /** Default bucket-partition count for managed tables. Local test scale;
+    * a cluster deployment raises it (it is recorded per table in
+    * `graft.buckets`, so existing tables keep their layout).
+    */
+  val Buckets = 8
 
   /** Strip SQL comments outside string/identifier literals: `-- ` (MySQL
     * requires whitespace after `--`, so `1--2` stays arithmetic), `#` to
@@ -1041,12 +1572,25 @@ object GraftSession {
     "^(?:UNIQUE(?:\\s+(?:KEY|INDEX))?|KEY|INDEX|CONSTRAINT)\\b".r
   private val ColumnDefRe = "(?s)^\\s*(`[^`]+`|\\w+)\\s+(\\w+(?:\\s*\\([^)]*\\))?)(.*)$".r
   private val IndexNameRe = "(?i)^(UNIQUE\\s+)?(?:KEY|INDEX)\\s+(`[^`]+`|\\w+)".r
+  private val UnsignedRe = "(?i)(?<![\\w_])UNSIGNED(?![\\w_])".r
+
+  /** A string that parses as a COMPLETE numeric literal — non-strict
+    * coercion of anything else truncates, with warning 1265.
+    */
+  private val FullNumericRe =
+    "^[ \\t]*[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?[ \\t]*$"
   private val AlterAddColRe =
     "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+ADD\\s+(?:COLUMNS?\\s+)?(.+)$".r
   private val AlterAddIndexRe =
     "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+ADD\\s+(?:KEY|INDEX)\\s+([`\\w]+)\\s*\\((.*)\\)$".r
   private val AlterDropIndexRe =
     "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+DROP\\s+(?:KEY|INDEX)\\s+([`\\w]+)$".r
+  private val AlterDropColRe =
+    "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+DROP\\s+(?:COLUMN\\s+)?(`[^`]+`|\\w+)$".r
+  private val AlterModifyColRe =
+    "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+MODIFY\\s+(?:COLUMN\\s+)?(.+)$".r
+  private val AlterChangeColRe =
+    "(?is)^ALTER\\s+TABLE\\s+([`\\w.]+)\\s+CHANGE\\s+(?:COLUMN\\s+)?(`[^`]+`|\\w+)\\s+(.+)$".r
   private val SelectAssignRe =
     "(?is)^SELECT\\s+@(\\w+)\\s*:=\\s*(.+?)(?:\\s+AS\\s+(`[^`]+`|\\w+))?(?:\\s+FROM\\s+DUAL)?$".r
   private val CommaLimitRe =

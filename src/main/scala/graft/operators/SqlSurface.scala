@@ -142,6 +142,39 @@ object SqlSurface extends QueryModule {
               WHERE n_nationkey % 2 <> 0
               UNION ALL SELECT 100, 'ATLANTIS'""")),
 
+    // ALTER TABLE column lifecycle: ADD with DEFAULT backfill → MODIFY
+    // retype → CHANGE rename → DROP COLUMN, then a post-DDL insert
+    // against the final schema (reference DDL API:
+    // ddl/ddl_api.go:1085 add, :1110 drop, :1488 change, :1524 modify).
+    Q("sql_ddl_alter",
+      (s, d) => {
+        val gs = session(s, d)
+        scratch(gs)
+        gs.execute("DROP TABLE IF EXISTS alt")
+        gs.execute(
+          """CREATE TABLE alt (id BIGINT PRIMARY KEY, v VARCHAR(32),
+               junk INT, region_id INT)""")
+        gs.execute(
+          """INSERT INTO alt
+             SELECT n_nationkey, n_name, 0, CAST(n_regionkey AS INT)
+             FROM nation""")
+        gs.execute("ALTER TABLE alt ADD COLUMN score DOUBLE DEFAULT 1.5")
+        gs.execute("ALTER TABLE alt MODIFY COLUMN region_id BIGINT")
+        gs.execute("ALTER TABLE alt CHANGE COLUMN v nation_name VARCHAR(64)")
+        gs.execute("ALTER TABLE alt DROP COLUMN junk")
+        gs.execute("INSERT INTO alt VALUES (100, 'ATLANTIS', 5, 2.5)")
+        backToDefault(gs, gs.execute(
+          """SELECT id, nation_name, region_id, round(score, 2) AS score
+             FROM graft_sql.alt"""))
+      },
+      Some("""SELECT n_nationkey AS id, n_name AS nation_name,
+                     CAST(n_regionkey AS BIGINT) AS region_id,
+                     CAST(1.5 AS DOUBLE) AS score
+              FROM nation
+              UNION ALL
+              SELECT CAST(100 AS BIGINT), 'ATLANTIS', CAST(5 AS BIGINT),
+                     CAST(2.5 AS DOUBLE)""")),
+
     // CREATE INDEX + ADMIN CHECK TABLE: index↔row consistency job
     // (`planner/core/planbuilder.go:435`).
     Q("sql_admin_check",

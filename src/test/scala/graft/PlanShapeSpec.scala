@@ -52,4 +52,49 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("BatchEvalPython"))
     assert(!plan.toLowerCase.contains("scalaudf"))
   }
+
+  test("keyed DELETE rewrites only the buckets containing affected keys") {
+    val gs = new GraftSession(spark)
+    gs.execute("CREATE DATABASE IF NOT EXISTS plandb")
+    gs.execute("USE plandb")
+    gs.execute("DROP TABLE IF EXISTS pt")
+    gs.execute("CREATE TABLE pt (id BIGINT PRIMARY KEY, v VARCHAR(16))")
+    spark.range(200).selectExpr("id", "concat('v', id) AS v")
+      .createOrReplaceTempView("pt_src")
+    gs.execute("INSERT INTO pt SELECT id, v FROM pt_src")
+    gs.execute("DELETE FROM pt WHERE id = 7")
+    val (rewritten, total) = gs.lastRewrite.getOrElse(fail("no rewrite recorded"))
+    assert(rewritten == 1 && total > 1, s"($rewritten, $total)")
+    assert(spark.table("plandb.pt").count() == 199)
+    // bucket predicates reach the scan as partition filters — the rewrite
+    // reads affected partitions only, never the whole table
+    val plan = Meta.explainFormatted(spark.table("plandb.pt__data")
+      .where(org.apache.spark.sql.functions.col("__gb") === 3))
+    assert(plan.contains("PartitionFilters") && plan.contains("__gb"), plan)
+    gs.execute("USE default")
+  }
+
+  test("INSERT..SELECT into AUTO_INCREMENT has no single-partition exchange") {
+    val gs = new GraftSession(spark)
+    gs.execute("CREATE DATABASE IF NOT EXISTS plandb")
+    gs.execute("USE plandb")
+    gs.execute("DROP TABLE IF EXISTS ais")
+    gs.execute("CREATE TABLE ais (id INT PRIMARY KEY AUTO_INCREMENT, c1 BIGINT)")
+    gs.execute("INSERT INTO ais (id, c1) VALUES (5, 0)")
+    spark.range(100000).toDF("n").repartition(4)
+      .createOrReplaceTempView("ai_src")
+    gs.execute("INSERT INTO ais (c1) SELECT n FROM ai_src")
+    // ids unique, above the pre-existing max, one per input row
+    val stats = spark.table("plandb.ais")
+      .selectExpr("count(*)", "count(distinct id)", "min(id)").collect()(0)
+    assert(stats.getLong(0) == 100001L, stats.toString)
+    assert(stats.getLong(1) == 100001L, stats.toString)
+    assert(stats.getInt(2) == 5, stats.toString)
+    // the id-assignment window partitions by input partition: the plan
+    // must not funnel the scan through Exchange SinglePartition
+    val plan = gs.query("EXPLAIN INSERT INTO ais (c1) SELECT n FROM ai_src")
+      .mkString("\n")
+    assert(!plan.contains("SinglePartition"), plan)
+    gs.execute("USE default")
+  }
 }

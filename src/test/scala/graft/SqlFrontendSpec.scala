@@ -171,8 +171,9 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("INSERT INTO ac VALUES (1, 'a'), (2, 'b')")
     gs.execute("CREATE INDEX vidx ON ac (v)")
     assert(gs.query("ADMIN CHECK TABLE ac") == Seq("ac vidx OK"))
-    // out-of-band write (bypasses the engine's index maintenance)
-    spark.sql("INSERT INTO sqlfe.ac VALUES (9, 'z')")
+    // out-of-band write straight into the physical bucket table
+    // (bypasses the engine's index maintenance)
+    spark.sql("INSERT INTO sqlfe.ac__data VALUES (9, 'z', 0)")
     assert(gs.query("ADMIN CHECK TABLE ac") == Seq("ac vidx CORRUPT"))
     gs.execute("DROP INDEX vidx ON ac")
     assert(gs.query("ADMIN CHECK TABLE ac") == Seq("ac <none> OK"))
@@ -278,6 +279,76 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("CREATE TABLE st (id BIGINT, v VARCHAR(10))")
     gs.execute("INSERT INTO st VALUES (1, 'a'), (2, 'b'), (3, 'c')")
     gs.execute("ANALYZE TABLE st")
-    assert(Stats.rowCount(spark, "sqlfe.st").contains(BigInt(3)))
+    // stats land on the physical bucket table (what the optimizer scans)
+    assert(Stats.rowCount(spark, "sqlfe.st__data").contains(BigInt(3)))
+  }
+
+  test("ALTER TABLE DROP/MODIFY/CHANGE COLUMN lifecycle (ddl_api.go:1110,1488,1524)") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS alt")
+    gs.execute(
+      """CREATE TABLE alt (id BIGINT PRIMARY KEY, v VARCHAR(32),
+           junk INT, region_id INT)""")
+    gs.execute("INSERT INTO alt VALUES (1, 'a', 0, 10), (2, 'b', 0, 20)")
+    gs.execute("ALTER TABLE alt MODIFY COLUMN region_id BIGINT")
+    assert(gs.query("DESC alt").exists(_.startsWith("region_id bigint")))
+    gs.execute("ALTER TABLE alt CHANGE COLUMN v label VARCHAR(64)")
+    assert(gs.query("SELECT label FROM alt WHERE id = 1") == Seq("a"))
+    gs.execute("ALTER TABLE alt DROP COLUMN junk")
+    assert(gs.query("DESC alt").map(_.split(" ").head) ==
+      Seq("id", "label", "region_id"))
+    // data survives every recreate, and post-DDL DML works
+    assert(gs.query("SELECT id, label, region_id FROM alt ORDER BY id") ==
+      Seq("1 a 10", "2 b 20"))
+    gs.execute("INSERT INTO alt VALUES (3, 'c', 30)")
+    gs.execute("DELETE FROM alt WHERE id = 1")
+    assert(gs.query("SELECT id, label, region_id FROM alt ORDER BY id") ==
+      Seq("2 b 20", "3 c 30"))
+    // dropping an indexed column drops the column from the index
+    gs.execute("CREATE INDEX lr ON alt (label, region_id)")
+    gs.execute("ALTER TABLE alt DROP COLUMN region_id")
+    assert(gs.query("ADMIN CHECK TABLE alt") == Seq("alt lr OK"))
+    val create = gs.query("SHOW CREATE TABLE alt").head
+    assert(create.contains("KEY `lr` (`label`)"), create)
+  }
+
+  test("BIGINT UNSIGNED widens to DECIMAL(20,0): full 0..2^64-1 roundtrip") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS uns")
+    gs.execute(
+      """CREATE TABLE uns (id INT UNSIGNED PRIMARY KEY,
+           big BIGINT UNSIGNED, sm SMALLINT UNSIGNED)""")
+    // boundary values above 2^63-1 survive exactly (SURVEY §1.4 mapping;
+    // reference unsigned paths builtin_arithmetic.go:402-409)
+    gs.execute("INSERT INTO uns VALUES (4294967295, 18446744073709551615, 65535)")
+    gs.execute("INSERT INTO uns VALUES (1, 9223372036854775808, 0)")
+    assert(gs.query("SELECT big FROM uns ORDER BY big") ==
+      Seq("9223372036854775808", "18446744073709551615"))
+    assert(gs.query("SELECT id, sm FROM uns WHERE big = 18446744073709551615") ==
+      Seq("4294967295 65535"))
+    val d = gs.query("DESC uns")
+    assert(d.exists(_.startsWith("id bigint")), d)          // INT UNSIGNED
+    assert(d.exists(_.startsWith("big decimal(20,0)")), d)  // BIGINT UNSIGNED
+    assert(d.exists(_.startsWith("sm int")), d)             // SMALLINT UNSIGNED
+    // arithmetic above the signed-long range stays exact
+    assert(gs.query("SELECT big + 1 FROM uns WHERE id = 1") ==
+      Seq("9223372036854775809"))
+  }
+
+  test("non-strict sql_mode coerces truncated strings with warning 1265") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS co")
+    gs.execute("CREATE TABLE co (id BIGINT PRIMARY KEY, score DOUBLE)")
+    gs.execute("SET sql_mode = ''")
+    try {
+      gs.execute("INSERT INTO co VALUES (1, '12.5abc'), (2, 'junk')")
+      val w = gs.query("SHOW WARNINGS")
+      assert(w.count(_.contains("1265")) == 2, w)
+      assert(gs.query("SELECT id, score FROM co ORDER BY id") ==
+        Seq("1 12.5", "2 0.0"))
+    } finally gs.execute("SET sql_mode = 'STRICT_TRANS_TABLES'")
+    // strict mode (the default) errors instead, like MySQL
+    intercept[Exception](
+      gs.execute("INSERT INTO co VALUES (3, 'junk2')"))
   }
 }
