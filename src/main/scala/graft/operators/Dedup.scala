@@ -111,18 +111,29 @@ object Dedup extends QueryModule {
         (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jac"))
   }
 
-  /** Exact Jaccard over candidate pairs from full shingle sets. */
-  private def exactJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
-    cand
-      .join(sets.as("pa"), col("doc_a") === col("pa.doc_id"))
-      .join(sets.as("pb"), col("doc_b") === col("pb.doc_id"))
+  /** Count-based exact Jaccard restricted to candidate pairs: shingles
+    * are first semi-joined down to candidate docs, so the scoring join is
+    * bounded by the candidate set, and the score itself is pure integer
+    * count arithmetic — identical results to an array-intersect verify
+    * (shingles are distinct per doc) at a fraction of the cost, since no
+    * per-pair set arrays ever materialize.
+    */
+  private def candidateJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val docs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b"))).distinct()
+    val shc = sh.join(docs, "doc_id")
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = shc.as("a")
+      .join(shc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    cand.join(common, Seq("doc_a", "doc_b"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("pa.ss"), col("pb.ss")))
-          / size(array_union(col("pa.ss"), col("pb.ss")))).as("jac"))
-
-  /** Full shingle set per doc (for exact verification joins). */
-  private def shingleSets(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+        (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jac"))
+  }
 
   /** MinHash signatures: NUM min-aggregates in ONE hash aggregate (partial
     * map-side combine; one shuffle on doc_id) — no per-hash explode.
@@ -186,7 +197,7 @@ object Dedup extends QueryModule {
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        exactJaccard(cand, shingleSets(sh))
+        candidateJaccard(cand, sh)
           .filter(col("jac") >= 0.7)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       },

@@ -34,10 +34,20 @@ object Similarity extends QueryModule {
     * equivalent is interpreted). The fold order — 0.0 + x0·y0 + x1·y1 + …
     * left-associated — matches DuckDB's list_dot_product evaluation, so
     * doubles stay bit-identical for the oracle hash-compare.
+    *
+    * The unroll hard-codes [[Dim]]; a shorter vector would silently null
+    * the whole product (getItem past the end) and a longer one would be
+    * silently truncated, so the dimensionality is asserted per row —
+    * size() is a header read, and the guard keeps codegen.
     */
-  private[operators] def dot(a: Column, b: Column): Column =
-    (0 until Dim).map(i => a.getItem(i) * b.getItem(i))
+  private[operators] def dot(a: Column, b: Column): Column = {
+    val unrolled = (0 until Dim).map(i => a.getItem(i) * b.getItem(i))
       .foldLeft(lit(0.0))(_ + _)
+    when(size(a) === Dim && size(b) === Dim, unrolled)
+      .otherwise(raise_error(format_string(
+        s"graft.Similarity.dot: expected $Dim-dim vectors, got %d/%d",
+        size(a), size(b))))
+  }
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
