@@ -40,10 +40,6 @@ final class GraftSession(val spark: SparkSession) {
   if (!spark.sessionState.functionRegistry.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("strcmp")))
     functions.StrCmp.register(spark)
-  // partition-pruned writes: overwrite only the bucket partitions present
-  // in the written data (the file-level analog of the reference's
-  // row-granular writes, `table/tables/tables.go:378`)
-  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
   /** lower-cased user variable name -> rendered SQL literal. */
   private val userVars = mutable.LinkedHashMap.empty[String, String]
@@ -242,16 +238,23 @@ final class GraftSession(val spark: SparkSession) {
           source, Some(unqualified(ref)))
         if (isManaged(ref)) {
           val incB = withBucket(ref, incoming)
-          // affected buckets for the pruned index refresh — computed
-          // only when indexes exist (one tiny distinct job)
-          val affected =
-            if (indexes.keys.exists(_._1 == unqualified(ref)))
-              Some(incB.select(GbCol).distinct().collect()
-                .map(_.getInt(0)).toSeq)
-            else None
-          incB.select(physCols(ref).map(col): _*)
-            .write.mode("append").insertInto(physRef(ref))
-          affected.foreach(a => refreshIndexes(ref, Some(a)))
+          if (indexes.keys.exists(_._1 == unqualified(ref))) {
+            // pin the incoming rows by staging them ONCE: a
+            // nondeterministic source evaluated separately for the write
+            // and for the affected-bucket set could disagree, leaving
+            // index snapshots stale; the staged dir names ARE the
+            // affected buckets (no extra job)
+            val stage = Files.createTempDirectory("graft-ins").toString
+            incB.select(physCols(ref).map(col): _*)
+              .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
+            val affected = listBucketDirs(stage)
+            if (affected.nonEmpty)
+              spark.read.parquet(stage).select(physCols(ref).map(col): _*)
+                .write.mode("append").insertInto(physRef(ref))
+            refreshIndexes(ref, Some(affected))
+          } else
+            incB.select(physCols(ref).map(col): _*)
+              .write.mode("append").insertInto(physRef(ref))
         } else {
           incoming.write.mode("append").insertInto(ref)
           refreshIndexes(ref)
@@ -411,14 +414,14 @@ final class GraftSession(val spark: SparkSession) {
           val (cols, vals) = parseSetAssignments(asgns)
           buildIncoming(tableState(clean(t)), Some(cols.mkString(", ")),
             s"VALUES (${vals.mkString(", ")})",
-            Some(unqualified(clean(t))))
+            Some(unqualified(clean(t))), planOnly = true)
         case InsertFullRe(t, colList, source) =>
           buildIncoming(tableState(clean(t)), Option(colList), source,
-            Some(unqualified(clean(t))))
+            Some(unqualified(clean(t))), planOnly = true)
         case ReplaceRe(t, colList, source) =>
           val target = tableState(clean(t))
           val incoming = buildIncoming(target, Option(colList), source,
-            Some(unqualified(clean(t))))
+            Some(unqualified(clean(t))), planOnly = true)
           operators.Dml.replaceInto(target, incoming,
             primaryKeys.getOrElse(unqualified(clean(t)),
               Seq(target.schema.fieldNames.head)))
@@ -583,8 +586,15 @@ final class GraftSession(val spark: SparkSession) {
     require(open > 0, s"cannot parse CREATE TABLE: $sql")
     val close = matchingParen(sql, open)
     val header = sql.substring(0, open).trim
-    val rawName = header.split("\\s+").last
-    val table = unqualified(clean(rawName))
+    // backtick-aware name extraction: `db`.`t` splits on the OUTER dot
+    // only (a whitespace split would shear quoted names apart)
+    val qualifiedName = header match {
+      case CreateTableHeaderRe(n) =>
+        IdentPartRe.findAllIn(n).toSeq.map(clean).mkString(".")
+      case _ =>
+        throw new IllegalArgumentException(s"cannot parse CREATE TABLE: $sql")
+    }
+    val table = unqualified(qualifiedName)
     val ifNotExists = header.toUpperCase.contains("IF NOT EXISTS")
     val defs = splitTopLevel(sql.substring(open + 1, close), ',')
     val cols = mutable.Buffer.empty[(String, String, String)] // name, type, suffix
@@ -614,7 +624,7 @@ final class GraftSession(val spark: SparkSession) {
     require(cols.nonEmpty, s"CREATE TABLE without columns: $sql")
     // parsing is complete — only now may the statement implicitly commit
     commit()
-    val ref = qualify(clean(rawName))
+    val ref = qualify(qualifiedName)
     if (spark.catalog.tableExists(ref)) {
       if (ifNotExists) {
         warn("Note", 1050, s"Table '$table' already exists"); return
@@ -816,7 +826,10 @@ final class GraftSession(val spark: SparkSession) {
       if (left.isEmpty) indexes.remove(k)
       else indexes(k) = m.copy(cols = left)
     }
-    recreateManagedTable(ref, data.drop(actual))
+    // keys from the DURABLE layout metadata (a fresh session has no
+    // primaryKeys entry), minus the dropped column
+    recreateManagedTable(ref, data.drop(actual),
+      bucketKeys(ref).filterNot(_ == actual))
   }
 
   /** ALTER TABLE MODIFY/CHANGE COLUMN (`ddl/ddl_api.go:1488` Change,
@@ -848,7 +861,8 @@ final class GraftSession(val spark: SparkSession) {
       }
       val next = data.withColumnRenamed(actual, newName)
         .withColumn(newName, col(newName).cast(sparkType))
-      recreateManagedTable(ref, next)
+      recreateManagedTable(ref, next,
+        bucketKeys(ref).map(k => if (k == actual) newName else k))
     case other =>
       throw new IllegalArgumentException(s"cannot parse column def: $other")
   }
@@ -862,13 +876,12 @@ final class GraftSession(val spark: SparkSession) {
     * physical table + view around the new schema, restore the data, and
     * rebuild index snapshots.
     */
-  private def recreateManagedTable(ref: String, next: DataFrame): Unit = {
+  private def recreateManagedTable(ref: String, next: DataFrame,
+      keysHint: Seq[String]): Unit = {
     val phys = physRef(ref)
     val nb = bucketCount(ref)
-    val base = unqualified(ref)
-    val keys = primaryKeys.get(base)
-      .filter(_.forall(next.columns.contains))
-      .getOrElse(Seq(next.columns.head))
+    val keys = Some(keysHint.filter(next.columns.contains))
+      .filter(_.nonEmpty).getOrElse(Seq(next.columns.head))
     val nextGb = next.withColumn(GbCol,
       pmod(xxhash64(keys.map(col): _*), lit(nb)).cast("int"))
     val stage = Files.createTempDirectory("graft-ddl").toString
@@ -928,9 +941,11 @@ final class GraftSession(val spark: SparkSession) {
         val phys = spark.table(physRef(ref))
         affected match {
           case Some(a) =>
-            phys.where(col(GbCol).isin(a: _*))
-              .select((m.cols :+ GbCol).map(col): _*)
-              .write.partitionBy(GbCol).mode("overwrite").parquet(m.path)
+            withDynamicOverwrite {
+              phys.where(col(GbCol).isin(a: _*))
+                .select((m.cols :+ GbCol).map(col): _*)
+                .write.partitionBy(GbCol).mode("overwrite").parquet(m.path)
+            }
             emptied.foreach(b =>
               deleteRecursively(java.nio.file.Paths.get(m.path, s"$GbCol=$b")))
           case None =>
@@ -1172,7 +1187,8 @@ final class GraftSession(val spark: SparkSession) {
     * listed columns raise, as in MySQL.
     */
   private def buildIncoming(target: DataFrame, colList: Option[String],
-      source: String, tableBase: Option[String]): DataFrame = {
+      source: String, tableBase: Option[String],
+      planOnly: Boolean = false): DataFrame = {
     // resolve listed names case-insensitively, like Spark's analyzer
     val canon = target.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
     val rawNames = colList.map(splitCols).getOrElse(target.schema.fieldNames.toSeq)
@@ -1218,7 +1234,7 @@ final class GraftSession(val spark: SparkSession) {
       val provided = names.contains(f.name)
       if (autoInc.contains(f.name)) {
         if (isValues) assignAutoIncValues(df, target, f, provided)
-        else assignAutoIncScan(df, target, f, provided)
+        else assignAutoIncScan(df, target, f, provided, planOnly)
       } else if (provided) {
         if (coerced.contains(f.name))
           df.withColumn(f.name,
@@ -1267,45 +1283,58 @@ final class GraftSession(val spark: SparkSession) {
     * materializes. The per-partition counts and the batch's explicit max
     * are one metadata-sized collect (the analog of the reference's
     * allocator claiming an id range per batch,
-    * `table/tables/tables.go` allocHandle). The input is pinned with
-    * persist so the stats job and the write see identical partitions.
-    * Ids are unique and above max(existing); MySQL makes no ordering or
-    * density promise for SELECT sources.
+    * `table/tables/tables.go` allocHandle). The input is pinned by
+    * staging it once, so the stats job and the write see identical
+    * partitions AND values even for nondeterministic sources. Ids are
+    * unique and above max(existing); MySQL makes no ordering or density
+    * promise for SELECT sources.
     */
   private def assignAutoIncScan(df: DataFrame, target: DataFrame,
-      f: StructField, provided: Boolean): DataFrame = {
+      f: StructField, provided: Boolean, planOnly: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val session = df.sparkSession
-    import session.implicits._
-    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val needsId = if (provided) col(f.name).isNull else lit(true)
-    val withPid = pinned.withColumn("__pid", spark_partition_id())
-    val stats = withPid.groupBy(col("__pid"))
-      .agg(sum(when(needsId, 1L).otherwise(0L)).as("__n"),
-        (if (provided) max(col(f.name).cast("bigint"))
-         else lit(null).cast("bigint")).as("__mx"))
-      .collect()
-    val tableMax = target
-      .agg(coalesce(max(col(f.name)), lit(0)).cast("bigint"))
-      .collect()(0).getLong(0)
-    val batchMax = stats
-      .flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
-      .foldLeft(0L)(math.max)
-    val start = math.max(tableMax, batchMax)
-    var acc = 0L
-    val offsets = stats.map { r =>
-      val o = acc; acc += r.getLong(1); (r.getInt(0), o)
-    }.toSeq
-    val offDf = offsets.toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid"))
       .orderBy(monotonically_increasing_id())
-    val rn = sum(when(needsId, 1L).otherwise(0L)).over(w)
-    val next = (lit(start) + col("__off") + rn).cast(f.dataType)
-    withPid.join(broadcast(offDf), "__pid")
-      .withColumn(f.name,
-        if (provided) when(needsId, next).otherwise(col(f.name).cast(f.dataType))
+    def fill(src: DataFrame, next: org.apache.spark.sql.Column): DataFrame =
+      src.withColumn(f.name,
+        if (provided)
+          when(col(f.name).isNull, next).otherwise(col(f.name).cast(f.dataType))
         else next)
-      .drop("__pid", "__off")
+    val needsId = if (provided) col(f.name).isNull else lit(true)
+    val rn = sum(when(needsId, 1L).otherwise(0L)).over(w)
+    if (planOnly)
+      // EXPLAIN renders the plan without running the allocator's
+      // metadata jobs: a zero base stands in for the collected offsets —
+      // the plan shape (per-partition window, no SinglePartition) is
+      // what EXPLAIN is for
+      fill(df.withColumn("__pid", spark_partition_id()),
+        rn.cast(f.dataType)).drop("__pid")
+    else {
+      val stage = Files.createTempDirectory("graft-ai").toString
+      df.write.mode("overwrite").parquet(stage)
+      val pinned = spark.read.parquet(stage)
+      val withPid = pinned.withColumn("__pid", spark_partition_id())
+      val stats = withPid.groupBy(col("__pid"))
+        .agg(sum(when(needsId, 1L).otherwise(0L)).as("__n"),
+          (if (provided) max(col(f.name).cast("bigint"))
+           else lit(null).cast("bigint")).as("__mx"))
+        .collect()
+      val tableMax = target
+        .agg(coalesce(max(col(f.name)), lit(0)).cast("bigint"))
+        .collect()(0).getLong(0)
+      val batchMax = stats
+        .flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        .foldLeft(0L)(math.max)
+      val start = math.max(tableMax, batchMax)
+      var acc = 0L
+      val offsets = stats.map { r =>
+        val o = acc; acc += r.getLong(1); (r.getInt(0), o)
+      }.toSeq
+      import spark.implicits._
+      val offDf = offsets.toDF("__pid", "__off")
+      fill(withPid.join(broadcast(offDf), "__pid"),
+        (lit(start) + col("__off") + rn).cast(f.dataType))
+        .drop("__pid", "__off")
+    }
   }
 
   /** REPLACE INTO: delete-on-duplicate-key upsert on the primary key
@@ -1390,8 +1419,14 @@ final class GraftSession(val spark: SparkSession) {
     val toClear = affected.getOrElse(currentPartitions(ref))
     val present = listBucketDirs(stage)
     if (present.nonEmpty)
-      spark.read.parquet(stage).select(order.map(col): _*)
-        .write.mode("overwrite").insertInto(phys)
+      // dynamic mode scoped to THIS write: overwrite only the bucket
+      // partitions present in the staged data (the file-level analog of
+      // the reference's row-granular writes, tables.go:378) — never a
+      // session-global overwrite-semantics flip
+      withDynamicOverwrite {
+        spark.read.parquet(stage).select(order.map(col): _*)
+          .write.mode("overwrite").insertInto(phys)
+      }
     val emptied = toClear.filterNot(present.contains)
     emptied.foreach(clearPartition(ref, _))
     refreshIndexes(ref, Some(toClear), emptied)
@@ -1407,6 +1442,21 @@ final class GraftSession(val spark: SparkSession) {
       .map(f => s"CAST(NULL AS ${f.dataType.sql})").mkString(", ")
     spark.sql(s"INSERT OVERWRITE TABLE ${physRef(ref)} " +
       s"PARTITION ($GbCol=$b) SELECT $sel WHERE false")
+  }
+
+  /** Dynamic partition overwrite scoped to one write (the DataFrameWriter
+    * option is not honored on the insertInto path, so the session conf is
+    * flipped and restored — other writes on the shared session keep
+    * Spark's default static overwrite semantics).
+    */
+  private def withDynamicOverwrite[A](body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Bucket ids present in a staged partitioned write (directory names —
@@ -1573,6 +1623,10 @@ object GraftSession {
   private val ColumnDefRe = "(?s)^\\s*(`[^`]+`|\\w+)\\s+(\\w+(?:\\s*\\([^)]*\\))?)(.*)$".r
   private val IndexNameRe = "(?i)^(UNIQUE\\s+)?(?:KEY|INDEX)\\s+(`[^`]+`|\\w+)".r
   private val UnsignedRe = "(?i)(?<![\\w_])UNSIGNED(?![\\w_])".r
+  private val CreateTableHeaderRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "((?:`[^`]+`|\\w+)(?:\\s*\\.\\s*(?:`[^`]+`|\\w+))?)$").r
+  private val IdentPartRe = "`[^`]+`|\\w+".r
 
   /** A string that parses as a COMPLETE numeric literal — non-strict
     * coercion of anything else truncates, with warning 1265.

@@ -112,27 +112,15 @@ object Dedup extends QueryModule {
   }
 
   /** Count-based exact Jaccard restricted to candidate pairs: shingles
-    * are first semi-joined down to candidate docs, so the scoring join is
-    * bounded by the candidate set, and the score itself is pure integer
-    * count arithmetic — identical results to an array-intersect verify
-    * (shingles are distinct per doc) at a fraction of the cost, since no
-    * per-pair set arrays ever materialize.
+    * are semi-joined down to candidate docs, then scored by the same
+    * integer-count pipeline as [[countJaccard]] — identical results to an
+    * array-intersect verify (shingles are distinct per doc) at a fraction
+    * of the cost, since no per-pair set arrays ever materialize.
     */
   private def candidateJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val docs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
-    val shc = sh.join(docs, "doc_id")
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = shc.as("a")
-      .join(shc.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    cand.join(common, Seq("doc_a", "doc_b"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jac"))
+    cand.join(countJaccard(sh.join(docs, "doc_id")), Seq("doc_a", "doc_b"))
   }
 
   /** MinHash signatures: NUM min-aggregates in ONE hash aggregate (partial

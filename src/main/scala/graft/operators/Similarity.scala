@@ -43,7 +43,10 @@ object Similarity extends QueryModule {
   private[operators] def dot(a: Column, b: Column): Column = {
     val unrolled = (0 until Dim).map(i => a.getItem(i) * b.getItem(i))
       .foldLeft(lit(0.0))(_ + _)
-    when(size(a) === Dim && size(b) === Dim, unrolled)
+    // NULL vectors stay NULL (dropped by downstream filters, as before
+    // the guard); only a NON-null vector of the wrong length errors
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .when(size(a) === Dim && size(b) === Dim, unrolled)
       .otherwise(raise_error(format_string(
         s"graft.Similarity.dot: expected $Dim-dim vectors, got %d/%d",
         size(a), size(b))))

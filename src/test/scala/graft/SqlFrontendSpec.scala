@@ -273,6 +273,15 @@ class SqlFrontendSpec extends SparkSuite {
     intercept[Exception](gs.execute("CREATE TABLE dup (id BIGINT)"))
   }
 
+  test("backtick-quoted, db-qualified CREATE TABLE names parse") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("DROP TABLE IF EXISTS sqlfe.bq")
+    gs.execute("CREATE TABLE `sqlfe`.`bq` (id BIGINT PRIMARY KEY, v VARCHAR(8))")
+    gs.execute("INSERT INTO sqlfe.bq VALUES (1, 'a')")
+    assert(gs.query("SELECT id, v FROM sqlfe.bq") == Seq("1 a"))
+    gs.execute("DROP TABLE sqlfe.bq")
+  }
+
   test("ANALYZE TABLE populates catalog stats used by CBO") {
     gs.execute("USE sqlfe")
     gs.execute("DROP TABLE IF EXISTS st")
