@@ -273,6 +273,19 @@ class SqlFrontendSpec extends SparkSuite {
     intercept[Exception](gs.execute("CREATE TABLE dup (id BIGINT)"))
   }
 
+  test("REPLACE from a fresh session upserts on the durable PK key") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS xs")
+    // PK deliberately NOT the first column: a fresh session must read the
+    // key from the table's graft.keys property, not fall back to col 1
+    gs.execute("CREATE TABLE xs (v VARCHAR(8), id BIGINT PRIMARY KEY)")
+    gs.execute("INSERT INTO xs VALUES ('a', 1), ('b', 2)")
+    val gs2 = new GraftSession(spark) // no session-local metadata
+    gs2.execute("REPLACE INTO sqlfe.xs VALUES ('A', 1), ('c', 3)")
+    assert(gs2.query("SELECT v, id FROM sqlfe.xs ORDER BY id") ==
+      Seq("A 1", "b 2", "c 3"))
+  }
+
   test("backtick-quoted, db-qualified CREATE TABLE names parse") {
     gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
     gs.execute("DROP TABLE IF EXISTS sqlfe.bq")

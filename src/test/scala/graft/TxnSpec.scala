@@ -109,6 +109,24 @@ class TxnSpec extends SparkSuite {
     gs.execute("ROLLBACK")
   }
 
+  test("COMMIT rewrites only the buckets its statements touched") {
+    gs.execute("DROP TABLE IF EXISTS tp")
+    gs.execute("CREATE TABLE tp (id BIGINT PRIMARY KEY, v VARCHAR(8))")
+    spark.range(100).selectExpr("id", "concat('v', id) AS v")
+      .createOrReplaceTempView("tp_src")
+    gs.execute("INSERT INTO tp SELECT id, v FROM tp_src")
+    gs.executeAll(
+      """BEGIN;
+         DELETE FROM tp WHERE id = 3;
+         INSERT INTO tp VALUES (200, 'x');
+         COMMIT""")
+    val (rewritten, total) = gs.lastRewrite.getOrElse(fail("no rewrite"))
+    assert(rewritten < total, s"($rewritten, $total)")
+    assert(spark.table("txndb.tp").count() == 100)
+    assert(spark.table("txndb.tp").where("id = 3").count() == 0)
+    assert(spark.table("txndb.tp").where("id = 200").count() == 1)
+  }
+
   test("txn writes maintain indexes only at COMMIT") {
     gs.execute("DROP TABLE IF EXISTS t4")
     gs.execute("CREATE TABLE t4 (id BIGINT PRIMARY KEY, v VARCHAR(10))")
