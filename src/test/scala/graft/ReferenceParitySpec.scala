@@ -289,6 +289,58 @@ class ReferenceParitySpec extends SparkSuite {
       Seq("1 0", "2 0", "3 0"))
   }
 
+  test("MODIFY COLUMN widens, never narrows (executor/ddl_test.go:89-108)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS mc;
+         CREATE TABLE mc (c1 INT, c2 VARCHAR(10));
+         INSERT INTO mc VALUES (1, 'x')""")
+    intercept[Exception](gs.execute("alter table mc modify column c1 smallint"))
+    gs.execute("alter table mc modify column c1 bigint")
+    intercept[Exception](gs.execute("alter table mc modify column c2 blob"))
+    gs.execute("alter table mc modify column c2 text")
+    val create = gs.query("SHOW CREATE TABLE mc").head
+    assert(create.contains("`c1` bigint"), create)
+    assert(gs.query("select c1, c2 from mc") == Seq("1 x"))
+  }
+
+  test("CHANGE COLUMN replaces the whole definition (db_test.go:646 TestChangeColumn)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS t3;
+         CREATE TABLE t3 (a INT DEFAULT '0', b VARCHAR(10),
+                          d INT NOT NULL DEFAULT '0')""")
+    gs.execute("insert into t3 set b = 'a'")
+    assert(gs.query("select a from t3") == Seq("0"))
+    // the new definition has no DEFAULT — the old one is dropped, so the
+    // next insert leaves aa NULL (reference expects Rows("0", "<nil>"))
+    gs.execute("alter table t3 change a aa bigint")
+    gs.execute("insert into t3 set b = 'b'")
+    assert(gs.query("select aa from t3 order by aa desc") ==
+      Seq("0", "<nil>"))
+    gs.execute("alter table t3 change d dd bigint not null")
+    gs.execute("alter table t3 change b b varchar(20) null default 'c'")
+    gs.execute("insert into t3 set aa = 3, dd = 5")
+    assert(gs.query("select b from t3 order by b") == Seq("a", "b", "c"))
+    // rename onto an existing column name errors (ErrDupFieldName)
+    gs.execute("alter table t3 add column a bigint")
+    intercept[Exception](gs.execute("alter table t3 change aa a bigint"))
+  }
+
+  test("ALTER ... IF EXISTS skips a missing column with a note (db_test.go:1105 TestIfExists)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS ife;
+         CREATE TABLE ife (a INT PRIMARY KEY, b INT)""")
+    gs.execute("alter table ife drop column b")
+    intercept[Exception](gs.execute("alter table ife drop column b"))
+    gs.execute("alter table ife drop column if exists b")
+    assert(gs.query("SHOW WARNINGS").exists(_.contains("1091")))
+    intercept[Exception](gs.execute("alter table ife change column b c int"))
+    gs.execute("alter table ife change column if exists b c int")
+    assert(gs.query("SHOW WARNINGS").exists(_.contains("1054")))
+    gs.execute("alter table ife change column if exists a c int")
+    gs.execute("alter table ife modify column if exists c bigint")
+    assert(gs.query("DESC ife") == Seq("c bigint NO PRI"))
+  }
+
   test("information_schema memtables (infoschema/tables.go, union_scan_test.go:30)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS ist;
