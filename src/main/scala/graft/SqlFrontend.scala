@@ -149,6 +149,11 @@ final class GraftSession(val spark: SparkSession) {
     */
   private[graft] var lastRewrite: Option[(Int, Int)] = None
 
+  /** Whether the last keyed DELETE derived its buckets statically from
+    * the predicate's literals (point-get path: zero discovery scan).
+    */
+  private[graft] var lastStaticPrune = false
+
   // ------------------------------------------------------------------ router
 
   /** Record a statement warning (MySQL diagnostics area). */
@@ -1194,6 +1199,53 @@ final class GraftSession(val spark: SparkSession) {
     base.where(
       expr(s"coalesce(CAST((${substituteVars(cond)}) AS BOOLEAN), false)"))
 
+  /** Bucket ids derivable STATICALLY from a predicate: when the WHERE
+    * conjunction pins the (single) bucket key with `key = lit` or
+    * `key IN (lits)`, the affected buckets come from hashing the
+    * literals driver-side — NO discovery scan touches the table. This is
+    * the file-layout analog of the reference's index point-get (range
+    * construction from predicates, `util/ranger/detacher.go:335`). The
+    * result may be a superset of the truly touched buckets (the
+    * predicate's other conjuncts may reject every row) — safe: rewriting
+    * an untouched bucket rewrites identical content.
+    */
+  private def staticBuckets(ref: String, cond: String): Option[Seq[Int]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, In, Literal}
+    val keys = bucketKeys(ref)
+    if (keys.size != 1) return None
+    val key = keys.head
+    val parsed = scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(substituteVars(cond)))
+      .getOrElse(return None)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def isKey(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute => a.nameParts.last.equalsIgnoreCase(key)
+      case _ => false
+    }
+    val lits: Option[Seq[Literal]] = conjuncts(parsed).collectFirst {
+      case EqualTo(a, l: Literal) if isKey(a) => Seq(l)
+      case EqualTo(l: Literal, a) if isKey(a) => Seq(l)
+      case In(a, es) if isKey(a) && es.nonEmpty &&
+        es.forall(_.isInstanceOf[Literal]) =>
+        es.map(_.asInstanceOf[Literal])
+    }
+    lits.map { ls =>
+      val keyType = spark.table(ref).schema
+        .find(_.name.equalsIgnoreCase(key)).get.dataType.sql
+      val nb = bucketCount(ref)
+      // one OneRowRelation job over the literals — metadata-scale
+      val exprs = ls.zipWithIndex.map { case (l, i) =>
+        s"pmod(xxhash64(CAST(${l.sql} AS $keyType)), $nb) AS b$i"
+      }
+      spark.sql(s"SELECT ${exprs.mkString(", ")}").collect()(0)
+        .toSeq.map(_.asInstanceOf[Long].toInt).distinct
+    }
+  }
+
   /** DELETE FROM t WHERE cond: anti-filter + table rewrite
     * (`executor/delete.go:28`); NULL/FALSE conditions keep the row.
     *
@@ -1206,9 +1258,16 @@ final class GraftSession(val spark: SparkSession) {
     if (!txnActive && isManaged(ref)) {
       val phys = spark.table(physRef(ref))
       val affected: Seq[Int] = where match {
-        case Some(cond) => touchedBy(phys, cond)
-          .select(GbCol).distinct().collect().map(_.getInt(0)).toSeq
-        case None => currentPartitions(ref)
+        case Some(cond) =>
+          // point-get path first: buckets from the predicate's key
+          // literals (no table scan); general predicates fall back to a
+          // column-pruned discovery scan of the stored bucket column
+          val static = staticBuckets(ref, cond)
+          lastStaticPrune = static.isDefined
+          static.getOrElse(
+            touchedBy(phys, cond)
+              .select(GbCol).distinct().collect().map(_.getInt(0)).toSeq)
+        case None => lastStaticPrune = false; currentPartitions(ref)
       }
       if (affected.isEmpty) lastRewrite = Some((0, bucketCount(ref)))
       else rewriteManaged(ref,

@@ -65,7 +65,18 @@ class PlanShapeSpec extends SparkSuite {
     gs.execute("DELETE FROM pt WHERE id = 7")
     val (rewritten, total) = gs.lastRewrite.getOrElse(fail("no rewrite recorded"))
     assert(rewritten == 1 && total > 1, s"($rewritten, $total)")
+    // equality on the bucket key: the bucket came from hashing the
+    // literal — zero discovery scan (the index point-get analog)
+    assert(gs.lastStaticPrune, "expected static bucket derivation")
     assert(spark.table("plandb.pt").count() == 199)
+    gs.execute("DELETE FROM pt WHERE id IN (11, 12, 13)")
+    val (rew2, _) = gs.lastRewrite.getOrElse(fail("no rewrite recorded"))
+    assert(gs.lastStaticPrune && rew2 <= 3, s"IN list rewrote $rew2")
+    assert(spark.table("plandb.pt").count() == 196)
+    // a non-key predicate falls back to the column-pruned discovery scan
+    gs.execute("DELETE FROM pt WHERE v = 'v42'")
+    assert(!gs.lastStaticPrune)
+    assert(spark.table("plandb.pt").count() == 195)
     // bucket predicates reach the scan as partition filters — the rewrite
     // reads affected partitions only, never the whole table
     val plan = Meta.explainFormatted(spark.table("plandb.pt__data")
