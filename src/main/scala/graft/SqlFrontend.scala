@@ -119,6 +119,34 @@ final class GraftSession(val spark: SparkSession) {
   private def bucketCount(ref: String): Int =
     tableProps(ref).get("graft.buckets").map(_.toInt).getOrElse(Buckets)
 
+  /** Whether the layout keys are a DECLARED primary key (vs the first-
+    * column fallback) — only then does INSERT enforce uniqueness.
+    */
+  private def hasPk(ref: String): Boolean =
+    tableProps(ref).get("graft.pk").contains("true")
+
+  /** INSERT duplicate-key rejection on the primary key (the reference's
+    * ErrKeyExists from `table/tables/tables.go` AddRecord; MySQL's
+    * "Duplicate entry"). One aggregate over existing-keys ∪ incoming-keys
+    * finds both kinds of conflict — against stored rows and inside the
+    * incoming batch. `current` should already be bucket-pruned by the
+    * caller where possible.
+    */
+  private def checkDuplicateKeys(ref: String, current: DataFrame,
+      incoming: DataFrame): Unit = {
+    val keys = bucketKeys(ref)
+    val cur = current.select(keys.map(col): _*).withColumn("__new", lit(0))
+    val inc = incoming.select(keys.map(col): _*).withColumn("__new", lit(1))
+    val dup = cur.unionByName(inc).groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__new")).as("__in"))
+      .filter(col("__n") > 1 && col("__in") >= 1)
+      .limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Duplicate entry '${keys.indices.map(dup(0).get).mkString("-")}' " +
+          "for key 'PRIMARY'")
+  }
+
   /** Bucket id of a row: hash of the key columns mod bucket count. */
   private def bucketCol(ref: String): org.apache.spark.sql.Column =
     pmod(xxhash64(bucketKeys(ref).map(col): _*), lit(bucketCount(ref)))
@@ -243,19 +271,26 @@ final class GraftSession(val spark: SparkSession) {
           source, Some(unqualified(ref)))
         if (isManaged(ref)) {
           val incB = withBucket(ref, incoming)
-          if (indexes.keys.exists(_._1 == unqualified(ref))) {
+          if (hasPk(ref) || indexes.keys.exists(_._1 == unqualified(ref))) {
             // pin the incoming rows by staging them ONCE: a
-            // nondeterministic source evaluated separately for the write
-            // and for the affected-bucket set could disagree, leaving
-            // index snapshots stale; the staged dir names ARE the
-            // affected buckets (no extra job)
+            // nondeterministic source evaluated separately for the write,
+            // the duplicate-key check and the affected-bucket set could
+            // disagree; the staged dir names ARE the affected buckets
+            // (no extra job)
             val stage = Files.createTempDirectory("graft-ins").toString
             incB.select(physCols(ref).map(col): _*)
               .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
             val affected = listBucketDirs(stage)
-            if (affected.nonEmpty)
-              spark.read.parquet(stage).select(physCols(ref).map(col): _*)
-                .write.mode("append").insertInto(physRef(ref))
+            if (affected.nonEmpty) {
+              val staged = spark.read.parquet(stage)
+                .select(physCols(ref).map(col): _*)
+              if (hasPk(ref))
+                // uniqueness probe is bucket-pruned: only the incoming
+                // rows' own buckets can hold a conflicting key
+                checkDuplicateKeys(ref, spark.table(physRef(ref))
+                  .where(col(GbCol).isin(affected: _*)), staged)
+              staged.write.mode("append").insertInto(physRef(ref))
+            }
             refreshIndexes(ref, Some(affected))
           } else
             incB.select(physCols(ref).map(col): _*)
@@ -638,12 +673,13 @@ final class GraftSession(val spark: SparkSession) {
     }
     dropStaleLocation(spark, ref)
     dropStaleLocation(spark, physRef(ref))
-    val keys = primaryKeys.getOrElse(table, Seq(cols.head._1))
+    val pk = primaryKeys.get(table)
+    val keys = pk.getOrElse(Seq(cols.head._1))
     spark.sql(s"CREATE TABLE ${physRef(ref)} (" +
       cols.map(c => s"`${c._1}` ${c._2}${c._3}").mkString(", ") +
       s", `$GbCol` INT) USING parquet PARTITIONED BY ($GbCol) " +
       s"TBLPROPERTIES ('graft.keys'='${keys.mkString(",")}', " +
-      s"'graft.buckets'='$Buckets')")
+      s"'graft.buckets'='$Buckets', 'graft.pk'='${pk.isDefined}')")
     createLogicalView(ref)
     deferredIdx.foreach { case (n, u, cs) => createIndex(table, n, cs, u) }
   }
@@ -930,6 +966,9 @@ final class GraftSession(val spark: SparkSession) {
       keysHint: Seq[String]): Unit = {
     val phys = physRef(ref)
     val nb = bucketCount(ref)
+    // PK-ness survives the copy only while every key column does
+    val pkFlag = hasPk(ref) && keysHint.nonEmpty &&
+      keysHint.forall(next.columns.contains)
     val keys = Some(keysHint.filter(next.columns.contains))
       .filter(_.nonEmpty).getOrElse(Seq(next.columns.head))
     val nextGb = next.withColumn(GbCol,
@@ -944,7 +983,8 @@ final class GraftSession(val spark: SparkSession) {
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     spark.sql(s"CREATE TABLE $phys ($colsDdl, `$GbCol` INT) USING parquet " +
       s"PARTITIONED BY ($GbCol) TBLPROPERTIES " +
-      s"('graft.keys'='${keys.mkString(",")}', 'graft.buckets'='$nb')")
+      s"('graft.keys'='${keys.mkString(",")}', 'graft.buckets'='$nb', " +
+      s"'graft.pk'='$pkFlag')")
     if (listBucketDirs(stage).nonEmpty)
       spark.read.parquet(stage).select(physCols(ref).map(col): _*)
         .write.mode("append").insertInto(phys)
@@ -1170,14 +1210,18 @@ final class GraftSession(val spark: SparkSession) {
     txnBuckets.clear()
   }
 
-  /** INSERT inside an open transaction: buffered into the overlay. */
+  /** INSERT inside an open transaction: buffered into the overlay. The
+    * duplicate-key check runs at statement time against the overlay
+    * state, as the reference checks its membuffer on AddRecord.
+    */
   private def txnInsert(t: String, colList: Option[String],
       source: String): Unit = {
     val base = tableState(t)
     val incoming = buildIncoming(base, colList, source, Some(unqualified(t)))
+    val ref = qualify(t)
+    if (isManaged(ref) && hasPk(ref)) checkDuplicateKeys(ref, base, incoming)
     val buckets =
-      if (isManaged(qualify(t))) Some(
-        incoming.select(bucketCol(qualify(t)).as(GbCol)))
+      if (isManaged(ref)) Some(incoming.select(bucketCol(ref).as(GbCol)))
       else None
     applyWrite(t, base.unionByName(incoming), buckets)
   }

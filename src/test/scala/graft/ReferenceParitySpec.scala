@@ -437,6 +437,101 @@ class ReferenceParitySpec extends SparkSuite {
       (1 to 7).map(_.toString))
   }
 
+  test("comma-LIMIT matrix over an ordered scan (executor_test.go:1108 TestLimit)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS lim;
+         CREATE TABLE lim (a BIGINT, b BIGINT);
+         INSERT INTO lim VALUES (1,1),(2,2),(3,3),(4,4),(5,5),(6,6)""")
+    assert(gs.query("select * from lim order by a limit 1, 1") == Seq("2 2"))
+    assert(gs.query("select * from lim order by a limit 1, 3") ==
+      Seq("2 2", "3 3", "4 4"))
+    assert(gs.query("select * from lim order by a limit 2, 2") ==
+      Seq("3 3", "4 4"))
+    assert(gs.query("select * from lim order by a limit 2, 4") ==
+      Seq("3 3", "4 4", "5 5", "6 6"))
+  }
+
+  test("ROW misuse raises (executor_test.go:584 TestSelectErrorRow)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS er;
+         CREATE TABLE er (a INT);
+         INSERT INTO er VALUES (1)""")
+    intercept[Exception](gs.execute("select row(1, 1) from er"))
+    intercept[Exception](gs.execute("select * from er group by row(1, 1)"))
+    intercept[Exception](gs.execute("select * from er order by row(1, 1)"))
+    intercept[Exception](gs.execute("select (select 1, 1) from er"))
+  }
+
+  test("TableDual forms (executor_test.go:820 TestTableDual)") {
+    assert(gs.query("Select 1") == Seq("1"))
+    assert(gs.query("Select 1 from dual") == Seq("1"))
+    assert(gs.query("Select count(*) from dual") == Seq("1"))
+    gs.executeAll(
+      """DROP TABLE IF EXISTS dua;
+         CREATE TABLE dua (a INT PRIMARY KEY)""")
+    assert(gs.query(
+      "select t1.* from dua t1, dua t2 where t1.a = t2.a and 1 = 0") == Seq())
+  }
+
+  test("max-int64 handle + duplicate PK rejection (executor_test.go:1043 TestMaxInt64Handle)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS mx;
+         CREATE TABLE mx (id BIGINT, PRIMARY KEY (id));
+         INSERT INTO mx VALUES (9223372036854775807)""")
+    assert(gs.query("select * from mx where id = 9223372036854775807") ==
+      Seq("9223372036854775807"))
+    assert(gs.query("select * from mx") == Seq("9223372036854775807"))
+    // duplicate primary key errors (the reference's ErrKeyExists)
+    intercept[Exception](
+      gs.execute("insert into mx values(9223372036854775807)"))
+    gs.execute("delete from mx where id = 9223372036854775807")
+    assert(gs.query("select * from mx") == Seq())
+  }
+
+  test("point-range IN scan (executor_test.go:1058 TestTableScanWithPointRanges)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS pr;
+         CREATE TABLE pr (id INT, PRIMARY KEY (id));
+         INSERT INTO pr VALUES (1), (5), (10)""")
+    assert(gs.query("select * from pr where id in (1, 2, 10) order by id") ==
+      Seq("1", "10"))
+  }
+
+  test("unsigned BIGINT primary key above 2^63 (executor_test.go:1067 TestUnsignedPk)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS up;
+         CREATE TABLE up (id BIGINT UNSIGNED PRIMARY KEY)""")
+    gs.execute(
+      "insert into up values (9223372036854775808), (9223372036854775809), (1), (2)")
+    assert(gs.query("select * from up order by id") ==
+      Seq("1", "2", "9223372036854775808", "9223372036854775809"))
+    assert(gs.query("select * from up where id not in (2) order by id") ==
+      Seq("1", "9223372036854775808", "9223372036854775809"))
+  }
+
+  test("IN over quoted numeric strings (executor_test.go:625 TestIn)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS ti;
+         CREATE TABLE ti (c1 INT PRIMARY KEY, c2 INT)""")
+    gs.execute("INSERT INTO ti SELECT id, id FROM range(0, 120)")
+    assert(gs.query(
+      """select c2 from ti
+         where c1 in ('7', '10', '112', '111', '98', '106', '100', '9', '18', '17')
+         order by c2""") ==
+      Seq("7", "9", "10", "17", "18", "98", "100", "106", "111", "112"))
+  }
+
+  test("ORDER BY over aliases (executor_test.go:569 TestOrderBy)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS ob;
+         CREATE TABLE ob (c1 INT, c2 INT, c3 VARCHAR(20));
+         INSERT INTO ob VALUES (1, 2, 'abc'), (2, 1, 'bcd')""")
+    assert(gs.query("select c1 as a, c1 as b from ob order by c1") ==
+      Seq("1 1", "2 2"))
+    assert(gs.query("select c1 as c2 from ob order by c2") == Seq("1", "2"))
+    assert(gs.query("select sum(c1) from ob order by sum(c1)") == Seq("3"))
+  }
+
   test("self joins and comma joins (join_test.go:103-115)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS t;
