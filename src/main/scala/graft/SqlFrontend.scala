@@ -125,18 +125,21 @@ final class GraftSession(val spark: SparkSession) {
   private def hasPk(ref: String): Boolean =
     tableProps(ref).get("graft.pk").contains("true")
 
-  /** INSERT duplicate-key rejection on the primary key (the reference's
-    * ErrKeyExists from `table/tables/tables.go` AddRecord; MySQL's
-    * "Duplicate entry"). One aggregate over existing-keys ∪ incoming-keys
-    * finds both kinds of conflict — against stored rows and inside the
-    * incoming batch. `current` should already be bucket-pruned by the
-    * caller where possible.
+  /** INSERT duplicate-key rejection (the reference's ErrKeyExists from
+    * `table/tables/tables.go` AddRecord / `table/tables/index.go` Create;
+    * MySQL's "Duplicate entry"). One aggregate over existing-keys ∪
+    * incoming-keys finds both kinds of conflict — against stored rows and
+    * inside the incoming batch. Rows with a NULL key component are exempt
+    * (MySQL unique semantics). `current` should be pruned by the caller
+    * where possible (PK probes by bucket, index probes via the snapshot).
     */
-  private def checkDuplicateKeys(ref: String, current: DataFrame,
-      incoming: DataFrame): Unit = {
-    val keys = bucketKeys(ref)
-    val cur = current.select(keys.map(col): _*).withColumn("__new", lit(0))
-    val inc = incoming.select(keys.map(col): _*).withColumn("__new", lit(1))
+  private def checkUniqueKeys(keys: Seq[String], keyName: String,
+      current: DataFrame, incoming: DataFrame): Unit = {
+    val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val cur = current.select(keys.map(col): _*).where(nonNull)
+      .withColumn("__new", lit(0))
+    val inc = incoming.select(keys.map(col): _*).where(nonNull)
+      .withColumn("__new", lit(1))
     val dup = cur.unionByName(inc).groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"), sum(col("__new")).as("__in"))
       .filter(col("__n") > 1 && col("__in") >= 1)
@@ -144,8 +147,29 @@ final class GraftSession(val spark: SparkSession) {
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
         s"Duplicate entry '${keys.indices.map(dup(0).get).mkString("-")}' " +
-          "for key 'PRIMARY'")
+          s"for key '$keyName'")
   }
+
+  private def checkDuplicateKeys(ref: String, current: DataFrame,
+      incoming: DataFrame): Unit =
+    checkUniqueKeys(bucketKeys(ref), "PRIMARY", current, incoming)
+
+  /** Unique-index conflict probes for an INSERT: each unique index is
+    * checked against ITS SNAPSHOT (exactly the needed projection, far
+    * smaller than the base table) — or the given fallback state inside a
+    * transaction, where snapshots lag until COMMIT.
+    */
+  private def checkUniqueIndexes(ref: String, incoming: DataFrame,
+      txnState: Option[DataFrame]): Unit =
+    indexes.foreach {
+      case ((tb, name), m) if tb == unqualified(ref) && m.unique =>
+        val cur = txnState.map(_.select(m.cols.map(col): _*)).getOrElse(
+          scala.util.Try(
+            spark.read.parquet(m.path).select(m.cols.map(col): _*))
+            .getOrElse(incoming.select(m.cols.map(col): _*).limit(0)))
+        checkUniqueKeys(m.cols, name, cur, incoming)
+      case _ => ()
+    }
 
   /** Bucket id of a row: hash of the key columns mod bucket count. */
   private def bucketCol(ref: String): org.apache.spark.sql.Column =
@@ -289,6 +313,7 @@ final class GraftSession(val spark: SparkSession) {
                 // rows' own buckets can hold a conflicting key
                 checkDuplicateKeys(ref, spark.table(physRef(ref))
                   .where(col(GbCol).isin(affected: _*)), staged)
+              checkUniqueIndexes(ref, staged, txnState = None)
               staged.write.mode("append").insertInto(physRef(ref))
             }
             refreshIndexes(ref, Some(affected))
@@ -1219,7 +1244,10 @@ final class GraftSession(val spark: SparkSession) {
     val base = tableState(t)
     val incoming = buildIncoming(base, colList, source, Some(unqualified(t)))
     val ref = qualify(t)
-    if (isManaged(ref) && hasPk(ref)) checkDuplicateKeys(ref, base, incoming)
+    if (isManaged(ref)) {
+      if (hasPk(ref)) checkDuplicateKeys(ref, base, incoming)
+      checkUniqueIndexes(ref, incoming, txnState = Some(base))
+    }
     val buckets =
       if (isManaged(ref)) Some(incoming.select(bucketCol(ref).as(GbCol)))
       else None

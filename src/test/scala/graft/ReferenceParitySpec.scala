@@ -488,6 +488,25 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("select * from mx") == Seq())
   }
 
+  test("unique index rejects INSERT conflicts, NULLs exempt (table/tables/index.go ErrKeyExists)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS uqi;
+         CREATE TABLE uqi (id BIGINT PRIMARY KEY, v VARCHAR(10),
+                           UNIQUE KEY uv (v))""")
+    // multiple NULLs never conflict (MySQL unique-index semantics)
+    gs.execute("INSERT INTO uqi VALUES (1, 'a'), (2, NULL), (3, NULL)")
+    intercept[Exception](gs.execute("INSERT INTO uqi VALUES (4, 'a')"))
+    intercept[Exception](
+      gs.execute("INSERT INTO uqi VALUES (5, 'x'), (6, 'x')")) // intra-batch
+    gs.execute("INSERT INTO uqi VALUES (7, 'b')")
+    assert(gs.query("SELECT count(*) FROM uqi") == Seq("4"))
+    // inside a transaction the probe sees the overlay state
+    gs.executeAll("BEGIN; INSERT INTO uqi VALUES (8, 'c')")
+    intercept[Exception](gs.execute("INSERT INTO uqi VALUES (9, 'c')"))
+    gs.execute("ROLLBACK")
+    assert(gs.query("SELECT count(*) FROM uqi") == Seq("4"))
+  }
+
   test("point-range IN scan (executor_test.go:1058 TestTableScanWithPointRanges)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS pr;
