@@ -262,7 +262,9 @@ final class GraftSession(val spark: SparkSession) {
       case DropDbRe(ifEx, db) =>
         commit(); spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE"); ok()
       case _ if up.startsWith("CREATE TABLE") => createTable(sql); ok()
-      case DropTableRe(ifEx, t) => commit(); dropTable(opt(ifEx), t); ok()
+      case DropTableRe(ifEx, ts) =>
+        commit(); ts.split(',').map(_.trim).foreach(dropTable(opt(ifEx), _))
+        ok()
       case _ if up.startsWith("ALTER TABLE") => alterTable(sql); ok()
       case CreateIndexRe(uniq, name, t, cols) =>
         commit()
@@ -1766,8 +1768,8 @@ object GraftSession {
     "(?is)^CREATE\\s+(?:DATABASE|SCHEMA)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([`\\w]+)$".r
   private val DropDbRe =
     "(?is)^DROP\\s+(?:DATABASE|SCHEMA)\\s+(IF\\s+EXISTS\\s+)?([`\\w]+)$".r
-  private val DropTableRe =
-    "(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+)$".r
+  private val DropTableRe = // comma list, as in `DROP TABLE t1, t2`
+    "(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([`\\w.]+(?:\\s*,\\s*[`\\w.]+)*)$".r
   private val CreateIndexRe = // (.*) so prefix lengths like col(10) match
     "(?is)^CREATE\\s+(UNIQUE\\s+)?INDEX\\s+([`\\w]+)\\s+ON\\s+([`\\w.]+)\\s*\\((.*)\\)$".r
   private val DropIndexRe =

@@ -437,6 +437,16 @@ class ReferenceParitySpec extends SparkSuite {
       (1 to 7).map(_.toString))
   }
 
+  test("multi-table DROP TABLE list (used throughout the reference suites)") {
+    gs.executeAll(
+      """CREATE TABLE md1 (a INT);
+         CREATE TABLE md2 (a INT);
+         DROP TABLE IF EXISTS md1, md2, md_never_existed""")
+    assert(!spark.catalog.tableExists("refdb.md1"))
+    assert(!spark.catalog.tableExists("refdb.md2"))
+    assert(gs.query("SHOW WARNINGS").exists(_.contains("1051")))
+  }
+
   test("comma-LIMIT matrix over an ordered scan (executor_test.go:1108 TestLimit)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS lim;
