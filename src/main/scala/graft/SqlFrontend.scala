@@ -1515,41 +1515,75 @@ final class GraftSession(val spark: SparkSession) {
     }
   }
 
-  /** REPLACE INTO: delete-on-duplicate-key upsert on the primary key
-    * (`executor/replace.go:29`), one shuffle via window dedup.
+  /** REPLACE INTO: delete-on-duplicate-key upsert (`executor/replace.go:29`)
+    * — an incoming row displaces existing rows conflicting on the PRIMARY
+    * KEY (window dedup) or on ANY unique secondary index (anti-join per
+    * unique index; NULL key components never conflict), full MySQL
+    * semantics. Known delta: conflicts BETWEEN incoming rows are resolved
+    * per PK only, not per unique index.
     *
-    * Managed fast path: a key collides only within its own bucket, so the
-    * upsert merges the incoming rows against JUST their buckets' base
-    * partitions (partition-pruned scan) and rewrites those buckets.
+    * Managed fast path: a PK collides only within its own bucket, so the
+    * upsert merges the incoming rows against their buckets' base
+    * partitions (partition-pruned scan); unique-index conflicts can live
+    * in other buckets, so those buckets are discovered with one
+    * column-pruned probe per unique index and added to the rewrite set.
     */
   private def replaceInto(t: String, colList: Option[String],
       source: String): Unit = {
     val ref = qualify(t)
+    val base = unqualified(ref)
     val target = tableState(t)
     val incoming = buildIncoming(target, colList, source, Some(unqualified(t)))
     val keys =
       if (isManaged(ref)) bucketKeys(ref)
-      else primaryKeys.getOrElse(unqualified(t),
-        Seq(target.schema.fieldNames.head))
+      else primaryKeys.getOrElse(base, Seq(target.schema.fieldNames.head))
+    val uniqIdx = indexes.collect {
+      case ((tb, _), m) if tb == base && m.unique && m.cols != keys => m.cols
+    }.toSeq
     if (!txnActive && isManaged(ref)) {
       val incB = withBucket(ref, incoming)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val affected = incB.select(GbCol).distinct().collect()
-          .map(_.getInt(0)).toSeq
-        val baseAff = spark.table(physRef(ref))
-          .where(col(GbCol).isin(affected: _*))
+        val phys = spark.table(physRef(ref))
+        val idxBuckets = uniqIdx.flatMap(cols =>
+          phys.join(uniqueProbe(incB, cols), cols, "left_semi")
+            .select(GbCol).distinct().collect().map(_.getInt(0)))
+        val affected = (incB.select(GbCol).distinct().collect()
+          .map(_.getInt(0)) ++ idxBuckets).distinct.toSeq
+        val baseAff = antiUniqueConflicts(
+          phys.where(col(GbCol).isin(affected: _*)), incB, uniqIdx)
         val merged = operators.Dml.replaceInto(
           baseAff, incB.select(physCols(ref).map(col): _*), keys)
         rewriteManaged(ref, merged, Some(affected))
       } finally incB.unpersist()
     } else {
+      val kept = antiUniqueConflicts(target, incoming, uniqIdx)
       val buckets =
-        if (isManaged(ref)) Some(incoming.select(bucketCol(ref).as(GbCol)))
+        if (isManaged(ref)) Some(
+          uniqIdx.map(cols =>
+            target.join(uniqueProbe(incoming, cols), cols, "left_semi")
+              .select(bucketCol(ref).as(GbCol)))
+            .foldLeft(incoming.select(bucketCol(ref).as(GbCol)))(
+              _ unionByName _))
         else None
-      applyWrite(t, operators.Dml.replaceInto(target, incoming, keys), buckets)
+      applyWrite(t, operators.Dml.replaceInto(kept, incoming, keys), buckets)
     }
   }
+
+  /** Distinct non-NULL key tuples of the incoming rows (REPLACE/unique
+    * probes): NULL components never conflict.
+    */
+  private def uniqueProbe(incoming: DataFrame, cols: Seq[String]): DataFrame =
+    incoming.select(cols.map(col): _*)
+      .where(cols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+
+  /** Remove target rows conflicting with the incoming batch on any of the
+    * given unique-index column sets (MySQL REPLACE displacement).
+    */
+  private def antiUniqueConflicts(target: DataFrame, incoming: DataFrame,
+      uniqIdx: Seq[Seq[String]]): DataFrame =
+    uniqIdx.foldLeft(target)((acc, cols) =>
+      acc.join(uniqueProbe(incoming, cols), cols, "left_anti"))
 
   /** Legacy stage-then-overwrite rewrite for UNmanaged tables (tables not
     * created through this front-end): materialize the next table state to

@@ -517,6 +517,25 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("SELECT count(*) FROM uqi") == Seq("4"))
   }
 
+  test("REPLACE displaces rows conflicting on a unique index (executor/replace.go removeRow)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS ruq;
+         CREATE TABLE ruq (id BIGINT PRIMARY KEY, v VARCHAR(10),
+                           UNIQUE KEY uv (v));
+         INSERT INTO ruq VALUES (1, 'a'), (2, 'b')""")
+    // new PK, conflicting unique value: the old row (1, 'a') is deleted
+    gs.execute("REPLACE INTO ruq VALUES (3, 'a')")
+    assert(gs.query("SELECT id, v FROM ruq ORDER BY id") ==
+      Seq("2 b", "3 a"))
+    // NULL unique values never displace one another
+    gs.execute("REPLACE INTO ruq VALUES (4, NULL)")
+    gs.execute("REPLACE INTO ruq VALUES (5, NULL)")
+    assert(gs.query("SELECT count(*) FROM ruq") == Seq("4"))
+    // PK conflict still replaces in place
+    gs.execute("REPLACE INTO ruq VALUES (3, 'z')")
+    assert(gs.query("SELECT v FROM ruq WHERE id = 3") == Seq("z"))
+  }
+
   test("point-range IN scan (executor_test.go:1058 TestTableScanWithPointRanges)") {
     gs.executeAll(
       """DROP TABLE IF EXISTS pr;
