@@ -134,25 +134,35 @@ final class GraftSession(val spark: SparkSession) {
     * where possible (PK probes by bucket, index probes via the snapshot).
     */
   private def checkUniqueKeys(keys: Seq[String], keyName: String,
-      current: DataFrame, incoming: DataFrame): Unit = {
-    val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
-    val cur = current.select(keys.map(col): _*).where(nonNull)
+      current: DataFrame, incoming: DataFrame,
+      rejectNulls: Boolean = false): Unit = {
+    val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val cur = current.select(keys.map(col): _*).where(!anyNull)
       .withColumn("__new", lit(0))
-    val inc = incoming.select(keys.map(col): _*).where(nonNull)
+    // a PRIMARY key additionally rejects NULL components (MySQL 1048);
+    // unique secondary indexes exempt them
+    val inc = (if (rejectNulls) incoming.select(keys.map(col): _*)
+      else incoming.select(keys.map(col): _*).where(!anyNull))
       .withColumn("__new", lit(1))
-    val dup = cur.unionByName(inc).groupBy(keys.map(col): _*)
+    val bad = cur.unionByName(inc).groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"), sum(col("__new")).as("__in"))
-      .filter(col("__n") > 1 && col("__in") >= 1)
+      .filter(col("__in") >= 1 &&
+        (col("__n") > 1 || (if (rejectNulls) anyNull else lit(false))))
       .limit(1).collect()
-    if (dup.nonEmpty)
+    bad.headOption.foreach { row =>
+      val vals = keys.indices.map(row.get)
+      if (vals.contains(null))
+        throw new IllegalArgumentException(
+          s"Column '${keys.mkString(",")}' cannot be null")
       throw new IllegalArgumentException(
-        s"Duplicate entry '${keys.indices.map(dup(0).get).mkString("-")}' " +
-          s"for key '$keyName'")
+        s"Duplicate entry '${vals.mkString("-")}' for key '$keyName'")
+    }
   }
 
   private def checkDuplicateKeys(ref: String, current: DataFrame,
       incoming: DataFrame): Unit =
-    checkUniqueKeys(bucketKeys(ref), "PRIMARY", current, incoming)
+    checkUniqueKeys(bucketKeys(ref), "PRIMARY", current, incoming,
+      rejectNulls = true)
 
   /** Unique-index conflict probes for an INSERT: each unique index is
     * checked against ITS SNAPSHOT (exactly the needed projection, far
@@ -162,11 +172,10 @@ final class GraftSession(val spark: SparkSession) {
   private def checkUniqueIndexes(ref: String, incoming: DataFrame,
       txnState: Option[DataFrame]): Unit =
     indexes.foreach {
-      case ((tb, name), m) if tb == unqualified(ref) && m.unique =>
-        val cur = txnState.map(_.select(m.cols.map(col): _*)).getOrElse(
-          scala.util.Try(
-            spark.read.parquet(m.path).select(m.cols.map(col): _*))
-            .getOrElse(incoming.select(m.cols.map(col): _*).limit(0)))
+      case ((tb, name), m) if tb == unqualified(ref) &&
+          m.tableRef == ref && m.unique =>
+        val cur = txnState.map(_.select(m.cols.map(col): _*))
+          .getOrElse(readSnapshot(m))
         checkUniqueKeys(m.cols, name, cur, incoming)
       case _ => ()
     }
@@ -263,7 +272,14 @@ final class GraftSession(val spark: SparkSession) {
         commit(); spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE"); ok()
       case _ if up.startsWith("CREATE TABLE") => createTable(sql); ok()
       case DropTableRe(ifEx, ts) =>
-        commit(); ts.split(',').map(_.trim).foreach(dropTable(opt(ifEx), _))
+        commit()
+        // MySQL drops every EXISTING table in the list, then reports the
+        // unknown ones once — never aborts halfway
+        val missing = ts.split(',').map(_.trim)
+          .filterNot(dropTable(opt(ifEx), _))
+        if (missing.nonEmpty && ifEx == null)
+          throw new IllegalArgumentException(
+            s"Unknown table '${missing.mkString(",")}'")
         ok()
       case _ if up.startsWith("ALTER TABLE") => alterTable(sql); ok()
       case CreateIndexRe(uniq, name, t, cols) =>
@@ -708,7 +724,7 @@ final class GraftSession(val spark: SparkSession) {
       s"TBLPROPERTIES ('graft.keys'='${keys.mkString(",")}', " +
       s"'graft.buckets'='$Buckets', 'graft.pk'='${pk.isDefined}')")
     createLogicalView(ref)
-    deferredIdx.foreach { case (n, u, cs) => createIndex(table, n, cs, u) }
+    deferredIdx.foreach { case (n, u, cs) => createIndex(ref, n, cs, u) }
   }
 
   /** SURVEY §1.4 unsigned mapping: widen to the next integer type
@@ -779,10 +795,15 @@ final class GraftSession(val spark: SparkSession) {
     sb.toString
   }
 
-  private def dropTable(ifExists: String, t: String): Unit = {
+  /** Drop one table; returns false when it did not exist (the caller
+    * decides whether that is an error — a comma list reports all unknown
+    * names after dropping the rest, as MySQL does).
+    */
+  private def dropTable(ifExists: String, t: String): Boolean = {
     val name = clean(t)
     val isTemp = !name.contains('.') &&
       spark.sessionState.catalog.getTempView(name).isDefined
+    var found = true
     if (isTemp) spark.sql(s"DROP TABLE $ifExists$name") // Spark semantics:
     // DROP TABLE resolves (and drops) a same-named temp view first
     else {
@@ -791,10 +812,11 @@ final class GraftSession(val spark: SparkSession) {
         spark.sql(s"DROP VIEW IF EXISTS $ref")
         spark.sql(s"DROP TABLE IF EXISTS ${physRef(ref)}")
       } else if (spark.catalog.tableExists(ref)) spark.sql(s"DROP TABLE $ref")
-      else if (ifExists.nonEmpty)
+      else {
+        found = false
         // MySQL records Note 1051 when IF EXISTS skips a missing table
-        warn("Note", 1051, s"Unknown table '$ref'")
-      else throw new IllegalArgumentException(s"Unknown table '$ref'")
+        if (ifExists.nonEmpty) warn("Note", 1051, s"Unknown table '$ref'")
+      }
       // a FRESH in-memory catalog does not know about managed-table dirs a
       // previous session left in the warehouse; CREATE TABLE refuses a
       // non-empty location, so IF EXISTS must clear the stale dirs too
@@ -808,13 +830,14 @@ final class GraftSession(val spark: SparkSession) {
     primaryKeys.remove(base)
     columnDefaults.remove(base)
     autoIncCols.remove(base)
+    found
   }
 
   private def alterTable(sql: String): Unit = sql match {
     case AlterDropIndexRe(t, name) =>
       commit(); dropIndex(clean(t), clean(name))
     case AlterAddIndexRe(t, name, cols) =>
-      commit(); createIndex(unqualified(clean(t)), clean(name), splitCols(cols))
+      commit(); createIndex(clean(t), clean(name), splitCols(cols))
     case AlterAddColRe(t, rest) =>
       val body = if (rest.trim.startsWith("(")) parenBody(rest) else rest
       val base = unqualified(clean(t))
@@ -906,7 +929,7 @@ final class GraftSession(val spark: SparkSession) {
     // keys from the DURABLE layout metadata (a fresh session has no
     // primaryKeys entry), minus the dropped column
     recreateManagedTable(ref, data.drop(actual),
-      bucketKeys(ref).filterNot(_ == actual))
+      bucketKeys(ref).filterNot(_ == actual), pkHint = hasPk(ref))
   }
 
   /** ALTER TABLE MODIFY/CHANGE COLUMN (`ddl/ddl_api.go:1488` Change,
@@ -955,30 +978,47 @@ final class GraftSession(val spark: SparkSession) {
       }
       val next = data.withColumnRenamed(actual, newName)
         .withColumn(newName, col(newName).cast(sparkType))
+      // a PRIMARY KEY clause in the new definition re-keys the layout
+      val declaredPk =
+        maskQuoted(extras).toUpperCase.contains("PRIMARY KEY")
       recreateManagedTable(ref, next,
-        bucketKeys(ref).map(k => if (k == actual) newName else k))
+        if (declaredPk) Seq(newName)
+        else bucketKeys(ref).map(k => if (k == actual) newName else k),
+        pkHint = declaredPk || hasPk(ref))
     case other =>
       throw new IllegalArgumentException(s"cannot parse column def: $other")
   }
 
-  /** MODIFY/CHANGE retype rule: same family, equal-or-wider only.
-    * Varchar length narrowing is undetectable post-mapping (all text is
-    * STRING) — documented delta vs the reference's length check.
+  /** MODIFY/CHANGE retype rule: same family, equal-or-wider only —
+    * measured in INTEGER DIGITS for the int/decimal ladder, so a retype
+    * into a small DECIMAL cannot silently overflow values away. Varchar
+    * length narrowing is undetectable post-mapping (all text is STRING)
+    * — documented delta vs the reference's length check.
     */
   private def retypeAllowed(oldDdl: String, newDdl: String): Boolean = {
-    def fam(t: String): (String, Int) = t.takeWhile(_ != '(').trim match {
-      case "TINYINT" => ("int", 1)
-      case "SMALLINT" => ("int", 2)
-      case "INT" => ("int", 3)
-      case "BIGINT" => ("int", 4)
-      case "DECIMAL" => ("int", 5)
-      case "FLOAT" => ("real", 1)
-      case "DOUBLE" => ("real", 2)
-      case other => (other, 1)
+    val Dec = "DECIMAL\\((\\d+),\\s*(\\d+)\\)".r
+    // (family, integer digits, scale) — digits(BIGINT)=19 etc.
+    def fam(t0: String): (String, Int, Int) = {
+      val t = t0.trim
+      t.takeWhile(_ != '(') match {
+        case "TINYINT" => ("num", 3, 0)
+        case "SMALLINT" => ("num", 5, 0)
+        case "INT" => ("num", 10, 0)
+        case "BIGINT" => ("num", 19, 0)
+        case "DECIMAL" => t match {
+          case Dec(p, s) => ("num", p.toInt - s.toInt, s.toInt)
+          case _ => ("num", 10, 0)
+        }
+        case "FLOAT" => ("real", 1, 0)
+        case "DOUBLE" => ("real", 2, 0)
+        case other => (other, 1, 0)
+      }
     }
-    val (f1, r1) = fam(oldDdl.toUpperCase)
-    val (f2, r2) = fam(newDdl.toUpperCase)
-    f1 == f2 && r2 >= r1
+    val (f1, d1, s1) = fam(oldDdl.toUpperCase)
+    val (f2, d2, s2) = fam(newDdl.toUpperCase)
+    f1 == f2 && d2 >= d1 && s2 >= s1 &&
+      // plain-int targets cannot absorb a scaled decimal
+      !(s1 > 0 && s2 == 0)
   }
 
   /** Resolve a column name case-insensitively against a frame. */
@@ -990,11 +1030,11 @@ final class GraftSession(val spark: SparkSession) {
     * rebuild index snapshots.
     */
   private def recreateManagedTable(ref: String, next: DataFrame,
-      keysHint: Seq[String]): Unit = {
+      keysHint: Seq[String], pkHint: Boolean): Unit = {
     val phys = physRef(ref)
     val nb = bucketCount(ref)
     // PK-ness survives the copy only while every key column does
-    val pkFlag = hasPk(ref) && keysHint.nonEmpty &&
+    val pkFlag = pkHint && keysHint.nonEmpty &&
       keysHint.forall(next.columns.contains)
     val keys = Some(keysHint.filter(next.columns.contains))
       .filter(_.nonEmpty).getOrElse(Seq(next.columns.head))
@@ -1031,11 +1071,31 @@ final class GraftSession(val spark: SparkSession) {
     */
   private def createIndex(tableRef: String, name: String, cols: Seq[String],
       unique: Boolean = false): Unit = {
-    val base = unqualified(tableRef)
+    val ref = qualify(tableRef) // stored qualified: lookups from another
+    // current database (and same-named tables in other dbs) stay correct
+    val base = unqualified(ref)
     indexes((base, name)) =
-      IndexMeta(unique, cols, idxPath(base, name), tableRef)
-    refreshIndexes(tableRef)
+      IndexMeta(unique, cols, idxPath(base, name), ref)
+    refreshIndexes(ref)
   }
+
+  /** An index snapshot as a DataFrame: the empty projection when the
+    * snapshot holds no files (empty table / not yet materialized); real
+    * read errors propagate rather than silently disabling the consumer.
+    */
+  private def snapshotHasFiles(m: IndexMeta): Boolean = {
+    val dir = java.nio.file.Paths.get(m.path)
+    java.nio.file.Files.exists(dir) && {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .exists(_.toString.endsWith(".parquet"))
+    }
+  }
+
+  private def readSnapshot(m: IndexMeta): DataFrame =
+    if (snapshotHasFiles(m))
+      spark.read.parquet(m.path).select(m.cols.map(col): _*)
+    else spark.table(m.tableRef).select(m.cols.map(col): _*).limit(0)
 
   private def dropIndex(t: String, name: String): Unit = {
     val removed = indexes.remove((unqualified(t), name))
@@ -1085,11 +1145,9 @@ final class GraftSession(val spark: SparkSession) {
     val base = unqualified(t)
     val rows = indexes.collect { case ((tb, name), m) if tb == base =>
       val cur = spark.table(m.tableRef).select(m.cols.map(col): _*)
-      // managed snapshots carry the bucket partition column — project it
-      // away; an empty snapshot dir (empty table) reads as zero rows
-      val snap = scala.util.Try(
-        spark.read.parquet(m.path).select(m.cols.map(col): _*))
-        .getOrElse(cur.limit(0))
+      // managed snapshots carry the bucket partition column — projected
+      // away by readSnapshot; a fileless snapshot reads as zero rows
+      val snap = readSnapshot(m)
       val consistent =
         cur.exceptAll(snap).isEmpty && snap.exceptAll(cur).isEmpty
       (base, name, if (consistent) "OK" else "CORRUPT")
@@ -1307,16 +1365,37 @@ final class GraftSession(val spark: SparkSession) {
         es.forall(_.isInstanceOf[Literal]) =>
         es.map(_.asInstanceOf[Literal])
     }
-    lits.map { ls =>
-      val keyType = spark.table(ref).schema
-        .find(_.name.equalsIgnoreCase(key)).get.dataType.sql
+    val keyType = spark.table(ref).schema
+      .find(_.name.equalsIgnoreCase(key)).get.dataType
+    // The static path needs CAST(literal AS keyType) to agree with the
+    // predicate's own comparison coercion. Cross-family comparisons
+    // (string literal vs numeric key and vice versa) coerce both sides
+    // to DOUBLE and can match rows whose key is NOT the cast literal —
+    // the derived set would be a SUBSET, silently missing rows. Only
+    // same-family, lossless-cast combinations stay static; everything
+    // else falls back to the discovery scan.
+    def family(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      case _: DecimalType => "dec"
+      case StringType => "str"
+      case other => other.simpleString
+    }
+    def compatible(l: Literal): Boolean = (family(l.dataType), family(keyType)) match {
+      case (a, b) if a == b && a != "str" => true
+      case ("str", "str") => true
+      case ("int", "dec") => true // integral fits DECIMAL(20,0) losslessly
+      case _ => false
+    }
+    lits.filter(_.forall(compatible)).flatMap { ls =>
       val nb = bucketCount(ref)
-      // one OneRowRelation job over the literals — metadata-scale
+      // one OneRowRelation job over the literals — metadata-scale; any
+      // cast failure (e.g. out-of-range under ANSI) falls back to the scan
       val exprs = ls.zipWithIndex.map { case (l, i) =>
-        s"pmod(xxhash64(CAST(${l.sql} AS $keyType)), $nb) AS b$i"
+        s"pmod(xxhash64(CAST(${l.sql} AS ${keyType.sql})), $nb) AS b$i"
       }
-      spark.sql(s"SELECT ${exprs.mkString(", ")}").collect()(0)
-        .toSeq.map(_.asInstanceOf[Long].toInt).distinct
+      scala.util.Try(
+        spark.sql(s"SELECT ${exprs.mkString(", ")}").collect()(0)
+          .toSeq.map(_.asInstanceOf[Long].toInt).distinct).toOption
     }
   }
 
@@ -1538,29 +1617,39 @@ final class GraftSession(val spark: SparkSession) {
       if (isManaged(ref)) bucketKeys(ref)
       else primaryKeys.getOrElse(base, Seq(target.schema.fieldNames.head))
     val uniqIdx = indexes.collect {
-      case ((tb, _), m) if tb == base && m.unique && m.cols != keys => m.cols
+      case ((tb, _), m) if tb == base && m.tableRef == ref && m.unique &&
+        m.cols != keys && m.cols.forall(target.columns.contains) => m
     }.toSeq
+    val uniqCols = uniqIdx.map(_.cols)
     if (!txnActive && isManaged(ref)) {
       val incB = withBucket(ref, incoming)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val phys = spark.table(physRef(ref))
-        val idxBuckets = uniqIdx.flatMap(cols =>
-          phys.join(uniqueProbe(incB, cols), cols, "left_semi")
-            .select(GbCol).distinct().collect().map(_.getInt(0)))
+        // unique-index conflict buckets, probed via the SNAPSHOT (exactly
+        // the index projection + bucket column — far smaller than the
+        // base table)
+        val idxBuckets = uniqIdx.flatMap { m =>
+          val snapB =
+            if (snapshotHasFiles(m)) spark.read.parquet(m.path)
+              .select((m.cols :+ GbCol).map(col): _*)
+            else phys.select((m.cols :+ GbCol).map(col): _*).limit(0)
+          snapB.join(uniqueProbe(incB, m.cols), m.cols, "left_semi")
+            .select(GbCol).distinct().collect().map(_.getInt(0))
+        }
         val affected = (incB.select(GbCol).distinct().collect()
           .map(_.getInt(0)) ++ idxBuckets).distinct.toSeq
         val baseAff = antiUniqueConflicts(
-          phys.where(col(GbCol).isin(affected: _*)), incB, uniqIdx)
+          phys.where(col(GbCol).isin(affected: _*)), incB, uniqCols)
         val merged = operators.Dml.replaceInto(
           baseAff, incB.select(physCols(ref).map(col): _*), keys)
         rewriteManaged(ref, merged, Some(affected))
       } finally incB.unpersist()
     } else {
-      val kept = antiUniqueConflicts(target, incoming, uniqIdx)
+      val kept = antiUniqueConflicts(target, incoming, uniqCols)
       val buckets =
         if (isManaged(ref)) Some(
-          uniqIdx.map(cols =>
+          uniqCols.map(cols =>
             target.join(uniqueProbe(incoming, cols), cols, "left_semi")
               .select(bucketCol(ref).as(GbCol)))
             .foldLeft(incoming.select(bucketCol(ref).as(GbCol)))(

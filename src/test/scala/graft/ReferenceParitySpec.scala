@@ -445,6 +445,11 @@ class ReferenceParitySpec extends SparkSuite {
     assert(!spark.catalog.tableExists("refdb.md1"))
     assert(!spark.catalog.tableExists("refdb.md2"))
     assert(gs.query("SHOW WARNINGS").exists(_.contains("1051")))
+    // without IF EXISTS: existing tables in the list still drop, the
+    // unknown ones are reported once at the end (MySQL behavior)
+    gs.execute("CREATE TABLE md3 (a INT)")
+    intercept[Exception](gs.execute("DROP TABLE md_gone, md3"))
+    assert(!spark.catalog.tableExists("refdb.md3"))
   }
 
   test("comma-LIMIT matrix over an ordered scan (executor_test.go:1108 TestLimit)") {

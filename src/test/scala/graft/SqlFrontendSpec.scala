@@ -286,6 +286,29 @@ class SqlFrontendSpec extends SparkSuite {
       Seq("A 1", "b 2", "c 3"))
   }
 
+  test("NULL primary-key inserts are rejected (MySQL 1048)") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS np")
+    gs.execute("CREATE TABLE np (id BIGINT PRIMARY KEY, v INT)")
+    intercept[Exception](gs.execute("INSERT INTO np VALUES (NULL, 1)"))
+    assert(gs.query("SELECT count(*) FROM np") == Seq("0"))
+  }
+
+  test("cross-type DELETE literals fall back to the scan; same-type stay static") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS xt")
+    gs.execute("CREATE TABLE xt (id BIGINT PRIMARY KEY, v INT)")
+    gs.execute("INSERT INTO xt VALUES (10, 1), (11, 2)")
+    // fractional literal: CAST-to-key would lie about the match set —
+    // must take the discovery scan, and correctly match nothing
+    gs.execute("DELETE FROM xt WHERE id = 10.5")
+    assert(!gs.lastStaticPrune)
+    assert(gs.query("SELECT count(*) FROM xt") == Seq("2"))
+    gs.execute("DELETE FROM xt WHERE id = 10")
+    assert(gs.lastStaticPrune)
+    assert(gs.query("SELECT id FROM xt") == Seq("11"))
+  }
+
   test("backtick-quoted, db-qualified CREATE TABLE names parse") {
     gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
     gs.execute("DROP TABLE IF EXISTS sqlfe.bq")
@@ -314,6 +337,9 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("INSERT INTO alt VALUES (1, 'a', 0, 10), (2, 'b', 0, 20)")
     gs.execute("ALTER TABLE alt MODIFY COLUMN region_id BIGINT")
     assert(gs.query("DESC alt").exists(_.startsWith("region_id bigint")))
+    // narrowing into a small DECIMAL would overflow values away - rejected
+    intercept[Exception](
+      gs.execute("ALTER TABLE alt MODIFY COLUMN region_id DECIMAL(5,0)"))
     gs.execute("ALTER TABLE alt CHANGE COLUMN v label VARCHAR(64)")
     assert(gs.query("SELECT label FROM alt WHERE id = 1") == Seq("a"))
     gs.execute("ALTER TABLE alt DROP COLUMN junk")
