@@ -314,25 +314,32 @@ final class GraftSession(val spark: SparkSession) {
         if (isManaged(ref)) {
           val incB = withBucket(ref, incoming)
           if (hasPk(ref) || indexes.keys.exists(_._1 == unqualified(ref))) {
-            // pin the incoming rows by staging them ONCE: a
-            // nondeterministic source evaluated separately for the write,
-            // the duplicate-key check and the affected-bucket set could
-            // disagree; the staged dir names ARE the affected buckets
-            // (no extra job)
-            val stage = Files.createTempDirectory("graft-ins").toString
-            incB.select(physCols(ref).map(col): _*)
-              .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
-            val affected = listBucketDirs(stage)
+            // Pin the incoming rows ONCE so the duplicate-key check, the
+            // affected-bucket set and the write cannot disagree: VALUES
+            // batches are literal relations (already deterministic, no
+            // pin needed); arbitrary SELECT sources are staged to disk.
+            val isValues = source.toUpperCase.startsWith("VALUES")
+            val (pinned, affected) =
+              if (isValues) {
+                val a = incB.select(GbCol).distinct().collect()
+                  .map(_.getInt(0)).toSeq
+                (incB.select(physCols(ref).map(col): _*), a)
+              } else {
+                val stage = Files.createTempDirectory("graft-ins").toString
+                incB.select(physCols(ref).map(col): _*)
+                  .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
+                // the staged dir names ARE the affected buckets (no job)
+                (spark.read.parquet(stage)
+                  .select(physCols(ref).map(col): _*), listBucketDirs(stage))
+              }
             if (affected.nonEmpty) {
-              val staged = spark.read.parquet(stage)
-                .select(physCols(ref).map(col): _*)
               if (hasPk(ref))
                 // uniqueness probe is bucket-pruned: only the incoming
                 // rows' own buckets can hold a conflicting key
                 checkDuplicateKeys(ref, spark.table(physRef(ref))
-                  .where(col(GbCol).isin(affected: _*)), staged)
-              checkUniqueIndexes(ref, staged, txnState = None)
-              staged.write.mode("append").insertInto(physRef(ref))
+                  .where(col(GbCol).isin(affected: _*)), pinned)
+              checkUniqueIndexes(ref, pinned, txnState = None)
+              pinned.write.mode("append").insertInto(physRef(ref))
             }
             refreshIndexes(ref, Some(affected))
           } else
