@@ -386,7 +386,9 @@ final class GraftSession(val spark: SparkSession) {
 
   private def select(sql: String): DataFrame = {
     if (InfoSchemaRe.findFirstIn(sql).isDefined) refreshInfoSchema()
-    spark.sql(mapOutsideQuotes(substituteVars(sql)) { seg =>
+    // parse → MySQL-division wrap → analyze (plans.MySqlDivision) instead
+    // of a plain spark.sql, so `x / 0` is NULL as in the reference
+    plans.MySqlDivision.sql(spark, mapOutsideQuotes(substituteVars(sql)) { seg =>
       CommaLimitRe.replaceAllIn(
         DualRe.replaceAllIn(
           InfoSchemaRe.replaceAllIn(mysqlFunctionRewrites(seg),
@@ -556,7 +558,8 @@ final class GraftSession(val spark: SparkSession) {
     * reference's `v.Expr.Eval(chunk.Row{})` (`executor/set.go:48`).
     */
   private def evalScalar(expr: String): Any =
-    spark.sql(s"SELECT (${substituteVars(expr)}) AS v").collect()(0).get(0)
+    plans.MySqlDivision.sql(spark,
+      s"SELECT (${substituteVars(expr)}) AS v").collect()(0).get(0)
 
   /** Replace @x / @@sysvar references outside quotes with literals;
     * unset variables read as NULL (`builtin_other.go:310-330`).

@@ -43,6 +43,10 @@ class ReferenceParitySpec extends SparkSuite {
       Seq("true true true true"))
     assert(gs.query("select 7 + 3, 7 - 3, 7 * 3, 7 / 2, -(-5)") ==
       Seq("10 4 21 3.5 5"))
+    // division family by zero yields NULL, never an error
+    // (builtin_arithmetic.go:471 arithmeticDivide real/int/mod paths)
+    assert(gs.query("select 1 / 0, 1 div 0, 1 % 0, 7 div 2, 7 % 3") ==
+      Seq("<nil> <nil> <nil> 3 1"))
     // IN and ROW comparison (rowFunctionClass)
     assert(gs.query("select 2 in (1, 2, 3), 5 in (1, 2, 3)") ==
       Seq("true false"))
