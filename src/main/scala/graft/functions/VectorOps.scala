@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dot product of two double arrays as a native Catalyst expression.
+  *
+  * The DataFrame-composable alternatives are both unusable at scale: the
+  * `aggregate(zip_with(...))` higher-order fold is interpreted (no
+  * codegen), and unrolling `a[0]*b[0] + a[1]*b[1] + …` to 64 terms
+  * produces megabyte plan trees (observed 1.5 MiB task binaries) that
+  * dominate optimizer/codegen time and spill out of whole-stage codegen.
+  * A `doGenCode` loop keeps the plan node O(1)-sized and the inner loop
+  * branch-free — the Spark-native analog of a vectorized kernel.
+  *
+  * Semantics match the left-associated fold `0.0 + a0·b0 + a1·b1 + …`
+  * (DuckDB `list_dot_product` evaluation order), so doubles stay
+  * bit-identical for the oracle hash-compare. NULL array → NULL; NULL
+  * element → NULL; mismatched lengths → error (the dimension guard:
+  * a wrong-dimension vector must fail loudly, not silently truncate).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must be array<double> — enforced by the [[VectorOps.dot]]
+  // wrapper's cast (a no-op on already-double arrays), since Spark 4
+  // hides AbstractDataType/inputTypes from third-party expressions.
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"graft_dot: dimension mismatch: $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("sum")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: dimension mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorOps {
+  /** Registers `graft_dot` in the session's function registry (guarded —
+    * re-registration would WARN-spam every log line).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Column-API entry point; requires [[register]] on the session first. */
+  def dot(a: Column, b: Column): Column =
+    call_function("graft_dot",
+      a.cast("array<double>"), b.cast("array<double>"))
+}

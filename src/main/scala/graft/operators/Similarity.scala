@@ -29,35 +29,24 @@ object Similarity extends QueryModule {
   /** Embedding dimensionality (TESTDATA: 64-dim float vectors). */
   private val Dim = 64
 
-  /** In-order left-fold dot product, unrolled to plain multiply-adds so
-    * it stays inside whole-stage codegen (the aggregate/zip_with HOF
-    * equivalent is interpreted). The fold order — 0.0 + x0·y0 + x1·y1 + …
-    * left-associated — matches DuckDB's list_dot_product evaluation, so
-    * doubles stay bit-identical for the oracle hash-compare.
-    *
-    * The unroll hard-codes [[Dim]]; a shorter vector would silently null
-    * the whole product (getItem past the end) and a longer one would be
-    * silently truncated, so the dimensionality is asserted per row —
-    * size() is a header read, and the guard keeps codegen.
+  /** In-order left-fold dot product via the native codegen'd
+    * [[graft.functions.DotProduct]] expression (see its scaladoc for why
+    * neither HOF folds nor term unrolling survive at this width). Fold
+    * order matches DuckDB's list_dot_product evaluation, so doubles stay
+    * bit-identical for the oracle hash-compare; mismatched dimensions
+    * error rather than silently truncate, NULL vectors stay NULL.
     */
-  private[operators] def dot(a: Column, b: Column): Column = {
-    val unrolled = (0 until Dim).map(i => a.getItem(i) * b.getItem(i))
-      .foldLeft(lit(0.0))(_ + _)
-    // NULL vectors stay NULL (dropped by downstream filters, as before
-    // the guard); only a NON-null vector of the wrong length errors
-    when(a.isNull || b.isNull, lit(null).cast("double"))
-      .when(size(a) === Dim && size(b) === Dim, unrolled)
-      .otherwise(raise_error(format_string(
-        s"graft.Similarity.dot: expected $Dim-dim vectors, got %d/%d",
-        size(a), size(b))))
-  }
+  private[operators] def dot(a: Column, b: Column): Column =
+    graft.functions.VectorOps.dot(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+  }
 
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
   private[operators] def planes(nBits: Int, dim: Int): Array[Array[Double]] = {
@@ -71,13 +60,11 @@ object Similarity extends QueryModule {
       when(dotLit(v, p.toSeq) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Dot product against a LITERAL vector, unrolled to plain multiply-add
-    * expressions: stays inside whole-stage codegen, unlike the
-    * `aggregate`/`zip_with` fold (interpreted HOFs) which made the IVF
-    * assignment pass ~10× slower.
+  /** Dot product against a LITERAL vector — same native expression, with
+    * the constant side as an array literal (one plan node, not 64).
     */
   private def dotLit(v: Column, c: Seq[Double]): Column =
-    c.zipWithIndex.map { case (x, i) => v.getItem(i) * lit(x) }.reduce(_ + _)
+    graft.functions.VectorOps.dot(v, typedLit(c))
 
   /** Squared-distance struct list to each centroid (monotone in L2:
     * |v|² - 2·v·c + |c|²; |v|² constant per row so dropped), ordered so
