@@ -70,14 +70,37 @@ object Dedup extends QueryModule {
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE c / (sa.n + sb.n - c) >= $threshold"""
 
-  /** Distinct word 3-gram shingles per doc: (doc_id, s). */
+  /** Distinct word 3-gram shingles per doc, as 64-bit hashes:
+    * (doc_id, s: long).
+    *
+    * Two scale choices baked in here:
+    *
+    *   - **Repartition before the heavy map.** A documents scan is
+    *     typically a handful of parquet files, and without the exchange
+    *     the regexp tokenize + explode runs at file parallelism —
+    *     profiled as a 2-task stage holding the whole query back.
+    *     Shuffling the small raw docs before the expensive map is the
+    *     standard narrow-input fan-out.
+    *   - **Hashed-shingle representation.** Every consumer (distinct,
+    *     inverted-index join, df cap, minhash) only needs shingle
+    *     IDENTITY, never the text, so the ~40-byte shingle string is
+    *     folded to xxhash64 right at the source: distinct/joins/shuffles
+    *     move 8-byte longs, and the 32 minhash functions rehash a long
+    *     instead of re-reading string bytes. Jaccard counts are identical
+    *     to the string representation absent a 64-bit collision inside a
+    *     candidate pair's shingle sets (birthday bound ~1e-8 at 10⁵
+    *     distinct shingles, and deterministic — the DuckDB oracle gate
+    *     would surface one as a count mismatch).
+    */
   private[graft] def shingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
+    df.repartition(col("doc_id"))
+      .select(col("doc_id"),
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), " +
-          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s"))
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s_str"))
+      .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
       .distinct()
 
   /** Shingles surviving the stop-shingle document-frequency cap. For
@@ -116,11 +139,18 @@ object Dedup extends QueryModule {
     * integer-count pipeline as [[countJaccard]] — identical results to an
     * array-intersect verify (shingles are distinct per doc) at a fraction
     * of the cost, since no per-pair set arrays ever materialize.
+    *
+    * The candidate set is LSH-pruned (bounded per bucket) and therefore
+    * orders of magnitude smaller than the corpus at any scale — both
+    * candidate-side joins are explicit broadcasts, which removes two
+    * all-shingle shuffle stages from the verify.
     */
   private def candidateJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val docs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
-    cand.join(countJaccard(sh.join(docs, "doc_id")), Seq("doc_a", "doc_b"))
+    broadcast(cand)
+      .join(countJaccard(sh.join(broadcast(docs), "doc_id")),
+        Seq("doc_a", "doc_b"))
   }
 
   /** MinHash signatures: NUM min-aggregates in ONE hash aggregate (partial
@@ -179,12 +209,16 @@ object Dedup extends QueryModule {
           .select(col("doc_id"), col("bk.band").as("band"),
             col("bk.key").as("key"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // persisted: consumed twice by the verify (docs derivation +
+        // final score join) — without it the band self-join re-runs per
+        // consumer
         val cand = buckets.as("x")
           .join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key")
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
         candidateJaccard(cand, sh)
           .filter(col("jac") >= 0.7)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
