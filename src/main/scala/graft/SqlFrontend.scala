@@ -1740,6 +1740,10 @@ final class GraftSession(val spark: SparkSession) {
       }
     val emptied = toClear.filterNot(present.contains)
     emptied.foreach(clearPartition(ref, _))
+    // a later read through a cached file index would otherwise WARN about
+    // the just-removed partition dirs ("was not found. Was it deleted
+    // very recently?")
+    if (emptied.nonEmpty) spark.catalog.refreshTable(phys)
     refreshIndexes(ref, Some(toClear), emptied)
     lastRewrite = Some((toClear.size, bucketCount(ref)))
   }

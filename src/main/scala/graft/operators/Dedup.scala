@@ -230,9 +230,12 @@ object Dedup extends QueryModule {
     // band-equality buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical band).
     Q("dedup_simhash",
       (s, d) => {
-        val toks = corpus(s, d).select(col("doc_id"),
-          explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-            .as("tok"))
+        // same narrow-input fan-out as shingles(): tokenize after a
+        // repartition, not at file parallelism
+        val toks = corpus(s, d).repartition(col("doc_id"))
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+              .as("tok"))
         val h = xxhash64(col("tok"))
         val bitSums = (0 until 64).map(j =>
           sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
