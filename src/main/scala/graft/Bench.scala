@@ -47,10 +47,7 @@ object Bench {
 
     // Optional name filter for local profiling (comma-separated);
     // unset = the full suite, as the driver runs it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val names = SparkEntry.selectNames(sys.env.get("SPARK_GRAFT_ONLY"))
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

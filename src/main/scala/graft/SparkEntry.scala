@@ -35,6 +35,24 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
+  /** Query names selected by an optional comma-separated filter (the
+    * SPARK_GRAFT_ONLY env contract shared by Bench and Verify); None =
+    * all. An empty or unknown filter aborts — silently running zero
+    * queries would print a plausible all-green/0-sec result.
+    */
+  def selectNames(filter: Option[String]): Seq[String] = {
+    val names = all.map(_.name).sorted
+    filter match {
+      case None => names
+      case Some(v) =>
+        val only = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = only -- names.toSet
+        require(unknown.isEmpty && only.nonEmpty,
+          s"SPARK_GRAFT_ONLY matches no queries: '$v'")
+        names.filter(only)
+    }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */

@@ -17,11 +17,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional name filter for local iteration; unset = all, as the
     // driver runs it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val queries = SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    queries.foreach { case (name, fn) =>
+    val names = SparkEntry.selectNames(sys.env.get("SPARK_GRAFT_ONLY"))
+    names.map(n => n -> SparkEntry.queries(n)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -42,16 +42,10 @@ case class StrCmp(left: Expression, right: Expression)
 }
 
 object StrCmp {
-  /** Registers `strcmp` in the session's function registry (idempotent,
-    * guarded — re-registration WARN-spams every log line).
-    */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("strcmp")))
-      reg.createOrReplaceTempFunction(
-        "strcmp", exprs => StrCmp(exprs(0), exprs(1)), "scala_udf")
-  }
+  /** Registers `strcmp` in the session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "strcmp")(
+      exprs => StrCmp(exprs(0), exprs(1)))
 
   /** Column-API entry point; requires [[register]] on the session first. */
   def strcmp(a: Column, b: Column): Column = call_function("strcmp", a, b)

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Dot product of two double arrays as a native Catalyst expression.
   *
@@ -26,10 +27,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<double> — enforced by the [[VectorOps.dot]]
-  // wrapper's cast (a no-op on already-double arrays), since Spark 4
-  // hides AbstractDataType/inputTypes from third-party expressions.
+  // Inputs must be array<double> — the [[VectorOps.dot]] wrapper casts
+  // (a no-op on already-double arrays); checkInputDataTypes covers the
+  // raw SQL `graft_dot(...)` path, since Spark 4 hides
+  // AbstractDataType/inputTypes from third-party expressions.
   override def dataType: DataType = DoubleType
+
+  // NULL on null input arrays AND on null elements — the latter makes
+  // the result nullable even when both children are non-nullable
+  // (without this override codegen would assign into a false literal)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -74,16 +92,10 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorOps {
-  /** Registers `graft_dot` in the session's function registry (guarded —
-    * re-registration would WARN-spam every log line).
-    */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
-      reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-  }
+  /** Registers `graft_dot` in the session's function registry. */
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "graft_dot")(
+      exprs => DotProduct(exprs(0), exprs(1)))
 
   /** Column-API entry point; requires [[register]] on the session first. */
   def dot(a: Column, b: Column): Column =

@@ -42,10 +42,23 @@ object Similarity extends QueryModule {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Embeddings with the widened vector column. The [[Dim]] guard runs
+    * ONCE here at the scan (size() is a header read): a regenerated or
+    * truncated embedding column must fail loudly, not produce
+    * valid-looking shorter cosines downstream. NULL vectors stay NULL
+    * (graft_dot then propagates the NULL).
+    */
   private def emb(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorOps.register(s)
+    val e = col("embedding")
     Tables.load(s, d, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      .select(col("vec_id"),
+        when(e.isNull, lit(null).cast("array<double>"))
+          .when(size(e) === Dim, asDouble(e))
+          .otherwise(raise_error(format_string(
+            s"graft.Similarity: expected $Dim-dim embedding, got %d",
+            size(e)))).as("v"),
+        col("label"))
   }
 
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
