@@ -289,6 +289,7 @@ final class GraftSession(val spark: SparkSession) {
       case DropIndexRe(name, t) =>
         commit(); dropIndex(clean(t), clean(name)); ok()
       case AdminCheckRe(t) => adminCheck(clean(t))
+      case AdminCompactRe(t) => adminCompact(clean(t))
       case AnalyzeRe(t) =>
         // stats live on the physical table (the view is plan expansion;
         // the optimizer reads the underlying scan's statistics)
@@ -1166,6 +1167,61 @@ final class GraftSession(val spark: SparkSession) {
     out.toDF("table_name", "index_name", "status")
   }
 
+  /** ADMIN COMPACT TABLE (extension; the reference's ADMIN surface has
+    * CHECK only): fold every multi-file bucket partition of a managed
+    * table back to one file per bucket. The per-statement write path
+    * deliberately appends/overwrites at bucket granularity, so a long
+    * DML history accumulates small files per bucket; at scale compaction
+    * is the maintenance pass that keeps scan task counts proportional to
+    * data, not to write history. Rewrites ONLY partitions that currently
+    * hold more than one data file (filesystem listing — no Spark job to
+    * find them), via the same stage-then-dynamic-overwrite protocol as
+    * DML. Row content is unchanged, so index snapshots stay valid.
+    */
+  private def adminCompact(t: String): DataFrame = {
+    import spark.implicits._
+    val ref = qualify(t)
+    require(isManaged(ref),
+      s"ADMIN COMPACT TABLE requires a front-end managed table: $ref")
+    commit() // like index DDL: never reshape files under an open overlay
+    val phys = physRef(ref)
+    def bucketFiles(): Map[Int, Int] = {
+      val p = phys.split('.')
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(p(1), Some(p(0))))
+          .location.toString).getPath)
+      Option(loc.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith(s"$GbCol="))
+        .map { d =>
+          val n = Option(d.listFiles()).getOrElse(Array.empty).count(f =>
+            f.isFile && !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+          d.getName.stripPrefix(s"$GbCol=").toInt -> n
+        }.toMap
+    }
+    val before = bucketFiles()
+    val affected = before.filter(_._2 > 1).keys.toSeq.sorted
+    if (affected.nonEmpty) {
+      val order = physCols(ref)
+      val stage = Files.createTempDirectory("graft-compact").toString
+      // one shuffle partition per affected bucket → exactly one data
+      // file lands in each staged partition dir
+      spark.table(phys).where(col(GbCol).isin(affected: _*))
+        .repartition(affected.size, col(GbCol))
+        .select(order.map(col): _*)
+        .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
+      withDynamicOverwrite {
+        spark.read.parquet(stage).select(order.map(col): _*)
+          .write.mode("overwrite").insertInto(phys)
+      }
+      spark.catalog.refreshTable(phys)
+    }
+    Seq((unqualified(ref), affected.size,
+        before.values.sum, bucketFiles().values.sum))
+      .toDF("table_name", "buckets_compacted", "files_before", "files_after")
+  }
+
   // --------------------------------------------------------------------- DML
 
   // --------------------------------------------------------------- txn state
@@ -1912,6 +1968,8 @@ object GraftSession {
   private val DropIndexRe =
     "(?is)^DROP\\s+INDEX\\s+([`\\w]+)\\s+ON\\s+([`\\w.]+)$".r
   private val AdminCheckRe = "(?is)^ADMIN\\s+CHECK\\s+TABLE\\s+([`\\w.]+)$".r
+  private val AdminCompactRe =
+    "(?is)^ADMIN\\s+COMPACT\\s+TABLE\\s+([`\\w.]+)$".r
   private val AnalyzeRe = "(?is)^ANALYZE\\s+TABLE\\s+([`\\w.]+)$".r
   // MySQL allows omitting INTO in INSERT/REPLACE
   private val InsertRe = "(?is)^INSERT\\s+(?:INTO\\s+)?([`\\w.]+).*$".r

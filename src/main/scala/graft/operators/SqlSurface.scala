@@ -175,6 +175,34 @@ object SqlSurface extends QueryModule {
               SELECT CAST(100 AS BIGINT), 'ATLANTIS', CAST(5 AS BIGINT),
                      CAST(2.5 AS DOUBLE)""")),
 
+    // ADMIN COMPACT TABLE (extension): the write path appends files per
+    // statement per bucket; compaction folds every multi-file bucket
+    // back to one file, with row content untouched — the SELECT after it
+    // is oracled against the plain accumulated state.
+    Q("sql_compact",
+      (s, d) => {
+        val gs = session(s, d)
+        scratch(gs)
+        gs.execute("DROP TABLE IF EXISTS cmp")
+        gs.execute(
+          "CREATE TABLE cmp (o_orderkey BIGINT PRIMARY KEY, o_totalprice DOUBLE)")
+        gs.execute(
+          """INSERT INTO cmp SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey <= 400""")
+        gs.execute(
+          """INSERT INTO cmp SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey > 400 AND o_orderkey <= 800""")
+        gs.execute(
+          """INSERT INTO cmp SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey > 800 AND o_orderkey <= 1200""")
+        gs.execute("ADMIN COMPACT TABLE cmp")
+        backToDefault(gs, gs.execute(
+          """SELECT o_orderkey, round(o_totalprice, 2) AS price
+             FROM graft_sql.cmp"""))
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+              FROM orders WHERE o_orderkey <= 1200""")),
+
     // CREATE INDEX + ADMIN CHECK TABLE: index↔row consistency job
     // (`planner/core/planbuilder.go:435`).
     Q("sql_admin_check",

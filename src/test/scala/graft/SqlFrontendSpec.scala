@@ -399,4 +399,31 @@ class SqlFrontendSpec extends SparkSuite {
     intercept[Exception](
       gs.execute("INSERT INTO co VALUES (3, 'junk2')"))
   }
+
+  test("ADMIN COMPACT TABLE folds multi-file buckets, content unchanged") {
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS cp")
+    gs.execute("CREATE TABLE cp (id BIGINT PRIMARY KEY, v VARCHAR(16))")
+    gs.execute("CREATE INDEX cpv ON cp (v)")
+    // three separate statements → up to three files per touched bucket
+    gs.execute("INSERT INTO cp VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    gs.execute("INSERT INTO cp VALUES (11, 'e'), (12, 'f'), (13, 'g')")
+    gs.execute("INSERT INTO cp VALUES (21, 'h'), (22, 'i')")
+    val beforeRows = gs.query("SELECT id, v FROM cp ORDER BY id")
+    val Seq(r) = gs.query("ADMIN COMPACT TABLE cp")
+    val Array(name, buckets, before, after) = r.split(" ")
+    assert(name == "cp")
+    assert(buckets.toInt > 0, s"expected multi-file buckets to compact: $r")
+    assert(after.toInt < before.toInt, s"file count must shrink: $r")
+    // one file per bucket partition afterwards
+    assert(after.toInt <= spark.sql("SHOW PARTITIONS sqlfe.cp__data").count())
+    // rows and index consistency untouched
+    assert(gs.query("SELECT id, v FROM cp ORDER BY id") == beforeRows)
+    assert(gs.query("ADMIN CHECK TABLE cp") == Seq("cp cpv OK"))
+    // a second compaction is a no-op
+    val Seq(r2) = gs.query("ADMIN COMPACT TABLE cp")
+    assert(r2.split(" ")(1).toInt == 0, s"second compact must no-op: $r2")
+    // non-managed targets are refused
+    intercept[Exception](gs.execute("ADMIN COMPACT TABLE nation"))
+  }
 }

@@ -22,6 +22,18 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming exact dedup equals the batch dedup_exact result") {
+    val sq = graft.streaming.DedupStream.dedupCounts(spark, sf)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    val streamed = spark.table("dedup_stream")
+    val batch = q("dedup_exact")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("event-time-timeout sessionization emits closed sessions exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
