@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Meta,
     operators.SqlSurface,
     operators.Indexing,
+    operators.SketchOps,
     operators.Curation)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

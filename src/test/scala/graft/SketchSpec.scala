@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.Sketches
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** Statistics-sketch invariants (`statistics/cmsketch.go`,
+  * `fmsketch.go`): the oracled queries pin the exact regimes; these pin
+  * the approximate regimes and the merge algebra the partial→final
+  * dataflow relies on.
+  */
+class SketchSpec extends SparkSuite {
+
+  private val li = Tables.load(spark, sf, "lineitem")
+
+  test("CM estimate is one-sided and bounded on a high-cardinality key") {
+    val cm = udaf(new Sketches.CountMinAgg(5, 2048), Encoders.STRING)
+    val keyed = li.select(col("l_orderkey").cast("string").as("k"))
+    val sketch = keyed.agg(cm(col("k"))).head.getSeq[Long](0).toArray
+    val n = keyed.count()
+    assert(Sketches.cmTotal(sketch) == n)
+    val exact = keyed.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every key: est >= true (counters only ever overshoot), and the
+    // overshoot stays within a generous multiple of the CM bound e*N/w
+    val bound = 4.0 * n / 2048
+    exact.foreach { case (k, c) =>
+      val est = Sketches.cmEstimate(sketch, k)
+      assert(est >= c, s"CM undercounted $k: $est < $c")
+      assert(est - c <= bound, s"CM overshoot on $k: $est vs $c (bound $bound)")
+    }
+    // a key never inserted still gets a bounded estimate
+    assert(Sketches.cmEstimate(sketch, "no-such-key") <= bound)
+  }
+
+  test("CM sketch is partitioning-invariant (merge identity)") {
+    val cm = udaf(new Sketches.CountMinAgg(5, 256), Encoders.STRING)
+    val keyed = li.select(col("l_suppkey").cast("string").as("k"))
+    val a = keyed.repartition(3).agg(cm(col("k"))).head.getSeq[Long](0)
+    val b = keyed.repartition(11).agg(cm(col("k"))).head.getSeq[Long](0)
+    assert(a == b)
+  }
+
+  test("FM NDV is exact below maxSize and tolerant above") {
+    val keyed = li.select(col("l_orderkey").cast("string").as("k"))
+    val exact = keyed.distinct().count()
+    val big = udaf(new Sketches.FMSketchAgg(1000000), Encoders.STRING)
+    assert(keyed.agg(big(col("k"))).head.getLong(0) == exact)
+    // adaptive regime: mask grows, estimate stays within 2x either way
+    val small = udaf(new Sketches.FMSketchAgg(64), Encoders.STRING)
+    val est = keyed.agg(small(col("k"))).head.getLong(0)
+    assert(est >= exact / 2 && est <= exact * 2,
+      s"FM estimate $est outside [${exact / 2}, ${exact * 2}]")
+  }
+
+  test("FM sketch is partitioning-invariant") {
+    val keyed = li.select(col("l_orderkey").cast("string").as("k"))
+    val fm = udaf(new Sketches.FMSketchAgg(64), Encoders.STRING)
+    val a = keyed.repartition(3).agg(fm(col("k"))).head.getLong(0)
+    val b = keyed.repartition(11).agg(fm(col("k"))).head.getLong(0)
+    assert(a == b)
+  }
+}
