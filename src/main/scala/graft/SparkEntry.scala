@@ -24,6 +24,7 @@ object SparkEntry {
     operators.SqlSurface,
     operators.Indexing,
     operators.SketchOps,
+    operators.Skew,
     operators.Curation)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** Salted-join contract: identical results to the plain join under
+  * extreme skew, and the salt actually spreads the hot key.
+  */
+class SkewSpec extends SparkSuite {
+
+  // worst-case skew: 90% of lineitem probes hit ONE supplier key
+  private def skewed = {
+    val li = Tables.load(spark, sf, "lineitem")
+    li.select(
+      when(col("l_linenumber") > 1, lit(7L)).otherwise(col("l_suppkey"))
+        .as("l_suppkey"),
+      col("l_extendedprice"))
+  }
+  private def sup = Tables.load(spark, sf, "supplier")
+    .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+
+  test("salted join equals the plain join under a hot key") {
+    val saltedRes = Skew.saltedJoin(skewed, sup, "l_suppkey", 8)
+    val plainRes = skewed.join(sup, Seq("l_suppkey"))
+    assert(saltedRes.count() == plainRes.count())
+    assert(saltedRes.exceptAll(plainRes).count() == 0)
+    assert(plainRes.exceptAll(saltedRes).count() == 0)
+  }
+
+  test("the hot key's rows spread across every salt value") {
+    val perSalt = skewed.filter(col("l_suppkey") === 7L)
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
+      .groupBy("__salt").count().collect()
+    assert(perSalt.length == 8, s"expected 8 salts, got ${perSalt.length}")
+    val counts = perSalt.map(_.getLong(1))
+    // round-robin within partitions → near-uniform spread
+    assert(counts.max < counts.sum / 2,
+      s"salting failed to spread the hot key: ${counts.mkString(",")}")
+  }
+
+  test("the physical join is keyed on (key, salt)") {
+    val plan = Skew.saltedJoin(skewed, sup, "l_suppkey", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salt column missing from the plan")
+  }
+}
