@@ -44,6 +44,27 @@ object SketchOps extends QueryModule {
       Some("""SELECT l_returnflag, count(*) AS est_count
               FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // Equi-depth histogram bounds — the third ANALYZE artifact
+    // (`statistics/histogram.go:79`, 256 buckets default at
+    // `executor/analyze.go:62`; 8 here to keep the result readable).
+    // Exact `percentile` and DuckDB's quantile_cont share the
+    // type-7 / percentile_cont interpolation, so bounds hash-match. The
+    // exact aggregate buffers the column per task — fine as the oracle
+    // baseline; the 100 TB path is approx_percentile (same plan shape,
+    // bounded t-digest state), pinned within tolerance by SketchSpec.
+    Q("stats_histogram",
+      (s, dir) => {
+        val probs = (1 to 8).map(_ / 8.0)
+        Tables.load(s, dir, "orders").agg(
+          round(percentile(col("o_totalprice"), lit(probs.head)), 4).as("b1"),
+          probs.tail.zipWithIndex.map { case (p, i) =>
+            round(percentile(col("o_totalprice"), lit(p)), 4).as(s"b${i + 2}")
+          }: _*)
+      },
+      Some((1 to 8).map(i =>
+          s"round(quantile_cont(o_totalprice, ${i / 8.0}), 4) AS b$i")
+        .mkString("SELECT ", ", ", " FROM orders"))),
+
     // FM-sketch NDV for two orders columns in one aggregate pass. With
     // maxSize 65536 above the columns' true NDV at test scale the mask
     // never grows and the estimate equals the exact distinct count; the

@@ -53,6 +53,22 @@ class SketchSpec extends SparkSuite {
       s"FM estimate $est outside [${exact / 2}, ${exact * 2}]")
   }
 
+  test("approx_percentile tracks the exact histogram bounds") {
+    // the oracled stats_histogram uses exact percentile (buffers the
+    // column); this pins the bounded-state scale path against it
+    val o = Tables.load(spark, sf, "orders")
+    val probs = (1 to 8).map(_ / 8.0)
+    val exact = o.agg(percentile(col("o_totalprice"),
+      array(probs.map(lit): _*)).as("q")).head.getSeq[Double](0)
+    val approx = o.agg(percentile_approx(col("o_totalprice"),
+      array(probs.map(lit): _*), lit(10000)).as("q")).head.getSeq[Double](0)
+    val spread = exact.last - exact.head
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 0.02 * spread,
+        s"approx bound $a too far from exact $e")
+    }
+  }
+
   test("FM sketch is partitioning-invariant") {
     val keyed = li.select(col("l_orderkey").cast("string").as("k"))
     val fm = udaf(new Sketches.FMSketchAgg(64), Encoders.STRING)
