@@ -1211,10 +1211,11 @@ final class GraftSession(val spark: SparkSession) {
         .repartition(affected.size, col(GbCol))
         .select(order.map(col): _*)
         .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
-      withDynamicOverwrite {
+      try withDynamicOverwrite {
         spark.read.parquet(stage).select(order.map(col): _*)
           .write.mode("overwrite").insertInto(phys)
-      }
+      } finally GraftSession.deleteRecursively(
+        java.nio.file.Paths.get(stage))
       spark.catalog.refreshTable(phys)
     }
     Seq((unqualified(ref), affected.size,

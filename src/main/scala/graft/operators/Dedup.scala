@@ -33,13 +33,19 @@ object Dedup extends QueryModule {
   /** Candidate-generation document-frequency cap (see scale note). */
   val maxShingleDf = 256
 
-  /** documents ∪ id-shifted copy, lowercased. */
-  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.load(s, d, "documents")
-      .select(col("doc_id"), lower(col("text")).as("text"))
-    docs.unionByName(
-      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  /** Planted-duplicate construction shared by the batch corpus and the
+    * streaming twin (DedupStream) so the two cannot drift: lowercase the
+    * text, then union an id-shifted copy.
+    */
+  private[graft] def plantDuplicates(docs: DataFrame): DataFrame = {
+    val norm = docs.select(col("doc_id"), lower(col("text")).as("text"))
+    norm.unionByName(
+      norm.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
+
+  /** documents ∪ id-shifted copy, lowercased. */
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame =
+    plantDuplicates(Tables.load(s, d, "documents"))
 
   private[operators] val corpusSql =
     """corpus AS (SELECT doc_id, lower(text) AS text FROM documents

@@ -55,11 +55,13 @@ object SketchOps extends QueryModule {
     Q("stats_histogram",
       (s, dir) => {
         val probs = (1 to 8).map(_ / 8.0)
-        Tables.load(s, dir, "orders").agg(
-          round(percentile(col("o_totalprice"), lit(probs.head)), 4).as("b1"),
-          probs.tail.zipWithIndex.map { case (p, i) =>
-            round(percentile(col("o_totalprice"), lit(p)), 4).as(s"b${i + 2}")
-          }: _*)
+        // ONE percentile aggregate over the probability array (a single
+        // per-task buffer of the column), projected into b1..b8
+        Tables.load(s, dir, "orders")
+          .agg(percentile(col("o_totalprice"),
+            array(probs.map(lit): _*)).as("q"))
+          .select((1 to 8).map(i =>
+            round(element_at(col("q"), i), 4).as(s"b$i")): _*)
       },
       Some((1 to 8).map(i =>
           s"round(quantile_cont(o_totalprice, ${i / 8.0}), 4) AS b$i")

@@ -29,6 +29,9 @@ object Skew extends QueryModule {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int): DataFrame = {
+    require(!probe.columns.contains("__salt") &&
+        !build.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
     val salted = probe.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicated = build.withColumn("__salt",

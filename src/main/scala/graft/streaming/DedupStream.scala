@@ -25,27 +25,30 @@ object DedupStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Streaming source over the driver's parquet dir; one file per
-    * trigger so multi-batch state accumulation is actually exercised.
+  /** Streaming source over a parquet dir, one file per trigger — pass a
+    * glob matching several files (e.g. a split corpus) to exercise
+    * multi-batch state accumulation; the driver's single-file layout
+    * yields one trigger.
     */
-  def source(spark: SparkSession, dir: String): DataFrame =
+  def source(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet"): DataFrame =
     spark.readStream
       .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
-  /** Stateful exact dedup over the planted-duplicate corpus (stream ∪
-    * id-shifted stream, like the batch corpus): per content hash, the
-    * smallest doc id seen so far and the running copy count.
+  /** Stateful exact dedup over the planted-duplicate corpus — the
+    * corpus construction is SHARED with the batch operator
+    * (`Dedup.plantDuplicates`), so stream and batch cannot drift: per
+    * content hash, the smallest doc id seen so far and the running
+    * copy count.
     */
-  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
-    val docs = source(spark, dir)
-      .select(col("doc_id"), lower(col("text")).as("text"))
-    val corpus = docs.unionByName(
-      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    corpus
+  def dedupCounts(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.plantDuplicates(docs)
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-  }
+
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame =
+    dedupCounts(source(spark, dir))
 }

@@ -39,8 +39,12 @@ class SkewSpec extends SparkSuite {
   }
 
   test("the physical join is keyed on (key, salt)") {
-    val plan = Skew.saltedJoin(skewed, sup, "l_suppkey", 8)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("__salt"), "salt column missing from the plan")
+    // formatted mode renders "Left keys [2]: [l_suppkey, __salt]" — assert
+    // the salt reaches the JOIN KEYS, not merely a projection somewhere
+    val plan = graft.operators.Meta.explainFormatted(
+      Skew.saltedJoin(skewed, sup, "l_suppkey", 8))
+    assert(plan.linesIterator.exists(l =>
+        l.contains("keys") && l.contains("__salt")),
+      s"salt missing from the join keys:\n$plan")
   }
 }

@@ -23,10 +23,18 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("streaming exact dedup equals the batch dedup_exact result") {
-    val sq = graft.streaming.DedupStream.dedupCounts(spark, sf)
+    // split the corpus into several files so state genuinely accumulates
+    // across micro-batches (one file per trigger)
+    val split = java.nio.file.Files.createTempDirectory("dedup-split").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(3).write.mode("overwrite").parquet(split)
+    val sq = graft.streaming.DedupStream.dedupCounts(
+        graft.streaming.DedupStream.source(spark, split, "*.parquet"))
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("complete").start()
     try sq.processAllAvailable() finally sq.stop()
+    assert(sq.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one micro-batch per split file")
     val streamed = spark.table("dedup_stream")
     val batch = q("dedup_exact")
     assert(streamed.count() > 0)
