@@ -41,6 +41,32 @@ object EventsOps extends QueryModule {
                      count(*) AS n
               FROM events GROUP BY 1""")),
 
+    // Interval-join attribution: purchases matched to this user's clicks
+    // in the preceding 30 minutes. Equi-join on user_id with a time-range
+    // residual — one shuffle on the key, never a cartesian; the streaming
+    // twin is a watermarked stream-stream join (EventsStream.attributedPairs,
+    // parity pinned in StreamingSpec). Micros arithmetic keeps Spark and
+    // the oracle identical.
+    Q("events_attribution",
+      (s, d) => {
+        val ev = Tables.loadEvents(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+        clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("p_us") >= col("c_us") &&
+              col("p_us") - col("c_us") <= 1800L * 1000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT c.user_id, count(*) AS n_pairs
+              FROM events c JOIN events p ON c.user_id = p.user_id
+              WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+                AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
+              GROUP BY c.user_id""")),
+
     // Gap-based sessionization (30-min inactivity): lag over a per-user
     // window; partition-parallel by user_id. Epoch-micros ordering keeps
     // Spark (µs timestamps) and the oracle (ns timestamps) identical.

@@ -91,6 +91,31 @@ object EventsStream {
       .as[Ev])
   }
 
+  /** Stream-stream interval join (streaming twin of `events_attribution`):
+    * purchases matched to the same user's clicks within the preceding 30
+    * minutes. Both sides carry watermarks and the join condition bounds
+    * event time in BOTH directions, so Spark can expire join state — the
+    * state held per side is O(events inside watermark + interval), not
+    * O(stream). Inner join in append mode emits each pair exactly once.
+    */
+  def attributedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = source(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = source(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"),
+        unix_micros(col("c_ts")).as("c_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+  }
+
   /** Gap-based sessionization with an EVENT-TIME timeout: a session is
     * emitted exactly once, only after the WATERMARK passes its
     * 30-minute inactivity gap — the production shape for "emit finished

@@ -42,6 +42,28 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join equals the batch attribution pairs") {
+    val sq = graft.streaming.EventsStream.attributedPairs(spark, sf)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    val streamed = spark.table("attr_stream")
+    // the batch twin at pair granularity (events_attribution aggregates)
+    val ev = Tables.loadEvents(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_us") >= col("c_us") &&
+          col("p_us") - col("c_us") <= 1800L * 1000000L)
+      .select(col("user_id"), col("c_us"), col("p_us"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("event-time-timeout sessionization emits closed sessions exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
