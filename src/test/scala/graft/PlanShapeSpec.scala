@@ -47,6 +47,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("interval-join attribution is an equi join, never a nested loop") {
+    // the time-range condition must ride as a residual on the user_id
+    // equi join — a BNLJ/cartesian here would be a 100 TB scale bug
+    val plan = Meta.explainFormatted(q("events_attribution"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("text ops stay UDF-free (no BatchEvalPython/ScalaUDF in plan)") {
     val plan = Meta.explainFormatted(q("text_quality"))
     assert(!plan.contains("BatchEvalPython"))
