@@ -1185,21 +1185,28 @@ final class GraftSession(val spark: SparkSession) {
       s"ADMIN COMPACT TABLE requires a front-end managed table: $ref")
     commit() // like index DDL: never reshape files under an open overlay
     val phys = physRef(ref)
-    def bucketFiles(): Map[Int, Int] = {
+    // layout maintenance goes through the Hadoop FileSystem of the table's
+    // location (not java.io.File) so a non-local table URI lists correctly
+    val tableLoc = {
       val p = phys.split('.')
-      val loc = new java.io.File(new java.net.URI(
+      new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(p(1), Some(p(0))))
-          .location.toString).getPath)
-      Option(loc.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith(s"$GbCol="))
-        .map { d =>
-          val n = Option(d.listFiles()).getOrElse(Array.empty).count(f =>
-            f.isFile && !f.getName.startsWith("_") &&
-              !f.getName.startsWith("."))
-          d.getName.stripPrefix(s"$GbCol=").toInt -> n
-        }.toMap
+          .location)
     }
+    val fs = tableLoc.getFileSystem(spark.sessionState.newHadoopConf())
+    def bucketDirs(base: org.apache.hadoop.fs.Path): Map[Int, Int] =
+      if (!fs.exists(base)) Map.empty
+      else fs.listStatus(base)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$GbCol="))
+        .map { d =>
+          val n = fs.listStatus(d.getPath).count { f =>
+            val nm = f.getPath.getName
+            f.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+          }
+          d.getPath.getName.stripPrefix(s"$GbCol=").toInt -> n
+        }.toMap
+    def bucketFiles(): Map[Int, Int] = bucketDirs(tableLoc)
     val before = bucketFiles()
     val affected = before.filter(_._2 > 1).keys.toSeq.sorted
     if (affected.nonEmpty) {
@@ -1211,9 +1218,20 @@ final class GraftSession(val spark: SparkSession) {
         .repartition(affected.size, col(GbCol))
         .select(order.map(col): _*)
         .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
-      try withDynamicOverwrite {
-        spark.read.parquet(stage).select(order.map(col): _*)
-          .write.mode("overwrite").insertInto(phys)
+      try {
+        // a multi-file bucket holding ZERO rows stages no partition dir,
+        // so dynamic overwrite would never rewrite it — clear such
+        // buckets directly (compacting zero rows = removing the files)
+        val staged =
+          bucketDirs(new org.apache.hadoop.fs.Path(stage)).keySet
+        affected.filterNot(staged.contains).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(tableLoc, s"$GbCol=$b"),
+            true)
+        }
+        if (staged.nonEmpty) withDynamicOverwrite {
+          spark.read.parquet(stage).select(order.map(col): _*)
+            .write.mode("overwrite").insertInto(phys)
+        }
       } finally GraftSession.deleteRecursively(
         java.nio.file.Paths.get(stage))
       spark.catalog.refreshTable(phys)

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Session-function registration shared by the custom Catalyst
@@ -9,14 +8,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object Registry {
 
-  /** Register `name` once per session — an unguarded
-    * createOrReplaceTempFunction WARN-spams "replaced a previously
-    * registered function" on every call site.
+  // sessions where OUR builder for a name has been installed; weak keys so
+  // closed sessions don't pin the map
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]())
+
+  /** Register `name` once per session. The first call in a session always
+    * installs OUR builder (replacing any foreign same-named registration —
+    * skip-if-exists would silently run the foreign definition); later
+    * calls no-op, so the "replaced a previously registered function" WARN
+    * fires at most once per session and only when a foreign function was
+    * actually displaced.
     */
   def registerOnce(spark: SparkSession, name: String)(
       builder: Seq[Expression] => Expression): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    val mine = installed.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    if (mine.add(name))
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
   }
 }

@@ -146,20 +146,20 @@ object Dedup extends QueryModule {
     * array-intersect verify (shingles are distinct per doc) at a fraction
     * of the cost, since no per-pair set arrays ever materialize.
     *
-    * Broadcast posture: `docs` (the distinct candidate doc ids, one long
-    * column) is explicitly broadcast — the semi-join restriction is what
-    * keeps the sizes/common aggregations off the full shingle relation,
-    * and its id-list stays orders of magnitude under the corpus row
-    * count (candidate DOCS scale with the near-dup population, not with
-    * pair fan-out). The candidate-PAIR frame is NOT broadcast: a cluster
-    * of k near-identical docs yields C(k,2) pairs with no hard bound, so
-    * its final score join stays declarative for AQE to pick at runtime.
+    * Broadcast posture: the `docs` semi-join restriction is what keeps
+    * the sizes/common aggregations off the full shingle relation, but the
+    * join itself stays DECLARATIVE — no forced broadcast hint. Candidate
+    * docs usually sit orders of magnitude under the corpus row count, in
+    * which case AQE broadcasts the id-list at runtime; but a pathological
+    * corpus where most docs are near-dups makes the list corpus-scale,
+    * and a forced hint would OOM the driver where AQE degrades to a
+    * shuffle join. Same reasoning for the candidate-PAIR frame: a cluster
+    * of k near-identical docs yields C(k,2) pairs with no hard bound.
     */
   private def candidateJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val docs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
-    cand.join(countJaccard(sh.join(broadcast(docs), "doc_id")),
-      Seq("doc_a", "doc_b"))
+    cand.join(countJaccard(sh.join(docs, "doc_id")), Seq("doc_a", "doc_b"))
   }
 
   /** MinHash signatures: NUM min-aggregates in ONE hash aggregate (partial

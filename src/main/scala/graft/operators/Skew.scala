@@ -32,12 +32,19 @@ object Skew extends QueryModule {
     require(!probe.columns.contains("__salt") &&
         !build.columns.contains("__salt"),
       "saltedJoin reserves the __salt column name")
-    val salted = probe.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    saltProbe(probe, salts).join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
   }
+
+  /** The probe side with the operator's actual `__salt` assignment —
+    * exposed so tests observe the real salting expression (not a
+    * re-derivation that would mask a regression here).
+    */
+  private[graft] def saltProbe(probe: DataFrame, salts: Int): DataFrame =
+    probe.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
 
   override val queries: Seq[Q] = Seq(
 

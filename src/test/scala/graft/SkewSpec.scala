@@ -28,8 +28,9 @@ class SkewSpec extends SparkSuite {
   }
 
   test("the hot key's rows spread across every salt value") {
-    val perSalt = skewed.filter(col("l_suppkey") === 7L)
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
+    // observe the OPERATOR's salt assignment (saltProbe is what saltedJoin
+    // joins on), so a constant-salt regression in the operator fails here
+    val perSalt = Skew.saltProbe(skewed.filter(col("l_suppkey") === 7L), 8)
       .groupBy("__salt").count().collect()
     assert(perSalt.length == 8, s"expected 8 salts, got ${perSalt.length}")
     val counts = perSalt.map(_.getLong(1))

@@ -426,4 +426,42 @@ class SqlFrontendSpec extends SparkSuite {
     // non-managed targets are refused
     intercept[Exception](gs.execute("ADMIN COMPACT TABLE nation"))
   }
+
+  test("ADMIN COMPACT clears a zero-row multi-file bucket (no-op holds)") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS cpz")
+    gs.execute("CREATE TABLE cpz (id BIGINT PRIMARY KEY, v VARCHAR(16))")
+    gs.execute("INSERT INTO cpz VALUES (1, 'a')")
+    // fabricate a bucket dir holding two ZERO-row files: dynamic overwrite
+    // stages nothing for it, so compaction must clear it directly
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          "cpz__data", Some("sqlfe"))).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val used = spark.sql("SHOW PARTITIONS sqlfe.cpz__data").collect()
+      .map(_.getString(0).stripPrefix("__gb=").toInt).toSet
+    val ghost = (0 until 1024).find(!used.contains(_)).get
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zb").toString
+    spark.table("sqlfe.cpz__data").drop("__gb").limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val ghostDir = new org.apache.hadoop.fs.Path(loc, s"__gb=$ghost")
+    fs.mkdirs(ghostDir)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(ghostDir, "part-zero-a.parquet"),
+      false, spark.sessionState.newHadoopConf())
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(ghostDir, "part-zero-b.parquet"),
+      false, spark.sessionState.newHadoopConf())
+    GraftSession.deleteRecursively(java.nio.file.Paths.get(tmp))
+    val Seq(r) = gs.query("ADMIN COMPACT TABLE cpz")
+    assert(r.split(" ")(1).toInt >= 1, s"ghost bucket not counted: $r")
+    assert(!fs.exists(ghostDir), "zero-row bucket dir must be cleared")
+    assert(gs.query("SELECT id, v FROM cpz") == Seq("1 a"))
+    val Seq(r2) = gs.query("ADMIN COMPACT TABLE cpz")
+    assert(r2.split(" ")(1).toInt == 0, s"second compact must no-op: $r2")
+  }
 }
