@@ -320,18 +320,20 @@ final class GraftSession(val spark: SparkSession) {
             // batches are literal relations (already deterministic, no
             // pin needed); arbitrary SELECT sources are staged to disk.
             val isValues = source.toUpperCase.startsWith("VALUES")
-            val (pinned, affected) =
+            val (pinned, affected, stageOpt) =
               if (isValues) {
                 val a = incB.select(GbCol).distinct().collect()
                   .map(_.getInt(0)).toSeq
-                (incB.select(physCols(ref).map(col): _*), a)
+                (incB.select(physCols(ref).map(col): _*), a,
+                  None: Option[String])
               } else {
                 val stage = Files.createTempDirectory("graft-ins").toString
                 incB.select(physCols(ref).map(col): _*)
                   .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
                 // the staged dir names ARE the affected buckets (no job)
                 (spark.read.parquet(stage)
-                  .select(physCols(ref).map(col): _*), listBucketDirs(stage))
+                  .select(physCols(ref).map(col): _*), listBucketDirs(stage),
+                  Some(stage))
               }
             if (affected.nonEmpty) {
               if (hasPk(ref))
@@ -340,8 +342,16 @@ final class GraftSession(val spark: SparkSession) {
                 checkDuplicateKeys(ref, spark.table(physRef(ref))
                   .where(col(GbCol).isin(affected: _*)), pinned)
               checkUniqueIndexes(ref, pinned, txnState = None)
-              pinned.write.mode("append").insertInto(physRef(ref))
-            }
+              stageOpt match {
+                // staged source: the rows are already on disk in bucket
+                // layout — commit them by file move, not a second write
+                case Some(stage) =>
+                  commitStagedFiles(ref, stage, overwrite = false)
+                case None =>
+                  pinned.write.mode("append").insertInto(physRef(ref))
+              }
+            } else stageOpt.foreach(s =>
+              GraftSession.deleteRecursively(java.nio.file.Paths.get(s)))
             refreshIndexes(ref, Some(affected))
           } else
             incB.select(physCols(ref).map(col): _*)
@@ -1159,9 +1169,14 @@ final class GraftSession(val spark: SparkSession) {
       // managed snapshots carry the bucket partition column — projected
       // away by readSnapshot; a fileless snapshot reads as zero rows
       val snap = readSnapshot(m)
-      val consistent =
-        cur.exceptAll(snap).isEmpty && snap.exceptAll(cur).isEmpty
-      (base, name, if (consistent) "OK" else "CORRUPT")
+      // multiset equality in ONE job: ±1 counts per distinct row sum to
+      // zero everywhere iff the two sides agree (two exceptAll passes
+      // would scan both relations twice)
+      val mismatch = cur.withColumn("__d", lit(1L))
+        .unionByName(snap.withColumn("__d", lit(-1L)))
+        .groupBy(m.cols.map(col): _*).agg(sum(col("__d")).as("__s"))
+        .filter(col("__s") =!= 0).limit(1).collect()
+      (base, name, if (mismatch.isEmpty) "OK" else "CORRUPT")
     }.toSeq
     val out = if (rows.isEmpty) Seq((base, "<none>", "OK")) else rows
     out.toDF("table_name", "index_name", "status")
@@ -1187,14 +1202,7 @@ final class GraftSession(val spark: SparkSession) {
     val phys = physRef(ref)
     // layout maintenance goes through the Hadoop FileSystem of the table's
     // location (not java.io.File) so a non-local table URI lists correctly
-    val tableLoc = {
-      val p = phys.split('.')
-      new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(p(1), Some(p(0))))
-          .location)
-    }
-    val fs = tableLoc.getFileSystem(spark.sessionState.newHadoopConf())
+    val (tableLoc, fs) = tableLocFs(phys)
     def bucketDirs(base: org.apache.hadoop.fs.Path): Map[Int, Int] =
       if (!fs.exists(base)) Map.empty
       else fs.listStatus(base)
@@ -1220,18 +1228,13 @@ final class GraftSession(val spark: SparkSession) {
         .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
       try {
         // a multi-file bucket holding ZERO rows stages no partition dir,
-        // so dynamic overwrite would never rewrite it — clear such
-        // buckets directly (compacting zero rows = removing the files)
+        // so the move-commit would never rewrite it — clear such buckets
+        // directly (compacting zero rows = removing the files)
         val staged =
           bucketDirs(new org.apache.hadoop.fs.Path(stage)).keySet
-        affected.filterNot(staged.contains).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(tableLoc, s"$GbCol=$b"),
-            true)
-        }
-        if (staged.nonEmpty) withDynamicOverwrite {
-          spark.read.parquet(stage).select(order.map(col): _*)
-            .write.mode("overwrite").insertInto(phys)
-        }
+        affected.filterNot(staged.contains)
+          .foreach(clearPartition(ref, _))
+        commitStagedFiles(ref, stage, overwrite = true)
       } finally GraftSession.deleteRecursively(
         java.nio.file.Paths.get(stage))
       spark.catalog.refreshTable(phys)
@@ -1794,25 +1797,15 @@ final class GraftSession(val spark: SparkSession) {
     applyStagedManaged(ref, stage, affected)
   }
 
-  /** Apply a staged managed rewrite: dynamic partition overwrite of the
-    * staged buckets, then clear affected buckets the stage did not touch
-    * (their rows were all deleted).
+  /** Apply a staged managed rewrite: move the staged bucket files over
+    * their live partitions, then clear affected buckets the stage did
+    * not touch (their rows were all deleted).
     */
   private def applyStagedManaged(ref: String, stage: String,
       affected: Option[Seq[Int]]): Unit = {
     val phys = physRef(ref)
-    val order = physCols(ref)
     val toClear = affected.getOrElse(currentPartitions(ref))
-    val present = listBucketDirs(stage)
-    if (present.nonEmpty)
-      // dynamic mode scoped to THIS write: overwrite only the bucket
-      // partitions present in the staged data (the file-level analog of
-      // the reference's row-granular writes, tables.go:378) — never a
-      // session-global overwrite-semantics flip
-      withDynamicOverwrite {
-        spark.read.parquet(stage).select(order.map(col): _*)
-          .write.mode("overwrite").insertInto(phys)
-      }
+    val present = commitStagedFiles(ref, stage, overwrite = true)
     val emptied = toClear.filterNot(present.contains)
     emptied.foreach(clearPartition(ref, _))
     // a later read through a cached file index would otherwise WARN about
@@ -1823,15 +1816,79 @@ final class GraftSession(val spark: SparkSession) {
     lastRewrite = Some((toClear.size, bucketCount(ref)))
   }
 
-  /** Remove every row of one bucket partition: a static-partition
-    * INSERT OVERWRITE from an empty one-row-relation source (validated:
-    * clears the partition without reading the table).
+  /** The table location and its Hadoop FileSystem (never java.io.File —
+    * a non-local table URI must list and mutate correctly).
+    */
+  private def tableLocFs(phys: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
+    val p = phys.split('.')
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(p(1), Some(p(0))))
+        .location)
+    (loc, loc.getFileSystem(spark.sessionState.newHadoopConf()))
+  }
+
+  /** Commit a staged partitioned write into the managed table by FILE
+    * MOVE plus catalog partition registration — the Hive staging-commit
+    * protocol. The staging job already wrote every row once; committing
+    * must not cost a second Spark pass over the data (the previous
+    * read-stage-and-insertInto shape did exactly that, doubling the
+    * write cost of every DML statement). `overwrite` replaces each
+    * STAGED bucket's live files (dynamic-partition-overwrite semantics:
+    * unstaged buckets are untouched — the file-level analog of the
+    * reference's row-granular writes, tables.go:378); append adds
+    * alongside under collision-free names. Returns the staged bucket ids
+    * and deletes the stage.
+    */
+  private def commitStagedFiles(ref: String, stage: String,
+      overwrite: Boolean): Seq[Int] = {
+    val phys = physRef(ref)
+    val (tableLoc, fs) = tableLocFs(phys)
+    val conf = spark.sessionState.newHadoopConf()
+    val stageLoc = new org.apache.hadoop.fs.Path(
+      new java.io.File(stage).toURI)
+    val sfs = stageLoc.getFileSystem(conf)
+    val sameFs = fs.getUri == sfs.getUri
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val buckets = sfs.listStatus(stageLoc)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$GbCol="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix(s"$GbCol=").toInt
+        val dest = new org.apache.hadoop.fs.Path(tableLoc, s"$GbCol=$b")
+        if (overwrite && fs.exists(dest)) fs.delete(dest, true)
+        fs.mkdirs(dest)
+        sfs.listStatus(d.getPath).iterator
+          .filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }.zipWithIndex.foreach { case (f, i) =>
+            val to = new org.apache.hadoop.fs.Path(dest,
+              s"g$stamp-$i-${f.getPath.getName}")
+            if (sameFs) fs.rename(f.getPath, to)
+            else org.apache.hadoop.fs.FileUtil.copy(
+              sfs, f.getPath, fs, to, false, conf)
+          }
+        b
+      }.toSeq
+    if (buckets.nonEmpty)
+      // metadata-only: scans of partitioned catalog tables resolve
+      // partitions from the catalog, so moved-in dirs must be registered
+      spark.sql(s"ALTER TABLE $phys ADD IF NOT EXISTS " +
+        buckets.map(b => s"PARTITION ($GbCol=$b)").mkString(" "))
+    spark.catalog.refreshTable(phys)
+    GraftSession.deleteRecursively(java.nio.file.Paths.get(stage))
+    buckets
+  }
+
+  /** Remove every row of one bucket partition: catalog drop + file
+    * delete — metadata and filesystem operations only, no Spark job.
     */
   private def clearPartition(ref: String, b: Int): Unit = {
-    val sel = spark.table(ref).schema.fields
-      .map(f => s"CAST(NULL AS ${f.dataType.sql})").mkString(", ")
-    spark.sql(s"INSERT OVERWRITE TABLE ${physRef(ref)} " +
-      s"PARTITION ($GbCol=$b) SELECT $sel WHERE false")
+    val phys = physRef(ref)
+    spark.sql(s"ALTER TABLE $phys DROP IF EXISTS PARTITION ($GbCol=$b)")
+    val (loc, fs) = tableLocFs(phys)
+    fs.delete(new org.apache.hadoop.fs.Path(loc, s"$GbCol=$b"), true)
   }
 
   /** Dynamic partition overwrite scoped to one write (the DataFrameWriter

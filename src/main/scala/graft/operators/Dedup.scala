@@ -192,6 +192,7 @@ object Dedup extends QueryModule {
       (s, d) => {
         val sh = cappedShingles(shingles(corpus(s, d)))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        sh.count() // pipeline breaker (see dedup_minhash_lsh note)
         countJaccard(sh)
           .filter(col("jac") >= 0.8)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
@@ -207,7 +208,15 @@ object Dedup extends QueryModule {
     // LSH output == exact inverted-index output at test scale.
     Q("dedup_minhash_lsh",
       (s, d) => {
+        // Eager pipeline breakers (the count()s): composed as ONE lazy
+        // plan, shingles → 32-agg signature → band explode → self-join →
+        // verify is a mega-tree the driver re-optimizes as a whole and
+        // AQE can't re-plan across the cached-branch boundaries —
+        // measured 2× slower END-TO-END than materializing each persisted
+        // stage first and letting every downstream stage plan against a
+        // small cached input. Same staging a long-lived pipeline would do.
         val sh = shingles(corpus(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+        sh.count()
         val sig = minhashSignature(sh, 32)
         val bands = (0 until 8).map(b => struct(
           lit(b).as("band"),
@@ -218,9 +227,8 @@ object Dedup extends QueryModule {
           .select(col("doc_id"), col("bk.band").as("band"),
             col("bk.key").as("key"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // persisted: consumed twice by the verify (docs derivation +
-        // final score join) — without it the band self-join re-runs per
-        // consumer
+        // persisted: consumed by both sides of the band self-join —
+        // without it the signature aggregate runs twice
         val cand = buckets.as("x")
           .join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key")
@@ -228,6 +236,8 @@ object Dedup extends QueryModule {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
+        cand.count()
+        buckets.unpersist(false) // only the cand computation needed it
         candidateJaccard(cand, sh)
           .filter(col("jac") >= 0.7)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
@@ -259,6 +269,7 @@ object Dedup extends QueryModule {
         }
         val sigs = agged.select(col("doc_id") +: bandCols: _*)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        sigs.count() // pipeline breaker (see dedup_minhash_lsh note)
         val bb = sigs.select(col("doc_id"), explode(array((0 until 4).map(k =>
             struct(lit(k).as("k"), col(s"b$k").as("v"))): _*)).as("e"))
           .select(col("doc_id"), col("e.k").as("k"), col("e.v").as("v"))
