@@ -89,14 +89,18 @@ object Dedup extends QueryModule {
     *     standard narrow-input fan-out.
     *   - **Hashed-shingle representation.** Every consumer (distinct,
     *     inverted-index join, df cap, minhash) only needs shingle
-    *     IDENTITY, never the text, so the ~40-byte shingle string is
-    *     folded to xxhash64 right at the source: distinct/joins/shuffles
-    *     move 8-byte longs, and the 32 minhash functions rehash a long
-    *     instead of re-reading string bytes. Jaccard counts are identical
-    *     to the string representation absent a 64-bit collision inside a
-    *     candidate pair's shingle sets (birthday bound ~1e-8 at 10⁵
-    *     distinct shingles, and deterministic — the DuckDB oracle gate
-    *     would surface one as a count mismatch).
+    *     IDENTITY, never the text, so each 3-token window is folded to
+    *     xxhash64 right inside the transform lambda — the ~40-byte
+    *     shingle string is never even allocated (hashing the token
+    *     TRIPLE is identity-equivalent to hashing the joined string:
+    *     tokens contain no whitespace, so both are injective on
+    *     windows). Distinct/joins/shuffles move 8-byte longs, and the 32
+    *     minhash functions rehash a long instead of re-reading string
+    *     bytes. Jaccard counts are identical to the string
+    *     representation absent a 64-bit collision inside a candidate
+    *     pair's shingle sets (birthday bound ~1e-8 at 10⁵ distinct
+    *     shingles, and deterministic — the DuckDB oracle gate would
+    *     surface one as a count mismatch).
     */
   private[graft] def shingles(df: DataFrame): DataFrame =
     df.repartition(col("doc_id"))
@@ -105,8 +109,7 @@ object Dedup extends QueryModule {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), " +
-          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s_str"))
-      .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
+          "i -> xxhash64(t[i], t[i+1], t[i+2]))")).as("s"))
       .distinct()
 
   /** Shingles surviving the stop-shingle document-frequency cap. For

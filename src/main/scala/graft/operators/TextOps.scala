@@ -11,21 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryModule {
 
-  /** Whitespace-delimited token count (array never materialized per-row
-    * beyond the expression).
+  /** Whitespace-delimited token count. `regexp_count` walks the matches
+    * without materializing them — `size(regexp_extract_all(...))` builds
+    * an array of every matched substring per row just to take its
+    * length, which at corpus scale is an allocation per token.
     */
-  def wsTokens(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+  def wsTokens(text: Column): Column = regexp_count(text, lit("\\S+"))
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
     * punctuation — the usual byte-level BPE split shape.
     */
   def bpeTokens(text: Column): Column =
-    size(regexp_extract_all(lower(text),
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
   private def stopCount(text: Column, words: String): Column =
-    size(regexp_extract_all(lower(text), lit(s"\\b($words)\\b"), lit(0)))
+    regexp_count(lower(text), lit(s"\\b($words)\\b"))
 
   /** The pre-training keep/drop predicate (token count + mean token
     * length band) — shared by text_quality and the curation pipeline.
@@ -59,12 +59,13 @@ object TextOps extends QueryModule {
       .filter(col("rk") <= k)
   }
 
-  /** Rolling polynomial hash (base 31, mod 1e9+7) over the characters —
-    * a deterministic document fingerprint via a higher-order fold; no UDF.
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the code points —
+    * a deterministic document fingerprint. Delegates to the codegen'd
+    * [[graft.functions.Fingerprint]] expression (one pass, no per-char
+    * array); requires `Fingerprint.register` on the session.
     */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    graft.functions.Fingerprint.fingerprint(text)
 
   override val queries: Seq[Q] = Seq(
 
@@ -93,7 +94,7 @@ object TextOps extends QueryModule {
           nTok.as("n_tokens"),
           round(meanTok, 4).as("mean_tok_len"),
           round(stops / nullif(nTok, lit(0)), 4).as("stop_ratio"),
-          round(size(regexp_extract_all(txt, lit("[0-9]"), lit(0)))
+          round(regexp_count(txt, lit("[0-9]"))
             / nullif(length(txt), lit(0)), 4).as("digit_ratio"),
           qualityKeep(txt).as("keep"))
       },
@@ -123,7 +124,7 @@ object TextOps extends QueryModule {
         val de = stopCount(txt, "der|die|und|das|ist|nicht")
         val fr = stopCount(txt, "le|et|les|des|une|est")
         val es = stopCount(txt, "el|y|los|las|por|una")
-        val zh = size(regexp_extract_all(txt, lit("[\\u4e00-\\u9fff]"), lit(0)))
+        val zh = regexp_count(txt, lit("[\\u4e00-\\u9fff]"))
         Tables.load(s, d, "documents")
           .withColumn("en", en).withColumn("de", de).withColumn("fr", fr)
           .withColumn("es", es).withColumn("zh", zh)
@@ -162,8 +163,11 @@ object TextOps extends QueryModule {
               FROM c""")),
 
     Q("text_fingerprint",
-      (s, d) => Tables.load(s, d, "documents").select(
-        col("doc_id"), fingerprint(col("text")).as("fp")),
+      (s, d) => {
+        graft.functions.Fingerprint.register(s)
+        Tables.load(s, d, "documents").select(
+          col("doc_id"), fingerprint(col("text")).as("fp"))
+      },
       Some("""SELECT doc_id,
                      list_reduce(
                        list_prepend(CAST(0 AS BIGINT),
