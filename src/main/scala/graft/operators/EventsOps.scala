@@ -67,6 +67,62 @@ object EventsOps extends QueryModule {
                 AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
               GROUP BY c.user_id""")),
 
+    // As-of join: each purchase picks up the LATEST click at-or-before
+    // it for the same user (the classic point-in-time lookup Spark has
+    // no operator for). Spark-first shape: union the two tagged event
+    // kinds and carry the last click forward with one per-user ordered
+    // window — a single sort-shuffle on user_id, linear in events. The
+    // naive alternative (range join ts_click <= ts_purchase + per-pair
+    // max) explodes to O(clicks × purchases) per user before its
+    // aggregate; the union-window form never builds pairs at all, so it
+    // survives power-law users at corpus scale. Ordering ties break
+    // (ts, kind, event_id)-deterministically: clicks sort before
+    // same-timestamp purchases, so an equal-ts click is eligible.
+    Q("join_asof",
+      (s, d) => {
+        val ev = Tables.loadEvents(s, d)
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"),
+            when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("is_p"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def carry(c: org.apache.spark.sql.Column) =
+          last(when(col("is_p") === 0, c), ignoreNulls = true).over(w)
+        ev.withColumn("click_id", carry(col("event_id")))
+          .withColumn("click_us", carry(col("us")))
+          .withColumn("click_val", carry(col("value")))
+          .where(col("is_p") === 1 && col("click_id").isNotNull)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("purchase_us"), col("click_id"), col("click_us"),
+            round(col("value"), 2).as("purchase_value"),
+            round(col("click_val"), 2).as("click_value"))
+      },
+      Some("""WITH ev AS (
+                SELECT event_id, user_id, epoch_us(ts) AS us, value,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                         AS is_p
+                FROM events WHERE event_type IN ('click', 'purchase')),
+              j AS (
+                SELECT *,
+                       last_value(CASE WHEN is_p = 0 THEN event_id END
+                                  IGNORE NULLS) OVER w AS click_id,
+                       last_value(CASE WHEN is_p = 0 THEN us END
+                                  IGNORE NULLS) OVER w AS click_us,
+                       last_value(CASE WHEN is_p = 0 THEN value END
+                                  IGNORE NULLS) OVER w AS click_val
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY us, is_p, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))
+              SELECT event_id AS purchase_id, user_id,
+                     us AS purchase_us, click_id, click_us,
+                     round(value, 2) AS purchase_value,
+                     round(click_val, 2) AS click_value
+              FROM j WHERE is_p = 1 AND click_id IS NOT NULL""")),
+
     // Gap-based sessionization (30-min inactivity): lag over a per-user
     // window; partition-parallel by user_id. Epoch-micros ordering keeps
     // Spark (µs timestamps) and the oracle (ns timestamps) identical.

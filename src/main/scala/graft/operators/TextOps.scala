@@ -176,6 +176,112 @@ object TextOps extends QueryModule {
                        (a, b) -> (a * 31 + b) % 1000000007) AS fp
               FROM documents""")),
 
+    // PII scrubbing: redact emails / phone numbers / IPv4 addresses with
+    // typed placeholders and count what was removed — the standard
+    // pre-training privacy pass. The synthetic corpus contains no PII,
+    // so the query first plants deterministic doc_id-derived PII into
+    // each document (both engines build the identical augmented text);
+    // the scrub itself is three codegen'd regexp_replace passes — one
+    // scan, no shuffle, embarrassingly parallel at any scale. Patterns
+    // stay in the Java∩RE2 regex subset so Spark and DuckDB agree.
+    Q("text_pii_scrub",
+      (s, d) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\b555-[0-9]{4}\\b"
+        val ipRe = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com tel 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), planted.as("t"))
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(regexp_replace(col("t"),
+              emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+              .as("scrubbed"),
+            regexp_count(col("t"), lit(emailRe)).as("n_emails"),
+            regexp_count(col("t"), lit(phoneRe)).as("n_phones"),
+            regexp_count(col("t"), lit(ipRe)).as("n_ips"))
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id ||
+                       '@mail.example.com tel 555-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                       ' from 10.0.' || (doc_id % 256) || '.7' AS t
+                FROM documents)
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(t,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>',
+                       'g'), '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+                       '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
+                       'g') AS scrubbed,
+                     len(regexp_extract_all(t,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+                     len(regexp_extract_all(t, '\b555-[0-9]{4}\b'))
+                       AS n_phones,
+                     len(regexp_extract_all(t,
+                       '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
+              FROM p""")),
+
+    // Repetition-based quality (the Gopher repetition filters): repeated
+    // word mass, most-frequent-word share, most-frequent-bigram share.
+    // Two hash aggregations (per-(doc,term) then per-doc) — the same
+    // map-combined two-level shape as a word count, no windows, so the
+    // per-doc stats never centralize anything bigger than one doc's
+    // vocabulary.
+    Q("text_repetition",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        def share(unit: org.apache.spark.sql.DataFrame) = unit
+          .groupBy(col("doc_id"), col("u")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top"))
+        val words = share(docs.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).as("u")))
+        val bigrams = share(docs
+          .select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+              .as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t)-2), " +
+              "i -> concat_ws(' ', t[i], t[i+1]))")).as("u")))
+        words.join(bigrams.select(col("doc_id"), col("n").as("n2"),
+            col("top").as("top2")), "doc_id")
+          .select(col("doc_id"),
+            round(lit(1) - col("n_distinct") / col("n"), 4)
+              .as("dup_word_ratio"),
+            round(col("top") / col("n"), 4).as("top_word_ratio"),
+            round(col("top2") / col("n2"), 4).as("top_bigram_ratio"))
+      },
+      Some("""WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS u
+                FROM documents),
+              wc AS (SELECT doc_id, u, count(*) AS c FROM w GROUP BY 1, 2),
+              ws AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+                            max(c) AS top
+                     FROM wc GROUP BY doc_id),
+              t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                    FROM documents),
+              b AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1])) AS u
+                    FROM t WHERE len(t) >= 2),
+              bc AS (SELECT doc_id, u, count(*) AS c FROM b GROUP BY 1, 2),
+              bs AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2
+                     FROM bc GROUP BY doc_id)
+              SELECT ws.doc_id,
+                     round(1 - n_distinct / n, 4) AS dup_word_ratio,
+                     round(top / n, 4) AS top_word_ratio,
+                     round(top2 / n2, 4) AS top_bigram_ratio
+              FROM ws JOIN bs ON ws.doc_id = bs.doc_id""")),
+
     // TF-IDF-style term weighting: tf × (N / df), top-3 terms per doc.
     // Linear inverse document frequency keeps the score exact rational
     // arithmetic so the DuckDB oracle hash-matches bit-for-bit; the
