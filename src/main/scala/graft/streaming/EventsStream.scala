@@ -116,7 +116,28 @@ object EventsStream {
         unix_micros(col("p_ts")).as("p_us"))
   }
 
-  /** Gap-based sessionization with an EVENT-TIME timeout: a session is
+  /** One click/purchase event for the streaming as-of join (`ts` carries
+  * the watermark through to the stateful operator; the logic works in
+  * `ts_us` micros).
+  */
+final case class AsofEv(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, ts_us: Long, value: Double, is_p: Boolean)
+
+/** Per-user as-of state: the single best watermark-safe click (no
+  * earlier click can ever beat it for any future purchase) plus every
+  * event still inside the watermark.
+  */
+final case class AsofState(safeUs: Long, safeId: Long, safeVal: Double,
+    hasSafe: Boolean, pending: List[AsofEv])
+
+/** A purchase matched to the latest at-or-before click (emitted once,
+  * when the watermark makes the match final).
+  */
+final case class AsofMatch(purchase_id: Long, user_id: Long,
+    purchase_us: Long, click_id: Long, click_us: Long,
+    purchase_value: Double, click_value: Double)
+
+/** Gap-based sessionization with an EVENT-TIME timeout: a session is
     * emitted exactly once, only after the WATERMARK passes its
     * 30-minute inactivity gap — the production shape for "emit finished
     * sessions downstream" (append mode), complementing [[sessionize]]'s
@@ -134,6 +155,72 @@ object EventsStream {
     * is kept in true microseconds end to end, matching the batch
     * `events_sessionize` arithmetic.
     */
+  /** Streaming twin of the batch `join_asof`: each purchase is matched
+    * to the user's LATEST click at-or-before it, emitted exactly once.
+    *
+    * Finality argument: a purchase's match may only change while a click
+    * with `c.us <= p.us` can still arrive; once the watermark passes
+    * `p.us` any such click would be below the watermark and is dropped
+    * (this function drops sub-watermark input itself —
+    * flatMapGroupsWithState does not do it for us). So a purchase is
+    * emitted when `wm > p.us`, and the emission is final — append mode,
+    * no retraction ever needed.
+    *
+    * State per user is O(events inside one watermark delay) + ONE
+    * compacted record: clicks older than the watermark can never beat a
+    * newer click for any still-pending purchase, so they fold into the
+    * single best (max (us, id)) watermark-safe click. Ties follow the
+    * batch operator's (ts, kind, id) order: an equal-timestamp click IS
+    * eligible, and among equal-timestamp clicks the higher event_id
+    * wins.
+    *
+    * `events` must carry (user_id, event_id, ts TIMESTAMP, value,
+    * is_p BOOLEAN).
+    */
+  def asofMatches(events: DataFrame): Dataset[AsofMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("is_p"))
+      .withWatermark("ts", "10 minutes")
+      .as[AsofEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[AsofEv], state: GroupState[AsofState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(
+            AsofState(Long.MinValue, Long.MinValue, 0.0, hasSafe = false, Nil))
+          // late data below the watermark is dropped (standard policy);
+          // the compacted safe click is always OLDER than every retained
+          // event (it was folded under an earlier, smaller watermark), so
+          // the carry-forward sweep below starts from it soundly
+          val all = st.pending ++ it.filter(_.ts_us >= wmUs)
+          val (ripe, pending) = all.partition(_.ts_us < wmUs)
+          // sweep ripe events in the batch operator's (ts, kind, id)
+          // order, carrying the latest click forward — purchases match
+          // exactly what the batch window would have carried at their row
+          var best = if (st.hasSafe)
+            Some((st.safeUs, st.safeId, st.safeVal)) else None
+          val out = List.newBuilder[AsofMatch]
+          ripe.sortBy(e => (e.ts_us, e.is_p, e.event_id)).foreach { e =>
+            if (!e.is_p) best = Some((e.ts_us, e.event_id, e.value))
+            else best.foreach(c => out += AsofMatch(e.event_id, user,
+              e.ts_us, c._2, c._1, e.value, c._3))
+          }
+          val next = AsofState(
+            best.map(_._1).getOrElse(Long.MinValue),
+            best.map(_._2).getOrElse(Long.MinValue),
+            best.map(_._3).getOrElse(0.0), best.isDefined, pending)
+          state.update(next)
+          // wake this user once the watermark passes its oldest pending
+          // purchase, so matches emit even if the user goes quiet
+          pending.filter(_.is_p).map(_.ts_us).minOption.foreach(us =>
+            state.setTimeoutTimestamp(us / 1000L + 1L))
+          out.result().iterator
+      }
+  }
+
   def closedSessions(events: DataFrame): Dataset[SessionWindow] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -132,6 +132,76 @@ class StreamingSpec extends SparkSuite {
     } finally sq.stop()
   }
 
+  test("streaming as-of matches equal the batch join_asof rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.loadEvents(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        (col("event_type") === "purchase").as("is_p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._3.getTime) // arrival order = event-time order → no drops
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double, Boolean)]
+    val sq = EventsStream.asofMatches(
+        in.toDF().toDF("user_id", "event_id", "ts", "value", "is_p"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // three time-ordered chunks → real multi-batch watermark advance
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); sq.processAllAvailable()
+      }
+      // sentinel click far in the future pushes the watermark past every
+      // real purchase; a second batch runs the timeout sweep
+      val far = new java.sql.Timestamp(ev.last._3.getTime + 7200000L)
+      in.addData((-1L, -1L, far, 0.0, false)); sq.processAllAvailable()
+      in.addData((-1L, -2L,
+        new java.sql.Timestamp(far.getTime + 60000L), 0.0, false))
+      sq.processAllAvailable()
+      val streamed = spark.table("asof_stream")
+        .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+          col("click_id"), col("click_us"),
+          round(col("purchase_value"), 2).as("purchase_value"),
+          round(col("click_value"), 2).as("click_value"))
+      val batch = q("join_asof")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally sq.stop()
+  }
+
+  test("as-of match waits for in-watermark clicks between old and purchase") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    def at(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double, Boolean)]
+    val sq = EventsStream.asofMatches(
+        in.toDF().toDF("user_id", "event_id", "ts", "value", "is_p"))
+      .writeStream.format("memory").queryName("asof_ooo")
+      .outputMode("append").start()
+    try {
+      // click@0 and purchase@5 arrive first; the BETTER click@3 arrives
+      // out of order in the next batch, still above the watermark
+      in.addData((1L, 10L, at(0), 1.0, false), (1L, 11L, at(5), 9.0, true))
+      sq.processAllAvailable()
+      assert(spark.table("asof_ooo").count() == 0) // not final yet
+      in.addData((1L, 12L, at(3), 2.0, false), (2L, 90L, at(30), 0.0, false))
+      sq.processAllAvailable()
+      in.addData((2L, 91L, at(31), 0.0, false))
+      sq.processAllAvailable()
+      val rows = spark.table("asof_ooo")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the purchase matched the late-arriving click@3, not click@0
+      assert(rows == Set((11L, 12L)))
+    } finally sq.stop()
+  }
+
   test("stateful sessionization equals the batch lag-window version") {
     val sq = EventsStream.sessionCounts(spark, sf)
       .writeStream.format("memory").queryName("sess_stream")
