@@ -176,4 +176,78 @@ object Sketches {
     override def bufferEncoder: Encoder[FMBuf] = Encoders.kryo[FMBuf]
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
+
+  // ----------------------------------------------------------- Misra-Gries
+
+  /** MG buffer: key → counter, at most k entries (kryo-encoded; only
+    * crosses the wire at partial→final, k-bounded).
+    */
+  final class MGBuf(val counts: java.util.HashMap[String, Long])
+      extends Serializable
+
+  /** Misra-Gries heavy hitters with k counters: every key with true
+    * frequency > n/(k+1) is guaranteed present, and each reported count
+    * underestimates the truth by at most n/(k+1) (one-sided — the dual
+    * of Count-Min's overestimate). The merge subtracts the (k+1)-th
+    * largest combined counter from everything and keeps the positive
+    * remainder, which preserves the bound under partial→final
+    * aggregation (the mergeable-summaries construction), so the sketch
+    * rides Spark's map-side combine like the CM/FM aggregators.
+    *
+    * While the stream's true NDV stays ≤ k no counter is ever
+    * decremented and every count is EXACT — the regime the oracled
+    * query runs in; the adaptive regime's bound is pinned by SketchSpec.
+    */
+  final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, MGBuf, Map[String, Long]] {
+
+    override def zero: MGBuf = new MGBuf(new java.util.HashMap[String, Long]())
+
+    override def reduce(b: MGBuf, key: String): MGBuf = {
+      if (key != null) {
+        val cur = b.counts.get(key)
+        if (cur != 0L || b.counts.containsKey(key))
+          b.counts.put(key, cur + 1)
+        else if (b.counts.size < k) b.counts.put(key, 1L)
+        else {
+          // decrement-all: the classic MG step (charge this arrival and
+          // one unit of k existing counters against the error budget)
+          val it = b.counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1)
+          }
+        }
+      }
+      b
+    }
+
+    override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+      val it = b.counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        a.counts.merge(e.getKey, e.getValue, (x, y) => x + y)
+      }
+      if (a.counts.size > k) {
+        // subtract the (k+1)-th largest counter, keep the positive part
+        val vals = new java.util.ArrayList[Long](a.counts.values())
+        vals.sort(java.util.Collections.reverseOrder[Long]())
+        val cut = vals.get(k)
+        val jt = a.counts.entrySet().iterator()
+        while (jt.hasNext) {
+          val e = jt.next()
+          if (e.getValue <= cut) jt.remove() else e.setValue(e.getValue - cut)
+        }
+      }
+      a
+    }
+
+    override def finish(b: MGBuf): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      b.counts.asScala.toMap.map { case (key, c) => key -> c.longValue() }
+    }
+    override def bufferEncoder: Encoder[MGBuf] = Encoders.kryo[MGBuf]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
 }

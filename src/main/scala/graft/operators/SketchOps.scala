@@ -67,6 +67,23 @@ object SketchOps extends QueryModule {
           s"round(quantile_cont(o_totalprice, ${i / 8.0}), 4) AS b$i")
         .mkString("SELECT ", ", ", " FROM orders"))),
 
+    // Misra-Gries heavy hitters (k=64) over the event-type stream: the
+    // mergeable top-k companion to Count-Min (MG underestimates, CM
+    // overestimates). With true NDV (5) ≤ k no counter ever decrements,
+    // so counts are exact and the oracle is the exact GROUP BY top-3;
+    // the adaptive regime's n/(k+1) bound is pinned by SketchSpec.
+    Q("stats_topk",
+      (s, dir) => {
+        val mg = udaf(new Sketches.MisraGriesAgg(64), Encoders.STRING)
+        val sketch = Tables.loadEvents(s, dir)
+          .agg(mg(col("event_type"))).head.getMap[String, Long](0)
+        import s.implicits._
+        sketch.toSeq.sortBy { case (key, c) => (-c, key) }.take(3)
+          .toDF("event_type", "est_count")
+      },
+      Some("""SELECT event_type, count(*) AS est_count FROM events
+              GROUP BY 1 ORDER BY est_count DESC, event_type LIMIT 3""")),
+
     // FM-sketch NDV for two orders columns in one aggregate pass. With
     // maxSize 65536 above the columns' true NDV at test scale the mask
     // never grows and the estimate equals the exact distinct count; the

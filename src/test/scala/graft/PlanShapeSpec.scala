@@ -56,6 +56,14 @@ class PlanShapeSpec extends SparkSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("join_asof never builds pairs: one window, no join operator") {
+    // the as-of lookup is a union + carry-forward window — a Join node
+    // here would mean the O(clicks × purchases) range-join shape crept in
+    val plan = Meta.explainFormatted(q("join_asof"))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("text ops stay UDF-free (no BatchEvalPython/ScalaUDF in plan)") {
     val plan = Meta.explainFormatted(q("text_quality"))
     assert(!plan.contains("BatchEvalPython"))

@@ -69,6 +69,37 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("MG counts are exact below k and partitioning-invariant there") {
+    val ev = Tables.loadEvents(spark, sf).select(col("event_type").as("k"))
+    val exact = ev.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mg = udaf(new Sketches.MisraGriesAgg(64), Encoders.STRING)
+    val a = ev.repartition(3).agg(mg(col("k"))).head.getMap[String, Long](0)
+    val b = ev.repartition(11).agg(mg(col("k"))).head.getMap[String, Long](0)
+    assert(a.toMap == exact, s"MG not exact below k: $a vs $exact")
+    assert(a.toMap == b.toMap)
+  }
+
+  test("MG is one-sided with the n/(k+1) bound on a high-cardinality key") {
+    val k = 8
+    val keyed = li.select(col("l_suppkey").cast("string").as("k"))
+    val n = keyed.count()
+    val exact = keyed.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mg = udaf(new Sketches.MisraGriesAgg(k), Encoders.STRING)
+    val est = keyed.agg(mg(col("k"))).head.getMap[String, Long](0).toMap
+    assert(est.size <= k)
+    val budget = n / (k + 1)
+    est.foreach { case (key, c) =>
+      val t = exact.getOrElse(key, 0L)
+      assert(c <= t, s"MG overcounted $key: $c > $t")
+      assert(t - c <= budget, s"MG undershoot on $key: $c vs $t (> $budget)")
+    }
+    // completeness: every key heavier than the error budget is reported
+    exact.filter(_._2 > budget).keys.foreach(key =>
+      assert(est.contains(key), s"heavy key $key missing from MG"))
+  }
+
   test("FM sketch is partitioning-invariant") {
     val keyed = li.select(col("l_orderkey").cast("string").as("k"))
     val fm = udaf(new Sketches.FMSketchAgg(64), Encoders.STRING)
