@@ -47,7 +47,8 @@ final class GraftSession(val spark: SparkSession) {
   /** GLOBAL-scoped sysvars (`executor/set.go:40` IsGlobal): sessions read
     * @@x from session scope first; SET GLOBAL never touches session scope.
     */
-  private val globalVars = mutable.LinkedHashMap(defaultSysVars: _*)
+  private val globalVars =
+    mutable.LinkedHashMap(defaultSysVars ++ globalOnlyVars: _*)
   /** Per-statement diagnostics area (the reference's stmtctx warnings):
     * cleared by every statement except SHOW WARNINGS/ERRORS.
     */
@@ -608,7 +609,11 @@ final class GraftSession(val spark: SparkSession) {
                   val k = name.stripPrefix("session.")
                   sysVars.get(k).orElse(globalVars.get(k))
                 }
-              v.map(renderLiteral).getOrElse("NULL")
+              // an unrecognized sysvar is an error, never NULL
+              // (`variable.ErrUnknownSystemVar`, set_test.go:38-41)
+              v.map(renderLiteral).getOrElse(throw new IllegalArgumentException(
+                s"Unknown system variable '${name.stripPrefix("global.")
+                  .stripPrefix("session.")}'"))
             } else userVars.getOrElse(name, "NULL")
           out ++= s"($lit)"
           i = j
@@ -1969,6 +1974,14 @@ object GraftSession {
     "time_zone" -> "UTC",
     "transaction_isolation" -> "REPEATABLE-READ",
     "version_comment" -> "graft analytics engine")
+
+  /** GLOBAL-only variables (MySQL has no session scope for these, so
+    * `@@x` reads the LIVE global value — `set_test.go:23`
+    * TestSelectGlobalVar pins `SET GLOBAL max_connections` being visible
+    * through the plain `@@max_connections` read).
+    */
+  val globalOnlyVars: Seq[(String, String)] = Seq(
+    "max_connections" -> "151")
 
   /** Managed tables store their bucket-partitioned data under
     * `<name>__data`, read through a logical view named `<name>`.

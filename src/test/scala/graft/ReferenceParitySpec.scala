@@ -603,4 +603,101 @@ class ReferenceParitySpec extends SparkSuite {
       "select a.c1 from t a , t1 b where a.c1 = b.c1 and a.c1 + b.c1 > 5 order by b.c1") ==
       Seq("3"))
   }
+
+  test("dirty transaction reads its own writes through every shape (union_scan_test.go:21 TestDirtyTransaction)") {
+    // ORDER BY added where the reference relies on implicit PK-scan order
+    gs.executeAll(
+      """DROP TABLE IF EXISTS t;
+         CREATE TABLE t (a INT PRIMARY KEY, b INT)""")
+    gs.execute("CREATE INDEX idx_b ON t (b)")
+    gs.execute("insert into t values (2, 3), (4, 8), (6, 8)")
+    gs.execute("begin")
+    assert(gs.query("select * from t order by a") ==
+      Seq("2 3", "4 8", "6 8"))
+    gs.execute("insert into t values (1, 5), (3, 4), (7, 6)")
+    gs.execute("select * from information_schema.columns")
+    assert(gs.query("select * from t order by a") ==
+      Seq("1 5", "2 3", "3 4", "4 8", "6 8", "7 6"))
+    assert(gs.query("select * from t where a = 1") == Seq("1 5"))
+    assert(gs.query("select * from t order by a desc") ==
+      Seq("7 6", "6 8", "4 8", "3 4", "2 3", "1 5"))
+    assert(gs.query("select * from t order by b, a") ==
+      Seq("2 3", "3 4", "1 5", "7 6", "4 8", "6 8"))
+    assert(gs.query("select * from t order by b desc, a desc") ==
+      Seq("6 8", "4 8", "7 6", "1 5", "3 4", "2 3"))
+    assert(gs.query("select b from t where b = 8 order by b desc") ==
+      Seq("8", "8"))
+    // delete a snapshot row and a dirty row
+    gs.execute("delete from t where a = 2 or a = 3")
+    assert(gs.query("select * from t order by a") ==
+      Seq("1 5", "4 8", "6 8", "7 6"))
+    assert(gs.query("select * from t order by b, a") ==
+      Seq("1 5", "7 6", "4 8", "6 8"))
+    // add the deleted rows back
+    gs.execute("insert into t values (2, 3), (3, 4)")
+    assert(gs.query("select * from t order by a") ==
+      Seq("1 5", "2 3", "3 4", "4 8", "6 8", "7 6"))
+    gs.execute("commit")
+    assert(gs.query("select * from t order by a") ==
+      Seq("1 5", "2 3", "3 4", "4 8", "6 8", "7 6"))
+    // second scenario: dirty insert must not disturb a snapshot filter
+    gs.executeAll(
+      """DROP TABLE IF EXISTS t;
+         CREATE TABLE t (a INT, b INT)""")
+    gs.execute("insert into t values (2, 3), (4, 5), (6, 7)")
+    gs.execute("begin")
+    gs.execute("insert into t values (0, 1)")
+    assert(gs.query("select * from t where b = 3") == Seq("2 3"))
+    gs.execute("commit")
+  }
+
+  test("multi-statement script with trailing separator (session_test.go:378 TestMultiStmts)") {
+    gs.executeAll(
+      "drop table if exists t1; create table t1(id int ); insert into t1 values (1);")
+    assert(gs.query("select * from t1;") == Seq("1"))
+  }
+
+  test("REPLACE SET form and REPLACE..SELECT LIMIT (session_test.go:393 TestReplace)") {
+    gs.executeAll(
+      """drop table if exists t;
+         drop table if exists t1;
+         create table t1 (c1 int, c2 int, c3 int)""")
+    gs.execute("replace into t1 set c1=1, c2=2, c3=1")
+    gs.execute("create table t (c1 int PRIMARY KEY, c2 int, c3 int)")
+    gs.execute("replace into t set c1=1, c2=4")
+    gs.execute("replace into t select * from t1 limit 1")
+    // the selected (1,2,1) displaces the earlier (1,4,NULL) on the PK
+    assert(gs.query("select c1, c2, c3 from t") == Seq("1 2 1"))
+  }
+
+  test("string literal into an AUTO_INCREMENT pk (session_test.go:406 TestIssue986)") {
+    gs.executeAll(
+      """DROP TABLE IF EXISTS address;
+         CREATE TABLE address (id BIGINT NOT NULL AUTO_INCREMENT PRIMARY KEY)""")
+    gs.execute("insert into address values ('10')")
+    assert(gs.query("select id from address") == Seq("10"))
+  }
+
+  test("GLOBAL-only sysvar reads live global state (set_test.go:23 TestSelectGlobalVar)") {
+    val s = new GraftSession(spark) // fresh session: pristine globals
+    assert(s.query("select @@global.max_connections") == Seq("151"))
+    assert(s.query("select @@max_connections") == Seq("151"))
+    s.execute("set @@global.max_connections=100")
+    assert(s.query("select @@global.max_connections") == Seq("100"))
+    // no session scope for max_connections: the plain read sees the
+    // global write (MySQL GLOBAL-only variable semantics)
+    assert(s.query("select @@max_connections") == Seq("100"))
+    s.execute("set @@global.max_connections=151")
+    // unknown system variables are errors, never NULL
+    intercept[Exception](s.execute("select @@invalid"))
+    intercept[Exception](s.execute("select @@global.invalid"))
+  }
+
+  test("strict mode rejects a non-numeric string into a numeric column (insert_test.go:27 TestInsertWrongValueForField)") {
+    gs.executeAll(
+      """drop table if exists t1;
+         create table t1(a bigint)""")
+    intercept[Exception](
+      gs.execute("insert into t1 values('asfasdfsajhlkhlksdaf')"))
+  }
 }
