@@ -25,6 +25,9 @@ object SparkEntry {
     operators.Indexing,
     operators.SketchOps,
     operators.Skew,
+    operators.Components,
+    operators.Sampling,
+    operators.Analytic,
     operators.Curation)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

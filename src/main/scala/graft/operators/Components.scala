@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a near-duplicate pair relation — the step
+  * that turns pairwise dedup output (LSH / Jaccard pairs) into actual
+  * keep/drop decisions. Near-duplication is not transitive (A≈B and B≈C
+  * can hold with A and C below threshold), so a corpus-scale dedup pass
+  * must group pairs into components and keep one document per component;
+  * emitting pairs alone would under-delete every chain.
+  *
+  * The implementation is iterative min-label propagation expressed as
+  * plain joins/aggregations: every vertex starts as its own label; each
+  * round every vertex takes the min of its own and its neighbors' labels;
+  * fixpoint when no label changes. Rounds ≈ component diameter — near-dup
+  * clusters are shallow (a handful of hops), so this terminates in a few
+  * hash-partitioned shuffles on the edge relation with no driver-side
+  * state (the driver sees one scalar per round). For adversarial
+  * long-chain graphs the O(log n)-round large-star/small-star variant
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) drops in behind the same signature; at near-dup workloads the
+  * simple form does strictly fewer shuffles.
+  */
+object Components extends QueryModule {
+
+  /** Min-label propagation to fixpoint.
+    *
+    * @param vertices one column `v` (numeric id); isolated vertices come
+    *                 out as their own singleton component
+    * @param edges    columns (`src`, `dst`), undirected, self-loops and
+    *                 duplicates tolerated
+    * @return (v, component) where component = min vertex id reachable
+    *
+    * Convergence probe: labels only ever decrease, so the label SUM is
+    * strictly decreasing until the fixpoint — one scalar aggregate per
+    * round (which doubles as the materialization barrier for the persisted
+    * round result) instead of a change-detection join. Fails loudly if
+    * `maxIter` rounds don't reach the fixpoint: a silently-unconverged
+    * labeling would split components and under-dedup.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("w"))
+      .union(edges.select(col("dst").as("u"), col("src").as("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("v"), col("v").as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).head.getLong(0)
+
+    var cur = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val viaNeighbors = sym.join(labels, col("w") === col("v"))
+        .select(col("u").as("v"), col("component"))
+      val next = labels.select(col("v"), col("component"))
+        .union(viaNeighbors)
+        .groupBy(col("v")).agg(min(col("component")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = nextSum == cur
+      cur = nextSum
+      rounds += 1
+    }
+    sym.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+
+  /** Corpus with chain structure: each document plus a 90%-prefix copy
+    * (+1M) and a 75%-prefix copy (+2M). Prefix shingle sets nest, so
+    * Jaccard(full, 90%) ≈ .9 and Jaccard(90%, 75%) ≈ .83 clear the 0.8
+    * edge threshold while Jaccard(full, 75%) ≈ .75 does not — a genuine
+    * A–B–C chain whose full component is only recoverable transitively
+    * (at sf0.01, 425 of the 500 doc groups form such a chain; the rest
+    * land on rounding or cross-doc near-dups, which only densify edges
+    * and never change the component answer).
+    */
+  private[graft] def ccCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val toks = docs.select(col("doc_id"),
+      regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+    def prefixCopy(shift: Long, num: Int, den: Int): DataFrame =
+      toks.select((col("doc_id") + shift).as("doc_id"),
+        array_join(slice(col("t"), lit(1),
+          greatest(expr(s"(size(t)*$num) div $den"), lit(1))), " ")
+          .as("text"))
+    docs.unionByName(prefixCopy(1000000L, 9, 10))
+      .unionByName(prefixCopy(2000000L, 3, 4))
+  }
+
+  /** The dedup_components edge relation (spec crosscheck hook). */
+  private[graft] def jaccardEdges(corpus: DataFrame): DataFrame =
+    Dedup.countJaccard(Dedup.cappedShingles(Dedup.shingles(corpus)))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+
+  override val queries: Seq[Q] = Seq(
+
+    // Near-dup clusters: word-3-gram Jaccard ≥ 0.8 pairs (same capped
+    // inverted-index pipeline as dedup_ngram_jaccard) grouped into
+    // components; component id = the keeper (min doc_id reachable).
+    Q("dedup_components",
+      (s, d) => {
+        val corpus = ccCorpus(s, d)
+        val sh = Dedup.cappedShingles(Dedup.shingles(corpus))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        sh.count() // pipeline breaker (see dedup_minhash_lsh note)
+        val edges = Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val verts = corpus.select(col("doc_id").as("v"))
+        val out = connectedComponents(verts, edges)
+          .select(col("v").as("doc_id"), col("component"))
+        sh.unpersist(blocking = false)
+        out
+      },
+      // Reachability closure + min label. The recursive CTE enumerates
+      // (v, reachable u) pairs — fine at oracle scale where components
+      // are tiny; the Spark side never materializes the closure. The
+      // df ≤ 256 filter mirrors Dedup.maxShingleDf so the two engines
+      // compute Jaccard over the identical shingle vocabulary at ANY df
+      // distribution.
+      Some("""WITH RECURSIVE
+              toks0 AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '\S+') AS t
+                        FROM documents),
+              corpus AS (
+                SELECT doc_id, lower(text) AS text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       array_to_string(t[1:greatest((len(t)*9)//10,1)], ' ')
+                FROM toks0
+                UNION ALL
+                SELECT doc_id + 2000000,
+                       array_to_string(t[1:greatest((len(t)*3)//4,1)], ' ')
+                FROM toks0),
+              toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                       FROM corpus),
+              sh0 AS (SELECT DISTINCT doc_id,
+                        unnest(list_transform(range(1, len(t)-1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                      FROM toks WHERE len(t) >= 3),
+              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0
+                     JOIN (SELECT s FROM sh0 GROUP BY s
+                           HAVING count(*) <= 256) rare USING (s)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                count(*) AS c
+                         FROM sh a JOIN sh b
+                           ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+              edges AS (SELECT doc_a, doc_b FROM common
+                        JOIN sizes sa ON doc_a = sa.doc_id
+                        JOIN sizes sb ON doc_b = sb.doc_id
+                        WHERE c / (sa.n + sb.n - c) >= 0.8),
+              sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                      UNION ALL SELECT doc_b, doc_a FROM edges),
+              reach AS (SELECT doc_id AS v, doc_id AS u FROM corpus
+                        UNION
+                        SELECT r.v, e.b FROM reach r JOIN sym e ON r.u = e.a)
+              SELECT v AS doc_id, min(u) AS component
+              FROM reach GROUP BY v"""))
+  )
+}

@@ -129,7 +129,7 @@ object Dedup extends QueryModule {
     * counts and set sizes in plain integer arithmetic — no per-pair
     * array materialization.
     */
-  private def countJaccard(sh: DataFrame): DataFrame = {
+  private[operators] def countJaccard(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),

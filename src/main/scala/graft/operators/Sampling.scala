@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling and sequence-packing for training-data pipelines.
+  *
+  * Every operator here is DETERMINISTIC — a corpus pipeline must be
+  * re-runnable to the same sample (resume after failure, audit a
+  * training set, diff two pipeline versions), so membership derives from
+  * a content hash, never from `rand()`. Determinism is also what makes
+  * these fully oracle-able.
+  */
+object Sampling extends QueryModule {
+
+  /** Documents per prefix-sum leaf bucket (see pack_sequences). Small
+    * here so test scales exercise the multi-bucket path; production
+    * would size it ~2²⁰ so the bucket-offset table stays metadata-scale
+    * (10¹⁰ docs → ~10⁴ buckets).
+    */
+  private val PackBucket = 256
+
+  /** Context window length for pack_sequences. */
+  private val Ctx = 2048
+
+  /** Concat-and-chunk packing over (doc_id, n_tokens) rows — see the
+    * pack_sequences query doc for the algorithm. Exposed for the spec,
+    * which crosschecks the two-level prefix sum against a naive global
+    * window over inputs spanning many buckets.
+    */
+  private[graft] def packSequences(tokenCounts: DataFrame,
+      ctx: Int, bucket: Int): DataFrame = {
+    val tc = tokenCounts.filter(col("n_tokens") > 0)
+      .withColumn("b", expr(s"doc_id div $bucket"))
+    val bucketOffsets = tc.groupBy(col("b"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .select(col("b"), coalesce(
+        sum(col("btok")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("boff"))
+    val intra = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tc.join(bucketOffsets, "b")
+      .withColumn("off",
+        col("boff") + coalesce(sum(col("n_tokens")).over(intra), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"off div $ctx").as("first_chunk"),
+        expr(s"(off + n_tokens - 1) div $ctx").as("last_chunk"))
+  }
+
+  override val queries: Seq[Q] = Seq(
+
+    // Deterministic ~10% Bernoulli sample: membership = md5(text) hex
+    // prefix under a threshold. Pure map-side filter — no shuffle, no
+    // state, embarrassingly parallel at any scale, and stable under
+    // re-partitioning/re-runs (unlike rand()-based sampling).
+    Q("sample_hash",
+      (s, d) => Tables.load(s, d, "documents")
+        .filter(substring(md5(col("text")), 1, 2) < "1a")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE substr(md5(text), 1, 2) < '1a'""")),
+
+    // Stratified sampling: an exact per-language quota, picked in
+    // content-hash order so the quota is deterministic and unbiased by
+    // storage order. One shuffle on the stratum key; rows beyond the
+    // quota are dropped by the windowed rank. (For strata too hot for a
+    // single partition, salt-then-requota per SCALE.md's skew section.)
+    Q("sample_stratified",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text")), col("doc_id"))
+        Tables.load(s, d, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("doc_id"), col("rk"))
+      },
+      Some("""SELECT lang, doc_id, rk FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(text), doc_id) AS rk
+                FROM documents) t
+              WHERE rk <= 20""")),
+
+    // Concat-and-chunk sequence packing — the layout step of LLM
+    // training: documents are concatenated in doc_id order and split
+    // into fixed-length context windows; each document maps to the chunk
+    // range [first_chunk, last_chunk] it lands in. The global token
+    // offset is a distributed two-level prefix sum:
+    //   1. per-bucket token totals (one map-side-combined aggregate),
+    //   2. running offsets over the BUCKET table (a single-partition
+    //      window — but over bucket aggregates, metadata-scale, like
+    //      ANALYZE stats),
+    //   3. intra-bucket running sum (window PARTITIONED by bucket).
+    // No data-scale single-partition stage anywhere — the naive global
+    // `Window.orderBy(doc_id)` would funnel the corpus through one task.
+    Q("pack_sequences",
+      (s, d) => packSequences(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), TextOps.wsTokens(col("text")).as("n_tokens")),
+        Ctx, PackBucket),
+      Some(s"""SELECT doc_id, n_tokens,
+                      off // $Ctx AS first_chunk,
+                      (off + n_tokens - 1) // $Ctx AS last_chunk
+               FROM (SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS off
+                     FROM (SELECT doc_id,
+                             len(regexp_extract_all(text, '\\S+')) AS n_tokens
+                           FROM documents) tc
+                     WHERE n_tokens > 0) o"""))
+  )
+}

@@ -260,6 +260,37 @@ object Similarity extends QueryModule {
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
             round(col("sim"), 4).as("cos_sim"))
       },
-      None)
+      None),
+
+    // Embedding normalization + symmetric int8 quantization — the
+    // storage-side prep of an ANN pipeline (a 100 TB embedding store is
+    // 4× smaller in int8, and IVF/LSH probes only need approximate
+    // geometry). Pure map work: per-row HOF transforms, no shuffle, no
+    // UDF. The norm uses the same in-order graft_dot fold as the cosine
+    // queries, and the quantized values are emitted as a CSV string so
+    // the oracle hash-compare is over scalar columns.
+    Q("emb_quantize",
+      (s, d) => {
+        val maxabs = aggregate(col("v"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x)))
+        emb(s, d).filter(col("v").isNotNull)
+          .select(col("vec_id"),
+            round(sqrt(dot(col("v"), col("v"))), 4).as("l2_norm"),
+            concat_ws(",", transform(col("v"),
+              x => round(x * lit(127.0) / maxabs).cast("long").cast("string")))
+              .as("q8"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings WHERE embedding IS NOT NULL),
+                   m AS (SELECT vec_id, v,
+                           list_aggregate(list_transform(v, x -> abs(x)),
+                             'max') AS maxabs
+                         FROM e)
+              SELECT vec_id,
+                     round(sqrt(list_dot_product(v, v)), 4) AS l2_norm,
+                     array_to_string(list_transform(v, x ->
+                       CAST(CAST(round(x * 127.0 / maxabs) AS BIGINT)
+                            AS VARCHAR)), ',') AS q8
+              FROM m"""))
   )
 }

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Components, Sampling}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected components, deterministic sampling, sequence packing, and
+  * the analytic-surface queries: invariants the DuckDB oracle can't see
+  * (multi-hop convergence, failure modes, bucketing-invariance of the
+  * distributed prefix sum) plus crosschecks against naive single-node
+  * formulations at test scale.
+  */
+class PipelineScaleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cc(vs: Seq[Long], es: Seq[(Long, Long)], maxIter: Int = 25) =
+    Components.connectedComponents(
+      vs.toDF("v"), es.toDF("src", "dst"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: chain needs multi-hop propagation") {
+    // 1-2-3-4-5 is diameter 4: vertex 5 only learns label 1 transitively
+    val got = cc(Seq(1L, 2L, 3L, 4L, 5L, 9L),
+      Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      9L -> 9L))
+  }
+
+  test("connectedComponents: cycles, self-loops, duplicate edges") {
+    val got = cc(Seq(1L, 2L, 3L, 7L, 8L),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 3L), (1L, 2L), (7L, 8L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents: fails loudly when maxIter is too low") {
+    intercept[IllegalStateException] {
+      cc(Seq(1L, 2L, 3L, 4L, 5L),
+        Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)), maxIter = 2)
+    }
+  }
+
+  test("dedup_components equals union-find over the same edge relation") {
+    val corpus = Components.ccCorpus(spark, sf)
+    val edges = Components.jaccardEdges(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val verts = corpus.select("doc_id").as[Long].collect()
+    // driver-side union-find ground truth (fine at 150 vertices)
+    val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(v: Long): Long =
+      if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = verts.map(v => v -> find(v)).toMap
+    val got = q("dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // the corpus genuinely exercises transitivity: some component holds
+    // the full doc and the 75% copy with no direct edge between them
+    val edgeSet = edges.toSet
+    assert(want.exists { case (v, c) =>
+      v >= 2000000L && c < 1000000L && !edgeSet.contains((c, v)) })
+  }
+
+  test("sample_hash is a deterministic content-derived subset") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = q("sample_hash").collect().map(_.getLong(0)).sorted
+    val b = q("sample_hash").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.length < docs.count())
+  }
+
+  test("sample_stratified: exact quota per stratum, dense ranks") {
+    val rows = q("sample_stratified").collect()
+      .map(r => (r.getString(0), r.getInt(2)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val ranks = rs.map(_._2).sorted
+      assert(ranks.sameElements(1 to ranks.length), s"lang $lang")
+      assert(ranks.length <= 20)
+    }
+  }
+
+  test("packSequences two-level prefix sum == naive global window") {
+    // 40 docs spread over many 16-wide buckets, with gaps and a zero
+    val tc = (0 until 40)
+      .map(i => (i * 13L, if (i == 7) 0L else (i * 37 % 1000) + 1L))
+      .toDF("doc_id", "n_tokens")
+    val got = Sampling.packSequences(tc, ctx = 512, bucket = 16)
+    val naive = tc.filter(col("n_tokens") > 0)
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("off div 512").as("first_chunk"),
+        expr("(off + n_tokens - 1) div 512").as("last_chunk"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // multi-bucket actually exercised
+    assert(tc.select(expr("doc_id div 16")).distinct().count() > 5)
+  }
+
+  test("pack_sequences chunks tile the corpus contiguously") {
+    val rows = q("pack_sequences").orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    var prevLast = 0L
+    rows.foreach { r =>
+      val (first, last) = (r.getLong(2), r.getLong(3))
+      assert(first <= last)
+      assert(first == prevLast || first == prevLast + 1,
+        s"gap before doc ${r.getLong(0)}")
+      prevLast = last
+    }
+  }
+
+  test("set_ops: intersect and except partition the high-value set") {
+    val rows = q("set_ops").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val inter = rows.filter(_._2 == "intersect").map(_._1).toSet
+    val exc = rows.filter(_._2 == "except").map(_._1).toSet
+    assert((inter & exc).isEmpty)
+    val hi = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select("o_custkey").distinct().as[Long].collect().toSet
+    assert((inter ++ exc) == hi)
+  }
+
+  test("events_rollup: per-type rows sum to the grand total") {
+    val rows = q("events_rollup").collect()
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1)
+    val typeRows = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+    assert(typeRows.map(_.getLong(4)).sum == grand.head.getLong(4))
+    val dayRows = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 0)
+    assert(dayRows.map(_.getLong(4)).sum == grand.head.getLong(4))
+  }
+
+  test("emb_quantize: q8 values bounded, extremes hit ±127") {
+    val qs = q("emb_quantize").collect().map(_.getString(2))
+    assert(qs.nonEmpty)
+    val vals = qs.flatMap(_.split(",")).map(_.toLong)
+    assert(vals.forall(v => v >= -127 && v <= 127))
+    assert(qs.forall(s => s.split(",").map(_.toLong.abs).max == 127))
+  }
+}
