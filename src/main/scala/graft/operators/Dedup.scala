@@ -119,7 +119,7 @@ object Dedup extends QueryModule {
     * full-vocabulary DuckDB oracle still matches exactly (DedupSpec
     * asserts that precondition).
     */
-  private[operators] def cappedShingles(sh: DataFrame): DataFrame = {
+  private[graft] def cappedShingles(sh: DataFrame): DataFrame = {
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select(col("s"))
     sh.join(rare, "s")
