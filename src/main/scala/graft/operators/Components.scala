@@ -18,11 +18,13 @@ import org.apache.spark.storage.StorageLevel
   * fixpoint when no label changes. Rounds ≈ component diameter — near-dup
   * clusters are shallow (a handful of hops), so this terminates in a few
   * hash-partitioned shuffles on the edge relation with no driver-side
-  * state (the driver sees one scalar per round). For adversarial
-  * long-chain graphs the O(log n)-round large-star/small-star variant
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC'14) drops in behind the same signature; at near-dup workloads the
-  * simple form does strictly fewer shuffles.
+  * state (the driver sees one scalar per round). Each round also
+  * POINTER-JUMPS (comp(v) ← comp(comp(v)), one vertex-sized self-join):
+  * neighbor propagation alone needs diameter rounds, while jumping
+  * squares the reach per round, giving O(log diameter) total — the same
+  * guarantee as large-star/small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) with simpler rounds.
+  * A 64-vertex chain converges in 7 rounds (spec-pinned) vs 63 without.
   */
 object Components extends QueryModule {
 
@@ -67,10 +69,18 @@ object Components extends QueryModule {
     while (!converged && rounds < maxIter) {
       val viaNeighbors = sym.join(labels, col("w") === col("v"))
         .select(col("u").as("v"), col("component"))
-      val next = labels.select(col("v"), col("component"))
+      val propagated = labels.select(col("v"), col("component"))
         .union(viaNeighbors)
         .groupBy(col("v")).agg(min(col("component")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the jump
+      // pointer jumping: follow the label's own label. Sound because
+      // labels only decrease and stay within the component (every
+      // component value is itself a vertex, so the inner join is total).
+      val next = propagated.as("x")
+        .join(propagated.as("p"), col("x.component") === col("p.v"))
+        .select(col("x.v").as("v"), col("p.component").as("component"))
         .localCheckpoint() // eager: materializes + truncates the plan
+      propagated.unpersist(blocking = false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == cur

@@ -35,8 +35,16 @@ class PipelineScaleOpsSpec extends SparkSuite {
   test("connectedComponents: fails loudly when maxIter is too low") {
     intercept[IllegalStateException] {
       cc(Seq(1L, 2L, 3L, 4L, 5L),
-        Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)), maxIter = 2)
+        Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)), maxIter = 1)
     }
+  }
+
+  test("connectedComponents: 64-chain converges in O(log n) rounds") {
+    // plain neighbor propagation needs 63 rounds on a 64-vertex path;
+    // pointer jumping squares reach per round — 8 rounds must suffice
+    val vs = (0L to 63L)
+    val got = cc(vs, (0L until 63L).map(i => (i, i + 1)), maxIter = 8)
+    assert(got == vs.map(_ -> 0L).toMap)
   }
 
   test("dedup_components equals union-find over the same edge relation") {
