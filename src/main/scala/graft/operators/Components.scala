@@ -148,45 +148,53 @@ object Components extends QueryModule {
       // df ≤ 256 filter mirrors Dedup.maxShingleDf so the two engines
       // compute Jaccard over the identical shingle vocabulary at ANY df
       // distribution.
-      Some("""WITH RECURSIVE
-              toks0 AS (SELECT doc_id,
-                          regexp_extract_all(lower(text), '\S+') AS t
-                        FROM documents),
-              corpus AS (
-                SELECT doc_id, lower(text) AS text FROM documents
-                UNION ALL
-                SELECT doc_id + 1000000,
-                       array_to_string(t[1:greatest((len(t)*9)//10,1)], ' ')
-                FROM toks0
-                UNION ALL
-                SELECT doc_id + 2000000,
-                       array_to_string(t[1:greatest((len(t)*3)//4,1)], ' ')
-                FROM toks0),
-              toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-                       FROM corpus),
-              sh0 AS (SELECT DISTINCT doc_id,
-                        unnest(list_transform(range(1, len(t)-1),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-                      FROM toks WHERE len(t) >= 3),
-              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0
-                     JOIN (SELECT s FROM sh0 GROUP BY s
-                           HAVING count(*) <= 256) rare USING (s)),
-              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                count(*) AS c
-                         FROM sh a JOIN sh b
-                           ON a.s = b.s AND a.doc_id < b.doc_id
-                         GROUP BY 1, 2),
-              edges AS (SELECT doc_a, doc_b FROM common
-                        JOIN sizes sa ON doc_a = sa.doc_id
-                        JOIN sizes sb ON doc_b = sb.doc_id
-                        WHERE c / (sa.n + sb.n - c) >= 0.8),
-              sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
-                      UNION ALL SELECT doc_b, doc_a FROM edges),
-              reach AS (SELECT doc_id AS v, doc_id AS u FROM corpus
-                        UNION
-                        SELECT r.v, e.b FROM reach r JOIN sym e ON r.u = e.a)
-              SELECT v AS doc_id, min(u) AS component
-              FROM reach GROUP BY v"""))
+      Some(s"""WITH RECURSIVE $ccOracleCtes
+               SELECT doc_id, component FROM comp"""))
   )
+
+  /** The dedup_components oracle as reusable CTEs ending in
+    * `comp(doc_id, component)` — shared with the pipeline_corpus
+    * capstone so the clustering definition lives in one place. Must be
+    * prefixed with WITH RECURSIVE by the consumer.
+    */
+  private[operators] def ccOracleCtes: String =
+    """toks0 AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '\S+') AS t
+                 FROM documents),
+       corpus AS (
+         SELECT doc_id, lower(text) AS text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                array_to_string(t[1:greatest((len(t)*9)//10,1)], ' ')
+         FROM toks0
+         UNION ALL
+         SELECT doc_id + 2000000,
+                array_to_string(t[1:greatest((len(t)*3)//4,1)], ' ')
+         FROM toks0),
+       toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM corpus),
+       sh0 AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+               FROM toks WHERE len(t) >= 3),
+       sh AS (SELECT sh0.doc_id, sh0.s FROM sh0
+              JOIN (SELECT s FROM sh0 GROUP BY s
+                    HAVING count(*) <= 256) rare USING (s)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS c
+                  FROM sh a JOIN sh b
+                    ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+       edges AS (SELECT doc_a, doc_b FROM common
+                 JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+                 WHERE c / (sa.n + sb.n - c) >= 0.8),
+       sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+               UNION ALL SELECT doc_b, doc_a FROM edges),
+       reach AS (SELECT doc_id AS v, doc_id AS u FROM corpus
+                 UNION
+                 SELECT r.v, e.b FROM reach r JOIN sym e ON r.u = e.a),
+       comp AS (SELECT v AS doc_id, min(u) AS component
+                FROM reach GROUP BY v)"""
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.{Q, QueryModule}
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -55,6 +56,63 @@ object Curation extends QueryModule {
                          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
               SELECT d.doc_id, d.n_copies, r.term AS top_term,
                      r.score AS top_score
-              FROM ded d JOIN ranked r ON d.doc_id = r.doc_id AND r.rk = 1"""))
+              FROM ded d JOIN ranked r ON d.doc_id = r.doc_id AND r.rk = 1""")),
+
+    // Full corpus-build capstone over the NEAR-dup path: Jaccard pair
+    // edges → connected components → keeper per cluster → token-length
+    // floor → per-language stratified quota → concat-and-chunk packing.
+    // This is the end-to-end shape of a pretraining corpus build; every
+    // stage is the operator verified standalone elsewhere
+    // (dedup_components, sample_stratified, pack_sequences), composed
+    // here so their contracts are exercised AGAINST each other (e.g.
+    // keepers are always original doc_ids because a component's min
+    // label is the untruncated document, so the lang join is total).
+    Q("pipeline_corpus",
+      (s, d) => {
+        val corpus = Components.ccCorpus(s, d)
+        val sh = Dedup.cappedShingles(Dedup.shingles(corpus))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        sh.count() // pipeline breaker (see dedup_minhash_lsh note)
+        val edges = Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val comp = Components.connectedComponents(
+          corpus.select(col("doc_id").as("v")), edges)
+        sh.unpersist(blocking = false)
+        val keepers = comp.select(col("component").as("doc_id")).distinct()
+        val kept = Tables.load(s, d, "documents")
+          .join(keepers, "doc_id")
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextOps.wsTokens(col("text")).as("n_tokens"))
+          .filter(col("n_tokens") >= 40)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text")), col("doc_id"))
+        val sel = kept.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 50)
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+        Sampling.packSequences(
+            sel.select(col("doc_id"), col("n_tokens")), 2048, 256)
+          .join(sel.select(col("doc_id"), col("lang")), "doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${Components.ccOracleCtes},
+               keepers AS (SELECT DISTINCT component AS doc_id FROM comp),
+               kd AS (SELECT d.doc_id, d.lang, d.text,
+                        len(regexp_extract_all(d.text, '\\S+')) AS n_tokens
+                      FROM documents d JOIN keepers USING (doc_id)),
+               kf AS (SELECT * FROM kd WHERE n_tokens >= 40),
+               strat AS (SELECT doc_id, lang, n_tokens,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY md5(text), doc_id) AS rk
+                         FROM kf),
+               sel AS (SELECT doc_id, lang, n_tokens FROM strat
+                       WHERE rk <= 50),
+               o AS (SELECT doc_id, lang, n_tokens,
+                       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS off
+                     FROM sel)
+               SELECT doc_id, n_tokens,
+                      off // 2048 AS first_chunk,
+                      (off + n_tokens - 1) // 2048 AS last_chunk, lang
+               FROM o"""))
   )
 }

@@ -142,6 +142,23 @@ class PipelineScaleOpsSpec extends SparkSuite {
     assert(dayRows.map(_.getLong(4)).sum == grand.head.getLong(4))
   }
 
+  test("pipeline_corpus: keepers are originals, quotas hold, chunks tile") {
+    val rows = q("pipeline_corpus").collect()
+    assert(rows.nonEmpty)
+    // keepers are original docs (component min is the untruncated doc)
+    assert(rows.forall(_.getLong(0) < 1000000L))
+    // stratified quota respected
+    rows.groupBy(_.getString(4)).foreach { case (lang, rs) =>
+      assert(rs.length <= 50, s"lang $lang over quota") }
+    // packing tiles contiguously in doc_id order
+    val sorted = rows.sortBy(_.getLong(0))
+    var prevLast = 0L
+    sorted.foreach { r =>
+      assert(r.getLong(2) == prevLast || r.getLong(2) == prevLast + 1)
+      prevLast = r.getLong(3)
+    }
+  }
+
   test("emb_quantize: q8 values bounded, extremes hit ±127") {
     val qs = q("emb_quantize").collect().map(_.getString(2))
     assert(qs.nonEmpty)
