@@ -61,12 +61,13 @@ object Components extends QueryModule {
       .localCheckpoint()
 
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).head.getLong(0)
+      df.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
 
     var cur = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
+      val rt0 = System.nanoTime()
       val viaNeighbors = sym.join(labels, col("w") === col("v"))
         .select(col("u").as("v"), col("component"))
       val propagated = labels.select(col("v"), col("component"))
@@ -82,6 +83,8 @@ object Components extends QueryModule {
         .localCheckpoint() // eager: materializes + truncates the plan
       propagated.unpersist(blocking = false)
       val nextSum = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[ccround] $rounds%d ${(System.nanoTime() - rt0) / 1e9}%.2f s")
       labels = next
       converged = nextSum == cur
       cur = nextSum
@@ -103,23 +106,30 @@ object Components extends QueryModule {
     * land on rounding or cross-doc near-dups, which only densify edges
     * and never change the component answer).
     */
-  private[graft] def ccCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.load(s, d, "documents")
-      .select(col("doc_id"), lower(col("text")).as("text"))
-    val toks = docs.select(col("doc_id"),
-      regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+  private[graft] def ccCorpusTokens(s: SparkSession, d: String): DataFrame = {
+    // tokenize ONCE, after a fan-out repartition (regexp at file
+    // parallelism is the profiled bottleneck); callers persist the
+    // result so the three union branches don't re-run the regexp. The
+    // prefix copies are token-array SLICES — identical to the oracle's
+    // joined-then-retokenized form because tokens contain no whitespace.
+    val toks = Tables.load(s, d, "documents")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
     def prefixCopy(shift: Long, num: Int, den: Int): DataFrame =
       toks.select((col("doc_id") + shift).as("doc_id"),
-        array_join(slice(col("t"), lit(1),
-          greatest(expr(s"(size(t)*$num) div $den"), lit(1))), " ")
-          .as("text"))
-    docs.unionByName(prefixCopy(1000000L, 9, 10))
+        slice(col("t"), lit(1),
+          greatest(expr(s"(size(t)*$num) div $den"), lit(1))).as("t"))
+    toks.unionByName(prefixCopy(1000000L, 9, 10))
       .unionByName(prefixCopy(2000000L, 3, 4))
   }
 
-  /** The dedup_components edge relation (spec crosscheck hook). */
-  private[graft] def jaccardEdges(corpus: DataFrame): DataFrame =
-    Dedup.countJaccard(Dedup.cappedShingles(Dedup.shingles(corpus)))
+  /** The dedup_components edge relation over (doc_id, t) token rows
+    * (spec crosscheck hook).
+    */
+  private[graft] def jaccardEdges(corpusToks: DataFrame): DataFrame =
+    Dedup.countJaccard(
+        Dedup.cappedShingles(Dedup.shinglesFromTokens(corpusToks)))
       .filter(col("jac") >= 0.8)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
 
@@ -130,16 +140,23 @@ object Components extends QueryModule {
     // components; component id = the keeper (min doc_id reachable).
     Q("dedup_components",
       (s, d) => {
-        val corpus = ccCorpus(s, d)
-        val sh = Dedup.cappedShingles(Dedup.shingles(corpus))
+        val corpus = ccCorpusTokens(s, d)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // raw persisted first — cappedShingles reads its input twice
+        val raw = Dedup.shinglesFromTokens(corpus)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        raw.count()
+        val sh = Dedup.cappedShingles(raw)
           .persist(StorageLevel.MEMORY_AND_DISK)
         sh.count() // pipeline breaker (see dedup_minhash_lsh note)
+        raw.unpersist(blocking = false)
         val edges = Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val verts = corpus.select(col("doc_id").as("v"))
         val out = connectedComponents(verts, edges)
           .select(col("v").as("doc_id"), col("component"))
         sh.unpersist(blocking = false)
+        corpus.unpersist(blocking = false)
         out
       },
       // Reachability closure + min label. The recursive CTE enumerates

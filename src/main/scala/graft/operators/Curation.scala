@@ -69,15 +69,22 @@ object Curation extends QueryModule {
     // label is the untruncated document, so the lang join is total).
     Q("pipeline_corpus",
       (s, d) => {
-        val corpus = Components.ccCorpus(s, d)
-        val sh = Dedup.cappedShingles(Dedup.shingles(corpus))
+        val corpus = Components.ccCorpusTokens(s, d)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // raw persisted first — cappedShingles reads its input twice
+        val raw = Dedup.shinglesFromTokens(corpus)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        raw.count()
+        val sh = Dedup.cappedShingles(raw)
           .persist(StorageLevel.MEMORY_AND_DISK)
         sh.count() // pipeline breaker (see dedup_minhash_lsh note)
+        raw.unpersist(blocking = false)
         val edges = Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val comp = Components.connectedComponents(
           corpus.select(col("doc_id").as("v")), edges)
         sh.unpersist(blocking = false)
+        corpus.unpersist(blocking = false)
         val keepers = comp.select(col("component").as("doc_id")).distinct()
         val kept = Tables.load(s, d, "documents")
           .join(keepers, "doc_id")

@@ -103,10 +103,17 @@ object Dedup extends QueryModule {
     *     surface one as a count mismatch).
     */
   private[graft] def shingles(df: DataFrame): DataFrame =
-    df.repartition(col("doc_id"))
+    shinglesFromTokens(df.repartition(col("doc_id"))
       .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
-      .filter(size(col("t")) >= 3)
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t")))
+
+  /** Shingles from pre-tokenized input (doc_id, t: array<string>) — for
+    * callers that already hold token arrays (e.g. the components corpus,
+    * whose prefix copies are token-array slices); skips the re-tokenize
+    * and assumes the input is already fanned out past file parallelism.
+    */
+  private[graft] def shinglesFromTokens(toks: DataFrame): DataFrame =
+    toks.filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), " +
           "i -> xxhash64(t[i], t[i+1], t[i+2]))")).as("s"))
@@ -129,7 +136,7 @@ object Dedup extends QueryModule {
     * counts and set sizes in plain integer arithmetic — no per-pair
     * array materialization.
     */
-  private[operators] def countJaccard(sh: DataFrame): DataFrame = {
+  private[graft] def countJaccard(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -193,9 +200,14 @@ object Dedup extends QueryModule {
     // index (never all-pairs), score by integer count arithmetic.
     Q("dedup_ngram_jaccard",
       (s, d) => {
-        val sh = cappedShingles(shingles(corpus(s, d)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // raw shingles persisted FIRST: cappedShingles reads its input
+        // twice (df census + semi-join back), so an unpersisted input
+        // would run the tokenize/explode/distinct pipeline twice
+        val raw = shingles(corpus(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+        raw.count()
+        val sh = cappedShingles(raw).persist(StorageLevel.MEMORY_AND_DISK)
         sh.count() // pipeline breaker (see dedup_minhash_lsh note)
+        raw.unpersist(blocking = false)
         countJaccard(sh)
           .filter(col("jac") >= 0.8)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))

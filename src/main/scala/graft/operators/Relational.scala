@@ -100,6 +100,48 @@ object Relational extends QueryModule {
               FROM lineitem RIGHT JOIN orders
                 ON o_orderkey = l_orderkey AND l_quantity > 49""")),
 
+    // Full outer (beyond the reference's joiner, which stops at
+    // left/right — completes the outer-join family; Spark NULL-pads both
+    // sides in one shuffled join).
+    Q("join_full_outer",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "full")
+          .select(c("c_custkey"), c("c_name"), o("o_orderkey"),
+            round(o("o_totalprice"), 2).as("price"))
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+                     round(o_totalprice, 2) AS price
+              FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+              FULL OUTER JOIN
+                   (SELECT * FROM orders WHERE o_totalprice > 400000) o
+                ON c_custkey = o_custkey""")),
+
+    // Semi/anti joins — the EXISTS / NOT EXISTS plan shape (the reference
+    // plans IN-subqueries as semi joins; Spark's leftsemi/leftanti emit
+    // the left side once, never multiplying matches).
+    Q("join_semi_anti",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val r = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        def side(how: String, tag: String) =
+          o.join(r, o("o_orderkey") === col("l_orderkey"), how)
+            .select(o("o_orderkey"), round(o("o_totalprice"), 2).as("price"))
+            .withColumn("op", lit(tag))
+        side("leftsemi", "semi").unionByName(side("leftanti", "anti"))
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                     'semi' AS op
+              FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+                WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey)
+              UNION ALL
+              SELECT o_orderkey, round(o_totalprice, 2), 'anti'
+              FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey)""")),
+
     // Cartesian product (`FROM a, b`; CrossJoin as inner w/o condition,
     // `planner/core/logical_plans.go:48`). Bounded sides only.
     Q("join_cross",

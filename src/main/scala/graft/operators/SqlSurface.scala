@@ -78,6 +78,22 @@ object SqlSurface extends QueryModule {
       },
       Some("SELECT 42 AS answer, 13 AS s, TRUE AS unset_is_null")),
 
+    // Subqueries through the router: IN (rewritten to a semi join by the
+    // optimizer — the reference plans IN-subqueries the same way) plus an
+    // uncorrelated scalar subquery in the predicate.
+    Q("sql_subquery",
+      (s, d) => session(s, d).execute(
+        """SELECT c_custkey, round(c_acctbal, 2) AS bal
+           FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders
+                               WHERE o_totalprice > 400000)
+             AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)"""),
+      Some("""SELECT c_custkey, round(c_acctbal, 2) AS bal
+              FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                  WHERE o_totalprice > 400000)
+                AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)""")),
+
     // Full managed-table DML lifecycle: CREATE → INSERT…SELECT →
     // REPLACE → DELETE → final state (write path of SURVEY §2.1).
     Q("sql_dml_lifecycle",

@@ -1,11 +1,14 @@
 package graft.tools
 
-import graft.operators.Components
+import graft.operators.{Components, Dedup}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Scratch profiler for the connected-components pipeline (dev only). */
+/** Scratch profiler for the connected-components pipeline (dev only).
+  * Mimics bench context: runs the Bench warmup queries, clears the
+  * cache, then stage-times the dedup_components internals.
+  */
 object ProfileComponents {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,41 +26,43 @@ object ProfileComponents {
       r
     }
 
-    val corpus = Components.ccCorpus(spark, d)
-    time("corpus count")(println("  corpus rows = " + corpus.count()))
-    val edges = Components.jaccardEdges(corpus)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    time("edges materialize")(println("  edges = " + edges.count()))
-    val verts = corpus.select(col("doc_id").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    time("verts materialize")(verts.count())
+    // bench-equivalent warmup
+    graft.SparkEntry.queries("scan_pruned")(spark, d)
+      .write.format("noop").mode("overwrite").save()
+    graft.SparkEntry.queries("dedup_minhash_lsh")(spark, d)
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
-    // inline copy of the CC loop (localCheckpoint form, as the operator)
-    // with per-round timing
-    val sym = edges.select(col("src").as("u"), col("dst").as("w"))
-      .union(edges.select(col("dst").as("u"), col("src").as("w")))
-    var labels = verts.select(col("v"), col("v").as("component"))
-      .localCheckpoint()
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("component"))).head.getLong(0)
-    var cur = time("round 0 labelSum")(labelSum(labels))
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 25) {
-      val viaNeighbors = sym.join(labels, col("w") === col("v"))
-        .select(col("u").as("v"), col("component"))
-      val next = labels.select(col("v"), col("component"))
-        .union(viaNeighbors)
-        .groupBy(col("v")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      val nextSum = time(s"round ${rounds + 1}")(labelSum(next))
-      labels = next
-      converged = nextSum == cur
-      cur = nextSum
-      rounds += 1
+    for (run <- 1 to 2) {
+      println(s"== run $run ==")
+      val corpus = Components.ccCorpusTokens(spark, d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("corpus")(corpus.count())
+      val raw = Dedup.shinglesFromTokens(corpus)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("raw shingles")(raw.count())
+      val sh = Dedup.cappedShingles(raw)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("capped shingles")(sh.count())
+      raw.unpersist(blocking = false)
+      val edges = Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("edges (countJaccard)")(edges.count())
+      val verts = corpus.select(col("doc_id").as("v"))
+      val labels = time("CC loop")(
+        Components.connectedComponents(verts, edges))
+      time("output write")(
+        labels.select(col("v").as("doc_id"), col("component"))
+          .write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
     }
-    println(s"[prof] rounds = $rounds")
-    time("full query (bench-like)")(
+
+    time("full query (bench ctx) 1")(
+      graft.SparkEntry.queries("dedup_components")(spark, d)
+        .write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+    time("full query (bench ctx) 2")(
       graft.SparkEntry.queries("dedup_components")(spark, d)
         .write.format("noop").mode("overwrite").save())
     spark.stop()

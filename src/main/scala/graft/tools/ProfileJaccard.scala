@@ -28,9 +28,9 @@ object ProfileJaccard {
       r
     }
 
-    val corpus = Components.ccCorpus(spark, d)
+    val corpus = Components.ccCorpusTokens(spark, d)
     val sh = graft.operators.Dedup.cappedShingles(
-      graft.operators.Dedup.shingles(corpus))
+      graft.operators.Dedup.shinglesFromTokens(corpus))
       .persist(StorageLevel.MEMORY_AND_DISK)
     time("shingles materialize")(println("  sh rows = " + sh.count()))
 

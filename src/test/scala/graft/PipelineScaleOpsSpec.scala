@@ -39,6 +39,10 @@ class PipelineScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("connectedComponents: empty graph converges to empty") {
+    assert(cc(Seq.empty[Long], Seq.empty[(Long, Long)]).isEmpty)
+  }
+
   test("connectedComponents: 64-chain converges in O(log n) rounds") {
     // plain neighbor propagation needs 63 rounds on a 64-vertex path;
     // pointer jumping squares reach per round — 8 rounds must suffice
@@ -48,7 +52,7 @@ class PipelineScaleOpsSpec extends SparkSuite {
   }
 
   test("dedup_components equals union-find over the same edge relation") {
-    val corpus = Components.ccCorpus(spark, sf)
+    val corpus = Components.ccCorpusTokens(spark, sf)
     val edges = Components.jaccardEdges(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val verts = corpus.select("doc_id").as[Long].collect()
