@@ -57,11 +57,17 @@ object Components extends QueryModule {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = e.select(col("src").as("u"), col("dst").as("w"))
       .union(e.select(col("dst").as("u"), col("src").as("w")))
+    // Superseded round checkpoints are dropped by reference each
+    // iteration; the ContextCleaner frees their blocks after GC, so at
+    // most a few generations of vertex-sized RDDs coexist transiently.
     var labels = vertices.select(col("v"), col("v").as("component"))
       .localCheckpoint()
 
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
+    // DECIMAL(38,0) accumulator: a Long sum overflows around 10⁹ vertices
+    // with 10¹⁰-scale ids, i.e. exactly the corpus sizes SCALE.md targets.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
 
     var cur = labelSum(labels)
     var converged = false
@@ -86,7 +92,7 @@ object Components extends QueryModule {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[ccround] $rounds%d ${(System.nanoTime() - rt0) / 1e9}%.2f s")
       labels = next
-      converged = nextSum == cur
+      converged = nextSum.compareTo(cur) == 0
       cur = nextSum
       rounds += 1
     }
@@ -108,20 +114,46 @@ object Components extends QueryModule {
     */
   private[graft] def ccCorpusTokens(s: SparkSession, d: String): DataFrame = {
     // tokenize ONCE, after a fan-out repartition (regexp at file
-    // parallelism is the profiled bottleneck); callers persist the
-    // result so the three union branches don't re-run the regexp. The
-    // prefix copies are token-array SLICES — identical to the oracle's
-    // joined-then-retokenized form because tokens contain no whitespace.
+    // parallelism is the profiled bottleneck). The token frame is
+    // persisted HERE because all three union branches reference it and
+    // Spark has no cross-branch CSE — without the persist the regexp
+    // would run 3× inside the first materialization. Freed by the
+    // per-query clearCache in Bench/Verify (the module convention, see
+    // Dedup's header note). The prefix copies are token-array SLICES —
+    // identical to the oracle's joined-then-retokenized form because
+    // tokens contain no whitespace.
     val toks = Tables.load(s, d, "documents")
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def prefixCopy(shift: Long, num: Int, den: Int): DataFrame =
       toks.select((col("doc_id") + shift).as("doc_id"),
         slice(col("t"), lit(1),
           greatest(expr(s"(size(t)*$num) div $den"), lit(1))).as("t"))
     toks.unionByName(prefixCopy(1000000L, 9, 10))
       .unionByName(prefixCopy(2000000L, 3, 4))
+  }
+
+  /** Shared staging for the component queries: cached corpus tokens,
+    * cached capped shingles, and the Jaccard ≥ 0.8 edge relation — the
+    * persist/count choreography in ONE place (raw shingles are persisted
+    * before the df-cap census reads them twice, then dropped). Callers
+    * unpersist `corpus` and `sh` once the component labels are
+    * checkpointed.
+    */
+  private[graft] def stagedCorpusEdges(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val corpus = ccCorpusTokens(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val raw = Dedup.shinglesFromTokens(corpus)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    raw.count()
+    val sh = Dedup.cappedShingles(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count() // pipeline breaker (see dedup_minhash_lsh note)
+    raw.unpersist(blocking = false)
+    val edges = Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    (corpus, sh, edges)
   }
 
   /** The dedup_components edge relation over (doc_id, t) token rows
@@ -140,18 +172,7 @@ object Components extends QueryModule {
     // components; component id = the keeper (min doc_id reachable).
     Q("dedup_components",
       (s, d) => {
-        val corpus = ccCorpusTokens(s, d)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // raw persisted first — cappedShingles reads its input twice
-        val raw = Dedup.shinglesFromTokens(corpus)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        raw.count()
-        val sh = Dedup.cappedShingles(raw)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        sh.count() // pipeline breaker (see dedup_minhash_lsh note)
-        raw.unpersist(blocking = false)
-        val edges = Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val (corpus, sh, edges) = stagedCorpusEdges(s, d)
         val verts = corpus.select(col("doc_id").as("v"))
         val out = connectedComponents(verts, edges)
           .select(col("v").as("doc_id"), col("component"))

@@ -64,23 +64,16 @@ object Curation extends QueryModule {
     // This is the end-to-end shape of a pretraining corpus build; every
     // stage is the operator verified standalone elsewhere
     // (dedup_components, sample_stratified, pack_sequences), composed
-    // here so their contracts are exercised AGAINST each other (e.g.
-    // keepers are always original doc_ids because a component's min
-    // label is the untruncated document, so the lang join is total).
+    // here so their contracts are exercised AGAINST each other. Keepers
+    // are component minima, i.e. original doc_ids for every component
+    // that contains its source document; a very short document whose
+    // prefix copies miss even the 0.8 threshold leaves orphan copy
+    // components (ids ≥ 1M), and the inner documents join drops those —
+    // identically in both engines — since only cataloged documents can
+    // be packed.
     Q("pipeline_corpus",
       (s, d) => {
-        val corpus = Components.ccCorpusTokens(s, d)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // raw persisted first — cappedShingles reads its input twice
-        val raw = Dedup.shinglesFromTokens(corpus)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        raw.count()
-        val sh = Dedup.cappedShingles(raw)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        sh.count() // pipeline breaker (see dedup_minhash_lsh note)
-        raw.unpersist(blocking = false)
-        val edges = Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val (corpus, sh, edges) = Components.stagedCorpusEdges(s, d)
         val comp = Components.connectedComponents(
           corpus.select(col("doc_id").as("v")), edges)
         sh.unpersist(blocking = false)
@@ -93,9 +86,12 @@ object Curation extends QueryModule {
           .filter(col("n_tokens") >= 40)
         val w = Window.partitionBy(col("lang"))
           .orderBy(md5(col("text")), col("doc_id"))
+        // persisted: consumed three times (two packSequences windows +
+        // the lang join) — keeper-count sized
         val sel = kept.withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 50)
           .select(col("doc_id"), col("lang"), col("n_tokens"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         Sampling.packSequences(
             sel.select(col("doc_id"), col("n_tokens")), 2048, 256)
           .join(sel.select(col("doc_id"), col("lang")), "doc_id")

@@ -273,12 +273,18 @@ object Similarity extends QueryModule {
       (s, d) => {
         val maxabs = aggregate(col("v"), lit(0.0),
           (acc, x) => greatest(acc, abs(x)))
+        // all-zero vectors (padding / failed-encode rows) quantize to
+        // zeros — without the guard 0/0 is NaN and the ANSI long cast
+        // throws; the guarded branch keeps the exact op order of the
+        // oracle so non-degenerate values stay bit-identical
+        def q8(x: Column): Column =
+          when(maxabs === 0.0, lit(0L))
+            .otherwise(round(x * lit(127.0) / maxabs).cast("long"))
+            .cast("string")
         emb(s, d).filter(col("v").isNotNull)
           .select(col("vec_id"),
             round(sqrt(dot(col("v"), col("v"))), 4).as("l2_norm"),
-            concat_ws(",", transform(col("v"),
-              x => round(x * lit(127.0) / maxabs).cast("long").cast("string")))
-              .as("q8"))
+            concat_ws(",", transform(col("v"), q8(_))).as("q8"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                          FROM embeddings WHERE embedding IS NOT NULL),
@@ -289,8 +295,9 @@ object Similarity extends QueryModule {
               SELECT vec_id,
                      round(sqrt(list_dot_product(v, v)), 4) AS l2_norm,
                      array_to_string(list_transform(v, x ->
-                       CAST(CAST(round(x * 127.0 / maxabs) AS BIGINT)
-                            AS VARCHAR)), ',') AS q8
+                       CAST(CASE WHEN maxabs = 0 THEN 0
+                            ELSE CAST(round(x * 127.0 / maxabs) AS BIGINT)
+                            END AS VARCHAR)), ',') AS q8
               FROM m"""))
   )
 }
