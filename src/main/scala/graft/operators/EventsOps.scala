@@ -149,6 +149,60 @@ object EventsOps extends QueryModule {
                              ORDER BY epoch_us(ts), event_id))
               SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
                      count(*) AS n_events
-              FROM d GROUP BY user_id"""))
+              FROM d GROUP BY user_id""")),
+
+    // Ordered funnel with conversion windows: first view → first click
+    // within 1 day → first purchase within 2 days of that click. Each
+    // stage is one filtered aggregate joined back on user_id (the
+    // sequence constraint `ts > prev_stage_ts` rides the join) — three
+    // user_id-shuffles, no window functions, no driver state; the shape
+    // product-analytics funnels take at log scale. Timestamps emitted as
+    // epoch micros (exact longs on both engines).
+    Q("events_funnel",
+      (s, d) => {
+        val e = Tables.loadEvents(s, d)
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("ts") > col("view_ts") &&
+            col("ts") <= col("view_ts") + expr("INTERVAL 1 DAY"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("ts") > col("click_ts") &&
+            col("ts") <= col("click_ts") + expr("INTERVAL 2 DAY"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+        s1.join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            unix_micros(col("view_ts")).as("view_us"),
+            unix_micros(col("click_ts")).as("click_us"),
+            unix_micros(col("purchase_ts")).as("purchase_us"),
+            (lit(1L) + when(col("click_ts").isNotNull, 1L).otherwise(0L)
+              + when(col("purchase_ts").isNotNull, 1L).otherwise(0L))
+              .as("stages"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS view_ts FROM events
+                          WHERE event_type = 'view' GROUP BY user_id),
+              s2 AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+                     JOIN s1 ON e.user_id = s1.user_id
+                     WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+                       AND e.ts <= s1.view_ts + INTERVAL 1 DAY
+                     GROUP BY e.user_id),
+              s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+                     FROM events e JOIN s2 ON e.user_id = s2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+                       AND e.ts <= s2.click_ts + INTERVAL 2 DAY
+                     GROUP BY e.user_id)
+              SELECT s1.user_id, epoch_us(view_ts) AS view_us,
+                     epoch_us(click_ts) AS click_us,
+                     epoch_us(purchase_ts) AS purchase_us,
+                     CAST(1 + CASE WHEN click_ts IS NOT NULL
+                                   THEN 1 ELSE 0 END
+                            + CASE WHEN purchase_ts IS NOT NULL
+                                   THEN 1 ELSE 0 END AS BIGINT) AS stages
+              FROM s1 LEFT JOIN s2 USING (user_id)
+              LEFT JOIN s3 USING (user_id)"""))
   )
 }

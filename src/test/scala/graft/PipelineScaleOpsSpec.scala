@@ -163,6 +163,24 @@ class PipelineScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("events_funnel: stage timestamps ordered, windows respected") {
+    val rows = q("events_funnel").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stages = r.getLong(4)
+      assert(stages >= 1 && stages <= 3)
+      if (!r.isNullAt(2)) {
+        assert(r.getLong(2) > r.getLong(1)) // click after view
+        assert(r.getLong(2) <= r.getLong(1) + 86400L * 1000000L)
+      } else assert(stages == 1)
+      if (!r.isNullAt(3)) {
+        assert(stages == 3)
+        assert(r.getLong(3) > r.getLong(2))
+        assert(r.getLong(3) <= r.getLong(2) + 2 * 86400L * 1000000L)
+      }
+    }
+  }
+
   test("emb_quantize: q8 values bounded, extremes hit ±127") {
     val qs = q("emb_quantize").collect().map(_.getString(2))
     assert(qs.nonEmpty)
