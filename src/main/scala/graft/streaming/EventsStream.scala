@@ -21,6 +21,22 @@ final case class UserSessionState(lastTsUs: Long, nSessions: Long, nEvents: Long
 /** Per-user session summary emitted downstream. */
 final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+/** One funnel event (ts carries the watermark; logic runs in micros). */
+final case class FunnelEv(user_id: Long, ts: java.sql.Timestamp,
+    ts_us: Long, kind: String)
+
+/** Per-user funnel progress: stage timestamps are final once set (taken
+  * only from below-watermark events in time order); `done` is the
+  * emitted-once tombstone; `pending` holds in-watermark events.
+  */
+final case class FunnelState(viewUs: Long, hasView: Boolean,
+    clickUs: Long, hasClick: Boolean, purchaseUs: Long,
+    hasPurchase: Boolean, done: Boolean, pending: List[FunnelEv])
+
+/** A user's final funnel outcome (matches the batch events_funnel row). */
+final case class FunnelRow(user_id: Long, view_us: Long,
+    click_us: Option[Long], purchase_us: Option[Long], stages: Long)
+
 /** Structured Streaming over the events table: the streaming twins of the
   * batch EventsOps queries. The reference has no streaming surface
   * (SURVEY §2.10); this is part of the pipeline-extension set. Streaming
@@ -218,6 +234,80 @@ final case class AsofMatch(purchase_id: Long, user_id: Long,
           pending.filter(_.is_p).map(_.ts_us).minOption.foreach(us =>
             state.setTimeoutTimestamp(us / 1000L + 1L))
           out.result().iterator
+      }
+  }
+
+  /** Streaming twin of the batch `events_funnel`: per-user ordered
+    * funnel (first view → first click ≤ 1 day later → first purchase
+    * ≤ 2 days after that click), emitted EXACTLY ONCE per user, when the
+    * outcome is final.
+    *
+    * Finality argument: stage timestamps are only taken from RIPE events
+    * (below the watermark, processed in event-time order), so a stage
+    * timestamp is final the moment it is set — no earlier event can
+    * still arrive. The only thing worth waiting for is a conversion
+    * window still open: stage 1 is not final until the watermark passes
+    * view+1d (a qualifying click may yet come), stage 2 until
+    * click+2d. An event-time timeout at the open window's boundary
+    * makes closure fire even if the user goes quiet. After emission the
+    * state keeps a `done` tombstone so a user emits once ever (state is
+    * then O(emitted users), the same cardinality as the batch output; a
+    * production deployment would TTL tombstones).
+    *
+    * Late data below the watermark is dropped on arrival (standard
+    * policy, same as the other twins). `events` must carry
+    * (user_id LONG, ts TIMESTAMP, kind STRING).
+    */
+  def funnel(events: DataFrame): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events.select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("kind"))
+      .withWatermark("ts", "10 minutes")
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(FunnelState(
+            0L, hasView = false, 0L, hasClick = false, 0L,
+            hasPurchase = false, done = false, Nil))
+          val all = st.pending ++ it.filter(_.ts_us >= wmUs)
+          val (ripe, pending) = all.partition(_.ts_us < wmUs)
+          ripe.sortBy(_.ts_us).foreach { e =>
+            if (!st.done) e.kind match {
+              case "view" if !st.hasView =>
+                st = st.copy(viewUs = e.ts_us, hasView = true)
+              case "click" if st.hasView && !st.hasClick &&
+                  e.ts_us > st.viewUs && e.ts_us <= st.viewUs + dayUs =>
+                st = st.copy(clickUs = e.ts_us, hasClick = true)
+              case "purchase" if st.hasClick && !st.hasPurchase &&
+                  e.ts_us > st.clickUs && e.ts_us <= st.clickUs + 2 * dayUs =>
+                st = st.copy(purchaseUs = e.ts_us, hasPurchase = true)
+              case _ => ()
+            }
+          }
+          val out =
+            if (st.done || !st.hasView) None
+            else if (st.hasPurchase)
+              Some(FunnelRow(user, st.viewUs, Some(st.clickUs),
+                Some(st.purchaseUs), 3L))
+            else if (st.hasClick && wmUs > st.clickUs + 2 * dayUs)
+              Some(FunnelRow(user, st.viewUs, Some(st.clickUs), None, 2L))
+            else if (!st.hasClick && wmUs > st.viewUs + dayUs)
+              Some(FunnelRow(user, st.viewUs, None, None, 1L))
+            else None
+          st = st.copy(done = st.done || out.isDefined,
+            pending = if (out.isDefined) Nil else pending)
+          state.update(st)
+          if (!st.done && st.hasView) {
+            val boundaryUs =
+              if (st.hasClick) st.clickUs + 2 * dayUs else st.viewUs + dayUs
+            state.setTimeoutTimestamp(boundaryUs / 1000L + 1L)
+          }
+          out.iterator
       }
   }
 

@@ -202,6 +202,43 @@ class StreamingSpec extends SparkSuite {
     } finally sq.stop()
   }
 
+  test("streaming funnel equals the batch events_funnel rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.loadEvents(spark, sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .sortBy(_._2.getTime) // arrival order = event-time order → no drops
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sq = EventsStream.funnel(
+        in.toDF().toDF("user_id", "ts", "kind"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); sq.processAllAvailable()
+      }
+      // sentinel events 4 days out push the watermark past every open
+      // conversion window; the second batch runs the timeout sweep
+      val far = new java.sql.Timestamp(
+        ev.last._2.getTime + 4L * 86400000L)
+      in.addData((-1L, far, "click")); sq.processAllAvailable()
+      in.addData((-1L,
+        new java.sql.Timestamp(far.getTime + 60000L), "click"))
+      sq.processAllAvailable()
+      val streamed = spark.table("funnel_stream")
+      val batch = q("events_funnel")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+      // exactly-once: one row per user
+      assert(streamed.groupBy("user_id").count()
+        .filter(col("count") > 1).count() == 0)
+    } finally sq.stop()
+  }
+
   test("stateful sessionization equals the batch lag-window version") {
     val sq = EventsStream.sessionCounts(spark, sf)
       .writeStream.format("memory").queryName("sess_stream")
