@@ -300,12 +300,22 @@ final case class AsofMatch(purchase_id: Long, user_id: Long,
               Some(FunnelRow(user, st.viewUs, None, None, 1L))
             else None
           st = st.copy(done = st.done || out.isDefined,
-            pending = if (out.isDefined) Nil else pending)
+            // a done user's pending events can never matter again —
+            // dropping them keeps tombstone state truly O(1) per user
+            pending = if (st.done || out.isDefined) Nil else pending)
           state.update(st)
-          if (!st.done && st.hasView) {
-            val boundaryUs =
-              if (st.hasClick) st.clickUs + 2 * dayUs else st.viewUs + dayUs
-            state.setTimeoutTimestamp(boundaryUs / 1000L + 1L)
+          if (!st.done) {
+            // wake at the open window's boundary AND when the oldest
+            // pending event ripens — a user whose only activity is a
+            // still-in-watermark view would otherwise never be invoked
+            // again (no new data, no timeout) and never emit
+            val wake =
+              (if (st.hasView)
+                 Seq(if (st.hasClick) st.clickUs + 2 * dayUs
+                     else st.viewUs + dayUs)
+               else Nil) ++ st.pending.map(_.ts_us).minOption
+            wake.minOption.foreach(us =>
+              state.setTimeoutTimestamp(us / 1000L + 1L))
           }
           out.iterator
       }

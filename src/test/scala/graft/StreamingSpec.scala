@@ -239,6 +239,33 @@ class StreamingSpec extends SparkSuite {
     } finally sq.stop()
   }
 
+  test("funnel emits a quiet user whose only view ripens via others") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    def at(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sq = EventsStream.funnel(
+        in.toDF().toDF("user_id", "ts", "kind"))
+      .writeStream.format("memory").queryName("funnel_quiet")
+      .outputMode("append").start()
+    try {
+      // user 1's ONLY event: a view, still above the watermark (wm=0)
+      in.addData((1L, at(0), "view")); sq.processAllAvailable()
+      assert(spark.table("funnel_quiet").count() == 0)
+      // other users push the watermark past view+1d; user 1 never
+      // speaks again — only the pending-ripen timeout can emit them
+      in.addData((2L, at(30), "view")); sq.processAllAvailable()
+      in.addData((2L, at(31), "view")); sq.processAllAvailable()
+      in.addData((2L, at(32), "view")); sq.processAllAvailable()
+      val rows = spark.table("funnel_quiet")
+        .select("user_id", "stages").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((1L, 1L)), s"quiet user missing: $rows")
+    } finally sq.stop()
+  }
+
   test("stateful sessionization equals the batch lag-window version") {
     val sq = EventsStream.sessionCounts(spark, sf)
       .writeStream.format("memory").queryName("sess_stream")
