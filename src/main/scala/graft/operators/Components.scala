@@ -67,7 +67,7 @@ object Components extends QueryModule {
     // with 10¹⁰-scale ids, i.e. exactly the corpus sizes SCALE.md targets.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
 
     var cur = labelSum(labels)
     var converged = false

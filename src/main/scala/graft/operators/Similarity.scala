@@ -84,12 +84,13 @@ object Similarity extends QueryModule {
     * `array_min`/`array_sort` pick the nearest cell, ties to lower id.
     */
   private def centDists(v: Column, cents: Array[Seq[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      // named_struct: field names survive array_sort/slice, plain struct
-      // aliases do not
-      named_struct(lit("d"), lit(c2) - lit(2.0) * dotLit(v, c),
-        lit("i"), lit(i))
+    array(cents.zipWithIndex.toIndexedSeq.map {
+      case (c: Seq[Double], i: Int) =>
+        val c2 = c.map(x => x * x).sum
+        // named_struct: field names survive array_sort/slice, plain
+        // struct aliases do not
+        named_struct(lit("d"), lit(c2) - lit(2.0) * dotLit(v, c),
+          lit("i"), lit(i))
     }: _*)
 
   /** Nearest-centroid cell id. */

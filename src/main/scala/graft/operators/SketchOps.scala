@@ -32,7 +32,7 @@ object SketchOps extends QueryModule {
       (s, dir) => {
         val cm = udaf(new Sketches.CountMinAgg(5, 2048), Encoders.STRING)
         val li = Tables.load(s, dir, "lineitem")
-        val sketch = li.agg(cm(col("l_returnflag"))).head.getSeq[Long](0).toArray
+        val sketch = li.agg(cm(col("l_returnflag"))).head().getSeq[Long](0).toArray
         // distinct flag values: bounded domain (A/N/R), metadata-scale
         val keys = li.select(col("l_returnflag")).distinct()
           .collect().map(_.getString(0))
@@ -76,7 +76,7 @@ object SketchOps extends QueryModule {
       (s, dir) => {
         val mg = udaf(new Sketches.MisraGriesAgg(64), Encoders.STRING)
         val sketch = Tables.loadEvents(s, dir)
-          .agg(mg(col("event_type"))).head.getMap[String, Long](0)
+          .agg(mg(col("event_type"))).head().getMap[String, Long](0)
         import s.implicits._
         sketch.toSeq.sortBy { case (key, c) => (-c, key) }.take(3)
           .toDF("event_type", "est_count")
