@@ -76,6 +76,25 @@ object Analytic extends QueryModule {
                 SELECT c_custkey FROM customer
                 WHERE c_mktsegment = 'BUILDING') e""")),
 
+    // CUBE over orders: all four grouping combinations of
+    // (o_orderstatus, o_orderpriority) in one aggregation — the full
+    // grouping-set lattice, complementing events_rollup's prefix
+    // hierarchy. Same single map-side-combined pass.
+    Q("orders_cube",
+      (s, d) => Tables.load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                     CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+                     CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+                     count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders
+              GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // ROLLUP over events: per (type, day), per type, and grand total in
     // ONE aggregation (Spark expands the grouping sets before the
     // shuffle; still a single map-side-combined pass). grouping() flags
