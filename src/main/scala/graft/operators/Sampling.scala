@@ -50,6 +50,35 @@ object Sampling extends QueryModule {
         expr(s"(off + n_tokens - 1) div $ctx").as("last_chunk"))
   }
 
+  /** Skew-safe exact per-stratum quota: identical output to a direct
+    * `row_number over (partition by stratum order by key)` ≤ n filter,
+    * but no stratum ever funnels through one task. Phase 1 ranks within
+    * (stratum, salt) — `salts` bounded partitions per stratum, each
+    * holding ~1/salts of the stratum — and keeps each salt's local
+    * top-n; phase 2 re-ranks the ≤ n×salts survivors per stratum.
+    * Correct because any row in the stratum's global top-n is a fortiori
+    * in its own salt's top-n, so phase 1 never discards a winner. Salt =
+    * hash of the ordering key (deterministic, no rand()).
+    *
+    * `df` must carry `stratum` and `key` columns, with `key` UNIQUE
+    * within each stratum (ties would make both the direct and the
+    * salted rank order-dependent); returns df's columns plus the final
+    * `rk`.
+    */
+  private[graft] def stratifiedQuotaSalted(df: DataFrame, n: Int,
+      salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(col("key")),
+      lit(salts)))
+    val local = Window.partitionBy(col("stratum"), col("__salt"))
+      .orderBy(col("key"))
+    val global = Window.partitionBy(col("stratum")).orderBy(col("key"))
+    salted.withColumn("__lrk", row_number().over(local))
+      .filter(col("__lrk") <= n)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= n)
+      .drop("__salt", "__lrk")
+  }
+
   override val queries: Seq[Q] = Seq(
 
     // Deterministic ~10% Bernoulli sample: membership = md5(text) hex
@@ -67,7 +96,8 @@ object Sampling extends QueryModule {
     // content-hash order so the quota is deterministic and unbiased by
     // storage order. One shuffle on the stratum key; rows beyond the
     // quota are dropped by the windowed rank. (For strata too hot for a
-    // single partition, salt-then-requota per SCALE.md's skew section.)
+    // single partition, stratifiedQuotaSalted below is the provably
+    // equal skew-safe path.)
     Q("sample_stratified",
       (s, d) => {
         val w = Window.partitionBy(col("lang"))

@@ -93,6 +93,23 @@ class PipelineScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("salted stratified quota equals the direct windowed quota") {
+    val df = Tables.load(spark, sf, "documents")
+      .select(col("lang").as("stratum"),
+        concat(md5(col("text")), col("doc_id").cast("string")).as("key"),
+        col("doc_id"))
+    assert(df.select("stratum", "key").distinct().count() == df.count())
+    val direct = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(col("key"))))
+      .filter(col("rk") <= 7)
+    val salted = Sampling.stratifiedQuotaSalted(df, 7, 8)
+    assert(direct.exceptAll(salted).isEmpty)
+    assert(salted.exceptAll(direct).isEmpty)
+    // the salt genuinely spreads the hot stratum
+    assert(df.select(pmod(xxhash64(col("key")), lit(8))).distinct()
+      .count() > 4)
+  }
+
   test("packSequences two-level prefix sum == naive global window") {
     // 40 docs spread over many 16-wide buckets, with gaps and a zero
     val tc = (0 until 40)
