@@ -1,15 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
-/** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Results are fully materialized through a
-  * noop-format write — a `count()` would let Catalyst prune every unused
-  * projected expression and under-measure expression-heavy queries.
+/** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR.
+  * Results are fully materialized through a noop-format write — a
+  * `count()` would let Catalyst prune every unused projected expression
+  * and under-measure expression-heavy queries.
+  *
+  * Output contract (the driver captures a BOUNDED tail of stdout, which
+  * in round 6 truncated one giant 3.5 KB JSON line mid-way and lost the
+  * headline total):
+  *   - each query prints its own short line `{"q":"name","sec":N}` as it
+  *     finishes (key deliberately NOT "metric" so the driver's
+  *     `{"metric"...}` extraction can't latch onto a partial line);
+  *   - the full canonical record (total + per-query map) is written to
+  *     target/bench.json (override: SPARK_GRAFT_BENCH_OUT);
+  *   - the LAST stdout line is the canonical `{"metric":"total",...}`
+  *     record with per-query seconds at millisecond precision — compact
+  *     enough to fit the tail whole.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,6 +35,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Locale-pinned: a comma-decimal default locale would corrupt the JSON
+    def fmt(sec: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
+
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -31,7 +49,7 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // Queries persist shared subtrees; freeing them here keeps one
       // query's cache from squeezing the next one's execution memory
-      // over a 57-query run (the bucketed-index tables are on disk and
+      // over a full-suite run (the bucketed-index tables are on disk and
       // unaffected).
       spark.catalog.clearCache()
       sec
@@ -49,22 +67,38 @@ object Bench {
     // otherwise all land on whichever sql_* query runs first
     // alphabetically and get misread as that query's cost.
     materialize("sql_dml_lifecycle")
-    // dedup_minhash_lsh's warmup pays the text-pipeline first-touch: the
-    // documents parquet footer plus whole-stage-codegen compilation of
-    // the tokenize/explode/xxhash/minhash/band stages. Profiled at sf0.1:
-    // the shingle stage is 7.8 s cold and 0.12 s warm — without this the
-    // first dedup_* query is charged ~9 s of one-off JIT that a
-    // long-lived 100 TB job pays once, not per query.
-    materialize("dedup_minhash_lsh")
+    // Text-pipeline first-touch (documents parquet footer + whole-stage
+    // codegen of the tokenize/explode/xxhash stages; profiled 7.8 s cold
+    // vs 0.12 s warm at sf0.1) is paid by a NEUTRAL shingle-only probe —
+    // not by running a timed dedup_* query untimed first, which would
+    // make that one query's number uniquely steady-state.
+    try graft.operators.Dedup
+      .shingles(graft.operators.Dedup.corpus(spark, sfDir))
+      .groupBy(col("s")).count()
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup probe failed: ${e.getMessage}")
+    }
+    spark.catalog.clearCache()
 
     // Optional name filter for local profiling (comma-separated);
     // unset = the full suite, as the driver runs it.
     val names = SparkEntry.selectNames(sys.env.get("SPARK_GRAFT_ONLY"))
-    val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val sec = materialize(n)
+      println(s"""{"q":"$n","sec":${fmt(sec)}}""")
+      n -> sec
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outFile = new java.io.File(benchOut)
+    Option(outFile.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(line) finally w.close()
+    println(line)
     spark.stop()
   }
 }

@@ -53,6 +53,22 @@ final class GraftSession(val spark: SparkSession) {
     * cleared by every statement except SHOW WARNINGS/ERRORS.
     */
   private val warnings = mutable.Buffer.empty[(String, Int, String)]
+  /** ADMIN SHOW DDL [JOBS] backing log (reference
+    * `planner/core/planbuilder.go:439-455`; output schemas
+    * `planbuilder.go:505-531`; job-type strings
+    * `parser/model/ddl.go:74-111`): one entry per DDL statement this
+    * session completed. DDL here executes synchronously, so every
+    * recorded job is terminal — state `synced`, SCHEMA_STATE `public`
+    * for additive actions / `none` for drops, the end states the
+    * reference's online-DDL state machine converges to. An IF
+    * EXISTS/IF NOT EXISTS no-op still records (the statement ran); a
+    * statement that throws records nothing.
+    */
+  private val ddlJobs = mutable.Buffer.empty[GraftSession.DdlJob]
+  /** schema/table ids assigned on first DDL touch (the reference
+    * allocates from meta's global id allocator; session-monotonic here).
+    */
+  private val ddlObjIds = mutable.Map.empty[String, Long]
   private var execDepth = 0
   private val indexes = mutable.LinkedHashMap.empty[(String, String), IndexMeta]
   private val primaryKeys = mutable.Map.empty[String, Seq[String]]
@@ -268,16 +284,22 @@ final class GraftSession(val spark: SparkSession) {
       // only once a statement actually routes as DDL; a malformed
       // statement must not commit as a side effect of its prefix.
       case CreateDbRe(ifNot, db) =>
-        commit(); spark.sql(s"CREATE DATABASE ${opt(ifNot)}$db"); ok()
+        commit(); spark.sql(s"CREATE DATABASE ${opt(ifNot)}$db")
+        recordDdl("create schema", clean(db), ""); ok()
       case DropDbRe(ifEx, db) =>
-        commit(); spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE"); ok()
+        commit(); spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE")
+        recordDdl("drop schema", clean(db), ""); ok()
       case _ if up.startsWith("CREATE TABLE") => createTable(sql); ok()
       case DropTableRe(ifEx, ts) =>
         commit()
         // MySQL drops every EXISTING table in the list, then reports the
         // unknown ones once — never aborts halfway
-        val missing = ts.split(',').map(_.trim)
-          .filterNot(dropTable(opt(ifEx), _))
+        val missing = ts.split(',').map(_.trim).filterNot { t =>
+          val ref = qualify(clean(t))
+          val found = dropTable(opt(ifEx), t)
+          if (found) recordDdl("drop table", dbOf(ref), unqualified(ref))
+          found
+        }
         if (missing.nonEmpty && ifEx == null)
           throw new IllegalArgumentException(
             s"Unknown table '${missing.mkString(",")}'")
@@ -286,11 +308,18 @@ final class GraftSession(val spark: SparkSession) {
       case CreateIndexRe(uniq, name, t, cols) =>
         commit()
         createIndex(clean(t), clean(name), splitCols(cols),
-          unique = uniq != null); ok()
+          unique = uniq != null)
+        recordDdl("add index", dbOf(qualify(clean(t))),
+          unqualified(clean(t))); ok()
       case DropIndexRe(name, t) =>
-        commit(); dropIndex(clean(t), clean(name)); ok()
+        commit(); dropIndex(clean(t), clean(name))
+        recordDdl("drop index", dbOf(qualify(clean(t))),
+          unqualified(clean(t))); ok()
       case AdminCheckRe(t) => adminCheck(clean(t))
       case AdminCompactRe(t) => adminCompact(clean(t))
+      case AdminShowDdlJobsRe(n, w) =>
+        adminShowDdlJobs(Option(n).map(_.toInt), Option(w))
+      case AdminShowDdlRe() => adminShowDdl()
       case AnalyzeRe(t) =>
         // stats live on the physical table (the view is plan expansion;
         // the optimizer reads the underlying scan's statistics)
@@ -751,6 +780,8 @@ final class GraftSession(val spark: SparkSession) {
       s"'graft.buckets'='$Buckets', 'graft.pk'='${pk.isDefined}')")
     createLogicalView(ref)
     deferredIdx.foreach { case (n, u, cs) => createIndex(ref, n, cs, u) }
+    // inline index clauses belong to the CREATE TABLE statement: one job
+    recordDdl("create table", dbOf(ref), table)
   }
 
   /** SURVEY §1.4 unsigned mapping: widen to the next integer type
@@ -862,8 +893,10 @@ final class GraftSession(val spark: SparkSession) {
   private def alterTable(sql: String): Unit = sql match {
     case AlterDropIndexRe(t, name) =>
       commit(); dropIndex(clean(t), clean(name))
+      recordDdl("drop index", dbOf(qualify(clean(t))), unqualified(clean(t)))
     case AlterAddIndexRe(t, name, cols) =>
       commit(); createIndex(clean(t), clean(name), splitCols(cols))
+      recordDdl("add index", dbOf(qualify(clean(t))), unqualified(clean(t)))
     case AlterAddColRe(t, rest) =>
       val body = if (rest.trim.startsWith("(")) parenBody(rest) else rest
       val base = unqualified(clean(t))
@@ -903,11 +936,17 @@ final class GraftSession(val spark: SparkSession) {
         if (isManaged(ref)) rewriteManaged(ref, withBucket(ref, next), None)
         else rewriteTable(ref, next)
       }
+      recordDdl("add column", dbOf(ref), unqualified(ref))
     case AlterDropColRe(t, ifEx, c) =>
       commit(); alterDropColumn(qualify(clean(t)), clean(c), ifEx != null)
+      recordDdl("drop column", dbOf(qualify(clean(t))), unqualified(clean(t)))
     case AlterChangeColRe(t, ifEx, oldName, body) =>
       commit()
       alterRetypeColumn(qualify(clean(t)), clean(oldName), body, ifEx != null)
+      // the reference routes CHANGE through ActionModifyColumn too
+      // (`parser/model/ddl.go:86`)
+      recordDdl("modify column", dbOf(qualify(clean(t))),
+        unqualified(clean(t)))
     case AlterModifyColRe(t, ifEx, body) =>
       commit()
       val name = body match {
@@ -916,6 +955,8 @@ final class GraftSession(val spark: SparkSession) {
           throw new IllegalArgumentException(s"cannot parse column def: $other")
       }
       alterRetypeColumn(qualify(clean(t)), name, body, ifEx != null)
+      recordDdl("modify column", dbOf(qualify(clean(t))),
+        unqualified(clean(t)))
     case _ => throw new IllegalArgumentException(s"unsupported ALTER: $sql")
   }
 
@@ -1247,6 +1288,64 @@ final class GraftSession(val spark: SparkSession) {
     Seq((unqualified(ref), affected.size,
         before.values.sum, bucketFiles().values.sum))
       .toDF("table_name", "buckets_compacted", "files_before", "files_after")
+  }
+
+  /** Append a completed DDL job to the session history (call sites sit
+    * after the statement's effect, so a failed statement records
+    * nothing). ROW_COUNT stays 0: synchronous DDL has no backfill
+    * counter — the reference's row_count tracks the online add-index
+    * reorg progress, which has no analog here.
+    */
+  private def recordDdl(jobType: String, db: String, table: String): Unit = {
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .format(java.time.LocalDateTime.now())
+    def objId(key: String): Long =
+      ddlObjIds.getOrElseUpdate(key, ddlObjIds.size + 1L)
+    ddlJobs += GraftSession.DdlJob(ddlJobs.size + 1L, db, table, jobType,
+      objId(db), if (table.isEmpty) 0L else objId(s"$db.$table"), 0L, ts, ts)
+  }
+
+  /** Database part of a qualified ref for DDL-job bookkeeping. */
+  private def dbOf(ref: String): String =
+    if (ref.contains('.')) ref.split('.').dropRight(1).mkString(".")
+    else spark.catalog.currentDatabase
+
+  /** ADMIN SHOW DDL (`planner/core/planbuilder.go:439-442`, executor
+    * `executor/executor.go:164-201`): one-row owner/version snapshot.
+    * This front-end is its own single-node DDL owner and runs DDL
+    * synchronously, so RUNNING_JOBS and QUERY are always empty and
+    * SCHEMA_VER is the count of applied jobs (the version bumps once
+    * per DDL, as in the reference's schema-version lease).
+    */
+  private def adminShowDdl(): DataFrame = {
+    import spark.implicits._
+    Seq((ddlJobs.size.toLong, "graft-ddl-owner", "", "", "graft-ddl-owner",
+        ""))
+      .toDF("SCHEMA_VER", "OWNER_ID", "OWNER_ADDRESS", "RUNNING_JOBS",
+        "SELF_ID", "QUERY")
+  }
+
+  /** ADMIN SHOW DDL JOBS [n] [WHERE ...]
+    * (`planner/core/planbuilder.go:443-455`): the newest `n` history
+    * jobs (default `DefNumHistoryJobs`), WHERE applied on top of the
+    * fetched window exactly as the reference stacks its Selection over
+    * LogicalShowDDLJobs.
+    */
+  private def adminShowDdlJobs(num: Option[Int],
+      where: Option[String]): DataFrame = {
+    import spark.implicits._
+    val df = ddlJobs.reverse
+      .map(j => (j.jobId, j.db, j.table, j.jobType,
+        if (j.jobType.startsWith("drop")) "none" else "public",
+        j.schemaId, j.tableId, j.rowCount, j.startTime, j.endTime,
+        "synced"))
+      .take(num.getOrElse(GraftSession.DefNumHistoryJobs))
+      .toSeq
+      .toDF("JOB_ID", "DB_NAME", "TABLE_NAME", "JOB_TYPE", "SCHEMA_STATE",
+        "SCHEMA_ID", "TABLE_ID", "ROW_COUNT", "START_TIME", "END_TIME",
+        "STATE")
+    where.map(w => df.where(expr(substituteVars(w)))).getOrElse(df)
   }
 
   // --------------------------------------------------------------------- DML
@@ -1940,6 +2039,18 @@ object GraftSession {
   final case class IndexMeta(unique: Boolean, cols: Seq[String],
       path: String, tableRef: String)
 
+  /** One completed DDL job (ADMIN SHOW DDL JOBS row; reference
+    * `planner/core/planbuilder.go:517-531`).
+    */
+  final case class DdlJob(jobId: Long, db: String, table: String,
+      jobType: String, schemaId: Long, tableId: Long, rowCount: Long,
+      startTime: String, endTime: String)
+
+  /** Default history-job count for ADMIN SHOW DDL JOBS (reference
+    * `util/admin/admin.go:214` DefNumHistoryJobs).
+    */
+  val DefNumHistoryJobs = 10
+
   /** Remove a managed table's on-disk location if it survived a previous
     * session whose (in-memory) catalog is gone — otherwise CREATE TABLE
     * fails with LOCATION_ALREADY_EXISTS on every rerun in a long-lived
@@ -2059,6 +2170,9 @@ object GraftSession {
   private val AdminCheckRe = "(?is)^ADMIN\\s+CHECK\\s+TABLE\\s+([`\\w.]+)$".r
   private val AdminCompactRe =
     "(?is)^ADMIN\\s+COMPACT\\s+TABLE\\s+([`\\w.]+)$".r
+  private val AdminShowDdlJobsRe =
+    "(?is)^ADMIN\\s+SHOW\\s+DDL\\s+JOBS(?:\\s+(\\d+))?(?:\\s+WHERE\\s+(.+))?$".r
+  private val AdminShowDdlRe = "(?is)^ADMIN\\s+SHOW\\s+DDL$".r
   private val AnalyzeRe = "(?is)^ANALYZE\\s+TABLE\\s+([`\\w.]+)$".r
   // MySQL allows omitting INTO in INSERT/REPLACE
   private val InsertRe = "(?is)^INSERT\\s+(?:INTO\\s+)?([`\\w.]+).*$".r

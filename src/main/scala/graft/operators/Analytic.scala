@@ -86,12 +86,17 @@ object Analytic extends QueryModule {
         .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
           grouping(col("o_orderpriority")).cast("long").as("g_prio"),
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue")),
-      Some("""SELECT o_orderstatus, o_orderpriority,
+          // exact decimal sum (ExactNum): a partition-order double sum
+          // can land on a rounding boundary and flip the last digit vs
+          // the oracle's exact arithmetic
+          graft.functions.ExactNum.exactSum(col("o_totalprice"))
+            .as("revenue")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
                      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
                      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
                      count(*) AS n_orders,
-                     round(sum(o_totalprice), 2) AS revenue
+                     ${graft.functions.ExactNum.oracleSum("o_totalprice")}
+                       AS revenue
               FROM orders
               GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
@@ -106,13 +111,14 @@ object Analytic extends QueryModule {
         .agg(grouping(col("event_type")).cast("long").as("g_type"),
           grouping(col("day")).cast("long").as("g_day"),
           count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value")),
-      Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          graft.functions.ExactNum.exactSum(col("value")).as("total_value")),
+      Some(s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                      CAST(GROUPING(event_type) AS BIGINT) AS g_type,
                      CAST(GROUPING(strftime(ts, '%Y-%m-%d')) AS BIGINT)
                        AS g_day,
                      count(*) AS n_events,
-                     round(sum(value), 2) AS total_value
+                     ${graft.functions.ExactNum.oracleSum("value")}
+                       AS total_value
               FROM events
               GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))"""))
   )

@@ -31,10 +31,15 @@ object Components extends QueryModule {
   /** Min-label propagation to fixpoint.
     *
     * @param vertices one column `v` (numeric id); isolated vertices come
-    *                 out as their own singleton component
+    *                 out as their own singleton component. Edge endpoints
+    *                 need NOT be covered — labels are seeded from
+    *                 vertices ∪ endpoints (one extra vertex-scale
+    *                 distinct at round 0), so the row set is fixed from
+    *                 the start
     * @param edges    columns (`src`, `dst`), undirected, self-loops and
     *                 duplicates tolerated
-    * @return (v, component) where component = min vertex id reachable
+    * @return (v, component) where component = min vertex id reachable,
+    *         one row per seeded vertex (including endpoint-only ones)
     *
     * Convergence probe: labels only ever decrease, so the label SUM is
     * strictly decreasing until the fixpoint — one scalar aggregate per
@@ -57,10 +62,18 @@ object Components extends QueryModule {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = e.select(col("src").as("u"), col("dst").as("w"))
       .union(e.select(col("dst").as("u"), col("src").as("w")))
-    // Superseded round checkpoints are dropped by reference each
-    // iteration; the ContextCleaner frees their blocks after GC, so at
-    // most a few generations of vertex-sized RDDs coexist transiently.
-    var labels = vertices.select(col("v"), col("v").as("component"))
+    // Labels are seeded from vertices ∪ edge endpoints: an endpoint
+    // missing from `vertices` would otherwise be conjured mid-iteration
+    // by the neighbor join, transiently breaking the strictly-decreasing
+    // label-sum invariant the convergence probe relies on (the sum can
+    // INCREASE when new rows appear). Seeding the union keeps the row
+    // set fixed across rounds, so callers may pass a vertex relation
+    // that under-covers the edges without corrupting convergence.
+    var labels = vertices.select(col("v"))
+      .union(e.select(col("src").as("v")))
+      .union(e.select(col("dst").as("v")))
+      .distinct()
+      .select(col("v"), col("v").as("component"))
       .localCheckpoint()
 
     // DECIMAL(38,0) accumulator: a Long sum overflows around 10⁹ vertices
@@ -91,6 +104,17 @@ object Components extends QueryModule {
       val nextSum = labelSum(next)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[ccround] $rounds%d ${(System.nanoTime() - rt0) / 1e9}%.2f s")
+      // Free the superseded round's checkpoint blocks NOW rather than
+      // waiting for driver GC + ContextCleaner: on a long high-diameter
+      // run, lingering vertex-sized cached generations would pressure
+      // executor storage memory. localCheckpoint blocks live on the
+      // materialized RDD inside the LogicalRDD leaf, not in the SQL
+      // cache, so Dataset.unpersist does not reach them.
+      labels.queryExecution.analyzed.collectLeaves().foreach {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
       labels = next
       converged = nextSum.compareTo(cur) == 0
       cur = nextSum

@@ -114,8 +114,8 @@ object Curation extends QueryModule {
                          0) AS off
                      FROM sel)
                SELECT doc_id, n_tokens,
-                      off // 2048 AS first_chunk,
-                      (off + n_tokens - 1) // 2048 AS last_chunk, lang
+                      CAST(off // 2048 AS BIGINT) AS first_chunk,
+                      CAST((off + n_tokens - 1) // 2048 AS BIGINT) AS last_chunk, lang
                FROM o"""))
   )
 }

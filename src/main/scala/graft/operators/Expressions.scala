@@ -84,16 +84,28 @@ object Expressions extends QueryModule {
               FROM part""")),
 
     // Predicates: IN (list), BETWEEN (rewritten >= AND <= in the
-    // reference, `expression_rewriter.go:321`), IS NULL.
+    // reference, `expression_rewriter.go:321`), IS NULL, and the ROW
+    // comparison `(a,b) < (c,d)` (reference `ast.RowFunc`,
+    // `expression/builtin.go:361`, rewritten to a lexicographic
+    // comparison chain in `planner/core/expression_rewriter.go`) —
+    // expressed Spark-first as a struct comparison, which Catalyst
+    // compares field-wise in declaration order, exactly the rewrite the
+    // reference performs.
     Q("expr_predicates",
       (s, d) => Tables.load(s, d, "part").select(
         col("p_partkey"),
         col("p_size").isin(1, 5, 10, 25).as("in_list"),
         col("p_size").between(10, 20).as("btw"),
-        nullif(col("p_size"), lit(25)).isNull.as("is_null")),
+        nullif(col("p_size"), lit(25)).isNull.as("is_null"),
+        (struct(col("p_size"), col("p_partkey")) <
+          struct(lit(15), lit(1000L))).as("row_lt"),
+        (struct(col("p_brand"), col("p_size")) >=
+          struct(lit("Brand#23"), lit(30))).as("row_ge")),
       Some("""SELECT p_partkey, p_size IN (1, 5, 10, 25) AS in_list,
                      p_size BETWEEN 10 AND 20 AS btw,
-                     nullif(p_size, 25) IS NULL AS is_null
+                     nullif(p_size, 25) IS NULL AS is_null,
+                     row(p_size, p_partkey) < row(15, 1000) AS row_lt,
+                     row(p_brand, p_size) >= row('Brand#23', 30) AS row_ge
               FROM part""")),
 
     // String: LENGTH (MySQL counts BYTES), OCTET_LENGTH, STRCMP (custom

@@ -132,8 +132,8 @@ object Sampling extends QueryModule {
           .select(col("doc_id"), TextOps.wsTokens(col("text")).as("n_tokens")),
         Ctx, PackBucket),
       Some(s"""SELECT doc_id, n_tokens,
-                      off // $Ctx AS first_chunk,
-                      (off + n_tokens - 1) // $Ctx AS last_chunk
+                      CAST(off // $Ctx AS BIGINT) AS first_chunk,
+                      CAST((off + n_tokens - 1) // $Ctx AS BIGINT) AS last_chunk
                FROM (SELECT doc_id, n_tokens,
                        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),

@@ -62,10 +62,16 @@ object Similarity extends QueryModule {
   }
 
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
-  private[operators] def planes(nBits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
+  private[operators] def planes(nBits: Int, dim: Int,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
+
+  /** Dense-bucket refinement cap (the embedding analog of
+    * [[Dedup.maxShingleDf]]'s stop-shingle guard).
+    */
+  val maxBucketSize = 1024L
 
   /** Bucket id = sign bits of v against each hyperplane. */
   private[operators] def signBucket(v: Column, pl: Array[Array[Double]]): Column =
@@ -96,6 +102,40 @@ object Similarity extends QueryModule {
   /** Nearest-centroid cell id. */
   private def cellOf(v: Column, cents: Array[Seq[Double]]): Column =
     array_min(centDists(v, cents)).getField("i")
+
+  /** Skew-safe sign-LSH bucketing for self-join candidate generation:
+    * level-1 sign buckets, then any bucket holding more than `cap` rows
+    * is REFINED with a second, independently-seeded 16-bit plane set —
+    * so one dense level-1 bucket can't drive the downstream self-join
+    * quadratic at corpus scale. Both levels are deterministic functions
+    * of the vector, so EXACT duplicates (the pairs the ≥0.9 verify is
+    * after in this corpus) always stay colliding; diverse vectors that
+    * merely shared coarse level-1 signs split on the fresh planes.
+    * Refined ids live in (bucket + (sub+1)·2^bits), disjoint from
+    * unrefined ids by construction. A bucket dense with TRUE near-dups
+    * is irreducibly quadratic — in OUTPUT, not wasted candidates.
+    *
+    * Cost at scale: one count aggregate keyed by bucket (cardinality ≤
+    * 2^bits rows — AQE broadcasts it back) on top of the existing
+    * bucketing pass.
+    *
+    * @param corpus (vec_id, v) rows
+    * @param bits   level-1 plane count (spec injects a tiny value to
+    *               plant a dense bucket; production default 16)
+    */
+  private[graft] def skewSafeBuckets(corpus: DataFrame, bits: Int = 16,
+      cap: Long = maxBucketSize): DataFrame = {
+    val b1 = corpus.withColumn("b1", signBucket(col("v"), planes(bits, Dim)))
+    val counts = b1.groupBy(col("b1")).agg(count(lit(1)).as("__n"))
+    b1.join(counts, "b1")
+      .withColumn("bucket",
+        when(col("__n") > cap,
+          col("b1") +
+            (signBucket(col("v"), planes(16, Dim, seed = 43L)) + lit(1L)) *
+            lit(1L << bits))
+          .otherwise(col("b1")))
+      .drop("b1", "__n")
+  }
 
   /** Deterministic IVF coarse quantizer: seeds = the first k vectors,
     * refined with `iters` Lloyd iterations. Assignment is a broadcast
@@ -208,8 +248,10 @@ object Similarity extends QueryModule {
         val e = emb(s, d).select(col("vec_id"), col("v"))
         val corpus = e.unionByName(
           e.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
-        val b = corpus
-          .withColumn("bucket", signBucket(col("v"), planes(16, 64)))
+        // skew-guarded buckets: a dense level-1 bucket refines itself
+        // with a second plane set instead of going quadratic (see
+        // skewSafeBuckets; exact dups always keep colliding)
+        val b = skewSafeBuckets(corpus)
           .persist(StorageLevel.MEMORY_AND_DISK)
         b.as("a")
           .join(b.as("b"), col("a.bucket") === col("b.bucket")

@@ -36,16 +36,22 @@ object SqlSurface extends QueryModule {
 
     // Plain SELECT through the router: parse → analyze → execute, the
     // reference's primary entry path.
+    // rev sums an exact DECIMAL (ExactNum rationale): a partition-order
+    // double sum can land on a .005 rounding boundary and flip the last
+    // digit vs DuckDB's differently-ordered sum. Same ANSI text runs on
+    // both engines.
     Q("sql_roundtrip",
       (s, d) => session(s, d).execute(
         """SELECT n_name, count(*) AS n_orders,
-                  round(sum(o_totalprice), 2) AS rev
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS rev
            FROM orders
            JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_name"""),
       Some("""SELECT n_name, count(*) AS n_orders,
-                     round(sum(o_totalprice), 2) AS rev
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE), 2) AS rev
               FROM orders
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
@@ -218,6 +224,48 @@ object SqlSurface extends QueryModule {
       },
       Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
               FROM orders WHERE o_orderkey <= 1200""")),
+
+    // ADMIN SHOW DDL JOBS (`planner/core/planbuilder.go:439-455`): a
+    // ten-statement DDL lifecycle, then the session's job history. The
+    // START/END_TIME columns are wall-clock, so the driver-checked
+    // projection keeps the deterministic ones; AdminShowDdlSpec covers
+    // the full 11-column schema and ADMIN SHOW DDL itself.
+    Q("sql_admin_show_ddl",
+      (s, d) => {
+        val gs = session(s, d)
+        gs.execute("DROP DATABASE IF EXISTS graft_ddl")
+        gs.execute("CREATE DATABASE graft_ddl")
+        gs.execute("USE graft_ddl")
+        gs.execute("CREATE TABLE jt (id BIGINT PRIMARY KEY, v VARCHAR(32), junk INT)")
+        gs.execute("CREATE INDEX vidx ON jt (v)")
+        gs.execute("ALTER TABLE jt ADD COLUMN score DOUBLE DEFAULT 1.5")
+        gs.execute("ALTER TABLE jt MODIFY COLUMN junk BIGINT")
+        gs.execute("ALTER TABLE jt DROP COLUMN junk")
+        gs.execute("DROP INDEX vidx ON jt")
+        gs.execute("DROP TABLE jt")
+        gs.execute("USE default")
+        gs.execute("DROP DATABASE graft_ddl")
+        gs.execute("ADMIN SHOW DDL JOBS")
+          .select("JOB_ID", "DB_NAME", "TABLE_NAME", "JOB_TYPE",
+            "SCHEMA_STATE", "SCHEMA_ID", "TABLE_ID", "ROW_COUNT", "STATE")
+      },
+      Some("""SELECT CAST(j AS BIGINT) AS "JOB_ID", d AS "DB_NAME",
+                     t AS "TABLE_NAME", ty AS "JOB_TYPE",
+                     ss AS "SCHEMA_STATE", CAST(si AS BIGINT) AS "SCHEMA_ID",
+                     CAST(ti AS BIGINT) AS "TABLE_ID",
+                     CAST(0 AS BIGINT) AS "ROW_COUNT", 'synced' AS "STATE"
+              FROM (VALUES
+                (10, 'graft_ddl', '',   'drop schema',   'none',   1, 0),
+                (9,  'graft_ddl', 'jt', 'drop table',    'none',   1, 2),
+                (8,  'graft_ddl', 'jt', 'drop index',    'none',   1, 2),
+                (7,  'graft_ddl', 'jt', 'drop column',   'none',   1, 2),
+                (6,  'graft_ddl', 'jt', 'modify column', 'public', 1, 2),
+                (5,  'graft_ddl', 'jt', 'add column',    'public', 1, 2),
+                (4,  'graft_ddl', 'jt', 'add index',     'public', 1, 2),
+                (3,  'graft_ddl', 'jt', 'create table',  'public', 1, 2),
+                (2,  'graft_ddl', '',   'create schema', 'public', 1, 0),
+                (1,  'graft_ddl', '',   'drop schema',   'none',   1, 0)
+              ) v(j, d, t, ty, ss, si, ti)""")),
 
     // CREATE INDEX + ADMIN CHECK TABLE: index↔row consistency job
     // (`planner/core/planbuilder.go:435`).

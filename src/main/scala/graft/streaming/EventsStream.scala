@@ -252,7 +252,10 @@ final case class AsofMatch(purchase_id: Long, user_id: Long,
     * makes closure fire even if the user goes quiet. After emission the
     * state keeps a `done` tombstone so a user emits once ever (state is
     * then O(emitted users), the same cardinality as the batch output; a
-    * production deployment would TTL tombstones).
+    * production deployment would TTL tombstones). Users with no view at
+    * all (click/purchase-only, or the view dropped as late) never emit
+    * and never tombstone: their entry is removed the moment no pending
+    * event remains, so they cannot grow state either.
     *
     * Late data below the watermark is dropped on arrival (standard
     * policy, same as the other twins). `events` must carry
@@ -303,19 +306,27 @@ final case class AsofMatch(purchase_id: Long, user_id: Long,
             // a done user's pending events can never matter again —
             // dropping them keeps tombstone state truly O(1) per user
             pending = if (st.done || out.isDefined) Nil else pending)
-          state.update(st)
-          if (!st.done) {
-            // wake at the open window's boundary AND when the oldest
-            // pending event ripens — a user whose only activity is a
-            // still-in-watermark view would otherwise never be invoked
-            // again (no new data, no timeout) and never emit
-            val wake =
-              (if (st.hasView)
-                 Seq(if (st.hasClick) st.clickUs + 2 * dayUs
-                     else st.viewUs + dayUs)
-               else Nil) ++ st.pending.map(_.ts_us).minOption
-            wake.minOption.foreach(us =>
-              state.setTimeoutTimestamp(us / 1000L + 1L))
+          if (!st.done && !st.hasView && st.pending.isEmpty)
+            // view-less users (click/purchase-only, or the view dropped
+            // as late) hold no emittable progress once pending drains:
+            // remove the entry instead of leaking default state forever.
+            // A later view recreates it fresh with identical semantics.
+            state.remove()
+          else {
+            state.update(st)
+            if (!st.done) {
+              // wake at the open window's boundary AND when the oldest
+              // pending event ripens — a user whose only activity is a
+              // still-in-watermark view would otherwise never be invoked
+              // again (no new data, no timeout) and never emit
+              val wake =
+                (if (st.hasView)
+                   Seq(if (st.hasClick) st.clickUs + 2 * dayUs
+                       else st.viewUs + dayUs)
+                 else Nil) ++ st.pending.map(_.ts_us).minOption
+              wake.minOption.foreach(us =>
+                state.setTimeoutTimestamp(us / 1000L + 1L))
+            }
           }
           out.iterator
       }

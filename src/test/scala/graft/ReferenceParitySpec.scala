@@ -53,6 +53,12 @@ class ReferenceParitySpec extends SparkSuite {
     assert(gs.query("select (1, 2) = (1, 2), (1, 2) = (1, 3)") ==
       Seq("true false"))
     assert(gs.query("select (1, 2) in ((1, 2), (3, 4))") == Seq("true"))
+    // ordered ROW comparison (builtin.go:361 rowFunctionClass; rewrite
+    // planner/core/expression_rewriter.go) — lexicographic by position
+    assert(gs.query(
+      "select (1, 2) < (1, 3), (1, 2) < (1, 2), (2, 1) >= (1, 9), " +
+        "('a', 2) > ('a', 1)") ==
+      Seq("true false true true"))
     // SetVar / GetVar
     gs.execute("SET @fn_reg = 11")
     assert(gs.query("select @fn_reg * 2") == Seq("22"))

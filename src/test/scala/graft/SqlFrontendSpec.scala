@@ -164,6 +164,47 @@ class SqlFrontendSpec extends SparkSuite {
     assert(gs.query("SELECT id FROM d ORDER BY id") == Seq("1", "2"))
   }
 
+  test("ADMIN SHOW DDL / ADMIN SHOW DDL JOBS render the session DDL history") {
+    // fresh session: the job log is per-session state, like the
+    // reference's history being read at the statement's snapshot
+    val g2 = new GraftSession(spark)
+    g2.execute("DROP DATABASE IF EXISTS sddl")
+    g2.execute("CREATE DATABASE sddl")
+    g2.execute("USE sddl")
+    g2.execute("CREATE TABLE sd (id BIGINT PRIMARY KEY, v VARCHAR(10))")
+    g2.execute("CREATE INDEX sv ON sd (v)")
+    g2.execute("ALTER TABLE sd ADD COLUMN w INT")
+    g2.execute("USE default")
+
+    // ADMIN SHOW DDL: the 6-column owner/version snapshot
+    // (planbuilder.go:505-515); synchronous DDL → nothing running
+    val show = g2.execute("ADMIN SHOW DDL")
+    assert(show.columns.toSeq == Seq("SCHEMA_VER", "OWNER_ID",
+      "OWNER_ADDRESS", "RUNNING_JOBS", "SELF_ID", "QUERY"))
+    val r = show.head()
+    assert(r.getLong(0) == 5L, s"schema_ver ${r.getLong(0)}")
+    assert(r.getString(3) == "" && r.getString(5) == "")
+
+    // ADMIN SHOW DDL JOBS: 11 columns (planbuilder.go:517-531),
+    // newest first, terminal states only
+    val jobs = g2.execute("ADMIN SHOW DDL JOBS")
+    assert(jobs.columns.toSeq == Seq("JOB_ID", "DB_NAME", "TABLE_NAME",
+      "JOB_TYPE", "SCHEMA_STATE", "SCHEMA_ID", "TABLE_ID", "ROW_COUNT",
+      "START_TIME", "END_TIME", "STATE"))
+    val got = jobs.collect().map(x => (x.getLong(0), x.getString(3)))
+    assert(got.toSeq == Seq(5L -> "add column", 4L -> "add index",
+      3L -> "create table", 2L -> "create schema", 1L -> "drop schema"),
+      got.mkString(","))
+    assert(jobs.collect().forall(_.getString(10) == "synced"))
+
+    // JOBS n bounds the fetched window; WHERE filters on top of it
+    assert(g2.execute("ADMIN SHOW DDL JOBS 2").count() == 2)
+    assert(g2.execute(
+      "ADMIN SHOW DDL JOBS WHERE JOB_TYPE = 'add index'").count() == 1)
+    g2.execute("DROP DATABASE sddl")
+    assert(g2.execute("ADMIN SHOW DDL").head().getLong(0) == 6L)
+  }
+
   test("ADMIN CHECK TABLE passes when consistent, flags drift") {
     gs.execute("USE sqlfe")
     gs.execute("DROP TABLE IF EXISTS ac")

@@ -58,13 +58,11 @@ for name in sorted(oracles):
         s, o = norm(spark_df), norm(ora_df)
         rows = len(s) == len(o)
         schema = list(s.columns) == list(o.columns)
-        # normalize dtypes for hashing (int32 vs int64 etc.)
-        for c in s.columns:
-            if schema and str(s[c].dtype) != str(o[c].dtype):
-                try:
-                    o[c] = o[c].astype(s[c].dtype)
-                except Exception:
-                    pass
+        # STRICT hash, exactly like the driver: no dtype normalization.
+        # pandas hash_pandas_object is dtype-sensitive across int/float
+        # (int64 != float64 even for equal values), so a DuckDB HUGEINT
+        # column rendered as float64 must be CAST in the oracle SQL, not
+        # papered over here.
         match = rows and schema and h(s) == h(o)
         status = "OK" if match else "MISMATCH"
         if not match:
@@ -72,6 +70,11 @@ for name in sorted(oracles):
             print(f"{name}: {status} rows={len(s)}/{len(o)} "
                   f"schema={list(s.columns)}/{list(o.columns)}")
             if rows and schema:
+                dtype_diff = {c: (str(s[c].dtype), str(o[c].dtype))
+                              for c in s.columns
+                              if str(s[c].dtype) != str(o[c].dtype)}
+                if dtype_diff:
+                    print(f"  dtype diff (spark, oracle): {dtype_diff}")
                 cmp = s.compare(o) if s.shape == o.shape else None
                 if cmp is not None and not cmp.empty:
                     print(cmp.head(5))
