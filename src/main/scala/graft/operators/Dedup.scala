@@ -119,6 +119,18 @@ object Dedup extends QueryModule {
           "i -> xxhash64(t[i], t[i+1], t[i+2]))")).as("s"))
       .distinct()
 
+  /** Distinct word n-gram hashes per doc: (doc_id, h) — the
+    * [[shinglesFromTokens]] generalization to arbitrary n
+    * (decontamination wants LONG n-grams, where a match means real
+    * shared text, not shared vocabulary).
+    */
+  private def ngramHashes(toks: DataFrame, n: Int): DataFrame =
+    toks.filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t)-$n), i -> xxhash64(" +
+          (0 until n).map(j => s"t[i+$j]").mkString(",") + "))")).as("h"))
+      .distinct()
+
   /** Shingles surviving the stop-shingle document-frequency cap. For
     * n-gram Jaccard the cap defines the representation itself (Jaccard
     * over the non-stop vocabulary — the principled form of stop-shingle
@@ -302,6 +314,60 @@ object Dedup extends QueryModule {
           .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
           .filter(col("hamming") <= 3)
       },
-      None)
+      None),
+
+    // Train/eval decontamination — the cross-set cousin of dedup: flag
+    // TRAINING documents that share a long (8-token) n-gram with a
+    // held-out eval set, the standard benchmark-leak guard run before
+    // pretraining. Eval set = a 20-token window (tokens 11-30) of every
+    // doc_id % 10 == 0 document — planted contamination with known
+    // answers (DedupSpec asserts every eligible planted doc flags).
+    //
+    // Scale posture: the eval n-gram relation is benchmark-scale
+    // (≪ corpus), so the overlap join is an AQE broadcast of eval
+    // hashes against ONE pass over train n-grams — never corpus×corpus.
+    // Train n-grams are 8-byte xxhash64 values (the ~60-byte string
+    // form never materializes); counts equal the oracle's string
+    // n-grams absent a 64-bit collision (~1e-9 at this vocabulary).
+    Q("decontaminate",
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+              .as("t"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val train = ngramHashes(toks, 8)
+        val eval8 = ngramHashes(
+          toks.filter(col("doc_id") % 10 === 0 && size(col("t")) >= 30)
+            .select(col("doc_id"), slice(col("t"), 11, 20).as("t")), 8)
+          .select(col("h")).distinct()
+        val overlap = train.join(eval8, "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        toks.select(col("doc_id"))
+          .join(overlap, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '\S+') AS t
+                   FROM documents),
+              tr AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(t)-6), i ->
+                         t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||
+                         t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])) AS g
+                     FROM toks WHERE len(t) >= 8),
+              ev AS (SELECT DISTINCT
+                       unnest(list_transform(range(1, 14), i ->
+                         s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]||' '||
+                         s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7])) AS g
+                     FROM (SELECT t[11:30] AS s FROM toks
+                           WHERE doc_id % 10 = 0 AND len(t) >= 30) q),
+              ov AS (SELECT doc_id, count(*) AS n_overlap
+                     FROM tr JOIN ev USING (g) GROUP BY doc_id)
+              SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+                     coalesce(ov.n_overlap, 0) > 0 AS contaminated
+              FROM documents d LEFT JOIN ov USING (doc_id)"""))
   )
 }

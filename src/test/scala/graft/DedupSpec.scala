@@ -64,4 +64,22 @@ class DedupSpec extends SparkSuite {
     assert(planted.filter(col("hamming") =!= 0).count() == 0)
     assert(df.filter(col("hamming") > 3).count() == 0)
   }
+
+  test("decontaminate flags every planted eval-source doc, covers all docs") {
+    val rows = q("decontaminate").collect()
+    assert(rows.length == nDocs) // one verdict per training doc
+    // every eval-source doc (doc_id % 10 == 0, ≥ 30 tokens) contains its
+    // own planted 20-token eval window → must flag, with all 13 windows
+    // only if the window's 8-grams are distinct, so assert ≥ 1
+    val eligible = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0 &&
+        size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))) >= 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(eligible.nonEmpty, "test data lost its eval candidates")
+    val flagged = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(eligible.subsetOf(flagged),
+      s"unflagged planted docs: ${(eligible -- flagged).take(5)}")
+    // n_overlap is consistent with the flag
+    assert(rows.forall(r => (r.getLong(1) > 0) == r.getBoolean(2)))
+  }
 }
