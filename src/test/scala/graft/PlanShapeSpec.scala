@@ -21,6 +21,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("decontaminate: eval n-grams broadcast, train side never replicated") {
+    // the asymmetric overlap join must build on the benchmark-scale
+    // eval-hash side; a shuffle of the corpus-scale train n-grams onto
+    // the eval side would invert the scale posture
+    val df = q("decontaminate")
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), "overlap join degraded:\n" + plan)
+  }
+
   test("agg_group: partial + final hash aggregation") {
     val plan = Meta.explainFormatted(q("agg_group"))
     assert(plan.contains("HashAggregate"), plan)
