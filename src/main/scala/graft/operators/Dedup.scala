@@ -119,6 +119,16 @@ object Dedup extends QueryModule {
           "i -> xxhash64(t[i], t[i+1], t[i+2]))")).as("s"))
       .distinct()
 
+  /** SQL expression producing the word n-gram hash ARRAY from a token
+    * array column named `t` — the single definition shared by the batch
+    * explode ([[ngramHashes]]) and the streaming per-row intersect
+    * (DedupStream.decontaminate), so the two cannot drift. Caller must
+    * guard `size(t) >= n` (sequence(0, negative) descends).
+    */
+  private[graft] def ngramHashArrExpr(n: Int): String =
+    s"transform(sequence(0, size(t)-$n), i -> xxhash64(" +
+      (0 until n).map(j => s"t[i+$j]").mkString(",") + "))"
+
   /** Distinct word n-gram hashes per doc: (doc_id, h) — the
     * [[shinglesFromTokens]] generalization to arbitrary n
     * (decontamination wants LONG n-grams, where a match means real
@@ -126,10 +136,31 @@ object Dedup extends QueryModule {
     */
   private def ngramHashes(toks: DataFrame, n: Int): DataFrame =
     toks.filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t)-$n), i -> xxhash64(" +
-          (0 until n).map(j => s"t[i+$j]").mkString(",") + "))")).as("h"))
+      .select(col("doc_id"), explode(expr(ngramHashArrExpr(n))).as("h"))
       .distinct()
+
+  /** Lowercased token arrays (doc_id, t) fanned out past file
+    * parallelism — shared entry staging for the n-gram pipelines.
+    */
+  private[graft] def tokens(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
+
+  /** The held-out eval set's distinct 8-gram hashes: a 20-token window
+    * (tokens 11-30) of every doc_id % 10 == 0 document — planted
+    * contamination with known answers. Benchmark-scale by construction;
+    * ONE definition shared by batch `decontaminate` and its streaming
+    * twin (DedupStream.decontaminate).
+    */
+  private[graft] def evalNgramHashesFromTokens(toks: DataFrame): DataFrame =
+    ngramHashes(
+      toks.filter(col("doc_id") % 10 === 0 && size(col("t")) >= 30)
+        .select(col("doc_id"), slice(col("t"), 11, 20).as("t")), 8)
+      .select(col("h")).distinct()
+
+  private[graft] def evalNgramHashes(docs: DataFrame): DataFrame =
+    evalNgramHashesFromTokens(tokens(docs))
 
   /** Shingles surviving the stop-shingle document-frequency cap. For
     * n-gram Jaccard the cap defines the representation itself (Jaccard
@@ -331,17 +362,10 @@ object Dedup extends QueryModule {
     // n-grams absent a 64-bit collision (~1e-9 at this vocabulary).
     Q("decontaminate",
       (s, d) => {
-        val toks = Tables.load(s, d, "documents")
-          .repartition(col("doc_id"))
-          .select(col("doc_id"),
-            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-              .as("t"))
+        val toks = tokens(Tables.load(s, d, "documents"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val train = ngramHashes(toks, 8)
-        val eval8 = ngramHashes(
-          toks.filter(col("doc_id") % 10 === 0 && size(col("t")) >= 30)
-            .select(col("doc_id"), slice(col("t"), 11, 20).as("t")), 8)
-          .select(col("h")).distinct()
+        val eval8 = evalNgramHashesFromTokens(toks)
         val overlap = train.join(eval8, "h")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
         toks.select(col("doc_id"))

@@ -51,4 +51,45 @@ object DedupStream {
 
   def dedupCounts(spark: SparkSession, dir: String): DataFrame =
     dedupCounts(source(spark, dir))
+
+  /** Streaming twin of the batch `decontaminate` operator: documents
+    * stream in and each is flagged against a STATIC held-out eval
+    * n-gram set at ingest time — the benchmark-leak filter of a
+    * continuously-ingesting corpus build, where contaminated documents
+    * must be dropped before they ever reach training shards.
+    *
+    * Shape: completely STATELESS (Append mode, no watermark, zero
+    * state store) — the eval hash set is collapsed to a single-row
+    * array (benchmark-scale: a fixed eval suite, not a corpus) and
+    * cross-joined onto the stream; per-document overlap is a per-row
+    * `array_intersect` over the doc's distinct n-gram hashes. Batch
+    * and stream share the n-gram definition
+    * ([[graft.operators.Dedup.ngramHashArrExpr]]) and the eval-set
+    * definition, so they cannot drift; StreamingSpec pins exact
+    * row-level agreement with the batch operator.
+    *
+    * At 100 TB: throughput is corpus-linear with no shuffle on the
+    * stream side; a real eval suite (~10⁵-10⁶ n-grams, a few MB as an
+    * 8-byte-hash array) rides the broadcast exactly like the batch
+    * op's AQE-broadcast overlap join.
+    */
+  def decontaminate(docs: DataFrame, evalHashes: DataFrame): DataFrame = {
+    // single-row eval array, keyed so the stream-static join is a plain
+    // supported equi inner join (stream cross joins are restricted)
+    val evalArr = evalHashes
+      .agg(collect_set(col("h")).as("ev")).withColumn("__k", lit(1))
+    docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
+      .withColumn("hs",
+        when(size(col("t")) >= 8,
+          array_distinct(expr(graft.operators.Dedup.ngramHashArrExpr(8))))
+          .otherwise(typedLit(Seq.empty[Long])))
+      .withColumn("__k", lit(1))
+      .join(evalArr, "__k")
+      .select(col("doc_id"),
+        size(array_intersect(col("hs"), col("ev"))).cast("long")
+          .as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
 }

@@ -42,6 +42,32 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming decontaminate equals the batch operator row for row") {
+    // eval n-gram set built ONCE from the static corpus (as a real
+    // ingest pipeline would pin its benchmark suite), stream split so
+    // flagging spans several micro-batches
+    val split = java.nio.file.Files.createTempDirectory("decon-split").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(3).write.mode("overwrite").parquet(split)
+    val evalHashes = graft.operators.Dedup.evalNgramHashes(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val sq = graft.streaming.DedupStream.decontaminate(
+        graft.streaming.DedupStream.source(spark, split, "*.parquet"),
+        evalHashes)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    assert(sq.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one micro-batch per split file")
+    val streamed = spark.table("decon_stream")
+    val batch = q("decontaminate")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // the planted contamination actually fires in-stream
+    assert(streamed.filter(col("contaminated")).count() > 0)
+  }
+
   test("stream-stream interval join equals the batch attribution pairs") {
     val sq = graft.streaming.EventsStream.attributedPairs(spark, sf)
       .writeStream.format("memory").queryName("attr_stream")
