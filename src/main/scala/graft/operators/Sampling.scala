@@ -92,6 +92,35 @@ object Sampling extends QueryModule {
       Some("""SELECT doc_id, lang, source, n_chars FROM documents
               WHERE substr(md5(text), 1, 2) < '1a'""")),
 
+    // Per-source weighted sampling — the domain-mixing knob of a
+    // pretraining data recipe (up-weight curated sources, down-weight
+    // crawl): each source keeps a deterministic fraction of its rows.
+    // Membership = md5(text) hex prefix under a per-source threshold
+    // ('g' sorts after every hex digit = keep all; '6666'/16⁴ ≈ 40%;
+    // '199a'/16⁴ ≈ 10%). Pure map-side filter like sample_hash — no
+    // shuffle, no join: at 100 TB the rate map is a literal CASE
+    // (metadata), and the sample is stable under re-partitioning,
+    // re-runs, and incremental ingest.
+    Q("sample_weighted",
+      (s, d) => {
+        val th =
+          when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            lit("g"))
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"),
+            lit("6666"))
+          .otherwise(lit("199a"))
+        Tables.load(s, d, "documents")
+          .filter(substring(md5(col("text")), 1, 4) < th)
+          .select(col("doc_id"), col("source"), col("lang"))
+      },
+      Some("""SELECT doc_id, source, lang FROM documents
+              WHERE substr(md5(text), 1, 4) <
+                CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 'g'
+                     WHEN source IN ('src5','src6','src7','src8','src9')
+                       THEN '6666'
+                     ELSE '199a' END""")),
+
     // Stratified sampling: an exact per-language quota, picked in
     // content-hash order so the quota is deterministic and unbiased by
     // storage order. One shuffle on the stratum key; rows beyond the

@@ -83,6 +83,26 @@ class PipelineScaleOpsSpec extends SparkSuite {
     assert(a.nonEmpty && a.length < docs.count())
   }
 
+  test("sample_weighted keeps every full-rate row and rates order correctly") {
+    val docs = Tables.load(spark, sf, "documents")
+    val kept = q("sample_weighted").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 1.0 sources keep everything
+    (0 to 4).map(i => s"src$i").foreach(s =>
+      assert(kept.get(s).map(_.toLong) == totals.get(s), s"source $s"))
+    // deterministic: identical on re-run
+    val rerun = q("sample_weighted").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(rerun == kept)
+    // down-weighted tiers keep strict subsets (aggregate, not per-source:
+    // 25-doc sources are noisy at the individual level)
+    val mid = (5 to 9).map(i => kept.getOrElse(s"src$i", 0)).sum
+    val midTotal = (5 to 9).map(i => totals(s"src$i")).sum
+    assert(mid > 0 && mid < midTotal, s"mid tier kept $mid of $midTotal")
+  }
+
   test("sample_stratified: exact quota per stratum, dense ranks") {
     val rows = q("sample_stratified").collect()
       .map(r => (r.getString(0), r.getInt(2)))
