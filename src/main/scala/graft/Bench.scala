@@ -94,11 +94,17 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val outFile = new java.io.File(benchOut)
-    Option(outFile.getParentFile).foreach(_.mkdirs())
-    val w = new java.io.PrintWriter(outFile, "UTF-8")
-    try w.println(line) finally w.close()
+    // stdout first: the driver's capture must get the headline even if
+    // the file copy fails (unwritable path / missing dir)
     println(line)
+    try {
+      val outFile = new java.io.File(benchOut)
+      Option(outFile.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

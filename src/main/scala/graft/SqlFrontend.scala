@@ -60,9 +60,12 @@ final class GraftSession(val spark: SparkSession) {
     * session completed. DDL here executes synchronously, so every
     * recorded job is terminal — state `synced`, SCHEMA_STATE `public`
     * for additive actions / `none` for drops, the end states the
-    * reference's online-DDL state machine converges to. An IF
-    * EXISTS/IF NOT EXISTS no-op still records (the statement ran); a
-    * statement that throws records nothing.
+    * reference's online-DDL state machine converges to. As in the
+    * reference, only jobs that CHANGED something record: an IF
+    * EXISTS/IF NOT EXISTS no-op (database, table, or column level)
+    * appends nothing and bumps no schema version, temp-view drops are
+    * session state not schema history, and a statement that throws
+    * records nothing.
     */
   private val ddlJobs = mutable.Buffer.empty[GraftSession.DdlJob]
   /** schema/table ids assigned on first DDL touch (the reference
@@ -284,11 +287,19 @@ final class GraftSession(val spark: SparkSession) {
       // only once a statement actually routes as DDL; a malformed
       // statement must not commit as a side effect of its prefix.
       case CreateDbRe(ifNot, db) =>
-        commit(); spark.sql(s"CREATE DATABASE ${opt(ifNot)}$db")
-        recordDdl("create schema", clean(db), ""); ok()
+        commit()
+        val existed = spark.catalog.databaseExists(clean(db))
+        spark.sql(s"CREATE DATABASE ${opt(ifNot)}$db")
+        // IF NOT EXISTS no-op: no schema change, no job, no version bump
+        // (the reference only appends history for jobs that ran)
+        if (!existed) recordDdl("create schema", clean(db), "")
+        ok()
       case DropDbRe(ifEx, db) =>
-        commit(); spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE")
-        recordDdl("drop schema", clean(db), ""); ok()
+        commit()
+        val existed = spark.catalog.databaseExists(clean(db))
+        spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE")
+        if (existed) recordDdl("drop schema", clean(db), "")
+        ok()
       case _ if up.startsWith("CREATE TABLE") => createTable(sql); ok()
       case DropTableRe(ifEx, ts) =>
         commit()
@@ -296,8 +307,13 @@ final class GraftSession(val spark: SparkSession) {
         // unknown ones once — never aborts halfway
         val missing = ts.split(',').map(_.trim).filterNot { t =>
           val ref = qualify(clean(t))
+          // a temp-view drop is session state, not a schema change —
+          // the reference's history holds only real schema objects
+          val isTemp = !clean(t).contains('.') && spark.sessionState
+            .catalog.getTempView(clean(t)).isDefined
           val found = dropTable(opt(ifEx), t)
-          if (found) recordDdl("drop table", dbOf(ref), unqualified(ref))
+          if (found && !isTemp)
+            recordDdl("drop table", dbOf(ref), unqualified(ref))
           found
         }
         if (missing.nonEmpty && ifEx == null)
@@ -938,15 +954,18 @@ final class GraftSession(val spark: SparkSession) {
       }
       recordDdl("add column", dbOf(ref), unqualified(ref))
     case AlterDropColRe(t, ifEx, c) =>
-      commit(); alterDropColumn(qualify(clean(t)), clean(c), ifEx != null)
-      recordDdl("drop column", dbOf(qualify(clean(t))), unqualified(clean(t)))
+      commit()
+      if (alterDropColumn(qualify(clean(t)), clean(c), ifEx != null))
+        recordDdl("drop column", dbOf(qualify(clean(t))),
+          unqualified(clean(t)))
     case AlterChangeColRe(t, ifEx, oldName, body) =>
       commit()
-      alterRetypeColumn(qualify(clean(t)), clean(oldName), body, ifEx != null)
       // the reference routes CHANGE through ActionModifyColumn too
       // (`parser/model/ddl.go:86`)
-      recordDdl("modify column", dbOf(qualify(clean(t))),
-        unqualified(clean(t)))
+      if (alterRetypeColumn(qualify(clean(t)), clean(oldName), body,
+          ifEx != null))
+        recordDdl("modify column", dbOf(qualify(clean(t))),
+          unqualified(clean(t)))
     case AlterModifyColRe(t, ifEx, body) =>
       commit()
       val name = body match {
@@ -954,9 +973,9 @@ final class GraftSession(val spark: SparkSession) {
         case other =>
           throw new IllegalArgumentException(s"cannot parse column def: $other")
       }
-      alterRetypeColumn(qualify(clean(t)), name, body, ifEx != null)
-      recordDdl("modify column", dbOf(qualify(clean(t))),
-        unqualified(clean(t)))
+      if (alterRetypeColumn(qualify(clean(t)), name, body, ifEx != null))
+        recordDdl("modify column", dbOf(qualify(clean(t))),
+          unqualified(clean(t)))
     case _ => throw new IllegalArgumentException(s"unsupported ALTER: $sql")
   }
 
@@ -966,14 +985,14 @@ final class GraftSession(val spark: SparkSession) {
     * copy-based ALTER.
     */
   private def alterDropColumn(ref: String, c: String,
-      ifExists: Boolean): Unit = {
+      ifExists: Boolean): Boolean = {
     require(isManaged(ref), s"ALTER DROP COLUMN requires a managed table: $ref")
     val data = spark.table(ref)
     val actual = resolveColumnOpt(data, c) match {
       case Some(a) => a
       case None if ifExists =>
         // reference TestIfExists (`ddl/db_test.go:1105`): skip + Note 1091
-        warn("Note", 1091, s"column $c doesn't exist"); return
+        warn("Note", 1091, s"column $c doesn't exist"); return false
       case None =>
         throw new IllegalArgumentException(s"unknown column: $c")
     }
@@ -997,6 +1016,7 @@ final class GraftSession(val spark: SparkSession) {
     // primaryKeys entry), minus the dropped column
     recreateManagedTable(ref, data.drop(actual),
       bucketKeys(ref).filterNot(_ == actual), pkHint = hasPk(ref))
+    true
   }
 
   /** ALTER TABLE MODIFY/CHANGE COLUMN (`ddl/ddl_api.go:1488` Change,
@@ -1009,7 +1029,7 @@ final class GraftSession(val spark: SparkSession) {
     * TestAlterTableModifyColumn: int→smallint and varchar→blob error).
     */
   private def alterRetypeColumn(ref: String, oldName: String,
-      body: String, ifExists: Boolean): Unit = body match {
+      body: String, ifExists: Boolean): Boolean = body match {
     case ColumnDefRe(name0, tpe, extras) =>
       require(isManaged(ref),
         s"ALTER MODIFY/CHANGE COLUMN requires a managed table: $ref")
@@ -1019,7 +1039,8 @@ final class GraftSession(val spark: SparkSession) {
       val actual = resolveColumnOpt(data, oldName) match {
         case Some(a) => a
         case None if ifExists =>
-          warn("Note", 1054, s"Unknown column '$oldName' in '$base'"); return
+          warn("Note", 1054, s"Unknown column '$oldName' in '$base'")
+          return false
         case None =>
           throw new IllegalArgumentException(s"unknown column: $oldName")
       }
@@ -1052,6 +1073,7 @@ final class GraftSession(val spark: SparkSession) {
         if (declaredPk) Seq(newName)
         else bucketKeys(ref).map(k => if (k == actual) newName else k),
         pkHint = declaredPk || hasPk(ref))
+      true
     case other =>
       throw new IllegalArgumentException(s"cannot parse column def: $other")
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -139,13 +139,20 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), explode(expr(ngramHashArrExpr(n))).as("h"))
       .distinct()
 
+  /** THE tokenizer (lowercased whitespace tokens) — one definition
+    * shared by the batch staging below and the streaming twin
+    * (DedupStream.decontaminate), so tokenization cannot drift between
+    * the two.
+    */
+  private[graft] def tokenArr(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
   /** Lowercased token arrays (doc_id, t) fanned out past file
     * parallelism — shared entry staging for the n-gram pipelines.
     */
   private[graft] def tokens(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
+      .select(col("doc_id"), tokenArr(col("text")).as("t"))
 
   /** The held-out eval set's distinct 8-gram hashes: a 20-token window
     * (tokens 11-30) of every doc_id % 10 == 0 document — planted

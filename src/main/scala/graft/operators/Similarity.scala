@@ -103,21 +103,34 @@ object Similarity extends QueryModule {
   private def cellOf(v: Column, cents: Array[Seq[Double]]): Column =
     array_min(centDists(v, cents)).getField("i")
 
-  /** Skew-safe sign-LSH bucketing for self-join candidate generation:
-    * level-1 sign buckets, then any bucket holding more than `cap` rows
-    * is REFINED with a second, independently-seeded 16-bit plane set —
-    * so one dense level-1 bucket can't drive the downstream self-join
-    * quadratic at corpus scale. Both levels are deterministic functions
-    * of the vector, so EXACT duplicates (the pairs the ≥0.9 verify is
-    * after in this corpus) always stay colliding; diverse vectors that
-    * merely shared coarse level-1 signs split on the fresh planes.
-    * Refined ids live in (bucket + (sub+1)·2^bits), disjoint from
-    * unrefined ids by construction. A bucket dense with TRUE near-dups
-    * is irreducibly quadratic — in OUTPUT, not wasted candidates.
+  /** Bands × bits of the dense-bucket refinement (see
+    * [[skewSafeBuckets]]): 8 independently-seeded 8-bit plane sets.
+    * Collision probability per bit for a cosine-θ pair is 1 − θ/π
+    * (random-hyperplane LSH), so a pair in a refined bucket survives
+    * ANY-band collision with 1 − (1 − p⁸)⁸ ≈ 0.93 at cosine 0.9,
+    * 0.99 at 0.95, and exactly 1 for identical vectors (every band is
+    * a deterministic function of v). Eight narrow bands beat one wide
+    * set: a single 16-bit refinement keeps only p¹⁶ ≈ 8% of true
+    * cosine-0.9 pairs.
+    */
+  private val RefineBands = 8
+  private val RefineBits = 8
+
+  /** Skew-safe sign-LSH bucketing for self-join candidate generation,
+    * as (vec_id, band, bucket) rows to be equi-joined on (band, bucket)
+    * and pair-DISTINCTed. Level-1 sign buckets under `cap` rows pass
+    * through once (band −1); a DENSE bucket is replaced by
+    * [[RefineBands]] banded sub-bucketings so it can't drive the
+    * downstream self-join quadratic at corpus scale, at the banded
+    * recall above (the minhash-LSH tradeoff, not a silent drop — a
+    * plain second-level split would lose ~92% of true near-dup pairs).
+    * Refined bucket ids live in b1 + (sub+1)·2^bits, disjoint from
+    * unrefined ids; bands only join within themselves.
     *
-    * Cost at scale: one count aggregate keyed by bucket (cardinality ≤
-    * 2^bits rows — AQE broadcasts it back) on top of the existing
-    * bucketing pass.
+    * Cost at scale: the level-1 frame is persisted (session-lifetime,
+    * module convention — see Dedup's header note) and read three times
+    * (census, under-cap pass-through, dense explode); the census output
+    * is bucket-cardinality bounded (≤ 2^bits rows), AQE broadcasts it.
     *
     * @param corpus (vec_id, v) rows
     * @param bits   level-1 plane count (spec injects a tiny value to
@@ -126,15 +139,20 @@ object Similarity extends QueryModule {
   private[graft] def skewSafeBuckets(corpus: DataFrame, bits: Int = 16,
       cap: Long = maxBucketSize): DataFrame = {
     val b1 = corpus.withColumn("b1", signBucket(col("v"), planes(bits, Dim)))
-    val counts = b1.groupBy(col("b1")).agg(count(lit(1)).as("__n"))
-    b1.join(counts, "b1")
-      .withColumn("bucket",
-        when(col("__n") > cap,
-          col("b1") +
-            (signBucket(col("v"), planes(16, Dim, seed = 43L)) + lit(1L)) *
-            lit(1L << bits))
-          .otherwise(col("b1")))
-      .drop("b1", "__n")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = b1.groupBy(col("b1")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap).select(col("b1"))
+    val flat = b1.join(hot, Seq("b1"), "left_anti")
+      .select(col("vec_id"), lit(-1).as("band"), col("b1").as("bucket"))
+    val bandCols = (0 until RefineBands).map(k => struct(
+      lit(k).as("band"),
+      (col("b1") + (signBucket(col("v"), planes(RefineBits, Dim, 43L + k))
+        + lit(1L)) * lit(1L << bits)).as("bucket")))
+    val refined = b1.join(hot, "b1")
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("vec_id"), col("e.band").as("band"),
+        col("e.bucket").as("bucket"))
+    flat.unionByName(refined)
   }
 
   /** Deterministic IVF coarse quantizer: seeds = the first k vectors,
@@ -248,16 +266,26 @@ object Similarity extends QueryModule {
         val e = emb(s, d).select(col("vec_id"), col("v"))
         val corpus = e.unionByName(
           e.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
-        // skew-guarded buckets: a dense level-1 bucket refines itself
-        // with a second plane set instead of going quadratic (see
-        // skewSafeBuckets; exact dups always keep colliding)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // skew-guarded buckets: a dense level-1 bucket is replaced by
+        // banded sub-bucketings instead of going quadratic (see
+        // skewSafeBuckets; exact dups keep colliding in every band).
+        // Candidate pairs are DISTINCTed before scoring — a pair
+        // colliding in several bands must score once, like the
+        // band-deduped candidates in dedup_minhash_lsh.
         val b = skewSafeBuckets(corpus)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        b.as("a")
-          .join(b.as("b"), col("a.bucket") === col("b.bucket")
+        val cand = b.as("a")
+          .join(b.as("b"), col("a.band") === col("b.band")
+            && col("a.bucket") === col("b.bucket")
             && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            cosine(col("a.v"), col("b.v")).as("sim"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        cand
+          .join(corpus.as("x"), col("vec_a") === col("x.vec_id"))
+          .join(corpus.as("y"), col("vec_b") === col("y.vec_id"))
+          .select(col("vec_a"), col("vec_b"),
+            cosine(col("x.v"), col("y.v")).as("sim"))
           .filter(col("sim") >= 0.9)
           .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
       },

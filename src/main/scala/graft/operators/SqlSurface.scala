@@ -226,10 +226,12 @@ object SqlSurface extends QueryModule {
               FROM orders WHERE o_orderkey <= 1200""")),
 
     // ADMIN SHOW DDL JOBS (`planner/core/planbuilder.go:439-455`): a
-    // ten-statement DDL lifecycle, then the session's job history. The
-    // START/END_TIME columns are wall-clock, so the driver-checked
-    // projection keeps the deterministic ones; AdminShowDdlSpec covers
-    // the full 11-column schema and ADMIN SHOW DDL itself.
+    // nine-job DDL lifecycle, then the session's history through the
+    // router. Determinism: the leading DROP IF EXISTS records only when
+    // a previous run left the db behind, so the check reads `JOBS 9`
+    // (the newest nine = the deterministic lifecycle regardless) and
+    // projects the wall-clock-free, id-shift-free columns; the spec
+    // covers JOB_ID ordinals and the full 11-column schema.
     Q("sql_admin_show_ddl",
       (s, d) => {
         val gs = session(s, d)
@@ -245,27 +247,25 @@ object SqlSurface extends QueryModule {
         gs.execute("DROP TABLE jt")
         gs.execute("USE default")
         gs.execute("DROP DATABASE graft_ddl")
-        gs.execute("ADMIN SHOW DDL JOBS")
-          .select("JOB_ID", "DB_NAME", "TABLE_NAME", "JOB_TYPE",
-            "SCHEMA_STATE", "SCHEMA_ID", "TABLE_ID", "ROW_COUNT", "STATE")
+        gs.execute("ADMIN SHOW DDL JOBS 9")
+          .select("DB_NAME", "TABLE_NAME", "JOB_TYPE", "SCHEMA_STATE",
+            "SCHEMA_ID", "TABLE_ID", "ROW_COUNT", "STATE")
       },
-      Some("""SELECT CAST(j AS BIGINT) AS "JOB_ID", d AS "DB_NAME",
-                     t AS "TABLE_NAME", ty AS "JOB_TYPE",
+      Some("""SELECT d AS "DB_NAME", t AS "TABLE_NAME", ty AS "JOB_TYPE",
                      ss AS "SCHEMA_STATE", CAST(si AS BIGINT) AS "SCHEMA_ID",
                      CAST(ti AS BIGINT) AS "TABLE_ID",
                      CAST(0 AS BIGINT) AS "ROW_COUNT", 'synced' AS "STATE"
               FROM (VALUES
-                (10, 'graft_ddl', '',   'drop schema',   'none',   1, 0),
-                (9,  'graft_ddl', 'jt', 'drop table',    'none',   1, 2),
-                (8,  'graft_ddl', 'jt', 'drop index',    'none',   1, 2),
-                (7,  'graft_ddl', 'jt', 'drop column',   'none',   1, 2),
-                (6,  'graft_ddl', 'jt', 'modify column', 'public', 1, 2),
-                (5,  'graft_ddl', 'jt', 'add column',    'public', 1, 2),
-                (4,  'graft_ddl', 'jt', 'add index',     'public', 1, 2),
-                (3,  'graft_ddl', 'jt', 'create table',  'public', 1, 2),
-                (2,  'graft_ddl', '',   'create schema', 'public', 1, 0),
-                (1,  'graft_ddl', '',   'drop schema',   'none',   1, 0)
-              ) v(j, d, t, ty, ss, si, ti)""")),
+                ('graft_ddl', '',   'drop schema',   'none',   1, 0),
+                ('graft_ddl', 'jt', 'drop table',    'none',   1, 2),
+                ('graft_ddl', 'jt', 'drop index',    'none',   1, 2),
+                ('graft_ddl', 'jt', 'drop column',   'none',   1, 2),
+                ('graft_ddl', 'jt', 'modify column', 'public', 1, 2),
+                ('graft_ddl', 'jt', 'add column',    'public', 1, 2),
+                ('graft_ddl', 'jt', 'add index',     'public', 1, 2),
+                ('graft_ddl', 'jt', 'create table',  'public', 1, 2),
+                ('graft_ddl', '',   'create schema', 'public', 1, 0)
+              ) v(d, t, ty, ss, si, ti)""")),
 
     // CREATE INDEX + ADMIN CHECK TABLE: index↔row consistency job
     // (`planner/core/planbuilder.go:435`).

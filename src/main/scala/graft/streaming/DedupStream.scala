@@ -75,12 +75,17 @@ object DedupStream {
     */
   def decontaminate(docs: DataFrame, evalHashes: DataFrame): DataFrame = {
     // single-row eval array, keyed so the stream-static join is a plain
-    // supported equi inner join (stream cross joins are restricted)
+    // supported equi inner join (stream cross joins are restricted).
+    // PERSISTED: the static side of a stream-static join re-executes in
+    // every micro-batch plan — without the persist, an eval set derived
+    // from a corpus scan (as in StreamingSpec) would re-tokenize the
+    // corpus per trigger.
     val evalArr = evalHashes
       .agg(collect_set(col("h")).as("ev")).withColumn("__k", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs
       .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
+        graft.operators.Dedup.tokenArr(col("text")).as("t"))
       .withColumn("hs",
         when(size(col("t")) >= 8,
           array_distinct(expr(graft.operators.Dedup.ngramHashArrExpr(8))))

@@ -55,22 +55,27 @@ class SimilaritySpec extends SparkSuite {
     graft.functions.VectorOps.register(spark)
     // 400 diverse random 64-dim vectors + 1 planted exact duplicate.
     // With a SINGLE level-1 plane every vector lands in one of two
-    // buckets — both far over the cap — forcing level-2 refinement.
+    // buckets — both far over the cap — forcing banded refinement.
     val rnd = new scala.util.Random(7)
     val vecs = (0 until 400).map(i =>
       (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
     val corpus = (vecs :+ (1000000L -> vecs.head._2)).toDF("vec_id", "v")
     val out = operators.Similarity
       .skewSafeBuckets(corpus, bits = 1, cap = 50L)
-      .select(col("vec_id"), col("bucket")).collect()
-    val sizes = out.groupBy(_.getLong(1)).view.mapValues(_.length)
+      .select(col("vec_id"), col("band"), col("bucket")).collect()
+    // every (band, bucket) join cell is bounded far under the density
+    val sizes = out.groupBy(r => (r.getInt(1), r.getLong(2))).view
+      .mapValues(_.length)
     assert(sizes.values.max <= 50,
-      s"dense bucket not refined: max ${sizes.values.max}")
-    // exact duplicates still collide — both levels are functions of v
-    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(byId(0L) == byId(1000000L))
+      s"dense bucket not refined: max cell ${sizes.values.max}")
+    // exact duplicates collide in EVERY band — all levels are
+    // deterministic functions of v
+    val cells = out.groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet)
+    assert(cells(0L) == cells(1000000L))
+    assert(cells(0L).size == 8, s"expected 8 banded cells, got ${cells(0L)}")
     // refined ids are disjoint from the unrefined level-1 id space
-    assert(out.forall(_.getLong(1) >= (1L << 1)))
+    assert(out.forall(_.getLong(2) >= (1L << 1)))
   }
 
   test("ann_ivf returns 3 probed-cell neighbours per query with sane recall") {

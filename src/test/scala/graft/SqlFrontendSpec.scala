@@ -168,12 +168,17 @@ class SqlFrontendSpec extends SparkSuite {
     // fresh session: the job log is per-session state, like the
     // reference's history being read at the statement's snapshot
     val g2 = new GraftSession(spark)
+    // IF EXISTS no-op on an absent db: no job, no schema-version bump
+    // (the reference's history only holds jobs that ran)
     g2.execute("DROP DATABASE IF EXISTS sddl")
     g2.execute("CREATE DATABASE sddl")
+    g2.execute("CREATE DATABASE IF NOT EXISTS sddl") // no-op → no job
     g2.execute("USE sddl")
     g2.execute("CREATE TABLE sd (id BIGINT PRIMARY KEY, v VARCHAR(10))")
+    g2.execute("CREATE TABLE IF NOT EXISTS sd (id BIGINT)") // no-op
     g2.execute("CREATE INDEX sv ON sd (v)")
     g2.execute("ALTER TABLE sd ADD COLUMN w INT")
+    g2.execute("ALTER TABLE sd DROP COLUMN IF EXISTS nope") // no-op
     g2.execute("USE default")
 
     // ADMIN SHOW DDL: the 6-column owner/version snapshot
@@ -182,7 +187,7 @@ class SqlFrontendSpec extends SparkSuite {
     assert(show.columns.toSeq == Seq("SCHEMA_VER", "OWNER_ID",
       "OWNER_ADDRESS", "RUNNING_JOBS", "SELF_ID", "QUERY"))
     val r = show.head()
-    assert(r.getLong(0) == 5L, s"schema_ver ${r.getLong(0)}")
+    assert(r.getLong(0) == 4L, s"schema_ver ${r.getLong(0)}")
     assert(r.getString(3) == "" && r.getString(5) == "")
 
     // ADMIN SHOW DDL JOBS: 11 columns (planbuilder.go:517-531),
@@ -192,8 +197,8 @@ class SqlFrontendSpec extends SparkSuite {
       "JOB_TYPE", "SCHEMA_STATE", "SCHEMA_ID", "TABLE_ID", "ROW_COUNT",
       "START_TIME", "END_TIME", "STATE"))
     val got = jobs.collect().map(x => (x.getLong(0), x.getString(3)))
-    assert(got.toSeq == Seq(5L -> "add column", 4L -> "add index",
-      3L -> "create table", 2L -> "create schema", 1L -> "drop schema"),
+    assert(got.toSeq == Seq(4L -> "add column", 3L -> "add index",
+      2L -> "create table", 1L -> "create schema"),
       got.mkString(","))
     assert(jobs.collect().forall(_.getString(10) == "synced"))
 
@@ -202,7 +207,7 @@ class SqlFrontendSpec extends SparkSuite {
     assert(g2.execute(
       "ADMIN SHOW DDL JOBS WHERE JOB_TYPE = 'add index'").count() == 1)
     g2.execute("DROP DATABASE sddl")
-    assert(g2.execute("ADMIN SHOW DDL").head().getLong(0) == 6L)
+    assert(g2.execute("ADMIN SHOW DDL").head().getLong(0) == 5L)
   }
 
   test("ADMIN CHECK TABLE passes when consistent, flags drift") {
