@@ -307,12 +307,10 @@ final class GraftSession(val spark: SparkSession) {
         // unknown ones once — never aborts halfway
         val missing = ts.split(',').map(_.trim).filterNot { t =>
           val ref = qualify(clean(t))
+          val (found, wasTempView) = dropTable(opt(ifEx), t)
           // a temp-view drop is session state, not a schema change —
           // the reference's history holds only real schema objects
-          val isTemp = !clean(t).contains('.') && spark.sessionState
-            .catalog.getTempView(clean(t)).isDefined
-          val found = dropTable(opt(ifEx), t)
-          if (found && !isTemp)
+          if (found && !wasTempView)
             recordDdl("drop table", dbOf(ref), unqualified(ref))
           found
         }
@@ -753,47 +751,66 @@ final class GraftSession(val spark: SparkSession) {
     val defs = splitTopLevel(sql.substring(open + 1, close), ',')
     val cols = mutable.Buffer.empty[(String, String, String)] // name, type, suffix
     val deferredIdx = mutable.Buffer.empty[(String, Boolean, Seq[String])]
-    defs.foreach { d =>
-      val du = d.toUpperCase
-      // a constraint clause needs both the keyword AS A WORD and a column
-      // list — `unique_id BIGINT` or a column named `key` is a column def
-      val isConstraint =
-        ConstraintRe.findFirstIn(du).isDefined && d.contains("(")
-      if (du.startsWith("PRIMARY KEY"))
-        primaryKeys(table) = splitCols(parenBody(d))
-      else if (isConstraint) {
-        val cols0 = splitCols(parenBody(d))
-        val name = IndexNameRe.findFirstMatchIn(d).map(m => clean(m.group(2)))
-          .getOrElse(s"idx_${cols0.mkString("_")}")
-        deferredIdx += ((name, du.startsWith("UNIQUE"), cols0))
-      } else d match {
-        case ColumnDefRe(name, tpe, extras) =>
-          val notNull = recordColumnExtras(table, clean(name), extras)
-          cols += ((clean(name),
-            applyUnsigned(mysqlToSparkType(tpe), extras), notNull))
-        case other =>
-          throw new IllegalArgumentException(s"cannot parse column def: $other")
-      }
+    // Parsing records PK/DEFAULT/AUTO_INCREMENT metadata as it walks the
+    // defs; snapshot the table's prior entries so a statement that ends
+    // up NOT creating anything (IF NOT EXISTS no-op, parse error, failed
+    // physical create) leaves the existing table's metadata untouched —
+    // otherwise a no-op CREATE could re-key an existing table's upserts.
+    val priorPk = primaryKeys.get(table)
+    val priorDefaults = columnDefaults.get(table)
+    val priorAuto = autoIncCols.get(table)
+    def restoreMeta(): Unit = {
+      def put[V](m: mutable.Map[String, V], v: Option[V]): Unit =
+        v match { case Some(x) => m(table) = x case None => m.remove(table) }
+      put(primaryKeys, priorPk)
+      put(columnDefaults, priorDefaults)
+      put(autoIncCols, priorAuto)
     }
-    require(cols.nonEmpty, s"CREATE TABLE without columns: $sql")
-    // parsing is complete — only now may the statement implicitly commit
-    commit()
+    try {
+      defs.foreach { d =>
+        val du = d.toUpperCase
+        // a constraint clause needs both the keyword AS A WORD and a column
+        // list — `unique_id BIGINT` or a column named `key` is a column def
+        val isConstraint =
+          ConstraintRe.findFirstIn(du).isDefined && d.contains("(")
+        if (du.startsWith("PRIMARY KEY"))
+          primaryKeys(table) = splitCols(parenBody(d))
+        else if (isConstraint) {
+          val cols0 = splitCols(parenBody(d))
+          val name = IndexNameRe.findFirstMatchIn(d).map(m => clean(m.group(2)))
+            .getOrElse(s"idx_${cols0.mkString("_")}")
+          deferredIdx += ((name, du.startsWith("UNIQUE"), cols0))
+        } else d match {
+          case ColumnDefRe(name, tpe, extras) =>
+            val notNull = recordColumnExtras(table, clean(name), extras)
+            cols += ((clean(name),
+              applyUnsigned(mysqlToSparkType(tpe), extras), notNull))
+          case other =>
+            throw new IllegalArgumentException(s"cannot parse column def: $other")
+        }
+      }
+      require(cols.nonEmpty, s"CREATE TABLE without columns: $sql")
+      // parsing is complete — only now may the statement implicitly commit
+      commit()
+      val ref = qualify(qualifiedName)
+      if (spark.catalog.tableExists(ref)) {
+        if (ifNotExists) {
+          restoreMeta()
+          warn("Note", 1050, s"Table '$table' already exists"); return
+        }
+        throw new IllegalArgumentException(s"Table '$ref' already exists")
+      }
+      dropStaleLocation(spark, ref)
+      dropStaleLocation(spark, physRef(ref))
+      val pk = primaryKeys.get(table)
+      val keys = pk.getOrElse(Seq(cols.head._1))
+      spark.sql(s"CREATE TABLE ${physRef(ref)} (" +
+        cols.map(c => s"`${c._1}` ${c._2}${c._3}").mkString(", ") +
+        s", `$GbCol` INT) USING parquet PARTITIONED BY ($GbCol) " +
+        s"TBLPROPERTIES ('graft.keys'='${keys.mkString(",")}', " +
+        s"'graft.buckets'='$Buckets', 'graft.pk'='${pk.isDefined}')")
+    } catch { case e: Throwable => restoreMeta(); throw e }
     val ref = qualify(qualifiedName)
-    if (spark.catalog.tableExists(ref)) {
-      if (ifNotExists) {
-        warn("Note", 1050, s"Table '$table' already exists"); return
-      }
-      throw new IllegalArgumentException(s"Table '$ref' already exists")
-    }
-    dropStaleLocation(spark, ref)
-    dropStaleLocation(spark, physRef(ref))
-    val pk = primaryKeys.get(table)
-    val keys = pk.getOrElse(Seq(cols.head._1))
-    spark.sql(s"CREATE TABLE ${physRef(ref)} (" +
-      cols.map(c => s"`${c._1}` ${c._2}${c._3}").mkString(", ") +
-      s", `$GbCol` INT) USING parquet PARTITIONED BY ($GbCol) " +
-      s"TBLPROPERTIES ('graft.keys'='${keys.mkString(",")}', " +
-      s"'graft.buckets'='$Buckets', 'graft.pk'='${pk.isDefined}')")
     createLogicalView(ref)
     deferredIdx.foreach { case (n, u, cs) => createIndex(ref, n, cs, u) }
     // inline index clauses belong to the CREATE TABLE statement: one job
@@ -868,11 +885,15 @@ final class GraftSession(val spark: SparkSession) {
     sb.toString
   }
 
-  /** Drop one table; returns false when it did not exist (the caller
-    * decides whether that is an error — a comma list reports all unknown
-    * names after dropping the rest, as MySQL does).
+  /** Drop one table; returns (found, wasTempView) — found=false when it
+    * did not exist (the caller decides whether that is an error — a
+    * comma list reports all unknown names after dropping the rest, as
+    * MySQL does), wasTempView so the caller can keep session-state
+    * drops out of the DDL job history. Dropping a temp view must NOT
+    * touch the session metadata of a same-named managed table — that
+    * table still exists.
     */
-  private def dropTable(ifExists: String, t: String): Boolean = {
+  private def dropTable(ifExists: String, t: String): (Boolean, Boolean) = {
     val name = clean(t)
     val isTemp = !name.contains('.') &&
       spark.sessionState.catalog.getTempView(name).isDefined
@@ -897,13 +918,13 @@ final class GraftSession(val spark: SparkSession) {
         GraftSession.dropStaleLocation(spark, ref)
         GraftSession.dropStaleLocation(spark, physRef(ref))
       }
+      val base = unqualified(name)
+      indexes.keys.filter(_._1 == base).toSeq.foreach(indexes.remove)
+      primaryKeys.remove(base)
+      columnDefaults.remove(base)
+      autoIncCols.remove(base)
     }
-    val base = unqualified(name)
-    indexes.keys.filter(_._1 == base).toSeq.foreach(indexes.remove)
-    primaryKeys.remove(base)
-    columnDefaults.remove(base)
-    autoIncCols.remove(base)
-    found
+    (found, isTemp)
   }
 
   private def alterTable(sql: String): Unit = sql match {

@@ -140,8 +140,11 @@ object Similarity extends QueryModule {
       cap: Long = maxBucketSize): DataFrame = {
     val b1 = corpus.withColumn("b1", signBucket(col("v"), planes(bits, Dim)))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: the census feeds BOTH branches below (no cross-branch
+    // CSE — see Dedup's header note) and is tiny (≤ 2^bits rows)
     val hot = b1.groupBy(col("b1")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap).select(col("b1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val flat = b1.join(hot, Seq("b1"), "left_anti")
       .select(col("vec_id"), lit(-1).as("band"), col("b1").as("bucket"))
     val bandCols = (0 until RefineBands).map(k => struct(
