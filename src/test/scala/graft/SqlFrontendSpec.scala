@@ -164,6 +164,34 @@ class SqlFrontendSpec extends SparkSuite {
     assert(gs.query("SELECT id FROM d ORDER BY id") == Seq("1", "2"))
   }
 
+  test("temp-view drop and no-op CREATE leave table metadata intact") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS mt")
+    gs.execute(
+      "CREATE TABLE mt (id BIGINT PRIMARY KEY, v VARCHAR(10) DEFAULT 'dflt')")
+    gs.execute("CREATE INDEX mv ON mt (v)")
+    gs.execute("INSERT INTO mt VALUES (1, 'a')")
+    // a same-named temp view: DROP TABLE takes the view (Spark
+    // resolution) and must NOT wipe the real table's session metadata
+    spark.range(1).toDF("x").createOrReplaceTempView("mt")
+    gs.execute("DROP TABLE mt") // drops only the view
+    // index maintenance still runs on writes; defaults still fill
+    gs.execute("INSERT INTO mt (id) VALUES (2)")
+    assert(gs.query("SELECT v FROM mt WHERE id = 2") == Seq("dflt"))
+    assert(gs.query("ADMIN CHECK TABLE mt") == Seq("mt mv OK"))
+    // IF NOT EXISTS no-op with a DIFFERENT schema must not re-key or
+    // re-default the existing table
+    gs.execute(
+      "CREATE TABLE IF NOT EXISTS mt (v VARCHAR(10) PRIMARY KEY DEFAULT 'x')")
+    gs.execute("INSERT INTO mt (id) VALUES (3)")
+    assert(gs.query("SELECT v FROM mt WHERE id = 3") == Seq("dflt"))
+    gs.execute("REPLACE INTO mt VALUES (1, 'b')") // PK displacement, not append
+    assert(gs.query("SELECT count(*) AS n FROM mt") == Seq("3"))
+    gs.execute("DROP TABLE mt")
+    gs.execute("USE default")
+  }
+
   test("ADMIN SHOW DDL / ADMIN SHOW DDL JOBS render the session DDL history") {
     // fresh session: the job log is per-session state, like the
     // reference's history being read at the statement's snapshot
