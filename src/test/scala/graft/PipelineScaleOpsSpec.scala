@@ -57,7 +57,8 @@ class PipelineScaleOpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1))
     val verts = corpus.select("doc_id").as[Long].collect()
     // driver-side union-find ground truth (fine at 150 vertices)
-    val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    val parent =
+      scala.collection.mutable.Map(verts.toIndexedSeq.map(v => v -> v): _*)
     def find(v: Long): Long =
       if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
     edges.foreach { case (a, b) =>

@@ -16,7 +16,7 @@ class SketchSpec extends SparkSuite {
   test("CM estimate is one-sided and bounded on a high-cardinality key") {
     val cm = udaf(new Sketches.CountMinAgg(5, 2048), Encoders.STRING)
     val keyed = li.select(col("l_orderkey").cast("string").as("k"))
-    val sketch = keyed.agg(cm(col("k"))).head.getSeq[Long](0).toArray
+    val sketch = keyed.agg(cm(col("k"))).head().getSeq[Long](0).toArray
     val n = keyed.count()
     assert(Sketches.cmTotal(sketch) == n)
     val exact = keyed.groupBy("k").count().collect()
@@ -36,8 +36,8 @@ class SketchSpec extends SparkSuite {
   test("CM sketch is partitioning-invariant (merge identity)") {
     val cm = udaf(new Sketches.CountMinAgg(5, 256), Encoders.STRING)
     val keyed = li.select(col("l_suppkey").cast("string").as("k"))
-    val a = keyed.repartition(3).agg(cm(col("k"))).head.getSeq[Long](0)
-    val b = keyed.repartition(11).agg(cm(col("k"))).head.getSeq[Long](0)
+    val a = keyed.repartition(3).agg(cm(col("k"))).head().getSeq[Long](0)
+    val b = keyed.repartition(11).agg(cm(col("k"))).head().getSeq[Long](0)
     assert(a == b)
   }
 
@@ -45,10 +45,10 @@ class SketchSpec extends SparkSuite {
     val keyed = li.select(col("l_orderkey").cast("string").as("k"))
     val exact = keyed.distinct().count()
     val big = udaf(new Sketches.FMSketchAgg(1000000), Encoders.STRING)
-    assert(keyed.agg(big(col("k"))).head.getLong(0) == exact)
+    assert(keyed.agg(big(col("k"))).head().getLong(0) == exact)
     // adaptive regime: mask grows, estimate stays within 2x either way
     val small = udaf(new Sketches.FMSketchAgg(64), Encoders.STRING)
-    val est = keyed.agg(small(col("k"))).head.getLong(0)
+    val est = keyed.agg(small(col("k"))).head().getLong(0)
     assert(est >= exact / 2 && est <= exact * 2,
       s"FM estimate $est outside [${exact / 2}, ${exact * 2}]")
   }
@@ -59,9 +59,9 @@ class SketchSpec extends SparkSuite {
     val o = Tables.load(spark, sf, "orders")
     val probs = (1 to 8).map(_ / 8.0)
     val exact = o.agg(percentile(col("o_totalprice"),
-      array(probs.map(lit): _*)).as("q")).head.getSeq[Double](0)
+      array(probs.map(lit): _*)).as("q")).head().getSeq[Double](0)
     val approx = o.agg(percentile_approx(col("o_totalprice"),
-      array(probs.map(lit): _*), lit(10000)).as("q")).head.getSeq[Double](0)
+      array(probs.map(lit): _*), lit(10000)).as("q")).head().getSeq[Double](0)
     val spread = exact.last - exact.head
     exact.zip(approx).foreach { case (e, a) =>
       assert(math.abs(e - a) <= 0.02 * spread,
@@ -74,8 +74,8 @@ class SketchSpec extends SparkSuite {
     val exact = ev.groupBy("k").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val mg = udaf(new Sketches.MisraGriesAgg(64), Encoders.STRING)
-    val a = ev.repartition(3).agg(mg(col("k"))).head.getMap[String, Long](0)
-    val b = ev.repartition(11).agg(mg(col("k"))).head.getMap[String, Long](0)
+    val a = ev.repartition(3).agg(mg(col("k"))).head().getMap[String, Long](0)
+    val b = ev.repartition(11).agg(mg(col("k"))).head().getMap[String, Long](0)
     assert(a.toMap == exact, s"MG not exact below k: $a vs $exact")
     assert(a.toMap == b.toMap)
   }
@@ -87,7 +87,7 @@ class SketchSpec extends SparkSuite {
     val exact = keyed.groupBy("k").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val mg = udaf(new Sketches.MisraGriesAgg(k), Encoders.STRING)
-    val est = keyed.agg(mg(col("k"))).head.getMap[String, Long](0).toMap
+    val est = keyed.agg(mg(col("k"))).head().getMap[String, Long](0).toMap
     assert(est.size <= k)
     val budget = n / (k + 1)
     est.foreach { case (key, c) =>
@@ -103,8 +103,8 @@ class SketchSpec extends SparkSuite {
   test("FM sketch is partitioning-invariant") {
     val keyed = li.select(col("l_orderkey").cast("string").as("k"))
     val fm = udaf(new Sketches.FMSketchAgg(64), Encoders.STRING)
-    val a = keyed.repartition(3).agg(fm(col("k"))).head.getLong(0)
-    val b = keyed.repartition(11).agg(fm(col("k"))).head.getLong(0)
+    val a = keyed.repartition(3).agg(fm(col("k"))).head().getLong(0)
+    val b = keyed.repartition(11).agg(fm(col("k"))).head().getLong(0)
     assert(a == b)
   }
 }
