@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions.col
   *     `{"metric"...}` extraction can't latch onto a partial line);
   *   - the full canonical record (total + per-query map) is written to
   *     target/bench.json (override: SPARK_GRAFT_BENCH_OUT);
-  *   - the LAST stdout line is the canonical `{"metric":"total",...}`
-  *     record with per-query seconds at millisecond precision — compact
-  *     enough to fit the tail whole.
+  *   - the canonical `{"metric":"total",...}` record (with the per-query
+  *     map) prints next; twice (r6, r7) a bounded tail cut the HEAD off
+  *     this ~2.5 KB line and lost the total, so
+  *   - the LAST stdout line is a total-only record (~100 bytes, no
+  *     per-query map) that survives any tail window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -94,9 +96,16 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The ~2.5 KB map line twice got its HEAD cut by the driver's bounded
+    // stdout tail (r6, r7), losing the headline total. Print the full
+    // record first, then end stdout with a total-only line (~100 bytes)
+    // that fits any tail window whole.
+    val totalOnly =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     // stdout first: the driver's capture must get the headline even if
     // the file copy fails (unwritable path / missing dir)
     println(line)
+    println(totalOnly)
     try {
       val outFile = new java.io.File(benchOut)
       Option(outFile.getParentFile).foreach(_.mkdirs())
