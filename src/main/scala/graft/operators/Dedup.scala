@@ -231,6 +231,48 @@ object Dedup extends QueryModule {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Exact DuckDB twin of `dedup_simhash`: per-token XXH64 via the
+    * [[XxHash64Sql]] CTE chain (hashed once per DISTINCT token, joined
+    * back to occurrences), then the same 64 bit-sums → 4 bands →
+    * band-bucket candidates → hamming ≤ 3. Bit j of Spark's SIGNED hash
+    * (`shiftright(h,j) & 1`) equals bit j of the unsigned value the chain
+    * produces, so bits need no sign fixup.
+    */
+  private def simhashOracle: String = {
+    val sums = (0 until 64).map(j =>
+      s"sum(CASE WHEN h // ${BigInt(1) << j} % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bands = (0 until 4).map { k =>
+      val terms = (0 until 16).map(j =>
+        s"CASE WHEN s${16 * k + j} > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"CAST($terms AS BIGINT) AS b$k"
+    }.mkString(", ")
+    val ham = (0 until 4)
+      .map(k => s"bit_count(xor(sa.b$k, sb.b$k))").mkString(" + ")
+    s"""WITH $corpusSql,
+        occ AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+                FROM corpus),
+        v AS (SELECT DISTINCT t FROM occ),
+        ${XxHash64Sql.ctes},
+        vh AS (SELECT t, h FROM ${XxHash64Sql.last}),
+        bits AS (SELECT occ.doc_id, vh.h FROM occ JOIN vh USING (t)),
+        sums AS (SELECT doc_id, $sums FROM bits GROUP BY doc_id),
+        sig AS (SELECT doc_id, $bands FROM sums),
+        bb AS (SELECT doc_id, 0 AS k, b0 AS bv FROM sig
+               UNION ALL SELECT doc_id, 1, b1 FROM sig
+               UNION ALL SELECT doc_id, 2, b2 FROM sig
+               UNION ALL SELECT doc_id, 3, b3 FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bb x JOIN bb y
+                   ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, CAST($ham AS INTEGER) AS hamming
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+        WHERE $ham <= 3"""
+  }
+
   override val queries: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on content, keep the smallest id.
@@ -352,7 +394,7 @@ object Dedup extends QueryModule {
           .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
           .filter(col("hamming") <= 3)
       },
-      None),
+      Some(simhashOracle)),
 
     // Train/eval decontamination — the cross-set cousin of dedup: flag
     // TRAINING documents that share a long (8-token) n-gram with a

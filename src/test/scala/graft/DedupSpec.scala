@@ -57,6 +57,19 @@ class DedupSpec extends SparkSuite {
       "LSH result diverges from exact all-pairs result — drop the oracle")
   }
 
+  test("corpus tokens are ASCII and < 32 bytes (simhash oracle precondition)") {
+    import graft.operators.Dedup
+    // The DuckDB xxhash64 twin (XxHash64Sql) reads bytes as ascii(t[i])
+    // and only unrolls XXH64's sub-32-byte path; a corpus with non-ASCII
+    // or 32+-byte tokens must fail HERE, not silently in the oracle.
+    val bad = Dedup.corpus(spark, sf)
+      .select(explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .as("tok"))
+      .filter(octet_length(col("tok")) =!= length(col("tok")) ||
+        octet_length(col("tok")) >= 32)
+    assert(bad.isEmpty, s"oracle-incompatible tokens: ${bad.take(3).toSeq}")
+  }
+
   test("simhash recovers every planted pair at hamming 0") {
     val df = q("dedup_simhash")
     val planted = df.filter(col("doc_b") === col("doc_a") + 1000000L)
