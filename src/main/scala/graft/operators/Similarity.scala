@@ -4,6 +4,7 @@ import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -170,9 +171,17 @@ object Similarity extends QueryModule {
       .orderBy("vec_id").select("v").collect()
       .map(_.getSeq[Double](0))
     for (_ <- 0 until iters) {
-      // per-cell mean vector as `dim` avg aggregates: one map-side-
-      // combinable shuffle on cell, k result rows — no explode
-      val meanCols = (0 until dim).map(i => avg(col("v").getItem(i)).as(s"m$i"))
+      // per-cell mean vector as `dim` aggregates: one map-side-combinable
+      // shuffle on cell, k result rows — no explode. The mean goes
+      // through a decimal-exact sum (the ExactNum pattern): a plain
+      // double avg() is partition-order-dependent in its low bits, which
+      // would make the refined centroids — and so cell assignments and
+      // the query result — vary run to run AND diverge from the DuckDB
+      // twin; the decimal sum is order-independent and bit-identical in
+      // both engines, at a harmless 1e-15 quantization of the mean.
+      val meanCols = (0 until dim).map(i =>
+        (sum(col("v").getItem(i).cast(types.DecimalType(30, 15)))
+          .cast("double") / count(lit(1))).as(s"m$i"))
       val byCell = e.select(cellOf(col("v"), cents).as("cell"), col("v"))
         .groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
         .collect()
@@ -183,6 +192,90 @@ object Similarity extends QueryModule {
       }
     }
     cents
+  }
+
+  /** Exact DuckDB twin of `ann_lsh_bucketed`. The 6 seeded hyperplanes
+    * are embedded as DOUBLE literals (Scala's Double.toString is
+    * round-trip exact, and DuckDB parses decimal literals to the nearest
+    * double — the identical value), so bucket ids, cosines, and the
+    * per-query top-3 window all reproduce bit-identically: dot products
+    * are the same in-order fold on both sides (graft_dot ↔
+    * list_dot_product, the convention every cosine oracle here uses).
+    */
+  private def lshOracle: String = {
+    val bucket = planes(6, Dim).zipWithIndex.map { case (p, b) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+              FROM b WHERE vec_id < 20),
+        sc AS (SELECT q_id, vec_id,
+                 list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(v, v))) AS sim
+               FROM q JOIN b ON q_bucket = bucket AND q_id <> vec_id),
+        rk AS (SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim DESC, vec_id) AS rk
+               FROM sc)
+        SELECT q_id, vec_id AS neighbor_id, round(sim, 4) AS cos_sim
+        FROM rk WHERE rk <= 3"""
+  }
+
+  /** Exact DuckDB twin of `ann_ivf`: replays the whole deterministic
+    * quantizer — seeds = vectors 0..7, two Lloyd iterations, then the
+    * 2-cell probe — in SQL. Bit-exactness hinges on two conventions the
+    * other cosine oracles already rely on, plus one specific to Lloyd:
+    *
+    *   - in-order double folds (graft_dot ↔ list_dot_product), so the
+    *     |c|² − 2·v·c argmin compares identical doubles on both sides;
+    *   - the centroid UPDATE means go through the decimal-exact sum (see
+    *     [[ivfCentroids]]) — an order-dependent double avg would drift a
+    *     ulp between engines and could flip a cell assignment;
+    *   - empty cells keep their previous centroid (LEFT JOIN + coalesce,
+    *     mirroring ivfCentroids' getOrElse).
+    */
+  private def ivfOracle: String = {
+    val argmin = "row_number() OVER (PARTITION BY vec_id ORDER BY " +
+      "list_dot_product(cv, cv) - 2 * list_dot_product(v, cv), cell)"
+    def lloyd(n: Int, cPrev: String): String =
+      s"""a$n AS (SELECT vec_id, v, cell, $argmin AS rn
+                  FROM e CROSS JOIN $cPrev),
+          ab$n AS (SELECT vec_id, v, cell FROM a$n WHERE rn = 1),
+          m$n AS (SELECT cell, i,
+                    CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)
+                      / count(*) AS m
+                  FROM ab$n CROSS JOIN range(1, ${Dim + 1}) t(i)
+                  GROUP BY cell, i),
+          g$n AS (SELECT cell, list(m ORDER BY i) AS cv FROM m$n
+                  GROUP BY cell),
+          c$n AS (SELECT c.cell, coalesce(g.cv, c.cv) AS cv
+                  FROM $cPrev c LEFT JOIN g$n g USING (cell))"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        ${lloyd(1, "c0")},
+        ${lloyd(2, "c1")},
+        asg AS (SELECT vec_id, v, cell FROM (
+                  SELECT vec_id, v, cell, $argmin AS rn
+                  FROM e CROSS JOIN c2) WHERE rn = 1),
+        prb AS (SELECT vec_id AS q_id, v AS qv, cell AS probe_cell FROM (
+                  SELECT vec_id, v, cell, $argmin AS rn
+                  FROM e CROSS JOIN c2 WHERE vec_id < 20) WHERE rn <= 2),
+        sc AS (SELECT q_id, vec_id,
+                 list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(v, v))) AS sim
+               FROM prb JOIN asg ON probe_cell = cell AND q_id <> vec_id),
+        rk AS (SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim DESC, vec_id) AS rk
+               FROM sc)
+        SELECT q_id, vec_id AS neighbor_id, round(sim, 4) AS cos_sim
+        FROM rk WHERE rk <= 3"""
   }
 
   override val queries: Seq[Q] = Seq(
@@ -255,7 +348,7 @@ object Similarity extends QueryModule {
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
             round(col("sim"), 4).as("cos_sim"))
       },
-      None),
+      Some(lshOracle)),
 
     // Embedding-cosine near-duplicate detection (the dedup-family
     // variant): corpus = embeddings ∪ id-shifted copy; candidates from
@@ -334,7 +427,7 @@ object Similarity extends QueryModule {
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
             round(col("sim"), 4).as("cos_sim"))
       },
-      None),
+      Some(ivfOracle)),
 
     // Embedding normalization + symmetric int8 quantization — the
     // storage-side prep of an ANN pipeline (a 100 TB embedding store is
