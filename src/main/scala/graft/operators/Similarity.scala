@@ -156,6 +156,9 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), explode(array(bandCols: _*)).as("e"))
       .select(col("vec_id"), col("e.band").as("band"),
         col("e.bucket").as("bucket"))
+    // hot stays persisted until the session's clearCache: the union is
+    // lazy, so unpersisting here would drop the census cache before any
+    // caller materializes it (and it is ≤ 2^bits tiny rows)
     flat.unionByName(refined)
   }
 
@@ -327,8 +330,9 @@ object Similarity extends QueryModule {
 
     // Scale path: sign-LSH bucketed ANN. 6 hyperplane sign bits → 64
     // buckets; candidates = same-bucket rows; top-3 per query via a
-    // bounded per-bucket window. Probabilistic recall → rows-only check;
-    // SimilaritySpec measures recall against the brute-force path.
+    // bounded per-bucket window. Exactly oracled ([[lshOracle]]: the
+    // seeded planes embed as literals); SimilaritySpec additionally
+    // measures recall against the brute-force path.
     Q("ann_lsh_bucketed",
       (s, d) => {
         val pl = planes(6, 64)
@@ -401,8 +405,8 @@ object Similarity extends QueryModule {
     // IVF ANN — the second scale path next to sign-LSH: deterministic
     // Lloyd-refined coarse quantizer (8 cells), queries probe their 2
     // nearest cells, exact cosine within probed cells, top-3 per query.
-    // Probabilistic recall → rows-only check; SimilaritySpec measures
-    // recall against the brute-force path.
+    // Exactly oracled ([[ivfOracle]] replays the Lloyd loop in SQL);
+    // SimilaritySpec additionally pins recall against brute force.
     Q("ann_ivf",
       (s, d) => {
         val e = emb(s, d).select(col("vec_id"), col("v"))

@@ -25,11 +25,20 @@ class PlanShapeSpec extends SparkSuite {
     // the asymmetric overlap join must build on the benchmark-scale
     // eval-hash side; a shuffle of the corpus-scale train n-grams onto
     // the eval side would invert the scale posture
+    // collect() runs THIS QueryExecution so AdaptiveSparkPlanExec reaches
+    // its final plan (a noop write would execute a separate
+    // QueryExecution and leave this one un-finalized — the old version
+    // of this test asserted on the un-executed initial plan)
     val df = q("decontaminate")
-    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), "overlap join degraded:\n" + plan)
+    // the n-gram-hash overlap join (keys named h#...) must broadcast the
+    // eval side; the final per-doc LEFT join on doc_id is corpus×overlap
+    // and is ALLOWED to sort-merge — that one is the right shape at scale
+    assert("BroadcastHashJoin \\[h#\\d".r.findFirstIn(plan).isDefined,
+      "eval overlap join not broadcast:\n" + plan)
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[h#\\d".r.findFirstIn(plan).isEmpty,
+      "overlap join degraded to a shuffle:\n" + plan)
   }
 
   test("agg_group: partial + final hash aggregation") {

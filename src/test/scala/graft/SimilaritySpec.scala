@@ -106,6 +106,9 @@ class SimilaritySpec extends SparkSuite {
     val recall = got.map { case (qid, ids) =>
       ids.intersect(brute(qid)).size.toDouble / 3
     }.sum / got.size
-    assert(recall >= 0.25, s"ivf recall@3 = $recall")
+    // Deterministic given the seeded quantizer — measured 0.7667; the
+    // 0.75 bar (small margin for a regenerated corpus) fails on any real
+    // probe/centroid regression, unlike the old 0.25 floor.
+    assert(recall >= 0.75, s"ivf recall@3 = $recall")
   }
 }
