@@ -1,6 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 /** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR.
   * Results are fully materialized through a noop-format write — a
@@ -70,14 +69,12 @@ object Bench {
     // alphabetically and get misread as that query's cost.
     materialize("sql_dml_lifecycle")
     // Text-pipeline first-touch (documents parquet footer + whole-stage
-    // codegen of the tokenize/explode/xxhash stages; profiled 7.8 s cold
-    // vs 0.12 s warm at sf0.1) is paid by a NEUTRAL shingle-only probe —
-    // not by running a timed dedup_* query untimed first, which would
-    // make that one query's number uniquely steady-state.
-    try graft.operators.Dedup
-      .shingles(graft.operators.Dedup.corpus(spark, sfDir))
-      .groupBy(col("s")).count()
-      .write.format("noop").mode("overwrite").save()
+    // codegen of the tokenize/explode/hash/aggregate stages; profiled
+    // 7.8 s cold vs 0.12 s warm at sf0.1) is paid by NEUTRAL probes over
+    // a 256-doc sample (Dedup.warmupProbe) — not by running a timed
+    // dedup_* query untimed first, which would make that one query's
+    // number uniquely steady-state.
+    try graft.operators.Dedup.warmupProbe(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup probe failed: ${e.getMessage}")
     }

@@ -177,9 +177,16 @@ object Dedup extends QueryModule {
     * asserts that precondition).
     */
   private[graft] def cappedShingles(sh: DataFrame): DataFrame = {
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select(col("s"))
-    sh.join(rare, "s")
+    // Anti-join against the HOT set, not an inner join against the rare
+    // set: `rare` is vocabulary-scale (it IS the vocabulary minus a few
+    // stop-shingles), forcing a second shingle-scale shuffle join, while
+    // `hot` is bounded by rows/cap — usually tiny, so AQE broadcasts it
+    // and the filter is map-side. Degrades declaratively: a pathological
+    // corpus where hot outgrows the broadcast threshold falls back to
+    // the shuffle join this replaced.
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select(col("s"))
+    sh.join(hot, Seq("s"), "left_anti")
   }
 
   /** Count-based exact Jaccard over pairs sharing ≥1 shingle: candidate
@@ -229,6 +236,50 @@ object Dedup extends QueryModule {
     val mins = (0 until num).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Neutral codegen warmup for the bench harness: compiles the
+    * expression shapes the dedup-family queries would otherwise JIT
+    * inside their first TIMED run (tokenize/explode/shingle hashing, the
+    * 32-way minhash aggregate, band-struct explode, simhash bit sums,
+    * 8-gram hashing) over a 256-doc sample. Deliberately NOT a timed
+    * query run untimed: no query's full plan gets a uniquely
+    * steady-state cache advantage, only the shared codegen shapes are
+    * paid up front (ADVICE r7: the r7 neutral probe covered only the
+    * 3-gram shingle stage, so the minhash/band/simhash first-touch JIT
+    * landed inside whichever dedup query ran first).
+    */
+  private[graft] def warmupProbe(s: SparkSession, d: String): Unit = {
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val docs = Tables.load(s, d, "documents").limit(256)
+    val c = plantDuplicates(docs)
+    val sh = shingles(c)
+    run(sh.groupBy(col("s")).count())
+    val sig = minhashSignature(sh, 32)
+    val bands = (0 until 8).map(b => struct(
+      lit(b).as("band"),
+      xxhash64((b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*).as("key")))
+    run(sig.select(col("doc_id"), explode(array(bands: _*)).as("bk")))
+    // simhash bit-sum aggregate (shape copy of dedup_simhash's stage —
+    // drift here only loses warmup value, never correctness)
+    val toks = c.select(col("doc_id"),
+      explode(tokenArr(col("text"))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    run(toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*))
+    // decontaminate's 8-gram train-side shape
+    run(ngramHashes(tokens(docs), 8).groupBy(col("h")).count())
+    // the CC loop's join/min-agg/checkpoint shapes on a 6-vertex chain:
+    // each real round generates fresh codegen (new expr ids), but the
+    // class SHAPES and the checkpoint/decimal-sum machinery are shared
+    // and JIT once — driver r7 charged that to dedup_components itself
+    import s.implicits._
+    val chainV = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("v")
+    val chainE = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("src", "dst")
+    run(Components.connectedComponents(chainV, chainE))
   }
 
   /** Exact DuckDB twin of `dedup_simhash`: per-token XXH64 via the
