@@ -117,6 +117,15 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), " +
           "i -> xxhash64(t[i], t[i+1], t[i+2]))")).as("s"))
+      // ONE explicit exchange on s that every downstream consumer then
+      // reuses: HashPartitioning(s) satisfies the distinct's (doc_id, s)
+      // clustering (subset rule), the df-census groupBy(s), AND both
+      // sides of the inverted-index self-join on s — so the persisted
+      // frame's partitioning replaces what were three separate
+      // shingle-scale exchanges. Skew is bounded: no shingle exceeds
+      // maxShingleDf after the cap, and the cap census itself only needs
+      // the colocation this exchange provides.
+      .repartition(col("s"))
       .distinct()
 
   /** SQL expression producing the word n-gram hash ARRAY from a token
