@@ -122,6 +122,55 @@ class PlanShapeSpec extends SparkSuite {
     gs.execute("USE default")
   }
 
+  test("shingle staging: the one exchange on s is reused by census and self-join") {
+    import org.apache.spark.sql.functions._
+    // the staging itself pays exactly ONE shuffle on s (the explicit
+    // repartition) — the (doc_id, s) distinct must ride on it via the
+    // subset rule instead of adding its own pair-keyed exchange
+    // Collect shuffle partitionings from the EXECUTED tree: descend
+    // through the AQE wrapper and query stages, but NOT into
+    // InMemoryTableScan leaves — the staging exchange cached inside the
+    // persisted relation must not be double-counted against consumers
+    // (plan STRINGS print the embedded cached plan, so they would)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case qs: QueryStageExec => shuffles(qs.plan)
+      case e: ShuffleExchangeExec =>
+        e.outputPartitioning.toString +: e.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    def execShuffles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect() // finalize AQE on THIS QueryExecution
+      shuffles(df.queryExecution.executedPlan)
+    }
+    val staged = execShuffles(
+      operators.Dedup.shingles(Tables.load(spark, sf, "documents")))
+    assert(staged.count(_.startsWith("hashpartitioning(s#")) == 1, staged)
+    assert(!staged.exists("hashpartitioning\\(doc_id#\\d+L?, s#".r
+      .findFirstIn(_).isDefined),
+      "distinct added its own (doc_id, s) exchange: " + staged)
+    // downstream consumers of the persisted frame inherit the layout:
+    // neither the df census nor the inverted-index self-join may
+    // re-shuffle the shingle relation
+    val sh = operators.Dedup.shingles(Tables.load(spark, sf, "documents"))
+      .persist()
+    sh.count()
+    try {
+      def exchangesOnS(df: org.apache.spark.sql.DataFrame): Int =
+        execShuffles(df).count(_.startsWith("hashpartitioning(s#"))
+      val census = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      assert(exchangesOnS(census) == 0,
+        census.queryExecution.executedPlan.toString)
+      val joined = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      assert(exchangesOnS(joined) == 0,
+        joined.queryExecution.executedPlan.toString)
+    } finally sh.unpersist(blocking = false)
+  }
+
   test("INSERT..SELECT into AUTO_INCREMENT has no single-partition exchange") {
     val gs = new GraftSession(spark)
     gs.execute("CREATE DATABASE IF NOT EXISTS plandb")
