@@ -143,6 +143,49 @@ object Sampling extends QueryModule {
                 FROM documents) t
               WHERE rk <= 20""")),
 
+    // Deterministic global shuffle + sharding — the step that lays a
+    // curated corpus out as training shards: every document gets a
+    // pseudorandom but reproducible position (content-hash order, never
+    // rand()), split across N shards, each shard internally ordered.
+    // Shard assignment is a map-side hex-digit range on md5 (the
+    // instr-on-'0123456789abcdef' form evaluates identically in Spark
+    // SQL and DuckDB — no engine-specific hex-to-int conversion); the
+    // only shuffle is the shard-partitioned window that numbers each
+    // shard's rows.
+    //
+    // Scale posture: shard count IS the parallelism knob — each shard's
+    // rank is one partition-local sort, so production sizes shards at
+    // ≥ cluster cores (10⁴ shards at 100 TB ≈ 10 GB/shard, partition-
+    // sized); 8 here keeps every shard visibly non-empty at test scale.
+    // Rows never funnel through a global order — the naive
+    // `row_number() OVER (ORDER BY hash)` would be a one-task corpus
+    // sort. Re-runs, re-partitioning, and incremental ingest keep every
+    // (doc → shard, pos ordering) stable except positions after an
+    // inserted document inside one shard — the audit property a
+    // training-data layout needs.
+    Q("shuffle_shard",
+      (s, d) => {
+        val h = md5(col("text"))
+        Tables.load(s, d, "documents")
+          .withColumn("ord", h)
+          .withColumn("shard",
+            expr("CAST((instr('0123456789abcdef', substring(ord, 1, 1))" +
+              " - 1) div 2 AS INT)"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard"))
+              .orderBy(col("ord"), col("doc_id"))))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some("""SELECT doc_id, shard, CAST(pos AS INTEGER) AS pos FROM (
+                SELECT doc_id, shard,
+                       row_number() OVER (PARTITION BY shard
+                         ORDER BY ord, doc_id) AS pos
+                FROM (SELECT doc_id, md5(text) AS ord,
+                        CAST((instr('0123456789abcdef',
+                          substring(md5(text), 1, 1)) - 1) // 2 AS INTEGER)
+                          AS shard
+                      FROM documents) x) y""")),
+
     // Concat-and-chunk sequence packing — the layout step of LLM
     // training: documents are concatenated in doc_id order and split
     // into fixed-length context windows; each document maps to the chunk

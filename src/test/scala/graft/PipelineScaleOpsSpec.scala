@@ -114,6 +114,33 @@ class PipelineScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("shuffle_shard: total partition, contiguous positions, hash order") {
+    val rows = q("shuffle_shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val docs = Tables.load(spark, sf, "documents")
+    // a total partition of the corpus: every document exactly once
+    assert(rows.length == docs.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // 8 shards, every one populated at this scale, positions contiguous
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet == (0 to 7).toSet, byShard.keySet.toString)
+    byShard.foreach { case (sh, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length), s"shard $sh")
+    }
+    // deterministic: identical on re-run (the audit property)
+    val rerun = q("shuffle_shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rerun.sorted.sameElements(rows.sorted))
+    // shard ↔ hash-range agreement: a doc's shard is its md5 first hex
+    // digit div 2 (spec-level re-derivation, not the impl expression)
+    val md5First = docs.select(col("doc_id"),
+        substring(md5(col("text")), 1, 1).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, sh, _) =>
+      assert("0123456789abcdef".indexOf(md5First(id)) / 2 == sh, s"doc $id")
+    }
+  }
+
   test("salted stratified quota equals the direct windowed quota") {
     val df = Tables.load(spark, sf, "documents")
       .select(col("lang").as("stratum"),
