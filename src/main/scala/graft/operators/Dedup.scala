@@ -502,5 +502,129 @@ object Dedup extends QueryModule {
               SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
                      coalesce(ov.n_overlap, 0) > 0 AS contaminated
               FROM documents d LEFT JOIN ov USING (doc_id)"""))
+  ) ++ Seq(
+
+    // Incremental (delta) dedup — the continuous-ingest form: classify
+    // every document of an INCOMING BATCH against the existing corpus as
+    // `exact` (identical text — a re-crawl), `near` (3-gram Jaccard
+    // ≥ 0.8 vs some existing doc — a revision), or `new`, with the
+    // matched existing doc_id (-1 for new). The batch here is synthetic
+    // with all three outcomes planted: exact copies of every doc_id%5
+    // doc, 90%-prefix revisions of every doc_id%3 doc (jac ≈ 0.9), and
+    // 40%-prefix fragments of every doc_id%7 doc (jac ≈ 0.4 — novel).
+    //
+    // Scale posture (the point of the op): the batch never compares
+    // against itself and the corpus never against itself — exact is one
+    // equi-join on the 16-byte md5 digest (at 100 TB the corpus side is
+    // a precomputed digest index, the full text never moves); near is
+    // the CROSS-SET inverted index — batch shingles ⋈ corpus shingles
+    // on the hashed shingle, df-capped over the union exactly like
+    // dedup_ngram_jaccard so one stop-shingle can't quadratic the
+    // bucket. Batch-internal dups are deliberately out of scope: that is
+    // the existing self-dedup family composed over the batch alone.
+    Q("dedup_delta",
+      (s, d) => {
+        val base = Tables.load(s, d, "documents")
+          .select(col("doc_id"), lower(col("text")).as("text"))
+        val btoks = tokens(base).persist(StorageLevel.MEMORY_AND_DISK)
+        btoks.count()
+        def prefixBatch(mod: Int, shift: Long, num: Int, den: Int) =
+          btoks.filter(col("doc_id") % mod === 0)
+            .select((col("doc_id") + shift).as("doc_id"),
+              concat_ws(" ", slice(col("t"), lit(1),
+                greatest(expr(s"(size(t)*$num) div $den"), lit(1))))
+                .as("text"))
+        // exact copies keep the ORIGINAL string (same md5); the prefix
+        // branches re-join tokens with single spaces, so their whitespace
+        // differs from every original — near/new by construction
+        val batch = base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionByName(prefixBatch(3, 2000000L, 9, 10))
+          .unionByName(prefixBatch(7, 3000000L, 2, 5))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        batch.count()
+        val exact = batch.as("b")
+          .join(base.as("e"), md5(col("b.text")) === md5(col("e.text")))
+          .groupBy(col("b.doc_id").as("doc_id"))
+          .agg(min(col("e.doc_id")).as("em"))
+        // one shingle relation over corpus ∪ batch (ids disjoint by the
+        // +1M shifts), capped once so both sides share the vocabulary,
+        // then re-split by id range for the cross-set join
+        val shAll = cappedShingles(
+            shinglesFromTokens(btoks.unionByName(tokens(batch))))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        shAll.count()
+        val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val common = shAll.filter(col("doc_id") >= 1000000L).as("nb")
+          .join(shAll.filter(col("doc_id") < 1000000L).as("eb"),
+            col("nb.s") === col("eb.s"))
+          .groupBy(col("nb.doc_id").as("bid"), col("eb.doc_id").as("eid"))
+          .agg(count(lit(1)).as("c"))
+        val near = common
+          .join(sizes.as("sa"), col("bid") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("eid") === col("sb.doc_id"))
+          .filter(col("c") / (col("sa.n") + col("sb.n") - col("c")) >= 0.8)
+          .groupBy(col("bid").as("doc_id")).agg(min(col("eid")).as("nm"))
+        val out = batch.select(col("doc_id"))
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("em").isNotNull, "exact")
+              .when(col("nm").isNotNull, "near")
+              .otherwise("new").as("verdict"),
+            coalesce(col("em"), col("nm"), lit(-1L)).as("match_id"))
+        shAll.unpersist(blocking = false)
+        btoks.unpersist(blocking = false)
+        out
+      },
+      Some("""WITH base AS (SELECT doc_id, lower(text) AS text
+                            FROM documents),
+              btoks AS (SELECT doc_id,
+                          regexp_extract_all(text, '\S+') AS t FROM base),
+              batch AS (
+                SELECT doc_id + 1000000 AS doc_id, text FROM base
+                WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 2000000,
+                       array_to_string(t[1:greatest((len(t)*9)//10,1)], ' ')
+                FROM btoks WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 3000000,
+                       array_to_string(t[1:greatest((len(t)*2)//5,1)], ' ')
+                FROM btoks WHERE doc_id % 7 = 0),
+              ex AS (SELECT b.doc_id, min(e.doc_id) AS em
+                     FROM batch b JOIN base e ON md5(b.text) = md5(e.text)
+                     GROUP BY b.doc_id),
+              alltoks AS (SELECT doc_id, t FROM btoks
+                          UNION ALL
+                          SELECT doc_id, regexp_extract_all(text, '\S+')
+                          FROM batch),
+              sh0 AS (SELECT DISTINCT doc_id,
+                        unnest(list_transform(range(1, len(t)-1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                      FROM alltoks WHERE len(t) >= 3),
+              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0
+                     JOIN (SELECT s FROM sh0 GROUP BY s
+                           HAVING count(*) <= 256) r USING (s)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                        GROUP BY doc_id),
+              common AS (SELECT nb.doc_id AS bid, eb.doc_id AS eid,
+                                count(*) AS c
+                         FROM sh nb JOIN sh eb ON nb.s = eb.s
+                         WHERE nb.doc_id >= 1000000 AND eb.doc_id < 1000000
+                         GROUP BY 1, 2),
+              nr AS (SELECT bid AS doc_id, min(eid) AS nm FROM common
+                     JOIN sizes sa ON bid = sa.doc_id
+                     JOIN sizes sb ON eid = sb.doc_id
+                     WHERE c / (sa.n + sb.n - c) >= 0.8
+                     GROUP BY bid)
+              SELECT b.doc_id,
+                     CASE WHEN ex.em IS NOT NULL THEN 'exact'
+                          WHEN nr.nm IS NOT NULL THEN 'near'
+                          ELSE 'new' END AS verdict,
+                     CAST(coalesce(ex.em, nr.nm, -1) AS BIGINT) AS match_id
+              FROM batch b
+              LEFT JOIN ex ON b.doc_id = ex.doc_id
+              LEFT JOIN nr ON b.doc_id = nr.doc_id"""))
   )
 }

@@ -95,4 +95,33 @@ class DedupSpec extends SparkSuite {
     // n_overlap is consistent with the flag
     assert(rows.forall(r => (r.getLong(1) > 0) == r.getBoolean(2)))
   }
+
+  test("dedup_delta: planted exacts match their source, all verdicts occur") {
+    val docs = Tables.load(spark, sf, "documents")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val rows = q("dedup_delta").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // one verdict per planted batch doc: %5 exact copies, %3 revisions,
+    // %7 fragments
+    val expected = ids.count(_ % 5 == 0) + ids.count(_ % 3 == 0) +
+      ids.count(_ % 7 == 0)
+    assert(rows.length == expected, s"${rows.length} != $expected")
+    // every exact copy resolves to its source doc (texts are unique in
+    // the raw table — dedup_exact's 2-copies invariant)
+    rows.filter(_._1 < 2000000L).foreach { case (id, v, m) =>
+      assert(v == "exact" && m == id - 1000000L, s"($id, $v, $m)")
+    }
+    // revisions/fragments: both outcomes present, matches consistent
+    val near = rows.filter(_._2 == "near")
+    val nw = rows.filter(_._2 == "new")
+    assert(near.nonEmpty && nw.nonEmpty)
+    assert(near.forall(r => r._3 >= 0 && r._1 >= 2000000L))
+    assert(nw.forall(_._3 == -1L))
+    // 40% fragments never clear the 0.8 bar: every %7 batch doc is new
+    // unless its fragment text exactly equals some original (possible
+    // only for 1-2 token docs, which cannot be near either)
+    rows.filter(_._1 >= 3000000L).foreach { case (id, v, _) =>
+      assert(v != "near", s"fragment $id scored near")
+    }
+  }
 }
