@@ -143,6 +143,58 @@ object Sampling extends QueryModule {
                 FROM documents) t
               WHERE rk <= 20""")),
 
+    // Token-budget mixture planning — the recipe arithmetic of a
+    // pretraining data mix: given per-tier mixture weights (a literal
+    // CASE — metadata, exactly like sample_weighted's rate map) and a
+    // total token budget, compute per source the available supply and
+    // the plan: target tokens, sampling rate (≤ 1), and epochs (> 1 =
+    // the source repeats — the up-sampling a weight-heavy small source
+    // needs). ONE map-side-combined aggregate over the corpus; token
+    // counts are integer sums, so both engines agree bit-exactly, and
+    // the only doubles are per-source ratios of those integers.
+    Q("mix_budget",
+      (s, d) => {
+        // weights in PER-MILLE integers and the target in integer
+        // division: every pre-ratio column is exact bigint arithmetic
+        // both engines agree on bit-for-bit; the only doubles are final
+        // ratios of those bigints (identical IEEE division)
+        val budget = 1000000L
+        val wpm = when(col("source")
+            .isin("src0", "src1", "src2", "src3", "src4"), lit(100L))
+          .when(col("source")
+            .isin("src5", "src6", "src7", "src8", "src9"), lit(60L))
+          .otherwise(lit(20L))
+        Tables.load(s, d, "documents")
+          .select(col("source"),
+            TextOps.wsTokens(col("text")).cast("bigint").as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .withColumn("weight_pm", wpm)
+          .withColumn("target_tokens",
+            expr(s"($budget * weight_pm) div 1000"))
+          .withColumn("rate", round(
+            least(lit(1.0), col("target_tokens") / col("n_tokens")), 4))
+          .withColumn("epochs", round(
+            col("target_tokens") / col("n_tokens"), 4))
+      },
+      Some("""SELECT source, n_docs, n_tokens, weight_pm,
+                     (1000000 * weight_pm) // 1000 AS target_tokens,
+                     round(least(1.0,
+                       ((1000000 * weight_pm) // 1000) / n_tokens), 4)
+                       AS rate,
+                     round(((1000000 * weight_pm) // 1000) / n_tokens, 4)
+                       AS epochs
+              FROM (SELECT source, count(*) AS n_docs,
+                      CAST(sum(len(regexp_extract_all(text, '\S+')))
+                        AS BIGINT) AS n_tokens,
+                      CASE WHEN source IN
+                             ('src0','src1','src2','src3','src4') THEN 100
+                           WHEN source IN
+                             ('src5','src6','src7','src8','src9') THEN 60
+                           ELSE 20 END AS weight_pm
+                    FROM documents GROUP BY source) t""")),
+
     // Deterministic global shuffle + sharding — the step that lays a
     // curated corpus out as training shards: every document gets a
     // pseudorandom but reproducible position (content-hash order, never

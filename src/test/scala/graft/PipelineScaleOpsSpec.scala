@@ -141,6 +141,31 @@ class PipelineScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("mix_budget: one plan row per source, exact recipe arithmetic") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = q("mix_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.length == docs.select("source").distinct().count())
+    rows.foreach { case (src, nDocs, nToks, wpm, target, rate, epochs) =>
+      // tier mapping and integer target arithmetic re-derived spec-side
+      val tier = if ((0 to 4).map("src" + _).contains(src)) 100L
+        else if ((5 to 9).map("src" + _).contains(src)) 60L else 20L
+      assert(wpm == tier, src)
+      assert(target == 1000000L * wpm / 1000L, src)
+      assert(nDocs > 0 && nToks > 0, src)
+      // rate caps at 1; epochs is the uncapped ratio (the up-sampling
+      // signal); both re-derived to 4 decimals
+      val ratio = target.toDouble / nToks
+      assert(rate <= 1.0 && rate >= 0.0, src)
+      assert(math.abs(rate -
+        math.round(math.min(1.0, ratio) * 10000) / 10000.0) < 1e-9, src)
+      assert(math.abs(epochs -
+        math.round(ratio * 10000) / 10000.0) < 1e-9, src)
+    }
+  }
+
   test("salted stratified quota equals the direct windowed quota") {
     val df = Tables.load(spark, sf, "documents")
       .select(col("lang").as("stratum"),
