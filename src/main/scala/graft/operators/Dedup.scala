@@ -528,19 +528,27 @@ object Dedup extends QueryModule {
           .select(col("doc_id"), lower(col("text")).as("text"))
         val btoks = tokens(base).persist(StorageLevel.MEMORY_AND_DISK)
         btoks.count()
-        def prefixBatch(mod: Int, shift: Long, num: Int, den: Int) =
+        def prefixToks(mod: Int, shift: Long, num: Int, den: Int) =
           btoks.filter(col("doc_id") % mod === 0)
             .select((col("doc_id") + shift).as("doc_id"),
-              concat_ws(" ", slice(col("t"), lit(1),
-                greatest(expr(s"(size(t)*$num) div $den"), lit(1))))
-                .as("text"))
+              slice(col("t"), lit(1),
+                greatest(expr(s"(size(t)*$num) div $den"), lit(1))).as("t"))
+        // batch token arrays are SLICES of the corpus token arrays —
+        // identical to retokenizing the rejoined text (tokens contain no
+        // whitespace), and it skips a second corpus-scale regexp pass
+        val batchToks = btoks.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("t"))
+          .unionByName(prefixToks(3, 2000000L, 9, 10))
+          .unionByName(prefixToks(7, 3000000L, 2, 5))
         // exact copies keep the ORIGINAL string (same md5); the prefix
         // branches re-join tokens with single spaces, so their whitespace
         // differs from every original — near/new by construction
         val batch = base.filter(col("doc_id") % 5 === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-          .unionByName(prefixBatch(3, 2000000L, 9, 10))
-          .unionByName(prefixBatch(7, 3000000L, 2, 5))
+          .unionByName(prefixToks(3, 2000000L, 9, 10)
+            .select(col("doc_id"), concat_ws(" ", col("t")).as("text")))
+          .unionByName(prefixToks(7, 3000000L, 2, 5)
+            .select(col("doc_id"), concat_ws(" ", col("t")).as("text")))
           .persist(StorageLevel.MEMORY_AND_DISK)
         batch.count()
         val exact = batch.as("b")
@@ -551,7 +559,7 @@ object Dedup extends QueryModule {
         // +1M shifts), capped once so both sides share the vocabulary,
         // then re-split by id range for the cross-set join
         val shAll = cappedShingles(
-            shinglesFromTokens(btoks.unionByName(tokens(batch))))
+            shinglesFromTokens(btoks.unionByName(batchToks)))
           .persist(StorageLevel.MEMORY_AND_DISK)
         shAll.count()
         val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
