@@ -185,7 +185,45 @@ object Dedup extends QueryModule {
     * full-vocabulary DuckDB oracle still matches exactly (DedupSpec
     * asserts that precondition).
     */
-  private[graft] def cappedShingles(sh: DataFrame): DataFrame = {
+  /** The dedup_delta synthetic incoming batch, as token arrays derived
+    * by SLICING the corpus token arrays: exact copies of every doc_id%5
+    * doc (+1M), 90%-prefix revisions of every %3 doc (+2M), 40%-prefix
+    * fragments of every %7 doc (+3M). ONE definition shared by the batch
+    * operator and the streaming twin's spec so the planted batch cannot
+    * drift.
+    */
+  private[graft] def deltaBatchToks(btoks: DataFrame): DataFrame = {
+    def prefixToks(mod: Int, shift: Long, num: Int, den: Int) =
+      btoks.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + shift).as("doc_id"),
+          slice(col("t"), lit(1),
+            greatest(expr(s"(size(t)*$num) div $den"), lit(1))).as("t"))
+    btoks.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("t"))
+      .unionByName(prefixToks(3, 2000000L, 9, 10))
+      .unionByName(prefixToks(7, 3000000L, 2, 5))
+  }
+
+  /** The same batch as TEXT rows: exact copies keep the original string
+    * (same md5); prefix branches re-join tokens with single spaces.
+    */
+  private[graft] def deltaBatchDocs(base: DataFrame,
+      btoks: DataFrame): DataFrame =
+    base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(deltaBatchToks(btoks)
+        .filter(col("doc_id") >= 2000000L)
+        .select(col("doc_id"), concat_ws(" ", col("t")).as("text")))
+
+  /** Stop-shingles: the (bounded by rows/cap) set whose document
+    * frequency exceeds the cap — shared by the batch anti-join and the
+    * streaming delta twin's per-row `array_except`.
+    */
+  private[graft] def hotShingles(sh: DataFrame): DataFrame =
+    sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select(col("s"))
+
+  private[graft] def cappedShingles(sh: DataFrame): DataFrame =
     // Anti-join against the HOT set, not an inner join against the rare
     // set: `rare` is vocabulary-scale (it IS the vocabulary minus a few
     // stop-shingles), forcing a second shingle-scale shuffle join, while
@@ -193,10 +231,7 @@ object Dedup extends QueryModule {
     // and the filter is map-side. Degrades declaratively: a pathological
     // corpus where hot outgrows the broadcast threshold falls back to
     // the shuffle join this replaced.
-    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf).select(col("s"))
-    sh.join(hot, Seq("s"), "left_anti")
-  }
+    sh.join(hotShingles(sh), Seq("s"), "left_anti")
 
   /** Count-based exact Jaccard over pairs sharing ≥1 shingle: candidate
     * counts and set sizes in plain integer arithmetic — no per-pair
@@ -528,27 +563,14 @@ object Dedup extends QueryModule {
           .select(col("doc_id"), lower(col("text")).as("text"))
         val btoks = tokens(base).persist(StorageLevel.MEMORY_AND_DISK)
         btoks.count()
-        def prefixToks(mod: Int, shift: Long, num: Int, den: Int) =
-          btoks.filter(col("doc_id") % mod === 0)
-            .select((col("doc_id") + shift).as("doc_id"),
-              slice(col("t"), lit(1),
-                greatest(expr(s"(size(t)*$num) div $den"), lit(1))).as("t"))
         // batch token arrays are SLICES of the corpus token arrays —
         // identical to retokenizing the rejoined text (tokens contain no
         // whitespace), and it skips a second corpus-scale regexp pass
-        val batchToks = btoks.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("t"))
-          .unionByName(prefixToks(3, 2000000L, 9, 10))
-          .unionByName(prefixToks(7, 3000000L, 2, 5))
+        val batchToks = deltaBatchToks(btoks)
         // exact copies keep the ORIGINAL string (same md5); the prefix
         // branches re-join tokens with single spaces, so their whitespace
         // differs from every original — near/new by construction
-        val batch = base.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-          .unionByName(prefixToks(3, 2000000L, 9, 10)
-            .select(col("doc_id"), concat_ws(" ", col("t")).as("text")))
-          .unionByName(prefixToks(7, 3000000L, 2, 5)
-            .select(col("doc_id"), concat_ws(" ", col("t")).as("text")))
+        val batch = deltaBatchDocs(base, btoks)
           .persist(StorageLevel.MEMORY_AND_DISK)
         batch.count()
         val exact = batch.as("b")

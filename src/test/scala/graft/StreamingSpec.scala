@@ -68,6 +68,38 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.filter(col("contaminated")).count() > 0)
   }
 
+  test("streaming delta dedup equals the batch dedup_delta verdicts") {
+    import org.apache.spark.sql.types._
+    // the incoming batch = the SAME planted construction the batch op
+    // uses (shared Dedup.deltaBatchDocs), split across files so
+    // classification spans several micro-batches
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val btoks = graft.operators.Dedup.tokens(base)
+    val split = java.nio.file.Files.createTempDirectory("delta-split").toString
+    graft.operators.Dedup.deltaBatchDocs(base, btoks)
+      .repartition(3).write.mode("overwrite").parquet(split)
+    val incoming = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(split)
+    val sq = graft.streaming.DedupStream.deltaDedup(incoming, base)
+      .writeStream.format("memory").queryName("delta_stream")
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    assert(sq.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one micro-batch per split file")
+    val streamed = spark.table("delta_stream")
+    val batch = q("dedup_delta")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // all three verdicts genuinely occur in-stream
+    assert(streamed.select("verdict").distinct().count() == 3)
+  }
+
   test("stream-stream interval join equals the batch attribution pairs") {
     val sq = graft.streaming.EventsStream.attributedPairs(spark, sf)
       .writeStream.format("memory").queryName("attr_stream")
