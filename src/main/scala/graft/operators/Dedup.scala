@@ -117,15 +117,19 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), " +
           "i -> xxhash64(t[i], t[i+1], t[i+2]))")).as("s"))
-      // ONE explicit exchange on s that every downstream consumer then
-      // reuses: HashPartitioning(s) satisfies the distinct's (doc_id, s)
-      // clustering (subset rule), the df-census groupBy(s), AND both
-      // sides of the inverted-index self-join on s — so the persisted
-      // frame's partitioning replaces what were three separate
-      // shingle-scale exchanges. Skew is bounded: no shingle exceeds
-      // maxShingleDf after the cap, and the cap census itself only needs
-      // the colocation this exchange provides.
-      .repartition(col("s"))
+      // Deliberately NO explicit repartition(s) here, although one
+      // exchange on s could in principle be reused by the distinct, the
+      // df census, and the inverted-index self-join (subset rule): a
+      // raw-occurrence exchange keyed on s alone would funnel EVERY
+      // occurrence of a stop-shingle into one unsplittable partition
+      // (RepartitionByExpression is not AQE-skew-splittable) BEFORE the
+      // df cap can drop it. The declarative plan is skew-safe at every
+      // step: the distinct's (doc_id, s) exchange spreads a hot shingle
+      // across doc_ids, the census reaches its s-exchange through a
+      // map-side partial count (≤ one row per shingle per partition
+      // moves), and the only exchanges keyed solely on s happen
+      // POST-cap, where df ≤ maxShingleDf bounds any partition's load.
+      // PlanShapeSpec pins this shape.
       .distinct()
 
   /** SQL expression producing the word n-gram hash ARRAY from a token
@@ -178,13 +182,6 @@ object Dedup extends QueryModule {
   private[graft] def evalNgramHashes(docs: DataFrame): DataFrame =
     evalNgramHashesFromTokens(tokens(docs))
 
-  /** Shingles surviving the stop-shingle document-frequency cap. For
-    * n-gram Jaccard the cap defines the representation itself (Jaccard
-    * over the non-stop vocabulary — the principled form of stop-shingle
-    * removal); the synthetic corpus has no shingle above the cap, so the
-    * full-vocabulary DuckDB oracle still matches exactly (DedupSpec
-    * asserts that precondition).
-    */
   /** The dedup_delta synthetic incoming batch, as token arrays derived
     * by SLICING the corpus token arrays: exact copies of every doc_id%5
     * doc (+1M), 90%-prefix revisions of every %3 doc (+2M), 40%-prefix
@@ -223,6 +220,13 @@ object Dedup extends QueryModule {
     sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select(col("s"))
 
+  /** Shingles surviving the stop-shingle document-frequency cap. For
+    * n-gram Jaccard the cap defines the representation itself (Jaccard
+    * over the non-stop vocabulary — the principled form of stop-shingle
+    * removal); the synthetic corpus has no shingle above the cap, so the
+    * full-vocabulary DuckDB oracle still matches exactly (DedupSpec
+    * asserts that precondition).
+    */
   private[graft] def cappedShingles(sh: DataFrame): DataFrame =
     // Anti-join against the HOT set, not an inner join against the rare
     // set: `rare` is vocabulary-scale (it IS the vocabulary minus a few
@@ -603,8 +607,12 @@ object Dedup extends QueryModule {
               .when(col("nm").isNotNull, "near")
               .otherwise("new").as("verdict"),
             coalesce(col("em"), col("nm"), lit(-1L)).as("match_id"))
-        shAll.unpersist(blocking = false)
-        btoks.unpersist(blocking = false)
+        // NO unpersist here: `out` is returned lazily, and CacheManager
+        // substitutes the cached subtrees at EXECUTION time — dropping
+        // the caches now would force the shingle pipeline (referenced 3×
+        // in out's plan) to recompute from scratch when the caller
+        // materializes. The per-query clearCache in Bench/Verify is the
+        // module's cache-release point (see the header note).
         out
       },
       Some("""WITH base AS (SELECT doc_id, lower(text) AS text

@@ -182,9 +182,15 @@ object Similarity extends QueryModule {
       // the query result — vary run to run AND diverge from the DuckDB
       // twin; the decimal sum is order-independent and bit-identical in
       // both engines, at a harmless 1e-15 quantization of the mean.
+      // count over v[i], not count(*): emb() deliberately passes NULL
+      // vectors through (padding / failed-encode rows), and avg
+      // semantics must exclude them from the denominator exactly as
+      // sum() excludes them from the numerator — count(*) would count
+      // NULL rows and dilute every centroid component (the oracle
+      // mirrors with count(v[i]))
       val meanCols = (0 until dim).map(i =>
         (sum(col("v").getItem(i).cast(types.DecimalType(30, 15)))
-          .cast("double") / count(lit(1))).as(s"m$i"))
+          .cast("double") / count(col("v").getItem(i))).as(s"m$i"))
       val byCell = e.select(cellOf(col("v"), cents).as("cell"), col("v"))
         .groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
         .collect()
@@ -250,7 +256,7 @@ object Similarity extends QueryModule {
           ab$n AS (SELECT vec_id, v, cell FROM a$n WHERE rn = 1),
           m$n AS (SELECT cell, i,
                     CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)
-                      / count(*) AS m
+                      / count(v[i]) AS m
                   FROM ab$n CROSS JOIN range(1, ${Dim + 1}) t(i)
                   GROUP BY cell, i),
           g$n AS (SELECT cell, list(m ORDER BY i) AS cv FROM m$n

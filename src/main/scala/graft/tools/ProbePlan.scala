@@ -9,7 +9,7 @@ object ProbePlan {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val sh = graft.operators.Dedup.shingles(
       graft.operators.Dedup.corpus(spark, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

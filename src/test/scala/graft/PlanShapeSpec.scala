@@ -122,16 +122,18 @@ class PlanShapeSpec extends SparkSuite {
     gs.execute("USE default")
   }
 
-  test("shingle staging: the one exchange on s is reused by census and self-join") {
+  test("shingle staging is skew-safe: no s-only exchange before the df cap") {
     import org.apache.spark.sql.functions._
-    // the staging itself pays exactly ONE shuffle on s (the explicit
-    // repartition) — the (doc_id, s) distinct must ride on it via the
-    // subset rule instead of adding its own pair-keyed exchange
+    // a raw-occurrence exchange keyed on s alone would funnel every
+    // occurrence of a stop-shingle into one unsplittable partition
+    // BEFORE the cap can drop it (see shinglesFromTokens); the safe
+    // staging spreads hot shingles across doc_ids and reaches the
+    // census's s-exchange only through a map-side partial count.
     // Collect shuffle partitionings from the EXECUTED tree: descend
     // through the AQE wrapper and query stages, but NOT into
-    // InMemoryTableScan leaves — the staging exchange cached inside the
-    // persisted relation must not be double-counted against consumers
-    // (plan STRINGS print the embedded cached plan, so they would)
+    // InMemoryTableScan leaves — the exchanges cached inside a persisted
+    // relation must not be counted against consumers (plan STRINGS print
+    // the embedded cached plan, so they would)
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -148,26 +150,25 @@ class PlanShapeSpec extends SparkSuite {
     }
     val staged = execShuffles(
       operators.Dedup.shingles(Tables.load(spark, sf, "documents")))
-    assert(staged.count(_.startsWith("hashpartitioning(s#")) == 1, staged)
-    assert(!staged.exists("hashpartitioning\\(doc_id#\\d+L?, s#".r
-      .findFirstIn(_).isDefined),
-      "distinct added its own (doc_id, s) exchange: " + staged)
-    // downstream consumers of the persisted frame inherit the layout:
-    // neither the df census nor the inverted-index self-join may
-    // re-shuffle the shingle relation
+    assert(!staged.exists(_.startsWith("hashpartitioning(s#")),
+      "skew-unsafe s-only exchange on raw occurrences: " + staged)
+    // the only staging exchange is the doc_id fan-out — the (doc_id, s)
+    // distinct rides on it via the subset rule, and doc_id partitioning
+    // inherently spreads a hot shingle's occurrences across partitions
+    assert(staged.nonEmpty &&
+      staged.forall(_.startsWith("hashpartitioning(doc_id#")), staged)
+    // the cap census may shuffle on s — but only AFTER a map-side
+    // partial count collapses each partition's occurrences to one row
     val sh = operators.Dedup.shingles(Tables.load(spark, sf, "documents"))
       .persist()
     sh.count()
     try {
-      def exchangesOnS(df: org.apache.spark.sql.DataFrame): Int =
-        execShuffles(df).count(_.startsWith("hashpartitioning(s#"))
       val census = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      assert(exchangesOnS(census) == 0,
-        census.queryExecution.executedPlan.toString)
-      val joined = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      assert(exchangesOnS(joined) == 0,
-        joined.queryExecution.executedPlan.toString)
+      census.collect()
+      val plan = census.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("partial_count"),
+        "census shuffles raw occurrences without a partial agg:\n" + plan)
     } finally sh.unpersist(blocking = false)
   }
 

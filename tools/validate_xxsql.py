@@ -15,7 +15,7 @@ from xx64_ref import xxh64
 
 raw = open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/xx_ctes.sql").read()
 ctes, last = raw.rsplit("\n-- LAST=", 1)
-toks = (["a", "ab", "abcd", "abcdefgh", "abcdefghi", "zebra777"]
+toks = (["", "a", "ab", "abcd", "abcdefgh", "abcdefghi", "zebra777"]
         + [c * n for c, n in zip("xyqwert", (31, 24, 9, 13, 17, 20, 28))]
         + ["0123456789012345", "0123456789012345678901234567890"])
 vals = ", ".join(f"('{t}')" for t in toks)
