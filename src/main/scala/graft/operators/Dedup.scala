@@ -663,6 +663,98 @@ object Dedup extends QueryModule {
                      CAST(coalesce(ex.em, nr.nm, -1) AS BIGINT) AS match_id
               FROM batch b
               LEFT JOIN ex ON b.doc_id = ex.doc_id
-              LEFT JOIN nr ON b.doc_id = nr.doc_id"""))
+              LEFT JOIN nr ON b.doc_id = nr.doc_id""")),
+
+    // Exact-substring overlap detection via winnowing fingerprints —
+    // the dedup dimension whole-document Jaccard cannot see: a document
+    // embedding a long span of another (boilerplate, quotation, partial
+    // copy) shares a contiguous 8-gram run even when its OVERALL shingle
+    // Jaccard is far below any near-dup bar. Planted: exact copies
+    // (+1M, full overlap) and middle-50% excerpts of every doc_id%3 doc
+    // (+2M — Jaccard ≈ 0.5 vs the original, invisible to
+    // dedup_ngram_jaccard's 0.8 threshold, yet sharing ~half the
+    // fingerprints; DedupSpec asserts both properties).
+    //
+    // Winnowing (the MOSS scheme): per doc, hash every 8-token gram,
+    // then keep the minimum over each 4-window of consecutive gram
+    // hashes — a document-position-independent ~1/4 sample that
+    // GUARANTEES any shared run of ≥ 11 tokens yields a shared
+    // fingerprint. Both stages are pure per-row array HOFs (no window
+    // shuffle, no explode until the fingerprint relation); candidates
+    // come from the same capped inverted-index shape as n-gram Jaccard.
+    // Gram hash = md5 hex string: min over hex strings is plain
+    // lexicographic order in BOTH engines, which is what makes the
+    // winnow selection itself oracle-reproducible (a production run
+    // would swap in xxhash64 and keep the identical shape).
+    Q("dedup_substring",
+      (s, d) => {
+        val toks0 = tokens(Tables.load(s, d, "documents")
+          .select(col("doc_id"), lower(col("text")).as("text")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val excerpt = toks0.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            expr("slice(t, size(t) div 4 + 1, greatest(size(t) div 2, 1))")
+              .as("t"))
+        val all = toks0
+          .unionByName(toks0.select((col("doc_id") + 1000000L).as("doc_id"),
+            col("t")))
+          .unionByName(excerpt)
+        val fp = all.filter(size(col("t")) >= 11)
+          .withColumn("g", expr("transform(sequence(0, size(t)-8), " +
+            "i -> md5(concat_ws(' ', slice(t, i+1, 8))))"))
+          .withColumn("f", expr("transform(sequence(0, size(t)-11), " +
+            "j -> array_min(slice(g, j+1, 4)))"))
+          .select(col("doc_id"), explode(array_distinct(col("f"))).as("f"))
+        // same stop-fingerprint df cap as the shingle index: one
+        // boilerplate span shared by the whole corpus must not quadratic
+        // the bucket join
+        val raw = fp.persist(StorageLevel.MEMORY_AND_DISK)
+        raw.count()
+        val hot = raw.groupBy(col("f")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select(col("f"))
+        val capped = raw.join(hot, Seq("f"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        capped.count()
+        capped.as("a")
+          .join(capped.as("b"),
+            col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+      },
+      Some("""WITH base AS (SELECT doc_id, lower(text) AS text
+                            FROM documents),
+              toks0 AS (SELECT doc_id,
+                          regexp_extract_all(text, '\S+') AS t FROM base),
+              allt AS (SELECT doc_id, t FROM toks0
+                       UNION ALL
+                       SELECT doc_id + 1000000, t FROM toks0
+                       UNION ALL
+                       SELECT doc_id + 2000000,
+                              t[len(t)//4 + 1 :
+                                len(t)//4 + greatest(len(t)//2, 1)]
+                       FROM toks0 WHERE doc_id % 3 = 0),
+              grams AS (SELECT doc_id, len(t) AS n,
+                               unnest(range(1, len(t)-6)) AS i,
+                               unnest(list_transform(range(1, len(t)-6),
+                                 i -> md5(array_to_string(t[i:i+7], ' '))))
+                                 AS g
+                        FROM allt WHERE len(t) >= 11),
+              winnow AS (SELECT doc_id, i, n,
+                                min(g) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                                  AS f
+                         FROM grams),
+              fp AS (SELECT DISTINCT doc_id, f FROM winnow
+                     WHERE i <= n - 10),
+              capped AS (SELECT fp.doc_id, fp.f FROM fp
+                         JOIN (SELECT f FROM fp GROUP BY f
+                               HAVING count(*) <= 256) r USING (f))
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_shared
+              FROM capped a JOIN capped b
+                ON a.f = b.f AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= 3"""))
   )
 }

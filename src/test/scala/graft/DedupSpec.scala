@@ -96,6 +96,53 @@ class DedupSpec extends SparkSuite {
     assert(rows.forall(r => (r.getLong(1) > 0) == r.getBoolean(2)))
   }
 
+  test("dedup_substring catches excerpt pairs that Jaccard provably misses") {
+    import graft.operators.Dedup
+    val rows = q("dedup_substring").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    // exact-copy pairs share ALL fingerprints, so the pair must appear
+    // exactly for docs with ≥ 3 distinct fingerprints (winnowing dedups
+    // consecutive windows, so short docs can fall under the threshold)
+    val fpCounts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 11)
+      .withColumn("g", expr("transform(sequence(0, size(t)-8), " +
+        "i -> md5(concat_ws(' ', slice(t, i+1, 8))))"))
+      .select(col("doc_id"), size(array_distinct(
+        expr("transform(sequence(0, size(t)-11), " +
+          "j -> array_min(slice(g, j+1, 4)))"))).as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val eligible = fpCounts.filter(_._2 >= 3).keySet
+    assert(eligible.nonEmpty)
+    eligible.foreach(id =>
+      assert(pairs.contains((id, id + 1000000L)), s"copy pair for $id"))
+    fpCounts.keySet.diff(eligible).foreach(id =>
+      assert(!pairs.contains((id, id + 1000000L)),
+        s"sub-threshold copy pair for $id leaked through"))
+    // excerpt pairs (original, original+2M) exist — the substring catch
+    val excerptPairs = rows.filter { case (a, b, _) =>
+      b == a + 2000000L && a % 3 == 0 }
+    assert(excerptPairs.nonEmpty, "no excerpt pair detected")
+    // and at least one caught excerpt pair sits BELOW the 0.8 Jaccard
+    // bar on the same corpus — the case the near-dup family cannot see
+    val toks0 = Dedup.tokens(Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text")))
+    val excerpt = toks0.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("slice(t, size(t) div 4 + 1, greatest(size(t) div 2, 1))")
+          .as("t"))
+    val jac = Dedup.countJaccard(
+        Dedup.shinglesFromTokens(toks0.unionByName(excerpt)))
+      .filter(col("doc_b") === col("doc_a") + 2000000L)
+      .select(col("doc_a"), col("jac")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val caught = excerptPairs.map(_._1).toSet
+    assert(caught.exists(a => jac.get(a).forall(_ < 0.8)),
+      "every caught excerpt pair was also Jaccard-visible")
+  }
+
   test("dedup_delta: planted exacts match their source, all verdicts occur") {
     val docs = Tables.load(spark, sf, "documents")
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
