@@ -690,21 +690,34 @@ object Dedup extends QueryModule {
       (s, d) => {
         val toks0 = tokens(Tables.load(s, d, "documents")
           .select(col("doc_id"), lower(col("text")).as("text")))
+        // md5 is computed ONCE per base gram: the +1M copies have
+        // identical token arrays (fingerprints relabel for free), and an
+        // excerpt's grams are a CONTIGUOUS SLICE of its original's gram
+        // array (tokens n/4+i..n/4+i+7 == excerpt tokens i..i+7), so
+        // both planted branches derive from the cached base g — the
+        // hash work drops ~2.7× vs hashing every branch independently.
+        // Identical strings hash identically, so the oracle (which
+        // hashes every branch) matches bit-for-bit.
+        val withG = toks0.filter(size(col("t")) >= 11)
+          .select(col("doc_id"), size(col("t")).as("n"),
+            expr("transform(sequence(0, size(t)-8), " +
+              "i -> md5(concat_ws(' ', slice(t, i+1, 8))))").as("g"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val excerpt = toks0.filter(col("doc_id") % 3 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            expr("slice(t, size(t) div 4 + 1, greatest(size(t) div 2, 1))")
-              .as("t"))
-        val all = toks0
-          .unionByName(toks0.select((col("doc_id") + 1000000L).as("doc_id"),
-            col("t")))
-          .unionByName(excerpt)
-        val fp = all.filter(size(col("t")) >= 11)
-          .withColumn("g", expr("transform(sequence(0, size(t)-8), " +
-            "i -> md5(concat_ws(' ', slice(t, i+1, 8))))"))
-          .withColumn("f", expr("transform(sequence(0, size(t)-11), " +
-            "j -> array_min(slice(g, j+1, 4)))"))
-          .select(col("doc_id"), explode(array_distinct(col("f"))).as("f"))
+        withG.count()
+        def winnowFp(df: DataFrame) = df.filter(size(col("g")) >= 4)
+          .select(col("doc_id"), explode(array_distinct(
+            expr("transform(sequence(0, size(g)-4), " +
+              "j -> array_min(slice(g, j+1, 4)))"))).as("f"))
+        val baseFp = winnowFp(withG.select(col("doc_id"), col("g")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        baseFp.count()
+        val fp = baseFp
+          .unionByName(baseFp
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("f")))
+          .unionByName(winnowFp(withG.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              expr("slice(g, n div 4 + 1, " +
+                "greatest(greatest(n div 2, 1) - 7, 0))").as("g"))))
         // same stop-fingerprint df cap as the shingle index: one
         // boilerplate span shared by the whole corpus must not quadratic
         // the bucket join
