@@ -320,6 +320,27 @@ object Dedup extends QueryModule {
     run(toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*))
     // decontaminate's 8-gram train-side shape
     run(ngramHashes(tokens(docs), 8).groupBy(col("h")).count())
+    // dedup_substring's md5-in-HOF gram + winnow shapes, and
+    // dedup_delta's digest equi-join + array_except shapes (r8 — the
+    // same first-touch-JIT account as the r7 8-gram lesson)
+    val tk = tokens(docs)
+    run(tk.filter(size(col("t")) >= 11)
+      .select(col("doc_id"), expr("transform(sequence(0, size(t)-8), " +
+        "i -> md5(concat_ws(' ', slice(t, i+1, 8))))").as("g"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(0, size(g)-4), " +
+          "j -> array_min(slice(g, j+1, 4)))"))).as("f"))
+      .groupBy(col("f")).count())
+    val dg = docs.select(col("doc_id"), lower(col("text")).as("text"))
+    run(dg.as("b").join(dg.as("e"),
+        md5(col("b.text")) === md5(col("e.text")))
+      .select(col("b.doc_id")))
+    // the streaming/delta per-row long-array shapes (hash-array minus
+    // hot set)
+    run(tk.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_except(
+        array_distinct(expr(ngramHashArrExpr(3))), array(lit(0L))).as("hs"))
+      .select(col("doc_id"), size(col("hs"))))
     // the CC loop's join/min-agg/checkpoint shapes on a 6-vertex chain:
     // each real round generates fresh codegen (new expr ids), but the
     // class SHAPES and the checkpoint/decimal-sum machinery are shared
