@@ -28,7 +28,8 @@ object SparkEntry {
     operators.Components,
     operators.Sampling,
     operators.Analytic,
-    operators.Curation)
+    operators.Curation,
+    operators.PipelineOps)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 
