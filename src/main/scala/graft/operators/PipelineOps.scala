@@ -33,6 +33,22 @@ object PipelineOps extends QueryModule {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** Adjacent-bigram structs over a token-array column `t` — shared by
+    * the batch LM scorer and the streaming ingest filter
+    * ([[graft.streaming.DedupStream.lmQualityFilter]]) so the bigram
+    * definition cannot drift. Callers guard `size(t) >= 2` (sequence's
+    * inferred step would walk backwards on shorter arrays).
+    */
+  private[graft] val bigramStructsExpr: String =
+    """transform(sequence(1, size(t) - 1),
+       i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
+
+  /** Per-token hashed-feature weight w[xxhash64(tok) & 255] − 128 —
+    * shared by the batch classifier and the streaming filter.
+    */
+  private[graft] def tokenWeight(tok: Column): Column =
+    xxhash64(tok).bitwiseAND(lit(255L)) - 128
+
   override val queries: Seq[Q] = Seq(
 
     // Vocabulary building — the tokenizer-training precursor: global
@@ -74,8 +90,7 @@ object PipelineOps extends QueryModule {
         val occ = Dedup.tokens(docs(s, d))
           .select(col("doc_id"), explode(col("t")).as("t"))
         occ
-          .select(col("doc_id"),
-            (xxhash64(col("t")).bitwiseAND(lit(255L)) - 128).as("w"))
+          .select(col("doc_id"), tokenWeight(col("t")).as("w"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
           .select(col("doc_id"), col("n_tokens"), col("score"),
@@ -119,10 +134,7 @@ object PipelineOps extends QueryModule {
         val uni = occ.groupBy(col("w")).agg(count(lit(1)).as("c1"))
         val vocabN = uni.agg(count(lit(1)).as("v"))
         val bg = toks.filter(size(col("t")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(t) - 1),
-               i -> struct(element_at(t, i) AS w1,
-                           element_at(t, i + 1) AS w2))""")).as("b"))
+          .select(col("doc_id"), explode(expr(bigramStructsExpr)).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
         val terms = bg

@@ -247,27 +247,38 @@ object Similarity extends QueryModule {
     *   - empty cells keep their previous centroid (LEFT JOIN + coalesce,
     *     mirroring ivfCentroids' getOrElse).
     */
+  /** Squared-distance argmin rank over a centroid CTE (cv) — ties break
+    * on cell id, mirroring `array_min`'s struct ordering in [[cellOf]].
+    */
+  private val lloydArgmin = "row_number() OVER (PARTITION BY vec_id " +
+    "ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(v, cv), cell)"
+
+  /** One Lloyd refinement stage over vector CTE `e` and centroid CTE
+    * `cPrev`, producing centroid CTE `c\$n` — the SQL replay of
+    * [[ivfCentroids]]' iteration (decimal-exact means, empty cells keep
+    * their centroid). Shared by the IVF and semantic-dedup oracles.
+    */
+  private def lloydStage(n: Int, cPrev: String): String =
+    s"""a$n AS (SELECT vec_id, v, cell, $lloydArgmin AS rn
+                FROM e CROSS JOIN $cPrev),
+        ab$n AS (SELECT vec_id, v, cell FROM a$n WHERE rn = 1),
+        m$n AS (SELECT cell, i,
+                  CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)
+                    / count(v[i]) AS m
+                FROM ab$n CROSS JOIN range(1, ${Dim + 1}) t(i)
+                GROUP BY cell, i),
+        g$n AS (SELECT cell, list(m ORDER BY i) AS cv FROM m$n
+                GROUP BY cell),
+        c$n AS (SELECT c.cell, coalesce(g.cv, c.cv) AS cv
+                FROM $cPrev c LEFT JOIN g$n g USING (cell))"""
+
   private def ivfOracle: String = {
-    val argmin = "row_number() OVER (PARTITION BY vec_id ORDER BY " +
-      "list_dot_product(cv, cv) - 2 * list_dot_product(v, cv), cell)"
-    def lloyd(n: Int, cPrev: String): String =
-      s"""a$n AS (SELECT vec_id, v, cell, $argmin AS rn
-                  FROM e CROSS JOIN $cPrev),
-          ab$n AS (SELECT vec_id, v, cell FROM a$n WHERE rn = 1),
-          m$n AS (SELECT cell, i,
-                    CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)
-                      / count(v[i]) AS m
-                  FROM ab$n CROSS JOIN range(1, ${Dim + 1}) t(i)
-                  GROUP BY cell, i),
-          g$n AS (SELECT cell, list(m ORDER BY i) AS cv FROM m$n
-                  GROUP BY cell),
-          c$n AS (SELECT c.cell, coalesce(g.cv, c.cv) AS cv
-                  FROM $cPrev c LEFT JOIN g$n g USING (cell))"""
+    val argmin = lloydArgmin
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
         c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
-        ${lloyd(1, "c0")},
-        ${lloyd(2, "c1")},
+        ${lloydStage(1, "c0")},
+        ${lloydStage(2, "c1")},
         asg AS (SELECT vec_id, v, cell FROM (
                   SELECT vec_id, v, cell, $argmin AS rn
                   FROM e CROSS JOIN c2) WHERE rn = 1),
@@ -481,6 +492,79 @@ object Similarity extends QueryModule {
                        CAST(CASE WHEN maxabs = 0 THEN 0
                             ELSE CAST(round(x * 127.0 / maxabs) AS BIGINT)
                             END AS VARCHAR)), ',') AS q8
-              FROM m"""))
+              FROM m""")),
+
+    // Cluster-scoped semantic dedup — the SemDeDup scheme (Abbas et al.
+    // 2023): train a coarse k-means quantizer on the embedding corpus
+    // (the same deterministic Lloyd loop as ann_ivf), assign every
+    // vector to its cell, and flag a vector as a semantic duplicate iff
+    // a SMALLER-id vector in the SAME cell has cosine ≥ 0.95. Planted
+    // signal: corpus = embeddings ∪ an id-shifted copy of every
+    // vec_id % 4 == 0 row — identical vectors share a cell
+    // deterministically, so every planted copy must flag.
+    //
+    // Scale posture: the pairwise stage is confined to cells — in
+    // production k grows with the corpus (the paper's regime,
+    // k ≈ N/1000) so per-cell membership stays bounded and the
+    // self-join is Σ|cell|², never N². Centroid training collects only
+    // k×dim doubles per iteration (metadata scale); assignment is a
+    // map with the k centroids as literals. A dense cell degrades to
+    // the skewSafeBuckets banding exactly like dedup_embedding; at the
+    // spec corpus no cell is dense, so the direct form is the plan.
+    Q("dedup_semantic",
+      (s, d) => {
+        val e0 = emb(s, d).select(col("vec_id"), col("v"))
+        val corpus = e0.unionByName(
+          e0.filter(col("vec_id") % 4 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cents = ivfCentroids(corpus, 8, 2)
+        val assigned = corpus
+          .withColumn("cell", cellOf(col("v"), cents))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        assigned.count() // pipeline breaker before the self-join reuse
+        val near = assigned.as("a")
+          .join(assigned.as("b"), col("a.cell") === col("b.cell")
+            && col("a.vec_id") < col("b.vec_id"))
+          .select(col("b.vec_id").as("vec_id"),
+            cosine(col("a.v"), col("b.v")).as("sim"))
+          .filter(col("sim") >= 0.95)
+          .groupBy(col("vec_id")).agg(count(lit(1)).as("n_near"))
+        assigned.select(col("vec_id"), col("cell"))
+          .join(near, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"),
+            (coalesce(col("n_near"), lit(0L)) > 0).as("is_dup"))
+      },
+      Some(semanticOracle))
   )
+
+  /** DuckDB twin of dedup_semantic: the same planted corpus, the same
+    * two Lloyd stages ([[lloydStage]] over `e`), then within-cell
+    * smaller-id cosine matches ≥ 0.95.
+    */
+  private def semanticOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+                   FROM embeddings WHERE vec_id % 4 = 0),
+        c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        ${lloydStage(1, "c0")},
+        ${lloydStage(2, "c1")},
+        asg AS (SELECT vec_id, v, cell FROM (
+                  SELECT vec_id, v, cell, $lloydArgmin AS rn
+                  FROM e CROSS JOIN c2) WHERE rn = 1),
+        pr AS (SELECT b.vec_id,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS sim
+               FROM asg a JOIN asg b
+                 ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        nn AS (SELECT vec_id, count(*) AS n_near FROM pr
+               WHERE sim >= 0.95 GROUP BY vec_id)
+        SELECT asg.vec_id, asg.cell,
+               CAST(coalesce(n_near, 0) AS BIGINT) AS n_near,
+               coalesce(n_near, 0) > 0 AS is_dup
+        FROM asg LEFT JOIN nn USING (vec_id)"""
 }

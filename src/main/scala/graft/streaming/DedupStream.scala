@@ -207,4 +207,94 @@ object DedupStream {
           .as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
   }
+
+  /** Streaming twin of the batch quality/LM scoring pair
+    * (`quality_classifier` + `lm_bigram_score`): documents stream in
+    * and each is scored at ingest time against a STATIC bigram LM
+    * trained once on the existing corpus — the perplexity-filter shape
+    * of a continuously-ingesting corpus build, where low-quality or
+    * out-of-distribution documents are dropped before they reach
+    * training shards.
+    *
+    * Shape: the classifier score is a pure per-row array fold (no
+    * shuffle at all); LM scoring explodes the doc's bigrams through
+    * two stateless stream-static LEFT joins (the bigram q-table, then
+    * the unigram backoff q(w1) = ln(1/(c1+V)) for bigrams unseen in
+    * training, then the uniform OOV floor ln(1/V)) and folds per doc
+    * with the same never-stores-state `flatMapGroupsWithState` as
+    * [[deltaDedup]] — a doc's bigram rows are confined to its arrival
+    * micro-batch, so the fold emits immediately in pure Append.
+    * Token / bigram / weight / quantization definitions are SHARED
+    * with the batch operators ([[graft.operators.Dedup.tokenArr]],
+    * [[graft.operators.PipelineOps.bigramStructsExpr]],
+    * [[graft.operators.PipelineOps.tokenWeight]], floor(ln·10⁶)), so
+    * stream and batch cannot drift; StreamingSpec pins exact
+    * field-level agreement on the training corpus, where no backoff
+    * fires.
+    *
+    * At 100 TB: the model relations are sublinear in the corpus
+    * (|bigram vocab| + |vocab|), built once and persisted — the
+    * static side of a stream-static join re-executes per micro-batch
+    * otherwise; stream throughput is corpus-linear with the q-table
+    * join as the only data-scale shuffle.
+    */
+  def lmQualityFilter(docs: DataFrame, base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val D = graft.operators.Dedup
+    val P = graft.operators.PipelineOps
+    // static LM: unigram counts, vocabulary size, bigram q-table
+    val btoks = D.tokens(base.select(col("doc_id"), col("text")))
+    val uni = btoks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocabV = uni.count() // metadata-scale scalar (|vocab|)
+    val qtable = btoks.filter(size(col("t")) >= 2)
+      .select(explode(expr(P.bigramStructsExpr)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .join(uni, col("w1") === col("w"))
+      .select(col("w1"), col("w2"),
+        floor(log((col("c2") + 1).cast("double") /
+                  (col("c1") + lit(vocabV)).cast("double")) * 1e6)
+          .cast("long").as("q2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val quni = uni.select(col("w").as("w1"),
+      floor(log(lit(1.0) / (col("c1") + lit(vocabV)).cast("double")) * 1e6)
+        .cast("long").as("qo"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qOov = math.floor(math.log(1.0 / vocabV) * 1e6).toLong
+    // stream: per-row classifier fold, bigram explode, model joins
+    val scored = docs
+      .select(col("doc_id"), D.tokenArr(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("cls", aggregate(
+        transform(col("t"), P.tokenWeight(_)), lit(0L), _ + _))
+      .select(col("doc_id"), col("n_tokens"), col("cls"),
+        explode_outer(when(size(col("t")) >= 2, expr(P.bigramStructsExpr)))
+          .as("b"))
+      .select(col("doc_id"), col("n_tokens"), col("cls"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(qtable, Seq("w1", "w2"), "left")
+      .join(quni, Seq("w1"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("cls"),
+        when(col("w1").isNull, lit(0L))
+          .otherwise(coalesce(col("q2"), col("qo"), lit(qOov))).as("q"),
+        when(col("w1").isNull, lit(0L)).otherwise(lit(1L)).as("nb"))
+    scored.as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (id, rows, _) =>
+          var nt = 0L; var cls = 0L; var nb = 0L; var lp = 0L
+          rows.foreach { case (_, n, c, q, f) =>
+            nt = n; cls = c; nb += f; lp += q
+          }
+          Iterator.single((id, nt, cls, nb, lp, cls >= 0L))
+      }
+      .toDF("doc_id", "n_tokens", "cls_score", "n_bigrams", "logp_micro",
+        "keep")
+  }
 }

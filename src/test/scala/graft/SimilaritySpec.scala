@@ -111,4 +111,20 @@ class SimilaritySpec extends SparkSuite {
     // probe/centroid regression, unlike the old 0.25 floor.
     assert(recall >= 0.75, s"ivf recall@3 = $recall")
   }
+
+  test("dedup_semantic flags exactly the planted same-cell copies") {
+    val out = q("dedup_semantic").cache()
+    // identical vectors land in the same cell deterministically, and the
+    // copy carries the larger id — every planted copy must flag
+    val copies = out.where(col("vec_id") >= 1000000L)
+    assert(copies.count() > 0)
+    assert(copies.where(!col("is_dup")).count() == 0)
+    // the corpus' max non-identical cosine is far below 0.95, so no
+    // original may flag (its planted twin has the LARGER id)
+    assert(out.where(col("vec_id") < 1000000L && col("is_dup")).count() == 0)
+    // every vector is assigned to exactly one of the 8 cells
+    assert(out.select("vec_id").distinct().count() == out.count())
+    assert(out.where(col("cell") < 0 || col("cell") > 7).count() == 0)
+    out.unpersist()
+  }
 }

@@ -335,4 +335,48 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming LM/quality ingest filter equals the batch scorers") {
+    import org.apache.spark.sql.types._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    // corpus split across 3 files + one OOV doc file: scoring must span
+    // micro-batches and the backoff path must fire in-stream
+    val split = java.nio.file.Files.createTempDirectory("lmq-split").toString
+    base.repartition(3).write.mode("overwrite").parquet(split)
+    val oovId = 999999L
+    locally {
+      import spark.implicits._
+      Seq((oovId, "zzqx wwvk yyrg", "en", "srcX", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(split)
+    }
+    val incoming = graft.streaming.DedupStream.source(spark, split, "*.parquet")
+    val sq = graft.streaming.DedupStream.lmQualityFilter(incoming, base)
+      .writeStream.format("memory").queryName("lmq_stream")
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    assert(sq.recentProgress.count(_.numInputRows > 0) >= 4,
+      "expected one micro-batch per split file")
+    val streamed = spark.table("lmq_stream")
+    assert(streamed.count() == base.count() + 1)
+    // field-level parity with BOTH batch operators on the corpus docs
+    val cls = q("quality_classifier").select(col("doc_id"),
+      col("n_tokens").as("b_nt"), col("score").as("b_score"),
+      col("keep").as("b_keep"))
+    val lm = q("lm_bigram_score").select(col("doc_id"),
+      col("n_bigrams").as("b_nb"), col("logp_micro").as("b_lp"))
+    val joined = streamed.join(cls, "doc_id").join(lm, "doc_id")
+    assert(joined.count() == base.count())
+    assert(joined.where(
+      col("n_tokens") =!= col("b_nt") || col("cls_score") =!= col("b_score")
+        || col("keep") =!= col("b_keep") || col("n_bigrams") =!= col("b_nb")
+        || col("logp_micro") =!= col("b_lp")).count() == 0)
+    // the OOV doc took the uniform ln(1/V) floor on both its bigrams
+    val v = graft.operators.Dedup.tokens(base)
+      .select(explode(col("t")).as("w")).distinct().count()
+    val qOov = math.floor(math.log(1.0 / v) * 1e6).toLong
+    val oov = streamed.where(col("doc_id") === oovId).collect()(0)
+    assert(oov.getAs[Long]("n_bigrams") == 2L)
+    assert(oov.getAs[Long]("logp_micro") == 2 * qOov)
+  }
 }
