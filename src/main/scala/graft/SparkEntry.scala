@@ -29,7 +29,8 @@ object SparkEntry {
     operators.Sampling,
     operators.Analytic,
     operators.Curation,
-    operators.PipelineOps)
+    operators.PipelineOps,
+    operators.CorpusOps)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

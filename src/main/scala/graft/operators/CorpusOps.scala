@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Second corpus-pipeline family: tokenizer training (BPE merge
+  * learning), exact quantile bucketing without a global sort, and
+  * content-defined-chunking dedup (the shift-robust complement to
+  * [[PipelineOps]]'s aligned-block `dedup_passage`).
+  *
+  * The reference has no text surface at all (tinysql's
+  * `expression/builtin_string.go` stops at LENGTH/STRCMP) — these are
+  * the pretraining-corpus stages a user of this engine needs at 100 TB,
+  * expressed as declarative DataFrame shapes so Catalyst keeps them in
+  * whole-stage codegen.
+  *
+  * Scale posture:
+  *   - `bpe_train` touches the corpus ONCE (word counting); the merge
+  *     loop then iterates over the distinct-WORD relation, which is
+  *     vocabulary-scale (sublinear in corpus tokens) and persisted.
+  *     Each iteration is one map-side-combined pair-count aggregate
+  *     plus a 1-row driver collect — K metadata-scale jobs, never a
+  *     corpus rescan.
+  *   - `quality_buckets` replaces the naive ntile (a total sort through
+  *     ONE partition — the classic 100 TB cliff) with a value
+  *     histogram: one hash agg on the score value, a window over the
+  *     DISTINCT-VALUE relation (bounded by the score domain, not the
+  *     corpus), and one join back. Identical tie semantics, no global
+  *     sort anywhere.
+  *   - `dedup_cdc` derives chunk boundaries from content (md5 of the
+  *     token), so an inserted prefix only perturbs the chunk containing
+  *     the edit; everything per-document is a doc_id-local window
+  *     (state bounded by max doc length), and the cross-corpus census
+  *     is one hash agg on 16-byte digests.
+  */
+object CorpusOps extends QueryModule {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Symbol separator / end-of-word sentinels for the BPE symbol
+    * string. Control characters that cannot occur in the corpus —
+    * CorpusOpsSpec asserts the precondition (tokens are ASCII \S+, so
+    * neither \x01 nor \x02 appears).
+    */
+  private val SEP = "\u0001"
+  private val EOW = "\u0002"
+
+  /** Number of BPE merges learned (and mirrored in the oracle CTE
+    * chain). Each merge costs one vocabulary-scale aggregate.
+    */
+  private val BPE_MERGES = 12
+
+  /** DuckDB twin of the BPE merge loop: a generated K-stage CTE chain.
+    * Stage i extracts adjacent symbol pairs from the \x01-separated
+    * symbol strings, picks the (count DESC, s1, s2) best pair with a
+    * scalar-subquery LIMIT 1, and applies the merge via `replace`
+    * (left-to-right non-overlapping in both engines — validated for
+    * the self-overlap case 'aaa' + merge (a,a)).
+    */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH occ AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+                      FROM documents),
+         wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM occ GROUP BY w),
+         w0 AS MATERIALIZED (SELECT cnt,
+                       chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g')
+                              || chr(2) || chr(1) AS repr
+                FROM wc)"""
+    for (i <- 1 to k) {
+      val prev = s"w${i - 1}"
+      sb ++= s""",
+         p$i AS MATERIALIZED (SELECT s1, s2, sum(cnt) AS c FROM (
+                   SELECT cnt, unnest(sy[1:len(sy)-1]) AS s1,
+                               unnest(sy[2:len(sy)]) AS s2
+                   FROM (SELECT cnt, ss[2:len(ss)-1] AS sy
+                         FROM (SELECT cnt, string_split(repr, chr(1)) AS ss
+                               FROM $prev))
+                   WHERE len(sy) >= 2)
+                 GROUP BY s1, s2),
+         b$i AS MATERIALIZED (SELECT s1, s2, c FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
+         w$i AS MATERIALIZED (SELECT cnt, replace(repr,
+                   chr(1) || (SELECT s1 FROM b$i) || chr(1) ||
+                             (SELECT s2 FROM b$i) || chr(1),
+                   chr(1) || (SELECT s1 || s2 FROM b$i) || chr(1)) AS repr
+                 FROM $prev)"""
+    }
+    sb ++= "\n         "
+    sb ++= (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS iter,
+                 replace(s1, chr(2), '</w>') AS s1,
+                 replace(s2, chr(2), '</w>') AS s2,
+                 replace(s1 || s2, chr(2), '</w>') AS merged,
+                 CAST(c AS BIGINT) AS cnt
+          FROM b$i""").mkString(" UNION ALL ")
+    sb.toString
+  }
+
+  override val queries: Seq[Q] = Seq(
+
+    // BPE tokenizer training — learn the first K merge rules over the
+    // corpus vocabulary (the classic Sennrich et al. loop). Words are
+    // \x01-separated symbol strings ending in an end-of-word sentinel;
+    // each iteration counts adjacent symbol pairs weighted by word
+    // frequency, picks the most frequent pair (count DESC, then
+    // lexicographic — deterministic across engines: ASCII + control
+    // chars compare bytewise identically), and rewrites every word via
+    // left-to-right non-overlapping `replace`. The corpus is scanned
+    // exactly once (word counting); all K iterations run against the
+    // persisted vocabulary-scale word table, and the only driver
+    // traffic is K single-row argmax collects.
+    Q("bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val words = Dedup.tokens(docs(s, d))
+          .select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"),
+            concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP),
+              lit(EOW + SEP)).as("repr"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          var cur = words
+          val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+          for (i <- 1 to BPE_MERGES) {
+            val pairs = cur
+              .select(col("cnt"),
+                expr("slice(split(repr, '\u0001'), 2, size(split(repr, '\u0001')) - 2)")
+                  .as("s"))
+              .filter(size(col("s")) >= 2)
+              .select(col("cnt"), explode(expr(
+                """transform(sequence(1, size(s) - 1),
+                   i -> struct(element_at(s, i) AS s1, element_at(s, i + 1) AS s2))"""))
+                .as("p"))
+              .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+              .agg(sum(col("cnt")).as("c"))
+            val best = pairs.orderBy(col("c").desc, col("s1"), col("s2"))
+              .limit(1).collect()(0)
+            val (m1, m2, c) = (best.getString(0), best.getString(1), best.getLong(2))
+            val disp = (x: String) => x.replace(EOW, "</w>")
+            merges += ((i.toLong, disp(m1), disp(m2), disp(m1 + m2), c))
+            cur = cur.select(col("cnt"),
+              replace(col("repr"), lit(SEP + m1 + SEP + m2 + SEP),
+                lit(SEP + m1 + m2 + SEP)).as("repr"))
+          }
+          merges.result().toDF("iter", "s1", "s2", "merged", "cnt")
+        } finally words.unpersist()
+      },
+      Some(bpeOracle(BPE_MERGES))),
+
+    // Exact decile bucketing WITHOUT a global sort — the scalable
+    // ntile. Score = document length in tokens (the curriculum /
+    // length-filter axis); bucket = ceil(10 * rank-with-ties / N),
+    // computed as pure integer arithmetic so both engines agree
+    // bit-for-bit (a double cume_dist would round on exact-decile
+    // boundaries). Shape: one hash agg score→count, a cumulative
+    // window over the DISTINCT-SCORE relation only (bounded by the
+    // score domain — never the corpus), one broadcast-size join back.
+    // Ties land in the same bucket by construction, which ntile cannot
+    // guarantee.
+    Q("quality_buckets",
+      (s, d) => {
+        val sc = Dedup.tokens(docs(s, d))
+          .select(col("doc_id"), size(col("t")).cast("long").as("score"))
+        val hist = sc.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum",
+          sum(col("c")).over(Window.orderBy(col("score"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val total = hist.agg(sum(col("c")).as("n"))
+        val buckets = cum.crossJoin(broadcast(total))
+          .select(col("score"),
+            expr("(10 * cum + n - 1) div n").as("bucket"))
+        sc.join(buckets, Seq("score"))
+          .select(col("doc_id"), col("score"), col("bucket"))
+      },
+      Some("""WITH sc AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+                       AS score
+                   FROM documents),
+              n AS (SELECT count(*) AS n FROM sc),
+              cum AS (SELECT doc_id, score,
+                             count(*) OVER (ORDER BY score) AS cum
+                      FROM sc)
+              SELECT doc_id, score,
+                     CAST((10 * cum + n.n - 1) // n.n AS BIGINT) AS bucket
+              FROM cum CROSS JOIN n""")),
+
+    // Content-defined-chunking dedup — the shift-robust complement to
+    // dedup_passage's aligned blocks. A chunk boundary falls AFTER any
+    // token whose md5 starts with hex 0 or 1 (p = 1/8 ⇒ mean chunk ≈ 8
+    // tokens), so chunk identity depends only on content, not position:
+    // a planted one-token-prefixed excerpt ('zzz ' + tokens 1..24 of
+    // every doc_id % 7 == 0 doc) still shares every post-boundary chunk
+    // with its source — aligned blocks would miss all of them. Chunk
+    // assembly is a doc_id-local window (per-key state bounded by doc
+    // length); the dup census is ONE hash agg on the chunk digest.
+    Q("dedup_cdc",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), lower(col("text")).as("text"))
+        val corp = base.unionAll(
+          base.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(lit("zzz "),
+                array_join(slice(Dedup.tokenArr(col("text")), 1, 24), " "))
+                .as("text")))
+        val occ = corp.repartition(col("doc_id"))
+          .select(col("doc_id"), posexplode(Dedup.tokenArr(col("text"))))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+          .withColumn("b",
+            when(substring(md5(col("tok")), 1, 1).isin("0", "1"), 1L)
+              .otherwise(0L))
+        val ch = occ.withColumn("chunk",
+          coalesce(sum(col("b")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val cg = ch.groupBy(col("doc_id"), col("chunk"))
+          .agg(md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              _.getField("tok")), " ")).as("h"))
+        val census = cg.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        cg.join(census, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            count(when(col("c") >= 2, 1)).as("n_dup_chunks"))
+      },
+      Some("""WITH base AS (SELECT doc_id, lower(text) AS text FROM documents),
+              corp AS (SELECT doc_id, text FROM base
+                       UNION ALL
+                       SELECT doc_id + 3000000,
+                              'zzz ' || array_to_string(list_slice(
+                                regexp_extract_all(text, '\S+'), 1, 24), ' ')
+                       FROM base WHERE doc_id % 7 = 0),
+              toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                       FROM corp),
+              occ AS (SELECT doc_id, unnest(t) AS tok,
+                             unnest(range(0, len(t))) AS pos
+                      FROM toks),
+              fl AS (SELECT doc_id, pos, tok,
+                            CASE WHEN substring(md5(tok), 1, 1) IN ('0', '1')
+                                 THEN 1 ELSE 0 END AS b
+                     FROM occ),
+              ch AS (SELECT doc_id, pos, tok,
+                            coalesce(sum(b) OVER (PARTITION BY doc_id
+                              ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS chunk
+                     FROM fl),
+              cg AS (SELECT doc_id, chunk,
+                            md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+                     FROM ch GROUP BY doc_id, chunk),
+              census AS (SELECT h, count(*) AS c FROM cg GROUP BY h)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                     CAST(count(*) FILTER (c >= 2) AS BIGINT) AS n_dup_chunks
+              FROM cg JOIN census USING (h) GROUP BY doc_id"""))
+  )
+}

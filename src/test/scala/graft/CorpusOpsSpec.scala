@@ -109,4 +109,89 @@ class CorpusOpsSpec extends SparkSuite {
       cnts(0) == top.getLong(1))
     out.unpersist()
   }
+
+  test("bpe_train precondition: corpus tokens contain neither sentinel") {
+    // the BPE symbol string uses \x01 as separator and \x02 as
+    // end-of-word; a corpus change that introduces them must fail HERE
+    val bad = Dedup.tokens(docs).select(explode(col("t")).as("t"))
+      .where(col("t").contains("\u0001") || col("t").contains("\u0002"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("bpe_train: merged symbols compose, best-pair count never increases") {
+    val rows = q("bpe_train").orderBy("iter").collect()
+    assert(rows.length == 12)
+    assert(rows.zipWithIndex.forall { case (r, i) => r.getAs[Long]("iter") == i + 1 })
+    assert(rows.forall(r =>
+      r.getAs[String]("merged") == r.getAs[String]("s1") + r.getAs[String]("s2")))
+    // merging (s1,s2) caps every later pair containing the new symbol at
+    // this pair's count, so the argmax sequence is non-increasing
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // iteration 1 re-derived independently: the most frequent adjacent
+    // char pair over (chars + end-of-word), weighted by word frequency
+    val first = Dedup.tokens(docs).select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        expr("concat(regexp_extract_all(w, '.', 0), array('\u0002'))").as("s"))
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(s) - 1),
+           i -> struct(element_at(s, i) AS s1, element_at(s, i + 1) AS s2))"""))
+        .as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("s1"), col("s2")).limit(1).collect()(0)
+    val disp = (x: String) => x.replace("\u0002", "</w>")
+    assert(rows(0).getAs[String]("s1") == disp(first.getString(0)))
+    assert(rows(0).getAs[String]("s2") == disp(first.getString(1)))
+    assert(rows(0).getAs[Long]("cnt") == first.getLong(2))
+  }
+
+  test("quality_buckets: exact ceil-rank deciles, ties share a bucket") {
+    val out = q("quality_buckets").cache()
+    val n = docs.count()
+    assert(out.count() == n)
+    assert(out.where(col("bucket") < 1 || col("bucket") > 10).count() == 0)
+    // ties share a bucket ⇒ bucket is a function of score
+    assert(out.select("score", "bucket").distinct().count() ==
+      out.select("score").distinct().count())
+    // re-derive the bucket from first principles on the collected scores
+    val scores = out.select("score", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = scores.map(_._1).sorted
+    scores.foreach { case (s, b) =>
+      val cum = sorted.count(_ <= s).toLong
+      assert(b == (10 * cum + n - 1) / n, s"score $s")
+    }
+    out.unpersist()
+  }
+
+  test("dedup_cdc: content-defined chunks survive a shifted prefix") {
+    val out = q("dedup_cdc").cache()
+    val planted = out.where(col("doc_id") >= 3000000L).cache()
+    assert(planted.count() > 0)
+    // content-defined boundaries make most planted prefixed excerpts
+    // share at least one chunk with their source (needs >= 2 boundaries
+    // in the copied 24 tokens, p ~ 0.8 each) — assert the mechanism
+    // fires broadly, not per-doc
+    val withDup = planted.where(col("n_dup_chunks") >= 1).count()
+    assert(withDup * 2 > planted.count(),
+      s"only $withDup of ${planted.count()} planted docs share a chunk")
+    assert(out.where(col("n_chunks") < 1).count() == 0)
+    assert(out.where(col("n_dup_chunks") > col("n_chunks")).count() == 0)
+    // chunk-count math re-derived for one base doc: chunks = boundary
+    // tokens among all but the last position, + 1
+    val one = docs.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), Dedup.tokenArr(lower(col("text"))).as("t"))
+      .collect()(0)
+    val toks = one.getSeq[String](1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(s: String): Char =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    val nChunks = 1 + toks.dropRight(1).count(t => "01".contains(hex1(t)))
+    val got = out.where(col("doc_id") === one.getLong(0)).collect()(0)
+    assert(got.getAs[Long]("n_chunks") == nChunks)
+    planted.unpersist(); out.unpersist()
+  }
 }
