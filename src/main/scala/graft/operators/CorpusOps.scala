@@ -54,14 +54,18 @@ object CorpusOps extends QueryModule {
     */
   private val BPE_MERGES = 12
 
-  /** DuckDB twin of the BPE merge loop: a generated K-stage CTE chain.
-    * Stage i extracts adjacent symbol pairs from the \x01-separated
-    * symbol strings, picks the (count DESC, s1, s2) best pair with a
+  /** DuckDB twin of the BPE merge loop: a generated K-stage CTE chain
+    * (shared by the `bpe_train` and `bpe_encode` oracles). Stage i
+    * extracts adjacent symbol pairs from the \x01-separated symbol
+    * strings, picks the (count DESC, s1, s2) best pair with a
     * scalar-subquery LIMIT 1, and applies the merge via `replace`
     * (left-to-right non-overlapping in both engines — validated for
-    * the self-overlap case 'aaa' + merge (a,a)).
+    * the self-overlap case 'aaa' + merge (a,a)). Every stage is
+    * MATERIALIZED: DuckDB inlines plain CTEs, and the ~4 references per
+    * stage would re-expand the chain exponentially (the first attempt
+    * died on 4^12 parquet opens).
     */
-  private def bpeOracle(k: Int): String = {
+  private def bpeChain(k: Int): String = {
     val sb = new StringBuilder
     sb ++=
       """WITH occ AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
@@ -89,16 +93,85 @@ object CorpusOps extends QueryModule {
                    chr(1) || (SELECT s1 || s2 FROM b$i) || chr(1)) AS repr
                  FROM $prev)"""
     }
-    sb ++= "\n         "
-    sb ++= (1 to k).map(i =>
+    sb.toString
+  }
+
+  private def bpeTrainOracle(k: Int): String =
+    bpeChain(k) + "\n         " + (1 to k).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS iter,
                  replace(s1, chr(2), '</w>') AS s1,
                  replace(s2, chr(2), '</w>') AS s2,
                  replace(s1 || s2, chr(2), '</w>') AS merged,
                  CAST(c AS BIGINT) AS cnt
           FROM b$i""").mkString(" UNION ALL ")
-    sb.toString
+
+  /** Subword vocabulary after the K merges: rank on the RAW symbol (the
+    * \x02 end-of-word byte), display with the `</w>` convention — both
+    * engines order bytewise on ASCII + control chars, so the tie-break
+    * agrees.
+    */
+  private def bpeEncodeOracle(k: Int): String =
+    bpeChain(k) + s""",
+         sel AS (SELECT sym, sum(cnt) AS c FROM (
+                   SELECT cnt, unnest(ss[2:len(ss)-1]) AS sym
+                   FROM (SELECT cnt, string_split(repr, chr(1)) AS ss
+                         FROM w$k))
+                 GROUP BY sym),
+         top AS (SELECT sym, c,
+                        row_number() OVER (ORDER BY c DESC, sym) AS rank
+                 FROM sel)
+         SELECT replace(sym, chr(2), '</w>') AS subword,
+                CAST(c AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
+         FROM top WHERE rank <= 50"""
+
+  /** The shared merge loop: persist the vocabulary-scale word table,
+    * learn K merges (one pair-count aggregate + a 1-row argmax collect
+    * each), hand (merges, final symbol table) to `finish` — which must
+    * MATERIALIZE anything derived from the symbol table before
+    * returning, because the persisted base is unpersisted on exit.
+    */
+  private def withBpe[T](s: SparkSession, d: String)(
+      finish: (Seq[(Long, String, String, String, Long)], DataFrame) => T): T = {
+    val words = Dedup.tokens(docs(s, d))
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP),
+          lit(EOW + SEP)).as("repr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = words
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (i <- 1 to BPE_MERGES) {
+        val pairs = symbols(cur)
+          .filter(size(col("s")) >= 2)
+          .select(col("cnt"), explode(expr(
+            """transform(sequence(1, size(s) - 1),
+               i -> struct(element_at(s, i) AS s1, element_at(s, i + 1) AS s2))"""))
+            .as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(sum(col("cnt")).as("c"))
+        val best = pairs.orderBy(col("c").desc, col("s1"), col("s2"))
+          .limit(1).collect()(0)
+        val (m1, m2, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
+        cur = cur.select(col("cnt"),
+          replace(col("repr"), lit(SEP + m1 + SEP + m2 + SEP),
+            lit(SEP + m1 + m2 + SEP)).as("repr"))
+      }
+      finish(merges.result(), cur)
+    } finally words.unpersist()
   }
+
+  /** (cnt, s) with s = the word's symbol array — the \x01-joined repr
+    * split apart, leading/trailing empties sliced off.
+    */
+  private def symbols(words: DataFrame): DataFrame =
+    words.select(col("cnt"),
+      expr(s"slice(split(repr, '$SEP'), 2, size(split(repr, '$SEP')) - 2)")
+        .as("s"))
+
+  private def bpeDisp(x: String): String = x.replace(EOW, "</w>")
 
   override val queries: Seq[Q] = Seq(
 
@@ -116,41 +189,31 @@ object CorpusOps extends QueryModule {
     Q("bpe_train",
       (s, d) => {
         import s.implicits._
-        val words = Dedup.tokens(docs(s, d))
-          .select(explode(col("t")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-          .select(col("cnt"),
-            concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP),
-              lit(EOW + SEP)).as("repr"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          var cur = words
-          val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-          for (i <- 1 to BPE_MERGES) {
-            val pairs = cur
-              .select(col("cnt"),
-                expr("slice(split(repr, '\u0001'), 2, size(split(repr, '\u0001')) - 2)")
-                  .as("s"))
-              .filter(size(col("s")) >= 2)
-              .select(col("cnt"), explode(expr(
-                """transform(sequence(1, size(s) - 1),
-                   i -> struct(element_at(s, i) AS s1, element_at(s, i + 1) AS s2))"""))
-                .as("p"))
-              .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-              .agg(sum(col("cnt")).as("c"))
-            val best = pairs.orderBy(col("c").desc, col("s1"), col("s2"))
-              .limit(1).collect()(0)
-            val (m1, m2, c) = (best.getString(0), best.getString(1), best.getLong(2))
-            val disp = (x: String) => x.replace(EOW, "</w>")
-            merges += ((i.toLong, disp(m1), disp(m2), disp(m1 + m2), c))
-            cur = cur.select(col("cnt"),
-              replace(col("repr"), lit(SEP + m1 + SEP + m2 + SEP),
-                lit(SEP + m1 + m2 + SEP)).as("repr"))
-          }
-          merges.result().toDF("iter", "s1", "s2", "merged", "cnt")
-        } finally words.unpersist()
+        withBpe(s, d)((merges, _) =>
+          merges.toDF("iter", "s1", "s2", "merged", "cnt"))
       },
-      Some(bpeOracle(BPE_MERGES))),
+      Some(bpeTrainOracle(BPE_MERGES))),
+
+    // BPE application — the other half of the tokenizer: re-segment the
+    // vocabulary with the learned merges and emit the top-50 subword
+    // units by corpus frequency. Reuses the SAME merge loop and oracle
+    // CTE chain as bpe_train (train and encode cannot drift); the
+    // subword census is one vocabulary-scale aggregate, and only the
+    // 50-row result reaches the driver.
+    Q("bpe_encode",
+      (s, d) => {
+        import s.implicits._
+        withBpe(s, d) { (_, cur) =>
+          val top = symbols(cur)
+            .select(col("cnt"), explode(col("s")).as("sym"))
+            .groupBy(col("sym")).agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("sym")).limit(50).collect()
+          top.zipWithIndex.toSeq.map { case (r, i) =>
+            (bpeDisp(r.getString(0)), r.getLong(1), (i + 1).toLong)
+          }.toDF("subword", "cnt", "rank")
+        }
+      },
+      Some(bpeEncodeOracle(BPE_MERGES))),
 
     // Exact decile bucketing WITHOUT a global sort — the scalable
     // ntile. Score = document length in tokens (the curriculum /

@@ -148,6 +148,29 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows(0).getAs[Long]("cnt") == first.getLong(2))
   }
 
+  test("bpe_encode: dense ranks, conservation of end-of-word mass") {
+    val out = q("bpe_encode").orderBy("rank").collect()
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.zipWithIndex.forall { case (r, i) => r.getAs[Long]("rank") == i + 1 })
+    val cnts = out.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // the LAST learned merge's symbol is never consumed by a later
+    // merge, so its subword count equals the merge's argmax count
+    val lastMerge = q("bpe_train").orderBy(col("iter").desc).limit(1).collect()(0)
+    val inVocab = out.find(_.getAs[String]("subword") == lastMerge.getAs[String]("merged"))
+    inVocab.foreach(r => assert(r.getAs[Long]("cnt") == lastMerge.getAs[Long]("cnt")))
+    // un-truncated vocab ⇒ every token occurrence contributes exactly
+    // one end-of-word-bearing subword
+    if (out.length < 50) {
+      val eowMass = out.filter(_.getAs[String]("subword").endsWith("</w>"))
+        .map(_.getAs[Long]("cnt")).sum
+      val totalToks = Dedup.tokens(docs)
+        .select(sum(size(col("t")))).collect()(0).getLong(0)
+      assert(eowMass == totalToks)
+      assert(inVocab.isDefined)
+    }
+  }
+
   test("quality_buckets: exact ceil-rank deciles, ties share a bucket") {
     val out = q("quality_buckets").cache()
     val n = docs.count()
