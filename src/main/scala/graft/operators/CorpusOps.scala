@@ -173,6 +173,57 @@ object CorpusOps extends QueryModule {
 
   private def bpeDisp(x: String): String = x.replace(EOW, "</w>")
 
+
+  /** TextRank iterations for the oracle: a generated K-stage
+    * MATERIALIZED CTE chain over the top-100-token co-occurrence graph.
+    * Every per-edge contribution is floored integer micro-units
+    * ((r·w·17) // (W·20) — damping 0.85 = 17/20), so the per-node sum
+    * is order-independent and the whole fixpoint is bit-identical
+    * across engines; a double-arithmetic PageRank could never be
+    * hash-compared.
+    */
+  private def textRankOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS t
+                       FROM documents),
+         occ AS (SELECT unnest(t) AS tok FROM toks),
+         vc AS MATERIALIZED (SELECT tok, count(*) AS cnt FROM occ GROUP BY tok),
+         nodes AS MATERIALIZED (SELECT tok FROM vc
+                                ORDER BY cnt DESC, tok LIMIT 100),
+         bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                FROM toks WHERE len(t) >= 2),
+         bc AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+         sym AS (SELECT w1 AS src, w2 AS dst, c FROM bc
+                 UNION ALL
+                 SELECT w2 AS src, w1 AS dst, c FROM bc),
+         e AS MATERIALIZED (SELECT src, dst, sum(c) AS w FROM sym
+                            JOIN nodes ns ON ns.tok = sym.src
+                            JOIN nodes nd ON nd.tok = sym.dst
+                            GROUP BY src, dst),
+         outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+         r0 AS MATERIALIZED (SELECT tok, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    for (i <- 1 to k) sb ++= s""",
+         r$i AS MATERIALIZED (
+           SELECT n.tok,
+                  CAST(150000 + coalesce(sum(m.t), 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst, (p.r * e.w * 17) // (o.ow * 20) AS t
+             FROM e JOIN r${i - 1} p ON p.tok = e.src
+                    JOIN outw o ON o.src = e.src) m
+             ON m.dst = n.tok
+           GROUP BY n.tok)"""
+    sb ++= s""",
+         top AS (SELECT tok, r,
+                        row_number() OVER (ORDER BY r DESC, tok) AS rank
+                 FROM r$k)
+         SELECT tok, CAST(r AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+         FROM top WHERE rank <= 20"""
+    sb.toString
+  }
+
+  private val TEXTRANK_ITERS = 5
+
   override val queries: Seq[Q] = Seq(
 
     // BPE tokenizer training — learn the first K merge rules over the
@@ -318,6 +369,59 @@ object CorpusOps extends QueryModule {
               census AS (SELECT h, count(*) AS c FROM cg GROUP BY h)
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
                      CAST(count(*) FILTER (c >= 2) AS BIGINT) AS n_dup_chunks
-              FROM cg JOIN census USING (h) GROUP BY doc_id"""))
+              FROM cg JOIN census USING (h) GROUP BY doc_id""")),
+
+    // TextRank keyword scoring — PageRank on the token co-occurrence
+    // graph (Mihalcea & Tarau's TextRank, the corpus-keyword shape).
+    // Nodes: the top-100 tokens by frequency; edges: symmetrized
+    // adjacent-bigram counts between them; 5 damped iterations
+    // r' = 0.15 + 0.85·Σ r·w/W in integer micro-units with per-edge
+    // flooring, so the sum is order-independent and the DuckDB twin
+    // matches bit-for-bit (double PageRank could never hash-compare).
+    //
+    // Scale shape: ONE corpus pass (the bigram + token censuses, both
+    // map-side-combined hash aggs); the graph and every iteration
+    // thereafter are vocabulary-scale — the rank vector is 100 rows,
+    // broadcast into each join, and the 5-round lineage never touches
+    // the corpus again. The same loop at 1000 executors just has wider
+    // census exchanges.
+    Q("text_rank",
+      (s, d) => {
+        val toks = Dedup.tokens(docs(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+        val nodes = toks.select(explode(col("t")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(100)
+          .select(col("tok"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val bc = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(PipelineOps.bigramStructsExpr)).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        val sym = bc.select(col("w1").as("src"), col("w2").as("dst"), col("c"))
+          .unionAll(bc.select(col("w2").as("src"), col("w1").as("dst"), col("c")))
+        val e = sym
+          .join(broadcast(nodes.withColumnRenamed("tok", "src")), "src")
+          .join(broadcast(nodes.withColumnRenamed("tok", "dst")), "dst")
+          .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("w"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+        var r = nodes.select(col("tok"), lit(1000000L).as("r"))
+        for (_ <- 1 to TEXTRANK_ITERS) {
+          val contrib = e
+            .join(broadcast(r.select(col("tok").as("src"), col("r").as("rs"))), "src")
+            .join(broadcast(outw), "src")
+            .select(col("dst"), expr("(rs * w * 17) div (ow * 20)").as("t"))
+            .groupBy(col("dst")).agg(sum(col("t")).as("inmass"))
+          r = nodes
+            .join(contrib.withColumnRenamed("dst", "tok"), Seq("tok"), "left")
+            .select(col("tok"),
+              (lit(150000L) + coalesce(col("inmass"), lit(0L))).as("r"))
+        }
+        r.orderBy(col("r").desc, col("tok")).limit(20)
+          .select(col("tok"), col("r").as("score"))
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("score").desc, col("tok"))))
+      },
+      Some(textRankOracle(TEXTRANK_ITERS)))
   )
 }

@@ -171,6 +171,36 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("text_rank: exact integer fixpoint matches an in-memory replay") {
+    val out = q("text_rank").orderBy("rank").collect()
+    assert(out.length == 20)
+    assert(out.zipWithIndex.forall { case (r, i) => r.getAs[Int]("rank") == i + 1 })
+    val sc = out.map(_.getAs[Long]("score"))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    // every node keeps at least the teleport mass
+    assert(sc.forall(_ >= 150000L))
+    // replay the whole computation in plain Scala over the collected
+    // sf0.001 corpus — an oracle-independent equivalence check
+    val toks = Dedup.tokens(docs).select(col("t")).collect()
+      .map(_.getSeq[String](0))
+    val cnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    toks.foreach(_.foreach(t => cnt(t) += 1))
+    val nodes = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(100).map(_._1).toSet
+    val ew = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    toks.foreach(ts => ts.iterator.zip(ts.iterator.drop(1)).foreach { case (a, b) =>
+      if (nodes(a) && nodes(b)) { ew((a, b)) += 1; ew((b, a)) += 1 }
+    })
+    val outw = ew.toSeq.groupBy(_._1._1).map { case (src, es) => src -> es.map(_._2).sum }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      ew.foreach { case ((src, dst), w) => in(dst) += r(src) * w * 17 / (outw(src) * 20) }
+      r = nodes.map(n => n -> (150000L + in(n))).toMap
+    }
+    val expect = r.toSeq.sortBy { case (t, v) => (-v, t) }.take(20)
+    assert(out.map(x => (x.getAs[String]("tok"), x.getAs[Long]("score"))).toSeq == expect)
+  }
+
   test("quality_buckets: exact ceil-rank deciles, ties share a bucket") {
     val out = q("quality_buckets").cache()
     val n = docs.count()
