@@ -310,8 +310,13 @@ object CorpusOps extends QueryModule {
     // a planted one-token-prefixed excerpt ('zzz ' + tokens 1..24 of
     // every doc_id % 7 == 0 doc) still shares every post-boundary chunk
     // with its source — aligned blocks would miss all of them. Chunk
-    // assembly is a doc_id-local window (per-key state bounded by doc
-    // length); the dup census is ONE hash agg on the chunk digest.
+    // assembly is pure per-row array HOFs — boundary positions, start/end
+    // zip, slice-and-hash — so the corpus pass is map-only (no per-doc
+    // window sort, no (doc_id, chunk) exchange); the only shuffles are
+    // the digest census and the final doc_id aggregate. The DuckDB twin
+    // deliberately keeps the explode + window + string_agg formulation:
+    // two independent derivations agreeing is a stronger oracle than a
+    // mirrored one.
     Q("dedup_cdc",
       (s, d) => {
         val base = docs(s, d).select(col("doc_id"), lower(col("text")).as("text"))
@@ -321,20 +326,21 @@ object CorpusOps extends QueryModule {
               concat(lit("zzz "),
                 array_join(slice(Dedup.tokenArr(col("text")), 1, 24), " "))
                 .as("text")))
-        val occ = corp.repartition(col("doc_id"))
-          .select(col("doc_id"), posexplode(Dedup.tokenArr(col("text"))))
-          .select(col("doc_id"), col("pos"), col("col").as("tok"))
-          .withColumn("b",
-            when(substring(md5(col("tok")), 1, 1).isin("0", "1"), 1L)
-              .otherwise(0L))
-        val ch = occ.withColumn("chunk",
-          coalesce(sum(col("b")).over(
-            Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        val cg = ch.groupBy(col("doc_id"), col("chunk"))
-          .agg(md5(array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-              _.getField("tok")), " ")).as("h"))
+        // per-doc chunk digests: boundaries AFTER tokens whose md5 opens
+        // with hex 0/1; a boundary on the last token would open an empty
+        // chunk, which the s <= e zip filter drops
+        val cg = corp
+          .select(col("doc_id"), Dedup.tokenArr(col("text")).as("t"))
+          .withColumn("barr", expr(
+            "filter(sequence(1, size(t)), i -> substring(md5(element_at(t, i)), 1, 1) IN ('0', '1'))"))
+          .withColumn("h", explode(expr(
+            """transform(
+                 filter(zip_with(concat(array(1), transform(barr, b -> b + 1)),
+                                 concat(barr, array(size(t))),
+                                 (s, e) -> struct(s AS s, e AS e)),
+                        p -> p.s <= p.e),
+                 c -> md5(array_join(slice(t, c.s, c.e - c.s + 1), ' ')))""")))
+          .select(col("doc_id"), col("h"))
         val census = cg.groupBy(col("h")).agg(count(lit(1)).as("c"))
         cg.join(census, Seq("h"))
           .groupBy(col("doc_id"))
