@@ -428,6 +428,49 @@ object CorpusOps extends QueryModule {
           .withColumn("rank",
             row_number().over(Window.orderBy(col("score").desc, col("tok"))))
       },
-      Some(textRankOracle(TEXTRANK_ITERS)))
+      Some(textRankOracle(TEXTRANK_ITERS))),
+
+    // Cross-source contamination matrix — for every pair of sources,
+    // the number of DISTINCT 8-token blocks both contain (the corpus
+    // diagnostic behind per-source dedup/mixing decisions: which feeds
+    // overlap, and how much). Shape: block digests are a map-only
+    // bounded explode; ONE hash agg per digest collects the <=|sources|
+    // set (collect_set dedups within the aggregate — no separate
+    // distinct exchange); pair expansion is an array HOF over that
+    // tiny sorted set, so the quadratic is in SOURCES (20 here, maybe
+    // hundreds in production), never in documents or blocks. The DuckDB
+    // twin uses the classic digest self-join formulation — an
+    // independent derivation, not a mirror.
+    Q("source_overlap",
+      (s, d) => {
+        val blk = docs(s, d)
+          .select(col("source"), Dedup.tokenArr(col("text")).as("t"))
+          .select(col("source"), explode(expr(
+            """transform(sequence(1, size(t), 8),
+               st -> md5(array_join(slice(t, st, 8), ' ')))""")).as("h"))
+        blk.groupBy(col("h"))
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(ss,
+                 (a, i) -> transform(slice(ss, i + 2, size(ss)),
+                                     b -> struct(a AS src_a, b AS src_b))))"""))
+            .as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(count(lit(1)).as("n_shared_blocks"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+                      regexp_extract_all(lower(text), '\S+') AS t
+                    FROM documents),
+              blk AS (SELECT source,
+                             md5(array_to_string(t[st:st+7], ' ')) AS h
+                      FROM (SELECT source, t,
+                                   unnest(range(1, len(t) + 1, 8)) AS st
+                            FROM toks)),
+              sb AS (SELECT DISTINCT source, h FROM blk)
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(count(*) AS BIGINT) AS n_shared_blocks
+              FROM sb a JOIN sb b ON a.h = b.h AND a.source < b.source
+              GROUP BY a.source, b.source"""))
   )
 }

@@ -201,6 +201,23 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out.map(x => (x.getAs[String]("tok"), x.getAs[Long]("score"))).toSeq == expect)
   }
 
+  test("source_overlap: strict pair order, heaviest pair re-derived by set intersect") {
+    val out = q("source_overlap").cache()
+    assert(out.where(col("src_a") >= col("src_b")).count() == 0)
+    assert(out.where(col("n_shared_blocks") < 1).count() == 0)
+    val top = out.orderBy(col("n_shared_blocks").desc, col("src_a"), col("src_b"))
+      .limit(1).collect()(0)
+    def blocks(src: String) = docs.where(col("source") === src)
+      .select(graft.operators.Dedup.tokenArr(col("text")).as("t"))
+      .select(explode(expr(
+        """transform(sequence(1, size(t), 8),
+           st -> md5(array_join(slice(t, st, 8), ' ')))""")).as("h"))
+      .distinct()
+    val n = blocks(top.getString(0)).intersect(blocks(top.getString(1))).count()
+    assert(n == top.getAs[Long]("n_shared_blocks"))
+    out.unpersist()
+  }
+
   test("quality_buckets: exact ceil-rank deciles, ties share a bucket") {
     val out = q("quality_buckets").cache()
     val n = docs.count()
