@@ -471,6 +471,42 @@ object CorpusOps extends QueryModule {
               SELECT a.source AS src_a, b.source AS src_b,
                      CAST(count(*) AS BIGINT) AS n_shared_blocks
               FROM sb a JOIN sb b ON a.h = b.h AND a.source < b.source
-              GROUP BY a.source, b.source"""))
+              GROUP BY a.source, b.source""")),
+
+    // Character-entropy quality scoring — the random/garbage-text
+    // detector (low entropy = repeated filler, high = encrypted/binary
+    // junk). Reported as n·H in floored micro-nats: every per-character
+    // term c·⌊10⁶·ln(n/c)⌋ is quantized BEFORE the sum, so the per-doc
+    // total is order-independent integer arithmetic — the only float op
+    // is ln over an identical IEEE double (the lm_bigram_score
+    // precedent, validated strict-green). Shape: one (doc_id, char)
+    // hash agg (≤ ~96 rows per doc survive the map-side combine), one
+    // doc_id agg — no windows, no joins against data-scale relations.
+    Q("text_entropy",
+      (s, d) => {
+        val cc = docs(s, d)
+          .select(col("doc_id"),
+            explode(regexp_extract_all(lower(col("text")), lit("\\S"), lit(0)))
+              .as("ch"))
+          .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        val tot = cc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+        cc.join(tot, "doc_id")
+          .select(col("doc_id"), col("n"),
+            (col("c") * floor(log(col("n").cast("double") / col("c").cast("double")) * 1e6)
+              .cast("long")).as("term"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_chars"), sum(col("term")).as("ent_micro_n"))
+      },
+      Some("""WITH ch AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\S')) AS ch
+                   FROM documents),
+              cc AS (SELECT doc_id, ch, count(*) AS c
+                     FROM ch GROUP BY doc_id, ch),
+              tot AS (SELECT doc_id, sum(c) AS n FROM cc GROUP BY doc_id)
+              SELECT cc.doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+                     CAST(sum(c * CAST(floor(ln(CAST(n AS DOUBLE) /
+                                                CAST(c AS DOUBLE)) * 1000000)
+                                       AS BIGINT)) AS BIGINT) AS ent_micro_n
+              FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id"""))
   )
 }

@@ -218,6 +218,36 @@ class CorpusOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("text_entropy: non-negative, zero iff single-symbol, exact per-doc replay") {
+    val out = q("text_entropy").cache()
+    assert(out.count() == docs.count())
+    assert(out.where(col("ent_micro_n") < 0).count() == 0)
+    // replay one document collect-side with the same quantization
+    val one = docs.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), lower(col("text")).as("text")).collect()(0)
+    val chars = one.getString(1).filterNot(_.isWhitespace)
+    val n = chars.length.toLong
+    val expect = chars.groupBy(identity).values.map(_.length.toLong)
+      .map(c => c * math.floor(math.log(n.toDouble / c.toDouble) * 1e6).toLong).sum
+    val got = out.where(col("doc_id") === one.getLong(0)).collect()(0)
+    assert(got.getAs[Long]("n_chars") == n)
+    assert(got.getAs[Long]("ent_micro_n") == expect)
+    // a synthetic single-symbol doc scores exactly zero under the same plan
+    import spark.implicits._
+    val single = Seq((1L, "aaaa aaa aa")).toDF("doc_id", "text")
+    val cc = single
+      .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+        lit("\\S"), lit(0))).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val tot = cc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val z = cc.join(tot, "doc_id")
+      .select((col("c") * floor(log(col("n").cast("double") / col("c").cast("double")) * 1e6)
+        .cast("long")).as("term"))
+      .agg(sum(col("term"))).collect()(0).getLong(0)
+    assert(z == 0L)
+    out.unpersist()
+  }
+
   test("quality_buckets: exact ceil-rank deciles, ties share a bucket") {
     val out = q("quality_buckets").cache()
     val n = docs.count()
