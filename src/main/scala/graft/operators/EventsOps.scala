@@ -203,6 +203,50 @@ object EventsOps extends QueryModule {
                             + CASE WHEN purchase_ts IS NOT NULL
                                    THEN 1 ELSE 0 END AS BIGINT) AS stages
               FROM s1 LEFT JOIN s2 USING (user_id)
-              LEFT JOIN s3 USING (user_id)"""))
+              LEFT JOIN s3 USING (user_id)""")),
+
+    // Pure range join via binning — no equi key at all (unlike
+    // events_attribution's user_id + range residual). Semantics: for
+    // every event, count OTHER users' events within +-30 s — the
+    // concurrency census behind surge/bot detection. A naive range
+    // predicate gives Spark a BroadcastNestedLoopJoin (O(n*m) — the
+    // 100 TB cliff); instead each probe interval explodes to its <=2
+    // covering 60 s bins, the build side keys by its own bin, and the
+    // join is a plain shuffled EQUI-join on the bin with the exact
+    // |delta| <= 30 residual — candidate volume is bin density squared,
+    // tuned by the bin width, never n*m. Each qualifying pair matches
+    // in exactly one bin (the point's own), so no dedup pass is needed.
+    // Second-resolution integer arithmetic keeps both engines exact.
+    Q("join_range_bucketed",
+      (s, d) => {
+        val base = Tables.loadEvents(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("sec"))
+        val pts = base.select(col("event_id").as("b_id"),
+            col("user_id").as("b_user"), col("sec").as("b_sec"))
+          .withColumn("bin", expr("b_sec div 60"))
+        val iv = base.select(col("event_id").as("a_id"),
+            col("user_id").as("a_user"), col("sec").as("a_sec"))
+          .withColumn("bin",
+            explode(expr("sequence((a_sec - 30) div 60, (a_sec + 30) div 60)")))
+        val matched = iv.join(pts, "bin")
+          .filter(abs(col("a_sec") - col("b_sec")) <= 30 &&
+            col("a_user") =!= col("b_user"))
+          .groupBy(col("a_id")).agg(count(lit(1)).as("c"))
+        base.select(col("event_id"))
+          .join(matched.withColumnRenamed("a_id", "event_id"),
+            Seq("event_id"), "left")
+          .select(col("event_id"), coalesce(col("c"), lit(0L)).as("n_nearby"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+                     epoch_ns(ts) // 1000000000 AS sec
+                   FROM events),
+              p AS (SELECT a.event_id, count(*) AS c
+                    FROM e a JOIN e b
+                      ON abs(a.sec - b.sec) <= 30
+                     AND a.user_id <> b.user_id
+                    GROUP BY a.event_id)
+              SELECT e.event_id, CAST(coalesce(p.c, 0) AS BIGINT) AS n_nearby
+              FROM e LEFT JOIN p USING (event_id)"""))
   )
 }

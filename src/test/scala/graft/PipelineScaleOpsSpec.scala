@@ -278,4 +278,24 @@ class PipelineScaleOpsSpec extends SparkSuite {
     assert(vals.forall(v => v >= -127 && v <= 127))
     assert(qs.forall(s => s.split(",").map(_.toLong.abs).max == 127))
   }
+
+  test("join_range_bucketed: ordered-pair symmetry and a collect-side replay") {
+    val out = SparkEntry.queries("join_range_bucketed")(spark, sf).cache()
+    val ev = Tables.loadEvents(spark, sf)
+    assert(out.count() == ev.count())
+    // every unordered qualifying pair is counted once in each direction
+    val total = out.agg(sum(col("n_nearby"))).collect()(0).getLong(0)
+    assert(total > 0 && total % 2 == 0)
+    // replay the heaviest event's census collect-side
+    val top = out.orderBy(col("n_nearby").desc, col("event_id"))
+      .limit(1).collect()(0)
+    val rows = ev.select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts) div 1000000").as("sec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val me = rows.find(_._1 == top.getLong(0)).get
+    val expect = rows.count(o =>
+      o._2 != me._2 && math.abs(o._3 - me._3) <= 30)
+    assert(expect.toLong == top.getAs[Long]("n_nearby"))
+    out.unpersist()
+  }
 }

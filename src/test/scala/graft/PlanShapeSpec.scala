@@ -41,6 +41,15 @@ class PlanShapeSpec extends SparkSuite {
       "overlap join degraded to a shuffle:\n" + plan)
   }
 
+  test("join_range_bucketed: bin equi-join, never a nested-loop cartesian") {
+    val df = q("join_range_bucketed")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "range join fell off the binned equi-join path:\n" + plan)
+  }
+
   test("agg_group: partial + final hash aggregation") {
     val plan = Meta.explainFormatted(q("agg_group"))
     assert(plan.contains("HashAggregate"), plan)
