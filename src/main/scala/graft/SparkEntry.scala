@@ -30,7 +30,8 @@ object SparkEntry {
     operators.Analytic,
     operators.Curation,
     operators.PipelineOps,
-    operators.CorpusOps)
+    operators.CorpusOps,
+    operators.Formats)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format breadth beyond parquet: a CSV + JSON round-trip
+  * under an EXPLICIT schema. The engine's storage layer is parquet
+  * (bucketed managed tables, Indexing.scala); interchange with external
+  * pipelines is CSV/JSON, and the property that matters is that a
+  * write→read cycle preserves row multiplicity and values exactly —
+  * which the oracle checks by aggregating the round-tripped data against
+  * the ORIGINAL parquet.
+  *
+  * Scale posture: both formats scan with per-file/split parallelism like
+  * any FileSourceScan. Schema inference is deliberately OFF (explicit
+  * schema): inference is a second full pass over the data — a 100 TB
+  * anti-pattern — and silently widens types between runs. CSV carries a
+  * header only for human debuggability; readers never depend on it.
+  */
+object Formats extends QueryModule {
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("source_formats",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .select(col("l_orderkey"), col("l_partkey"),
+            col("l_quantity"), col("l_returnflag"))
+        val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+        li.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+        li.write.mode("overwrite").json(s"$dir/json")
+        val c = s.read.schema(li.schema).option("header", "true").csv(s"$dir/csv")
+        val j = s.read.schema(li.schema).json(s"$dir/json")
+        c.select(lit("csv").as("fmt"), col("l_returnflag"), col("l_quantity"))
+          .unionAll(j.select(lit("json").as("fmt"), col("l_returnflag"),
+            col("l_quantity")))
+          .groupBy(col("fmt"), col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+      },
+      // the oracle reads the ORIGINAL parquet — equality proves the
+      // write->read cycle lost nothing in either format
+      Some("""WITH base AS (SELECT l_returnflag,
+                     CAST(l_quantity AS BIGINT) AS q
+                   FROM lineitem WHERE l_orderkey <= 1000)
+              SELECT fmt, l_returnflag, count(*) AS n,
+                     CAST(sum(q) AS BIGINT) AS qty
+              FROM (SELECT 'csv' AS fmt, * FROM base
+                    UNION ALL
+                    SELECT 'json' AS fmt, * FROM base)
+              GROUP BY fmt, l_returnflag"""))
+  )
+}
