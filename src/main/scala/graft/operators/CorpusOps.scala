@@ -507,6 +507,52 @@ object CorpusOps extends QueryModule {
                      CAST(sum(c * CAST(floor(ln(CAST(n AS DOUBLE) /
                                                 CAST(c AS DOUBLE)) * 1000000)
                                        AS BIGINT)) AS BIGINT) AS ent_micro_n
-              FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id"""))
+              FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id""")),
+
+    // N-gram novelty scoring — the memorization/duplication-risk signal
+    // (RefinedWeb-style): for every document with >= 8 tokens, the
+    // per-mille fraction of its 8-gram POSITIONS whose gram occurs in
+    // no other document. Grams are 16-byte md5 digests of the joined
+    // window (never the window text); "shared" means >= 2 DISTINCT
+    // documents contain the gram. Shape: a bounded per-doc explode, one
+    // distinct-(doc,h) pass feeding one digest census (both map-side
+    // combined), one join back, one doc agg — every shuffle keyed on
+    // the digest or doc_id. Integer per-mille output, engine-exact.
+    Q("ngram_novelty",
+      (s, d) => {
+        val g = Dedup.tokens(docs(s, d))
+          .filter(size(col("t")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(t) - 7),
+               i -> md5(array_join(slice(t, i, 8), ' ')))""")).as("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val census = g.select(col("doc_id"), col("h")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        g.join(census, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("nd") >= 2, 1)).as("n_shared"))
+          .select(col("doc_id"), col("n_grams"), col("n_shared"),
+            expr("1000 * (n_grams - n_shared) div n_grams").as("novelty_permille"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '\S+') AS t
+                    FROM documents),
+              g AS (SELECT doc_id,
+                           md5(array_to_string(t[i:i+7], ' ')) AS h
+                    FROM (SELECT doc_id, t,
+                                 unnest(range(1, len(t) - 6)) AS i
+                          FROM toks WHERE len(t) >= 8)),
+              census AS (SELECT h, count(*) AS nd
+                         FROM (SELECT DISTINCT doc_id, h FROM g)
+                         GROUP BY h),
+              agg AS (SELECT doc_id, count(*) AS n_grams,
+                             count(*) FILTER (nd >= 2) AS n_shared
+                      FROM g JOIN census USING (h) GROUP BY doc_id)
+              SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                     CAST(n_shared AS BIGINT) AS n_shared,
+                     CAST(1000 * (n_grams - n_shared) // n_grams AS BIGINT)
+                       AS novelty_permille
+              FROM agg"""))
   )
 }

@@ -248,6 +248,31 @@ class CorpusOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("ngram_novelty: gram math, permille bounds, planted-dup docs score shared") {
+    val out = q("ngram_novelty").cache()
+    // n_grams = tokens - 7 for every eligible doc
+    val expect = docs
+      .select(col("doc_id"), size(Dedup.tokenArr(col("text"))).cast("long").as("n"))
+      .where(col("n") >= 8)
+    assert(out.count() == expect.count())
+    assert(out.join(expect, "doc_id")
+      .where(col("n_grams") =!= col("n") - 7).count() == 0)
+    assert(out.where(col("novelty_permille") < 0 ||
+      col("novelty_permille") > 1000).count() == 0)
+    assert(out.where(col("n_shared") > col("n_grams")).count() == 0)
+    // identical-text doc pairs exist in the corpus (dedup_exact's
+    // planted signal): any doc sharing full text with another must have
+    // zero novelty
+    val dup = docs.select(md5(lower(col("text"))).as("k"), col("doc_id"))
+      .groupBy("k").agg(count(lit(1)).as("c"), min(col("doc_id")).as("doc_id"))
+      .where(col("c") >= 2)
+    if (dup.count() > 0) {
+      assert(out.join(dup, "doc_id")
+        .where(col("novelty_permille") =!= 0).count() == 0)
+    }
+    out.unpersist()
+  }
+
   test("quality_buckets: exact ceil-rank deciles, ties share a bucket") {
     val out = q("quality_buckets").cache()
     val n = docs.count()
