@@ -56,14 +56,20 @@ object CorpusOps extends QueryModule {
 
   /** DuckDB twin of the BPE merge loop: a generated K-stage CTE chain
     * (shared by the `bpe_train` and `bpe_encode` oracles). Stage i
-    * extracts adjacent symbol pairs from the \x01-separated symbol
-    * strings, picks the (count DESC, s1, s2) best pair with a
-    * scalar-subquery LIMIT 1, and applies the merge via `replace`
-    * (left-to-right non-overlapping in both engines — validated for
-    * the self-overlap case 'aaa' + merge (a,a)). Every stage is
-    * MATERIALIZED: DuckDB inlines plain CTEs, and the ~4 references per
-    * stage would re-expand the chain exponentially (the first attempt
-    * died on 4^12 parquet opens).
+    * extracts adjacent symbol pairs from the symbol strings, picks the
+    * (count DESC, s1, s2) best pair with a scalar-subquery LIMIT 1,
+    * and applies the merge via `replace`. Every symbol is wrapped in
+    * its OWN \x01 pair (`\x01sym\x01`, so the string has \x01\x01
+    * between symbols): adjacent matches then share no characters, and
+    * left-to-right non-overlapping `replace` — identical in Java and
+    * DuckDB — is exactly the greedy left-to-right merge of standard
+    * BPE (Sennrich et al. 2016). With a SHARED separator, 'aaaa' under
+    * merge (a,a) would yield [aa,a,a] instead of the correct [aa,aa],
+    * because the first match consumes the separator the second needs
+    * (caught by CorpusOpsSpec's adversarial-vocab equivalence test).
+    * Every stage is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    * ~4 references per stage would re-expand the chain exponentially
+    * (the first attempt died on 4^12 parquet opens).
     */
   private def bpeChain(k: Int): String = {
     val sb = new StringBuilder
@@ -72,7 +78,7 @@ object CorpusOps extends QueryModule {
                       FROM documents),
          wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM occ GROUP BY w),
          w0 AS MATERIALIZED (SELECT cnt,
-                       chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g')
+                       chr(1) || regexp_replace(w, '(.)', '\1' || chr(1) || chr(1), 'g')
                               || chr(2) || chr(1) AS repr
                 FROM wc)"""
     for (i <- 1 to k) {
@@ -81,14 +87,15 @@ object CorpusOps extends QueryModule {
          p$i AS MATERIALIZED (SELECT s1, s2, sum(cnt) AS c FROM (
                    SELECT cnt, unnest(sy[1:len(sy)-1]) AS s1,
                                unnest(sy[2:len(sy)]) AS s2
-                   FROM (SELECT cnt, ss[2:len(ss)-1] AS sy
-                         FROM (SELECT cnt, string_split(repr, chr(1)) AS ss
-                               FROM $prev))
+                   FROM (SELECT cnt,
+                                list_filter(string_split(repr, chr(1)),
+                                            x -> x <> '') AS sy
+                         FROM $prev)
                    WHERE len(sy) >= 2)
                  GROUP BY s1, s2),
          b$i AS MATERIALIZED (SELECT s1, s2, c FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
          w$i AS MATERIALIZED (SELECT cnt, replace(repr,
-                   chr(1) || (SELECT s1 FROM b$i) || chr(1) ||
+                   chr(1) || (SELECT s1 FROM b$i) || chr(1) || chr(1) ||
                              (SELECT s2 FROM b$i) || chr(1),
                    chr(1) || (SELECT s1 || s2 FROM b$i) || chr(1)) AS repr
                  FROM $prev)"""
@@ -113,9 +120,10 @@ object CorpusOps extends QueryModule {
   private def bpeEncodeOracle(k: Int): String =
     bpeChain(k) + s""",
          sel AS (SELECT sym, sum(cnt) AS c FROM (
-                   SELECT cnt, unnest(ss[2:len(ss)-1]) AS sym
-                   FROM (SELECT cnt, string_split(repr, chr(1)) AS ss
-                         FROM w$k))
+                   SELECT cnt,
+                          unnest(list_filter(string_split(repr, chr(1)),
+                                             x -> x <> '')) AS sym
+                   FROM w$k)
                  GROUP BY sym),
          top AS (SELECT sym, c,
                         row_number() OVER (ORDER BY c DESC, sym) AS rank
@@ -131,18 +139,26 @@ object CorpusOps extends QueryModule {
     * returning, because the persisted base is unpersisted on exit.
     */
   private def withBpe[T](s: SparkSession, d: String)(
+      finish: (Seq[(Long, String, String, String, Long)], DataFrame) => T): T =
+    bpeLoop(Dedup.tokens(docs(s, d)), BPE_MERGES)(finish)
+
+  /** Exposed with an arbitrary token-array source and merge count so the
+    * spec can drive adversarial synthetic vocabularies (self-overlapping
+    * merges like "aaaa") through the EXACT production loop.
+    */
+  private[graft] def bpeLoop[T](toks: DataFrame, k: Int)(
       finish: (Seq[(Long, String, String, String, Long)], DataFrame) => T): T = {
-    val words = Dedup.tokens(docs(s, d))
+    val words = toks
       .select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
-        concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP),
+        concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP + SEP),
           lit(EOW + SEP)).as("repr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var cur = words
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (i <- 1 to BPE_MERGES) {
+      for (i <- 1 to k) {
         val pairs = symbols(cur)
           .filter(size(col("s")) >= 2)
           .select(col("cnt"), explode(expr(
@@ -156,20 +172,21 @@ object CorpusOps extends QueryModule {
         val (m1, m2, c) = (best.getString(0), best.getString(1), best.getLong(2))
         merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
         cur = cur.select(col("cnt"),
-          replace(col("repr"), lit(SEP + m1 + SEP + m2 + SEP),
+          replace(col("repr"), lit(SEP + m1 + SEP + SEP + m2 + SEP),
             lit(SEP + m1 + m2 + SEP)).as("repr"))
       }
       finish(merges.result(), cur)
     } finally words.unpersist()
   }
 
-  /** (cnt, s) with s = the word's symbol array — the \x01-joined repr
-    * split apart, leading/trailing empties sliced off.
+  /** (cnt, s) with s = the word's symbol array — the repr split on
+    * \x01, empties dropped (each symbol is wrapped in its own \x01
+    * pair, so splitting leaves an empty between adjacent symbols and
+    * at both ends; symbols themselves are never empty).
     */
   private def symbols(words: DataFrame): DataFrame =
     words.select(col("cnt"),
-      expr(s"slice(split(repr, '$SEP'), 2, size(split(repr, '$SEP')) - 2)")
-        .as("s"))
+      expr(s"filter(split(repr, '$SEP'), x -> x != '')").as("s"))
 
   private def bpeDisp(x: String): String = x.replace(EOW, "</w>")
 

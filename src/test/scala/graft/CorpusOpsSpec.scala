@@ -148,6 +148,55 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows(0).getAs[Long]("cnt") == first.getLong(2))
   }
 
+  test("bpe loop: adversarial vocab matches a reference implementation exactly") {
+    // self-overlapping merges ("aaaa" under (a,a)), interleavings
+    // ("abab"), forced count ties, and a seeded random vocab — all
+    // driven through the EXACT production loop via bpeLoop, compared
+    // against an independent greedy left-to-right reference
+    import spark.implicits._
+    val eow = "\u0002"
+    def refBpe(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var cur: Map[Vector[String], Long] =
+        words.map { case (w, c) => (w.map(_.toString).toVector :+ eow) -> c }
+      val out = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to k) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        cur.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => pc(p) += c)
+        }
+        val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((a, b, c))
+        cur = cur.toSeq.map { case (syms, n) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              buf += a + b; i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          (buf.result(), n)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(42)
+    val randomWords = Seq.fill(60)(
+      Seq.fill(1 + rnd.nextInt(6))("ab".charAt(rnd.nextInt(2))).mkString)
+    val adversarial = Seq(
+      "aaaa", "aaaa", "aaaa", "aaa", "aa", "abab", "abab", "aab", "baa",
+      "bbbb", "bbbb", "bb", "ab", "ba", "cc", "cc", "dd", "dd")
+    val toksSeq = adversarial ++ randomWords
+    val counts = toksSeq.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val toks = Seq((1L, toksSeq)).toDF("doc_id", "t")
+    val got = graft.operators.CorpusOps.bpeLoop(toks, 6)((merges, _) => merges)
+    val disp = (x: String) => x.replace(eow, "</w>")
+    val expect = refBpe(counts, 6)
+    assert(got.map(m => (m._2, m._3, m._5)) ==
+      expect.map { case (a, b, c) => (disp(a), disp(b), c) },
+      s"got=$got expect=$expect")
+  }
+
   test("bpe_encode: dense ranks, conservation of end-of-word mass") {
     val out = q("bpe_encode").orderBy("rank").collect()
     assert(out.nonEmpty && out.length <= 50)
