@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures a bounded tail of `sbt "runMain ..."` stdout and
+// json-parses the LAST line. Two things have defeated that every round:
+// sbt's logger prefixes forked-program output with "[info] ", and sbt
+// appends a final "[success] Total time: ..." line after the program
+// exits. Route the forked process's output straight through, and drop
+// the success banner, so the bench's total-only JSON line is the literal
+// last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
