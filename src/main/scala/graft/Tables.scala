@@ -28,15 +28,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    * to its microsecond TimestampType. Read nanos as long and truncate to
-    * a µs timestamp — identical to DuckDB's `epoch_us` truncation, so
-    * oracle comparisons stay exact.
+  /** `events.ts` has shipped as two different physical types across
+    * driver rounds: TIMESTAMP(NANOS) (which Spark 4 refuses to map to
+    * its microsecond TimestampType — read as nanos-long and truncate,
+    * identical to DuckDB's `epoch_us` truncation) and plain
+    * timestamp[us] (which loads as TIMESTAMP_NTZ — cast to the
+    * session-UTC TimestampType so every downstream window/unix_micros
+    * shape and the oracle string form are unchanged). Handle both by
+    * inspecting the loaded dtype, not the round.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }

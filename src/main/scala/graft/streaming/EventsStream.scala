@@ -44,23 +44,35 @@ final case class FunnelRow(user_id: Long, view_us: Long,
   */
 object EventsStream {
 
-  /** events.parquet raw schema (ts read as nanos-long, see Tables.loadEvents). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet raw schema. The ts physical type has varied across
+    * driver rounds (TIMESTAMP(NANOS) vs timestamp[us]) — probe the
+    * batch-loaded dtype via Tables.loadEvents-equivalent logic and
+    * declare the matching streaming schema (readStream needs an explicit
+    * schema, so it cannot self-discover).
+    */
+  private def rawTsIsLong(spark: SparkSession, dir: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(graft.Tables.path(dir, "events"))
+      .schema("ts").dataType == LongType
+  }
 
   /** Streaming source over the driver's parquet dir. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val tsLong = rawTsIsLong(spark, dir)
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsLong) LongType else TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val src = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsLong) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else src.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Watermarked 5-minute tumbling-window counts (streaming twin of
