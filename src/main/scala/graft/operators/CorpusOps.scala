@@ -403,13 +403,18 @@ object CorpusOps extends QueryModule {
     // matches bit-for-bit (double PageRank could never hash-compare).
     //
     // Scale shape: ONE corpus pass (the bigram + token censuses, both
-    // map-side-combined hash aggs); the graph and every iteration
-    // thereafter are vocabulary-scale — the rank vector is 100 rows,
-    // broadcast into each join, and the 5-round lineage never touches
-    // the corpus again. The same loop at 1000 executors just has wider
-    // census exchanges.
+    // map-side-combined hash aggs). The pruned graph is bounded by the
+    // FIXED 100-node vocab cap — ≤ 9,900 edges at ANY corpus size — so
+    // the 5 damped iterations run driver-side on the collected edge
+    // list (the ann_ivf Lloyd-loop precedent: metadata-scale collects
+    // are fine). The r7-style alternative — composing each iteration as
+    // broadcast joins — re-derived the same 100-row vector through five
+    // chained broadcast stages and cost ~13 s of pure scheduling at
+    // sf0.1; the collect form is one extra driver round-trip and zero
+    // per-iteration jobs, with identical integer arithmetic.
     Q("text_rank",
       (s, d) => {
+        import s.implicits._
         val toks = Dedup.tokens(docs(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
         val nodes = toks.select(explode(col("t")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -426,24 +431,24 @@ object CorpusOps extends QueryModule {
           .join(broadcast(nodes.withColumnRenamed("tok", "src")), "src")
           .join(broadcast(nodes.withColumnRenamed("tok", "dst")), "dst")
           .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("w"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-        var r = nodes.select(col("tok"), lit(1000000L).as("r"))
+        val edges = e.collect().map(r =>
+          (r.getAs[String]("src"), r.getAs[String]("dst"), r.getAs[Long]("w")))
+        val nodeToks = nodes.collect().map(_.getString(0))
+        val ow: Map[String, Long] =
+          edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+        var r: Map[String, Long] = nodeToks.map(_ -> 1000000L).toMap
         for (_ <- 1 to TEXTRANK_ITERS) {
-          val contrib = e
-            .join(broadcast(r.select(col("tok").as("src"), col("r").as("rs"))), "src")
-            .join(broadcast(outw), "src")
-            .select(col("dst"), expr("(rs * w * 17) div (ow * 20)").as("t"))
-            .groupBy(col("dst")).agg(sum(col("t")).as("inmass"))
-          r = nodes
-            .join(contrib.withColumnRenamed("dst", "tok"), Seq("tok"), "left")
-            .select(col("tok"),
-              (lit(150000L) + coalesce(col("inmass"), lit(0L))).as("r"))
+          val inmass = scala.collection.mutable.Map.empty[String, Long]
+            .withDefaultValue(0L)
+          for ((src, dst, w) <- edges)
+            inmass(dst) += r(src) * w * 17 / (ow(src) * 20)
+          r = nodeToks.map(t => t -> (150000L + inmass(t))).toMap
         }
-        r.orderBy(col("r").desc, col("tok")).limit(20)
-          .select(col("tok"), col("r").as("score"))
-          .withColumn("rank",
-            row_number().over(Window.orderBy(col("score").desc, col("tok"))))
+        nodeToks.map(t => (t, r(t)))
+          .sortBy { case (t, sc) => (-sc, t) }.take(20)
+          .zipWithIndex
+          .map { case ((t, sc), i) => (t, sc, (i + 1).toLong) }
+          .toSeq.toDF("tok", "score", "rank")
       },
       Some(textRankOracle(TEXTRANK_ITERS))),
 

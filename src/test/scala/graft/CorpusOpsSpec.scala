@@ -223,7 +223,7 @@ class CorpusOpsSpec extends SparkSuite {
   test("text_rank: exact integer fixpoint matches an in-memory replay") {
     val out = q("text_rank").orderBy("rank").collect()
     assert(out.length == 20)
-    assert(out.zipWithIndex.forall { case (r, i) => r.getAs[Int]("rank") == i + 1 })
+    assert(out.zipWithIndex.forall { case (r, i) => r.getAs[Long]("rank") == i + 1 })
     val sc = out.map(_.getAs[Long]("score"))
     assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
     // every node keeps at least the teleport mass
