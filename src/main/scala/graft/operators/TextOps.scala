@@ -226,36 +226,45 @@ object TextOps extends QueryModule {
 
     // Repetition-based quality (the Gopher repetition filters): repeated
     // word mass, most-frequent-word share, most-frequent-bigram share.
-    // Two hash aggregations (per-(doc,term) then per-doc) — the same
-    // map-combined two-level shape as a word count, no windows, so the
-    // per-doc stats never centralize anything bigger than one doc's
-    // vocabulary.
+    // All three ratios are functions of ONE document's tokens, so they
+    // are computed per-row with array HOFs (sort the doc's token array,
+    // fold run lengths for distinct-count and max-multiplicity): a
+    // map-ONLY pass — zero shuffles at any corpus size. The r8 form
+    // exploded tokens and bigrams through two corpus-token-scale
+    // (doc_id, unit) exchanges to compute the same per-doc numbers.
+    // State is bounded by one doc's token array, the same per-doc bound
+    // every other documents op already carries.
     Q("text_repetition",
       (s, d) => {
-        val docs = Tables.load(s, d, "documents")
-        def share(unit: org.apache.spark.sql.DataFrame) = unit
-          .groupBy(col("doc_id"), col("u")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
-            max(col("c")).as("top"))
-        val words = share(docs.select(col("doc_id"),
-          explode(regexp_extract_all(lower(col("text")),
-            lit("[a-z0-9]+"), lit(0))).as("u")))
-        val bigrams = share(docs
+        // (top = max run length, nd = distinct count) of a sorted array,
+        // as one integer fold; tokens are non-empty so '' is a safe
+        // initial prev sentinel.
+        def runStats(arr: String) =
+          s"""aggregate(array_sort($arr),
+                struct('' AS prev, 0L AS run, 0L AS best, 0L AS nd),
+                (a, x) -> struct(x AS prev,
+                                 if(x = a.prev, a.run + 1, 1L) AS run,
+                                 greatest(a.best,
+                                   if(x = a.prev, a.run + 1, 1L)) AS best,
+                                 a.nd + if(x = a.prev, 0L, 1L) AS nd),
+                a -> struct(a.best AS top, a.nd AS nd))"""
+        Tables.load(s, d, "documents")
           .select(col("doc_id"),
             regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
               .as("t"))
           .filter(size(col("t")) >= 2)
-          .select(col("doc_id"), explode(expr(
+          .withColumn("bg", expr(
             "transform(sequence(0, size(t)-2), " +
-              "i -> concat_ws(' ', t[i], t[i+1]))")).as("u")))
-        words.join(bigrams.select(col("doc_id"), col("n").as("n2"),
-            col("top").as("top2")), "doc_id")
+              "i -> concat_ws(' ', t[i], t[i+1]))"))
+          .withColumn("ws", expr(runStats("t")))
+          .withColumn("bs", expr(runStats("bg")))
           .select(col("doc_id"),
-            round(lit(1) - col("n_distinct") / col("n"), 4)
+            round(lit(1) - col("ws.nd") / size(col("t")).cast("long"), 4)
               .as("dup_word_ratio"),
-            round(col("top") / col("n"), 4).as("top_word_ratio"),
-            round(col("top2") / col("n2"), 4).as("top_bigram_ratio"))
+            round(col("ws.top") / size(col("t")).cast("long"), 4)
+              .as("top_word_ratio"),
+            round(col("bs.top") / (size(col("t")).cast("long") - 1), 4)
+              .as("top_bigram_ratio"))
       },
       Some("""WITH w AS (
                 SELECT doc_id,
