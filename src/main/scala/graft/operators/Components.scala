@@ -56,10 +56,57 @@ object Components extends QueryModule {
     * recovery swaps in reliable `checkpoint()` against the checkpoint
     * dir, same shape (the standard Pregel/GraphX iteration discipline).
     */
+  /** Edge-count cutover for the adaptive driver-side fast path: below
+    * this, the edge list is collected and solved with union-find (16 MB
+    * of pairs at the default — trivially driver-safe), above it the
+    * distributed loop runs. The same runtime-adaptive posture as AQE's
+    * broadcast-join flip: near-dup edge relations are usually a small
+    * fraction of the corpus (dup pairs, not documents), so most runs
+    * take one job instead of ~5 jobs × O(log diameter) rounds; a
+    * pathological all-dups corpus still degrades to the scale path, and
+    * the VERTEX relation never leaves the cluster either way.
+    */
+  val defaultDriverEdgeLimit: Long = 1000000L
+
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      driverEdgeLimit: Long = defaultDriverEdgeLimit): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // e is persisted, so this count doubles as the pipeline breaker the
+    // loop's first join needed anyway.
+    if (e.count() <= driverEdgeLimit) {
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(blocking = false)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union-by-min keeps every root the MIN of its component, the
+        // label the distributed loop converges to
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val comp = parent.keys.toSeq.map(v => (v, find(v)))
+      import vertices.sparkSession.implicits._
+      val compDf = comp.toDF("v", "component")
+      // same row-set contract as the loop (vertices ∪ endpoints), same
+      // materialized-result contract (localCheckpoint: callers may
+      // unpersist upstream inputs right after)
+      return vertices.select(col("v"))
+        .union(compDf.select(col("v")))
+        .distinct()
+        .join(broadcast(compDf), Seq("v"), "left")
+        .select(col("v"),
+          coalesce(col("component"), col("v")).as("component"))
+        .localCheckpoint()
+    }
     val sym = e.select(col("src").as("u"), col("dst").as("w"))
       .union(e.select(col("dst").as("u"), col("src").as("w")))
     // Labels are seeded from vertices ∪ edge endpoints: an endpoint

@@ -13,10 +13,24 @@ import org.apache.spark.sql.functions._
 class PipelineScaleOpsSpec extends SparkSuite {
   import spark.implicits._
 
-  private def cc(vs: Seq[Long], es: Seq[(Long, Long)], maxIter: Int = 25) =
+  // driverEdgeLimit = 0 forces the distributed loop: these tests pin the
+  // LOOP's behavior (round counts, maxIter failure), which the adaptive
+  // driver fast path would otherwise short-circuit
+  private def cc(vs: Seq[Long], es: Seq[(Long, Long)], maxIter: Int = 25,
+      driverEdgeLimit: Long = 0L) =
     Components.connectedComponents(
-      vs.toDF("v"), es.toDF("src", "dst"), maxIter)
+      vs.toDF("v"), es.toDF("src", "dst"), maxIter, driverEdgeLimit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: driver fast path equals the distributed loop") {
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 9L)
+    val es = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (7L, 8L))
+    val loop = cc(vs, es)
+    val fast = cc(vs, es, driverEdgeLimit = Components.defaultDriverEdgeLimit)
+    assert(fast == loop)
+    // endpoint-only vertices (7, 8) are seeded on both paths
+    assert(fast.contains(7L) && fast(8L) == 7L)
+  }
 
   test("connectedComponents: chain needs multi-hop propagation") {
     // 1-2-3-4-5 is diameter 4: vertex 5 only learns label 1 transitively
