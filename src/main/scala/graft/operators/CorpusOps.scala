@@ -345,8 +345,12 @@ object CorpusOps extends QueryModule {
                 .as("text")))
         // per-doc chunk digests: boundaries AFTER tokens whose md5 opens
         // with hex 0/1; a boundary on the last token would open an empty
-        // chunk, which the s <= e zip filter drops
+        // chunk, which the s <= e zip filter drops. The tokenize +
+        // per-token-md5 chain is the profiled cost — fan it out past
+        // file parallelism first (the ccCorpusTokens pattern; a single
+        // local parquet split would otherwise run it on one task)
         val cg = corp
+          .repartition(col("doc_id"))
           .select(col("doc_id"), Dedup.tokenArr(col("text")).as("t"))
           .withColumn("barr", expr(
             "filter(sequence(1, size(t)), i -> substring(md5(element_at(t, i)), 1, 1) IN ('0', '1'))"))
@@ -451,6 +455,75 @@ object CorpusOps extends QueryModule {
           .toSeq.toDF("tok", "score", "rank")
       },
       Some(textRankOracle(TEXTRANK_ITERS))),
+
+    // Pointwise-mutual-information collocations — the classic
+    // collocation extractor (Church & Hanks): bigrams whose observed
+    // frequency most exceeds the unigram-independence expectation,
+    // PMI = ln(c_bg · N_tok² / (N_bg · c1 · c2)), reported in floored
+    // micro-nats (the text_entropy/lm_bigram_score precedent: quantize
+    // every float term so ordering and hashes are engine-exact; the
+    // operands reach ln as identical IEEE doubles via an identical
+    // multiply/divide association order on both engines). c_bg >= 5
+    // suppresses one-off pairings, the standard PMI noise guard.
+    //
+    // Scale shape: ONE corpus pass for the two censuses (both
+    // map-side-combined hash aggs), two vocabulary-scale equi-joins
+    // (AQE picks broadcast vs shuffle as vocab size dictates), a 1-row
+    // broadcast of the totals, and a 20-row TakeOrdered. Nothing after
+    // the censuses touches corpus-scale data.
+    Q("pmi_collocations",
+      (s, d) => {
+        val toks = Dedup.tokens(docs(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+        val bc = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(PipelineOps.bigramStructsExpr)).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg"))
+        val uni = toks.select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c_uni"))
+        val tot = bc.agg(sum(col("c_bg")).as("nb"))
+          .crossJoin(uni.agg(sum(col("c_uni")).as("nt")))
+        bc.filter(col("c_bg") >= 5)
+          .join(uni.select(col("w").as("w1"), col("c_uni").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c_uni").as("c2")), "w2")
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("c_bg"),
+            floor(log(
+              col("c_bg").cast("double") * col("nt").cast("double")
+                * col("nt").cast("double")
+                / (col("nb").cast("double") * col("c1").cast("double")
+                   * col("c2").cast("double"))) * 1e6)
+              .cast("long").as("pmi_micro"))
+          .orderBy(col("pmi_micro").desc, col("w1"), col("w2")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("pmi_micro").desc, col("w1"), col("w2")))
+            .cast("long"))
+      },
+      Some("""WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS t
+                            FROM documents),
+              bg AS (SELECT unnest(t[1:len(t)-1]) AS w1,
+                            unnest(t[2:len(t)]) AS w2
+                     FROM toks WHERE len(t) >= 2),
+              bc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY w1, w2),
+              occ AS (SELECT unnest(t) AS w FROM toks),
+              uni AS (SELECT w, count(*) AS c_uni FROM occ GROUP BY w),
+              tot AS (SELECT (SELECT sum(c_bg) FROM bc) AS nb,
+                             (SELECT sum(c_uni) FROM uni) AS nt),
+              sc AS (SELECT w1, w2, c_bg,
+                            CAST(floor(ln(
+                              CAST(c_bg AS DOUBLE) * CAST(nt AS DOUBLE)
+                                * CAST(nt AS DOUBLE)
+                              / (CAST(nb AS DOUBLE) * CAST(c1 AS DOUBLE)
+                                 * CAST(c2 AS DOUBLE))) * 1000000)
+                              AS BIGINT) AS pmi_micro
+                     FROM bc
+                     JOIN (SELECT w AS w1, c_uni AS c1 FROM uni) u1 USING (w1)
+                     JOIN (SELECT w AS w2, c_uni AS c2 FROM uni) u2 USING (w2)
+                     CROSS JOIN tot
+                     WHERE c_bg >= 5)
+              SELECT w1, w2, c_bg, pmi_micro,
+                     CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2)
+                       AS BIGINT) AS rank
+              FROM sc ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""")),
 
     // Cross-source contamination matrix — for every pair of sources,
     // the number of DISTINCT 8-token blocks both contain (the corpus

@@ -652,11 +652,17 @@ object Dedup extends QueryModule {
           .agg(min(col("e.doc_id")).as("em"))
         // one shingle relation over corpus ∪ batch (ids disjoint by the
         // +1M shifts), capped once so both sides share the vocabulary,
-        // then re-split by id range for the cross-set join
-        val shAll = cappedShingles(
-            shinglesFromTokens(btoks.unionByName(batchToks)))
+        // then re-split by id range for the cross-set join. Raw shingles
+        // persist FIRST (the dedup_ngram_jaccard / stagedCorpusEdges
+        // convention): the df census and the anti-join probe both read
+        // the explode output, which would otherwise run twice.
+        val rawAll = shinglesFromTokens(btoks.unionByName(batchToks))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        rawAll.count()
+        val shAll = cappedShingles(rawAll)
           .persist(StorageLevel.MEMORY_AND_DISK)
         shAll.count()
+        rawAll.unpersist(blocking = false)
         val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val common = shAll.filter(col("doc_id") >= 1000000L).as("nb")
           .join(shAll.filter(col("doc_id") < 1000000L).as("eb"),
