@@ -234,6 +234,44 @@ object Similarity extends QueryModule {
         FROM rk WHERE rk <= 3"""
   }
 
+  /** Exact DuckDB twin of `knn_label`: same literal-plane bucket
+    * arithmetic as [[lshOracle]], 5-NN per held-out vector among the
+    * labeled 80%, then the vote via a (votes DESC, label) window —
+    * every ordering key is integral or a bit-identical double, so the
+    * hash-compare is exact.
+    */
+  private def knnLabelOracle: String = {
+    val bucket = planes(6, Dim).zipWithIndex.map { case (p, b) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, label, $bucket AS bucket FROM e),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket,
+                     label AS true_label
+              FROM b WHERE vec_id % 5 = 0),
+        l AS (SELECT vec_id, v, label, bucket FROM b WHERE vec_id % 5 <> 0),
+        sc AS (SELECT q_id, true_label, vec_id, label,
+                 list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(v, v))) AS sim
+               FROM q JOIN l ON q_bucket = bucket),
+        rk AS (SELECT q_id, true_label, vec_id, label, sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim DESC, vec_id) AS rk
+               FROM sc),
+        votes AS (SELECT q_id, true_label, label, count(*) AS votes
+                  FROM rk WHERE rk <= 5 GROUP BY q_id, true_label, label),
+        win AS (SELECT q_id, true_label, label, votes,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY votes DESC, label) AS vr
+                FROM votes)
+        SELECT q_id, label AS pred_label, CAST(votes AS BIGINT) AS votes,
+               true_label
+        FROM win WHERE vr = 1"""
+  }
+
   /** Exact DuckDB twin of `ann_ivf`: replays the whole deterministic
     * quantizer — seeds = vectors 0..7, two Lloyd iterations, then the
     * 2-cell probe — in SQL. Bit-exactness hinges on two conventions the
@@ -370,6 +408,43 @@ object Similarity extends QueryModule {
             round(col("sim"), 4).as("cos_sim"))
       },
       Some(lshOracle)),
+
+    // kNN label propagation — semi-supervised labeling over the
+    // embedding space: every fifth vector is held out as "unlabeled",
+    // its label predicted by majority vote of its 5 nearest labeled
+    // same-LSH-bucket neighbors (ties: more votes first, then the
+    // smaller label id — fully deterministic). The quality-classifier
+    // analog on the embedding side: how a pipeline assigns
+    // topic/quality labels to new documents from a labeled seed set at
+    // corpus scale. Shape: the same 64-bucket sign-LSH candidate bound
+    // as ann_lsh_bucketed (bits scale with corpus size in production),
+    // one bounded per-query window, one vote aggregate — never an
+    // all-pairs scan.
+    Q("knn_label",
+      (s, d) => {
+        val pl = planes(6, Dim)
+        val e = emb(s, d).withColumn("bucket", signBucket(col("v"), pl))
+        val queriesDf = e.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("bucket").as("q_bucket"), col("label").as("true_label"))
+        val labeled = e.filter(col("vec_id") % 5 =!= 0)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        val top = queriesDf
+          .join(labeled, col("q_bucket") === col("bucket"))
+          .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+            cosine(col("qv"), col("v")).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+        top.groupBy(col("q_id"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(col("votes").desc, col("label"))))
+          .filter(col("vr") === 1)
+          .select(col("q_id"), col("label").as("pred_label"),
+            col("votes"), col("true_label"))
+      },
+      Some(knnLabelOracle)),
 
     // Embedding-cosine near-duplicate detection (the dedup-family
     // variant): corpus = embeddings ∪ id-shifted copy; candidates from
