@@ -142,11 +142,26 @@ object CorpusOps extends QueryModule {
       finish: (Seq[(Long, String, String, String, Long)], DataFrame) => T): T =
     bpeLoop(Dedup.tokens(docs(s, d)), BPE_MERGES)(finish)
 
+  /** Driver-side vocabulary bound for the adaptive in-memory merge
+    * replay (the connectedComponents fast-path precedent): under it,
+    * the (cnt, repr) vocabulary is collected ONCE and the K merge
+    * iterations run in memory — K in-process passes instead of K
+    * aggregate jobs. Over it, the distributed loop runs unchanged (a
+    * 100 TB corpus can have a billion-word vocabulary). Both paths use
+    * the same primitives — \x01 split, (count DESC, s1, s2) argmax
+    * (Java and UTF8 binary ordering agree on the ASCII + control-char
+    * symbol alphabet), literal left-to-right replace — so the merges
+    * are bit-identical (spec-pinned equivalence).
+    */
+  private val DriverVocabLimit = 2000000L
+
   /** Exposed with an arbitrary token-array source and merge count so the
     * spec can drive adversarial synthetic vocabularies (self-overlapping
-    * merges like "aaaa") through the EXACT production loop.
+    * merges like "aaaa") through the EXACT production loop;
+    * driverVocabLimit = 0 forces the distributed path.
     */
-  private[graft] def bpeLoop[T](toks: DataFrame, k: Int)(
+  private[graft] def bpeLoop[T](toks: DataFrame, k: Int,
+      driverVocabLimit: Long = DriverVocabLimit)(
       finish: (Seq[(Long, String, String, String, Long)], DataFrame) => T): T = {
     val words = toks
       .select(explode(col("t")).as("w"))
@@ -156,26 +171,47 @@ object CorpusOps extends QueryModule {
           lit(EOW + SEP)).as("repr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var cur = words
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (i <- 1 to k) {
-        val pairs = symbols(cur)
-          .filter(size(col("s")) >= 2)
-          .select(col("cnt"), explode(expr(
-            """transform(sequence(1, size(s) - 1),
-               i -> struct(element_at(s, i) AS s1, element_at(s, i + 1) AS s2))"""))
-            .as("p"))
-          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-          .agg(sum(col("cnt")).as("c"))
-        val best = pairs.orderBy(col("c").desc, col("s1"), col("s2"))
-          .limit(1).collect()(0)
-        val (m1, m2, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
-        cur = cur.select(col("cnt"),
-          replace(col("repr"), lit(SEP + m1 + SEP + SEP + m2 + SEP),
-            lit(SEP + m1 + m2 + SEP)).as("repr"))
+      if (words.count() <= driverVocabLimit) {
+        var cur = words.collect().map(r => (r.getLong(0), r.getString(1)))
+        for (i <- 1 to k) {
+          val pc = scala.collection.mutable.Map
+            .empty[(String, String), Long].withDefaultValue(0L)
+          cur.foreach { case (cnt, repr) =>
+            val sy = repr.split(SEP).filter(_.nonEmpty)
+            var j = 0
+            while (j + 1 < sy.length) { pc((sy(j), sy(j + 1))) += cnt; j += 1 }
+          }
+          val ((m1, m2), c) = pc.toSeq
+            .minBy { case ((a, b), n) => (-n, a, b) }
+          merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
+          val pat = SEP + m1 + SEP + SEP + m2 + SEP
+          val rep = SEP + m1 + m2 + SEP
+          cur = cur.map { case (cnt, repr) => (cnt, repr.replace(pat, rep)) }
+        }
+        import toks.sparkSession.implicits._
+        finish(merges.result(), cur.toSeq.toDF("cnt", "repr"))
+      } else {
+        var cur = words
+        for (i <- 1 to k) {
+          val pairs = symbols(cur)
+            .filter(size(col("s")) >= 2)
+            .select(col("cnt"), explode(expr(
+              """transform(sequence(1, size(s) - 1),
+                 i -> struct(element_at(s, i) AS s1, element_at(s, i + 1) AS s2))"""))
+              .as("p"))
+            .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+            .agg(sum(col("cnt")).as("c"))
+          val best = pairs.orderBy(col("c").desc, col("s1"), col("s2"))
+            .limit(1).collect()(0)
+          val (m1, m2, c) = (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
+          cur = cur.select(col("cnt"),
+            replace(col("repr"), lit(SEP + m1 + SEP + SEP + m2 + SEP),
+              lit(SEP + m1 + m2 + SEP)).as("repr"))
+        }
+        finish(merges.result(), cur)
       }
-      finish(merges.result(), cur)
     } finally words.unpersist()
   }
 

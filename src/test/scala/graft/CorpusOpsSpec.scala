@@ -195,6 +195,11 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.map(m => (m._2, m._3, m._5)) ==
       expect.map { case (a, b, c) => (disp(a), disp(b), c) },
       s"got=$got expect=$expect")
+    // the distributed loop (forced via driverVocabLimit = 0) must agree
+    // with the in-memory fast path bit-for-bit on the same adversarial
+    // vocabulary — the two paths share the argmax/replace semantics
+    val distGot = graft.operators.CorpusOps.bpeLoop(toks, 6, 0L)((m, _) => m)
+    assert(distGot == got)
   }
 
   test("bpe_encode: dense ranks, conservation of end-of-word mass") {
