@@ -53,6 +53,12 @@ object Bench {
       // over a full-suite run (the bucketed-index tables are on disk and
       // unaffected).
       spark.catalog.clearCache()
+      // Untimed full GC between queries: 100+ queries of cache churn
+      // otherwise leave each timed run paying its predecessors' old-gen
+      // garbage — profiled r9 as decontaminate 4.8 s mid-suite vs 1.5 s
+      // isolated with identical plans. Collecting OUTSIDE the timed
+      // window measures each query's steady-state work.
+      System.gc()
       sec
     }
 
