@@ -13,12 +13,11 @@ import org.apache.spark.sql.SparkSession
   *     finishes (key deliberately NOT "metric" so the driver's
   *     `{"metric"...}` extraction can't latch onto a partial line);
   *   - the full canonical record (total + per-query map) is written to
-  *     target/bench.json (override: SPARK_GRAFT_BENCH_OUT);
-  *   - the canonical `{"metric":"total",...}` record (with the per-query
-  *     map) prints next; twice (r6, r7) a bounded tail cut the HEAD off
-  *     this ~2.5 KB line and lost the total, so
-  *   - the LAST stdout line is a total-only record (~100 bytes, no
-  *     per-query map) that survives any tail window.
+  *     target/bench.json (override: SPARK_GRAFT_BENCH_OUT) — FILE ONLY
+  *     since r10: printing the ~1.9 KB map line ate the driver's bounded
+  *     stdout tail in r9 and dropped 23 per-query points;
+  *   - the LAST (and only other) stdout line is a total-only record
+  *     (~100 bytes, no per-query map) that survives any tail window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,15 +98,14 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The ~2.5 KB map line twice got its HEAD cut by the driver's bounded
-    // stdout tail (r6, r7), losing the headline total. Print the full
-    // record first, then end stdout with a total-only line (~100 bytes)
-    // that fits any tail window whole.
+    // The ~1.9 KB per-query map line goes to the FILE ONLY: in r9 it
+    // consumed most of the driver's bounded stdout tail and pushed 23 of
+    // the 107 short per-query lines out of the window. Stdout carries
+    // only the short streamed `{"q":...}` lines plus this total-only
+    // record (~100 bytes) as the LAST line, so any tail window keeps the
+    // total and the maximum number of per-query points.
     val totalOnly =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
-    // stdout first: the driver's capture must get the headline even if
-    // the file copy fails (unwritable path / missing dir)
-    println(line)
     println(totalOnly)
     try {
       val outFile = new java.io.File(benchOut)

@@ -148,12 +148,24 @@ object CorpusOps extends QueryModule {
     * iterations run in memory — K in-process passes instead of K
     * aggregate jobs. Over it, the distributed loop runs unchanged (a
     * 100 TB corpus can have a billion-word vocabulary). Both paths use
-    * the same primitives — \x01 split, (count DESC, s1, s2) argmax
-    * (Java and UTF8 binary ordering agree on the ASCII + control-char
-    * symbol alphabet), literal left-to-right replace — so the merges
-    * are bit-identical (spec-pinned equivalence).
+    * the same primitives — \x01 split, (count DESC, s1, s2) argmax with
+    * UTF-8 byte string comparison ([[Utf8Order]] — Java's UTF-16
+    * ordering would diverge on supplementary characters), literal
+    * left-to-right replace — so the merges are bit-identical
+    * (spec-pinned equivalence, including a non-BMP alphabet case).
     */
   private val DriverVocabLimit = 2000000L
+
+  /** Companion BYTE bound for the fast path: [[DriverVocabLimit]] bounds
+    * collected ROWS, but each repr is the SEP-expanded form (~3× token
+    * chars), so a vocabulary of long tokens could pass the row check
+    * while putting hundreds of MB of tuples on the driver. The cutover
+    * aggregate therefore also sums repr length (repr is ASCII + control
+    * separators, so chars = bytes) and the fast path requires BOTH
+    * bounds. 256 MB of repr payload ≈ well under a GB of heap with
+    * String/tuple overhead — trivially safe on any driver.
+    */
+  private val DriverVocabByteLimit = 256L << 20
 
   /** Exposed with an arbitrary token-array source and merge count so the
     * spec can drive adversarial synthetic vocabularies (self-overlapping
@@ -161,7 +173,8 @@ object CorpusOps extends QueryModule {
     * driverVocabLimit = 0 forces the distributed path.
     */
   private[graft] def bpeLoop[T](toks: DataFrame, k: Int,
-      driverVocabLimit: Long = DriverVocabLimit)(
+      driverVocabLimit: Long = DriverVocabLimit,
+      driverVocabByteLimit: Long = DriverVocabByteLimit)(
       finish: (Seq[(Long, String, String, String, Long)], DataFrame) => T): T = {
     val words = toks
       .select(explode(col("t")).as("w"))
@@ -172,7 +185,14 @@ object CorpusOps extends QueryModule {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      if (words.count() <= driverVocabLimit) {
+      // ONE aggregate job decides the cutover (and doubles as the
+      // persist-materializing pipeline breaker the count() used to be):
+      // row count for the collect bound, total repr chars for the byte
+      // bound.
+      val cut = words.agg(count(lit(1)).as("n"),
+        coalesce(sum(length(col("repr"))), lit(0L)).as("chars")).head()
+      if (cut.getLong(0) <= driverVocabLimit &&
+          cut.getLong(1) <= driverVocabByteLimit) {
         var cur = words.collect().map(r => (r.getLong(0), r.getString(1)))
         for (i <- 1 to k) {
           val pc = scala.collection.mutable.Map
@@ -182,8 +202,15 @@ object CorpusOps extends QueryModule {
             var j = 0
             while (j + 1 < sy.length) { pc((sy(j), sy(j + 1))) += cnt; j += 1 }
           }
+          // (count DESC, s1, s2) argmax with the STRING legs compared as
+          // UTF-8 bytes (Utf8Order) — the distributed orderBy and the
+          // DuckDB oracle both use UTF-8 binary ordering, and Java's
+          // UTF-16 tuple ordering diverges on supplementary characters,
+          // so a plain minBy would pick different merges on an
+          // astral-token corpus
           val ((m1, m2), c) = pc.toSeq
-            .minBy { case ((a, b), n) => (-n, a, b) }
+            .minBy { case ((a, b), n) => (-n, a, b) }(
+              Ordering.Tuple3(Ordering.Long, Utf8Order, Utf8Order))
           merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
           val pat = SEP + m1 + SEP + SEP + m2 + SEP
           val rep = SEP + m1 + m2 + SEP
@@ -485,7 +512,11 @@ object CorpusOps extends QueryModule {
           r = nodeToks.map(t => t -> (150000L + inmass(t))).toMap
         }
         nodeToks.map(t => (t, r(t)))
-          .sortBy { case (t, sc) => (-sc, t) }.take(20)
+          // UTF-8 byte tie-break (Utf8Order): the oracle's ORDER BY is
+          // UTF-8 binary, Java's String ordering is UTF-16 — see the BPE
+          // argmax note
+          .sortBy { case (t, sc) => (-sc, t) }(
+            Ordering.Tuple2(Ordering.Long, Utf8Order)).take(20)
           .zipWithIndex
           .map { case ((t, sc), i) => (t, sc, (i + 1).toLong) }
           .toSeq.toDF("tok", "score", "rank")
@@ -643,19 +674,27 @@ object CorpusOps extends QueryModule {
     // N-gram novelty scoring — the memorization/duplication-risk signal
     // (RefinedWeb-style): for every document with >= 8 tokens, the
     // per-mille fraction of its 8-gram POSITIONS whose gram occurs in
-    // no other document. Grams are 16-byte md5 digests of the joined
-    // window (never the window text); "shared" means >= 2 DISTINCT
-    // documents contain the gram. Shape: a bounded per-doc explode, one
-    // distinct-(doc,h) pass feeding one digest census (both map-side
-    // combined), one join back, one doc agg — every shuffle keyed on
-    // the digest or doc_id. Integer per-mille output, engine-exact.
+    // no other document. Grams are 8-byte xxhash64 longs of the token
+    // 8-TUPLE (Dedup.ngramHashArrExpr — the hashed-shingle precedent:
+    // the ~60-byte joined window string is never allocated, and both
+    // corpus-gram-scale shuffles below move longs instead of 32-char
+    // md5 hex strings, the documented ~4-5x shuffle-byte win); "shared"
+    // means >= 2 DISTINCT documents contain the gram. Tokens contain no
+    // whitespace, so hashing the tuple is injective on windows up to a
+    // 64-bit collision (birthday ~1e-8 at 1e5 grams, and deterministic
+    // — the oracle count gate would surface one); the DuckDB twin keys
+    // on the joined window STRING, which is equality-equivalent, since
+    // the output exposes only counts, never the key. Shape: a bounded
+    // per-doc explode, one distinct-(doc,h) pass feeding one gram
+    // census (both map-side combined), one join back, one doc agg —
+    // every shuffle keyed on the long gram or doc_id. Integer per-mille
+    // output, engine-exact.
     Q("ngram_novelty",
       (s, d) => {
         val g = Dedup.tokens(docs(s, d))
           .filter(size(col("t")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(t) - 7),
-               i -> md5(array_join(slice(t, i, 8), ' ')))""")).as("h"))
+          .select(col("doc_id"),
+            explode(expr(Dedup.ngramHashArrExpr(8))).as("h"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val census = g.select(col("doc_id"), col("h")).distinct()
           .groupBy(col("h")).agg(count(lit(1)).as("nd"))
@@ -670,7 +709,7 @@ object CorpusOps extends QueryModule {
                       regexp_extract_all(lower(text), '\S+') AS t
                     FROM documents),
               g AS (SELECT doc_id,
-                           md5(array_to_string(t[i:i+7], ' ')) AS h
+                           array_to_string(t[i:i+7], ' ') AS h
                     FROM (SELECT doc_id, t,
                                  unnest(range(1, len(t) - 6)) AS i
                           FROM toks WHERE len(t) >= 8)),

@@ -349,6 +349,13 @@ object Dedup extends QueryModule {
     val chainV = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("v")
     val chainE = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("src", "dst")
     run(Components.connectedComponents(chainV, chainE))
+    // The call above now takes the r9 driver union-find fast path
+    // (3 edges << defaultDriverEdgeLimit), which no longer touches the
+    // distributed loop's join/min-agg/decimal-sum/checkpoint codegen —
+    // force the LOOP too (driverEdgeLimit = 0) so a run whose real edge
+    // relation exceeds the cutover doesn't hit those classes cold inside
+    // a timed query.
+    run(Components.connectedComponents(chainV, chainE, driverEdgeLimit = 0L))
     // r9 additions, same account: the round-8 families run first
     // alphabetically (ann/bpe/chunk/…), so THEIR first-touch codegen was
     // landing inside timed runs.

@@ -1,142 +1,230 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Decoded fake-image metadata — what a real image decoder would return. */
+/** Decoded image metadata — header dims + channel count + a pixel-sum
+  * checksum, all read from the DECODED raster, not the container bytes.
+  */
 final case class MediaMeta(
     doc_id: Long, width: Int, height: Int, channels: Int, checksum: Long)
 
-/** Per-item features after decode → feature-extract → "resize". */
+/** Per-item features after decode → feature-extract → resize →
+  * frame-sample. All integer-exact (sums, not means) so the DuckDB twin
+  * hash-matches without float-rounding hazards.
+  */
 final case class MediaFeatures(
-    doc_id: Long, n_bytes: Int,
-    feature: Array[Double],   // 8-dim: mean byte value per stride bucket
-    resized: Array[Double],   // 4-dim: adjacent-pair means of `feature`
-    frames: Array[Int])       // "frame sample": every 64th byte, first 4
+    doc_id: Long, n_pixels: Int,
+    chan_sum: Array[Long],  // 3: per-channel pixel-value sums (R, G, B)
+    quad_sum: Array[Long],  // 4: 2×2 "resize" — per-quadrant (r+g+b) sums
+    frames: Array[Int])     // first 4 pixels of row 0, packed 0xRRGGBB; -1 past width
 
-/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * with a REAL `javax.imageio` PNG decode in the hot path (no external
+  * dependency — ImageIO ships with the JDK).
   *
-  * There is no image/audio lib in this container, so the DECODE step is a
-  * deterministic fake (byte-statistics stand in for pixel decoding —
-  * clearly marked below). Everything around it is the real distributed
-  * shape: BinaryType column, batch iterator over partitions
-  * (`mapPartitions`, the Scala analog of `mapInPandas` batches), typed
-  * output schema via case-class Encoders, partition-parallel end to end.
-  * Swapping in a real codec changes only the function body.
+  * The payloads are deterministic PNGs planted per doc_id: each document
+  * carries a small RGB image whose pixel values follow a closed-form
+  * integer formula of (doc_id, x, y). That makes the round trip honest in
+  * both directions — the engine really encodes and decodes PNG rasters on
+  * executors, while the DuckDB oracle can reproduce every decoded
+  * statistic from the formula alone, never needing a codec. PNG is
+  * lossless 8-bit sRGB, so decode(encode(pixels)) == pixels exactly;
+  * MultimodalSpec additionally pins the round trip against a hand-built
+  * image.
+  *
+  * Scale shape: everything here is map-only over the binary column —
+  * encode, decode, feature extraction all run inside `mapPartitions`
+  * batches (the Scala analog of `mapInPandas`), no shuffle anywhere, and
+  * the payload stays an opaque BinaryType column until the decode kernel
+  * touches it (at 100 TB the payloads arrive from a parquet binary
+  * column; only the generator below is test-fixture plumbing).
+  * `ImageIO.setUseCache(false)` keeps the codec on heap buffers —
+  * the default disk-backed stream cache would add a temp-file write per
+  * image per task.
   */
 object Multimodal extends QueryModule {
 
-  /** documents.text encoded as a binary payload column — the stand-in for
-    * an image/audio bytes column.
+  /** Planted image dims: bounded, non-zero, and coprime-ish moduli so
+    * width/height don't correlate across the corpus.
     */
-  def binaryPayload(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+  private[graft] def dims(id: Long): (Int, Int) =
+    ((id % 13 + 4).toInt, (id % 11 + 3).toInt)
 
-  /** STUB DECODER — deterministic fake of an image decode. A real
-    * implementation would parse the container header; this derives
-    * "dimensions" from byte statistics so tests and oracles are exact.
+  /** The per-pixel RGB formula (doc_ids are non-negative — asserted in
+    * MultimodalSpec — so `%` agrees between Java, Spark and DuckDB).
     */
-  private def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length
-    val checksum = bytes.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 65536L)
-    MediaMeta(id, n % 640 + 1, n % 480 + 1, n % 3 + 1, checksum)
+  private[graft] def pixel(id: Long, w: Int, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + y.toLong * w + x) % 256).toInt,
+    ((id * 17 + x.toLong * 7 + y) % 256).toInt,
+    ((id * 7 + x.toLong + y.toLong * 3) % 256).toInt)
+
+  /** One doc's planted PNG bytes (encoder side of the round trip). */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(id, w, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** Decode a payload dataset in partition-sized batches. */
+  /** The documents table's binary media column: (doc_id, payload) with
+    * payload = the planted PNG. Batched per partition like every other
+    * kernel here.
+    */
+  def binaryPayload(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map(id => (id, encodePng(id)))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Real decode: parse the PNG, read dims + channel count from the
+    * decoded image, checksum the raster (sum of all channel values mod
+    * 65536).
+    */
   def decodeMeta(bin: DataFrame): Dataset[MediaMeta] = {
     val spark = bin.sparkSession
     import spark.implicits._
-    bin.as[(Long, Array[Byte])].mapPartitions(_.map {
-      case (id, bytes) => decodeStub(id, bytes)
-    })
+    bin.as[(Long, Array[Byte])].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { case (id, bytes) =>
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        MediaMeta(id, w, h, img.getColorModel.getNumComponents, sum % 65536L)
+      }
+    }
   }
 
-  /** Feature-extract + resize + frame-sample, batched per partition. */
+  /** Decode → feature-extract (per-channel sums) → resize (2×2 quadrant
+    * luma-sum grid) → frame-sample (row-0 pixels), batched per partition.
+    */
   def extractFeatures(bin: DataFrame): Dataset[MediaFeatures] = {
     val spark = bin.sparkSession
     import spark.implicits._
-    bin.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
-      val n = bytes.length
-      // 8-bucket mean byte value (stride buckets = fake channel means)
-      val sums = new Array[Double](8)
-      val cnts = new Array[Int](8)
-      var i = 0
-      while (i < n) {
-        val b = i % 8
-        sums(b) += (bytes(i) & 0xff)
-        cnts(b) += 1
-        i += 1
+    bin.as[(Long, Array[Byte])].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { case (id, bytes) =>
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val chan = new Array[Long](3)
+        val quad = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            chan(0) += r; chan(1) += g; chan(2) += b
+            // quadrant rule x*2 < w (identical integer form in the
+            // oracle) — a 2×2 block-sum "resize"
+            val q = (if (y * 2 < h) 0 else 2) + (if (x * 2 < w) 0 else 1)
+            quad(q) += r + g + b
+            x += 1
+          }
+          y += 1
+        }
+        val frames = Array.tabulate(4)(j =>
+          if (j < w) img.getRGB(j, 0) & 0xffffff else -1)
+        MediaFeatures(id, w * h, chan, quad, frames)
       }
-      val feature = Array.tabulate(8)(j =>
-        if (cnts(j) == 0) 0.0 else sums(j) / cnts(j))
-      val resized = Array.tabulate(4)(j => (feature(2 * j) + feature(2 * j + 1)) / 2)
-      val frames = Array.tabulate(4)(j =>
-        if (j * 64 < n) bytes(j * 64) & 0xff else -1)
-      MediaFeatures(id, n, feature, resized, frames)
-    })
+    }
   }
+
+  /** Closed-form per-pixel CTE shared by both oracles: every decoded
+    * channel value re-derived from the planted formula.
+    */
+  private val pixelCte =
+    """b AS (SELECT doc_id, CAST(doc_id % 13 + 4 AS INT) AS w,
+                    CAST(doc_id % 11 + 3 AS INT) AS h
+            FROM documents),
+       px AS (SELECT doc_id, w, h, i // w AS y, i % w AS x
+              FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i
+                    FROM b)),
+       v AS (SELECT doc_id, w, h, x, y,
+                    (doc_id * 31 + y * w + x) % 256 AS r,
+                    (doc_id * 17 + x * 7 + y) % 256 AS g,
+                    (doc_id * 7 + x + y * 3) % 256 AS b
+             FROM px)"""
 
   override val queries: Seq[Q] = Seq(
 
-    // Metadata decode — oracled: the stub's arithmetic is reproducible in
-    // SQL because the payloads are ASCII (byte == codepoint, verified).
+    // Metadata decode — the Spark side round-trips real PNG bytes; the
+    // oracle replays the planted pixel formula (decode is lossless, so
+    // the two must agree bit-for-bit).
     Q("multimodal_meta",
       (s, d) => decodeMeta(binaryPayload(s, d)).toDF(),
-      Some("""SELECT doc_id,
-                     CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-                     CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
-                     CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS channels,
-                     list_reduce(
-                       list_prepend(CAST(0 AS BIGINT),
-                         list_transform(string_split(text, ''),
-                                        c -> CAST(ascii(c) AS BIGINT))),
-                       (a, b) -> (a + b) % 65536) AS checksum
-              FROM documents""")),
+      Some(s"""WITH $pixelCte
+              SELECT doc_id, CAST(max(w) AS INT) AS width,
+                     CAST(max(h) AS INT) AS height,
+                     CAST(3 AS INT) AS channels,
+                     CAST(sum(r + g + b) % 65536 AS BIGINT) AS checksum
+              FROM v GROUP BY doc_id""")),
 
-    // Full feature pipeline, flattened to scalar columns so the driver's
-    // rows-check can sort (arrays aren't hashable in pandas) and DuckDB
-    // can reproduce the stub arithmetic exactly (payloads are ASCII, so
-    // byte value == codepoint).
+    // Full feature pipeline, flattened to scalar integer columns so the
+    // driver's compare can sort and hash them (arrays aren't hashable in
+    // pandas).
     Q("multimodal_features",
       (s, d) => {
         val feats = extractFeatures(binaryPayload(s, d)).toDF()
-        val cols = col("doc_id") +: col("n_bytes") +:
-          ((0 until 8).map(j => round(col("feature")(j), 4).as(s"f$j")) ++
-            (0 until 4).map(j => round(col("resized")(j), 4).as(s"r$j")) ++
+        val cols = col("doc_id") +: col("n_pixels") +:
+          ((0 until 3).map(j => col("chan_sum")(j).as(s"cs$j")) ++
+            (0 until 4).map(j => col("quad_sum")(j).as(s"q$j")) ++
             (0 until 4).map(j => col("frames")(j).as(s"fr$j")))
         feats.select(cols: _*)
       },
       Some {
-        val fCols = (0 until 8).map(j =>
-          s"coalesce(max(CASE WHEN i % 8 = $j THEN mv END), 0.0) AS f$j")
-          .mkString(", ")
-        // LEFT JOIN + coalesce: a zero-length text yields no per-byte rows,
-        // but the Spark side still emits a row with all-zero features
-        val fOut = (0 until 8).map(j =>
-          s"round(coalesce(f$j, 0.0), 4) AS f$j").mkString(", ")
-        val rOut = (0 until 4).map(j =>
-          s"round((coalesce(f${2 * j}, 0.0) + coalesce(f${2 * j + 1}, 0.0)) / 2, 4) AS r$j")
-          .mkString(", ")
-        val frOut = (0 until 4).map(j =>
-          s"CASE WHEN ${j * 64} < b.n THEN ascii(substr(b.text, ${j * 64 + 1}, 1)) ELSE -1 END AS fr$j")
-          .mkString(", ")
-        s"""WITH b AS (
-              SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n, text
-              FROM documents),
-            ix AS (
-              SELECT doc_id, CAST(unnest(range(0, n)) AS INT) AS i, text
-              FROM b),
-            e AS (
-              SELECT doc_id, i, ascii(substr(text, i + 1, 1)) AS v
-              FROM ix),
-            m AS (
-              SELECT doc_id, i % 8 AS i, avg(v) AS mv
-              FROM e GROUP BY doc_id, i % 8),
-            p AS (SELECT doc_id, $fCols FROM m GROUP BY doc_id)
-            SELECT b.doc_id, b.n AS n_bytes, $fOut, $rOut, $frOut
-            FROM b LEFT JOIN p USING (doc_id)"""
+        val csCols = Seq("r", "g", "b").zipWithIndex.map { case (c, j) =>
+          s"CAST(sum($c) AS BIGINT) AS cs$j" }.mkString(", ")
+        val qCols = (0 until 4).map { q =>
+          val (qy, qx) = (q / 2, q % 2)
+          val cond = s"(CASE WHEN y * 2 < h THEN 0 ELSE 1 END) = $qy AND " +
+            s"(CASE WHEN x * 2 < w THEN 0 ELSE 1 END) = $qx"
+          s"CAST(sum(CASE WHEN $cond THEN r + g + b ELSE 0 END) AS BIGINT) AS q$q"
+        }.mkString(", ")
+        val frCols = (0 until 4).map { j =>
+          s"""CAST(CASE WHEN $j < w THEN
+                ((doc_id * 31 + $j) % 256) * 65536 +
+                ((doc_id * 17 + $j * 7) % 256) * 256 +
+                ((doc_id * 7 + $j) % 256)
+              ELSE -1 END AS INT) AS fr$j"""
+        }.mkString(", ")
+        s"""WITH $pixelCte,
+              agg AS (SELECT doc_id, $csCols, $qCols
+                      FROM v GROUP BY doc_id)
+            SELECT b.doc_id, CAST(b.w * b.h AS INT) AS n_pixels,
+                   cs0, cs1, cs2, q0, q1, q2, q3, $frCols
+            FROM b JOIN agg USING (doc_id)"""
       })
   )
 }

@@ -78,7 +78,11 @@ object SketchOps extends QueryModule {
         val sketch = Tables.loadEvents(s, dir)
           .agg(mg(col("event_type"))).head().getMap[String, Long](0)
         import s.implicits._
-        sketch.toSeq.sortBy { case (key, c) => (-c, key) }.take(3)
+        sketch.toSeq
+          // UTF-8 byte tie-break to match the oracle's ORDER BY (Java
+          // String ordering is UTF-16 — see Utf8Order)
+          .sortBy { case (key, c) => (-c, key) }(
+            Ordering.Tuple2(Ordering.Long, Utf8Order)).take(3)
           .toDF("event_type", "est_count")
       },
       Some("""SELECT event_type, count(*) AS est_count FROM events

@@ -34,10 +34,17 @@ object ProfileDelta {
       .groupBy(col("b.doc_id").as("doc_id"))
       .agg(min(col("e.doc_id")).as("em"))
     time("exact count")(exact.count())
-    val shAll = Dedup.cappedShingles(
-        Dedup.shinglesFromTokens(btoks.unionByName(batchToks)))
+    // mirror the production staging exactly (rawAll persisted and
+    // counted BEFORE the cap, then freed) — r9 changed the query's
+    // choreography and a profiler that skips the rawAll stage no longer
+    // times what production runs
+    val rawAll = Dedup.shinglesFromTokens(btoks.unionByName(batchToks))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("rawAll count")(rawAll.count())
+    val shAll = Dedup.cappedShingles(rawAll)
       .persist(StorageLevel.MEMORY_AND_DISK)
     time("shAll count")(shAll.count())
+    rawAll.unpersist(blocking = false)
     val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = shAll.filter(col("doc_id") >= 1000000L).as("nb")
       .join(shAll.filter(col("doc_id") < 1000000L).as("eb"),

@@ -202,6 +202,48 @@ class CorpusOpsSpec extends SparkSuite {
     assert(distGot == got)
   }
 
+  test("bpe loop: cutover boundaries (row and byte limits ±1) are path-invariant") {
+    import spark.implicits._
+    val toksSeq = Seq(
+      "aaaa", "aaaa", "aaaa", "aaa", "aa", "abab", "abab", "aab", "baa",
+      "bbbb", "bbbb", "bb", "ab", "ba", "cc", "cc", "dd", "dd")
+    val toks = Seq((1L, toksSeq)).toDF("doc_id", "t")
+    val nWords = toksSeq.distinct.size.toLong
+    // repr = SEP + (c SEP SEP)* + EOW SEP → 3·len(w) + 3 chars (= bytes
+    // on this ASCII vocab), summed over DISTINCT words
+    val reprBytes = toksSeq.distinct.map(w => 3L * w.length + 3).sum
+    val base = graft.operators.CorpusOps.bpeLoop(toks, 4)((m, _) => m)
+    // row-limit boundary: nWords-1 forces the distributed loop, nWords
+    // and nWords+1 take the fast path — merges must be bit-identical so
+    // an off-by-one in the `<=` can never change results
+    for (l <- Seq(nWords - 1, nWords, nWords + 1))
+      assert(graft.operators.CorpusOps.bpeLoop(toks, 4, l)((m, _) => m) == base,
+        s"row limit $l diverged")
+    // byte-limit boundary, same contract
+    for (b <- Seq(reprBytes - 1, reprBytes, reprBytes + 1))
+      assert(graft.operators.CorpusOps.bpeLoop(toks, 4,
+        driverVocabByteLimit = b)((m, _) => m) == base,
+        s"byte limit $b diverged")
+  }
+
+  test("bpe loop: non-BMP alphabet — fast path matches the loop's UTF-8 tie-break") {
+    import spark.implicits._
+    // U+1F355 (4-byte UTF-8, leading 0xF0) vs U+E000 (3-byte, 0xEE):
+    // Java/UTF-16 orders the surrogate pair (0xD83C unit) FIRST, UTF-8
+    // binary orders it LAST. A count tie between the two words' (sym,
+    // EOW) pairs forces the argmax through the string tie-break, so a
+    // UTF-16 comparison in the driver replay would learn a different
+    // first merge than the distributed orderBy / DuckDB oracle ordering
+    val astral = "\uD83C\uDF55" // U+1F355 (pizza)
+    val pua = "\uE000"
+    val toks = Seq((1L, Seq(astral, pua))).toDF("doc_id", "t")
+    val fast = graft.operators.CorpusOps.bpeLoop(toks, 2)((m, _) => m)
+    val dist = graft.operators.CorpusOps.bpeLoop(toks, 2, 0L)((m, _) => m)
+    assert(fast == dist)
+    // UTF-8 ordering must pick U+E000 (0xEE 80 80 < 0xF0 9F 8D 95)
+    assert(fast.head._2 == pua, s"first merge ${fast.head} not UTF-8 ordered")
+  }
+
   test("bpe_encode: dense ranks, conservation of end-of-word mass") {
     val out = q("bpe_encode").orderBy("rank").collect()
     assert(out.nonEmpty && out.length <= 50)

@@ -1,42 +1,89 @@
 package graft
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSuite {
 
-  test("decode stub metadata matches independent local computation") {
-    val texts = Tables.load(spark, sf, "documents")
-      .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val metas = q("multimodal_meta").collect()
-    assert(metas.length == texts.size)
-    metas.foreach { r =>
-      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
-      assert(r.getInt(1) == bytes.length % 640 + 1)
-      assert(r.getInt(2) == bytes.length % 480 + 1)
-      assert(r.getInt(3) == bytes.length % 3 + 1)
-      assert(r.getLong(4) == bytes.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 65536L))
+  test("oracle precondition: doc_ids are non-negative (Java/Spark/DuckDB % agree)") {
+    val neg = Tables.load(spark, sf, "documents")
+      .where(col("doc_id") < 0).count()
+    assert(neg == 0L)
+  }
+
+  test("payloads are real PNGs: magic bytes + ImageIO round trip is lossless") {
+    val rows = Multimodal.binaryPayload(spark, sf).limit(10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      // PNG signature
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G')
+      // independent decode here must reproduce the planted formula
+      // pixel-for-pixel — PNG is lossless 8-bit sRGB
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val (w, h) = Multimodal.dims(id)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val (pr, pg, pb) = Multimodal.pixel(id, w, x, y)
+        assert(((rgb >> 16) & 0xff) == pr && ((rgb >> 8) & 0xff) == pg &&
+          (rgb & 0xff) == pb, s"pixel mismatch id=$id ($x,$y)")
+      }
     }
   }
 
-  test("feature pipeline shape: 8 feature + 4 resized + 4 frame columns") {
-    val df = q("multimodal_features")
-    val names = df.schema.fieldNames.toSeq
-    assert(names == Seq("doc_id", "n_bytes") ++
-      (0 until 8).map(j => s"f$j") ++ (0 until 4).map(j => s"r$j") ++
-      (0 until 4).map(j => s"fr$j"))
-    assert(df.count() > 0)
+  test("decoded metadata matches independent local computation of the formula") {
+    val metas = q("multimodal_meta").collect()
+    assert(metas.length == Tables.load(spark, sf, "documents").count())
+    metas.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.dims(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getInt(3) == 3)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (pr, pg, pb) = Multimodal.pixel(id, w, x, y)
+        sum += pr + pg + pb
+      }
+      assert(r.getLong(4) == sum % 65536L, s"checksum mismatch id=$id")
+    }
   }
 
-  test("resized is the adjacent-pair mean of feature (rounding tolerance)") {
-    val rows = q("multimodal_features").limit(20).collect()
+  test("feature pipeline: real pixel stats — channel/quadrant sums, frame samples") {
+    val df = q("multimodal_features")
+    val names = df.schema.fieldNames.toSeq
+    assert(names == Seq("doc_id", "n_pixels") ++
+      (0 until 3).map(j => s"cs$j") ++ (0 until 4).map(j => s"q$j") ++
+      (0 until 4).map(j => s"fr$j"))
+    val rows = df.limit(25).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.dims(id)
+      assert(r.getInt(1) == w * h)
+      val chan = new Array[Long](3)
+      val quad = new Array[Long](4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (pr, pg, pb) = Multimodal.pixel(id, w, x, y)
+        chan(0) += pr; chan(1) += pg; chan(2) += pb
+        val qi = (if (y * 2 < h) 0 else 2) + (if (x * 2 < w) 0 else 1)
+        quad(qi) += pr + pg + pb
+      }
+      (0 until 3).foreach(j => assert(r.getLong(r.fieldIndex(s"cs$j")) == chan(j)))
+      (0 until 4).foreach(j => assert(r.getLong(r.fieldIndex(s"q$j")) == quad(j)))
+      // quadrant sums partition the total: resize conserves mass
+      assert(quad.sum == chan.sum)
       (0 until 4).foreach { j =>
-        val f0 = r.getDouble(r.fieldIndex(s"f${2 * j}"))
-        val f1 = r.getDouble(r.fieldIndex(s"f${2 * j + 1}"))
-        val rs = r.getDouble(r.fieldIndex(s"r$j"))
-        assert(math.abs(rs - (f0 + f1) / 2) < 1e-3)
+        val expect = if (j < w) {
+          val (pr, pg, pb) = Multimodal.pixel(id, w, j, 0)
+          (pr << 16) | (pg << 8) | pb
+        } else -1
+        assert(r.getInt(r.fieldIndex(s"fr$j")) == expect)
       }
     }
   }

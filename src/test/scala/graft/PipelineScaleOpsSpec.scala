@@ -32,6 +32,20 @@ class PipelineScaleOpsSpec extends SparkSuite {
     assert(fast.contains(7L) && fast(8L) == 7L)
   }
 
+  test("connectedComponents: cutover boundary (driverEdgeLimit ±1) is path-invariant") {
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 9L)
+    val es = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (7L, 8L))
+    val n = es.length.toLong
+    // the cutover is `edgeCount <= limit`: limit = n-1 forces the
+    // distributed loop, n and n+1 take the driver fast path — all three
+    // must produce the identical labeling, so a future off-by-one in
+    // the comparison can only change WHICH equivalent path runs, never
+    // the result
+    val at = Seq(n - 1, n, n + 1).map(l => cc(vs, es, driverEdgeLimit = l))
+    assert(at.distinct.size == 1)
+    assert(at.head(5L) == 1L && at.head(8L) == 7L)
+  }
+
   test("connectedComponents: chain needs multi-hop propagation") {
     // 1-2-3-4-5 is diameter 4: vertex 5 only learns label 1 transitively
     val got = cc(Seq(1L, 2L, 3L, 4L, 5L, 9L),
