@@ -83,6 +83,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup probe failed: ${e.getMessage}")
     }
+    // ImageIO plugin-registry + PNG codec first-touch (real decode since
+    // r10) — pay it untimed, not inside multimodal_meta's timed run
+    try graft.operators.Multimodal.warmupCodec()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] codec warmup failed: ${e.getMessage}")
+    }
     spark.catalog.clearCache()
 
     // Optional name filter for local profiling (comma-separated);

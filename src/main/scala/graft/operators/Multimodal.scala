@@ -83,6 +83,18 @@ object Multimodal extends QueryModule {
     out.toByteArray
   }
 
+  /** Untimed codec warmup for Bench: one encode→decode round trip pays
+    * ImageIO's plugin-registry scan and PNG codec class-init once per
+    * JVM, so the first timed multimodal query measures steady-state
+    * decode work (local mode shares the JVM; on a cluster the same
+    * first-touch amortizes over each executor's task stream).
+    */
+  def warmupCodec(): Unit = {
+    ImageIO.setUseCache(false)
+    val img = ImageIO.read(new ByteArrayInputStream(encodePng(1L)))
+    require(img != null)
+  }
+
   /** The documents table's binary media column: (doc_id, payload) with
     * payload = the planted PNG. Batched per partition like every other
     * kernel here.

@@ -62,12 +62,55 @@ object Similarity extends QueryModule {
         col("label"))
   }
 
-  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
-  private[operators] def planes(nBits: Int, dim: Int,
+  /** Deterministic random hyperplanes (seeded) for sign-LSH.
+    * PREFIX-STABLE: one seeded Random filled row-major, so
+    * `planes(a, d)` == `planes(b, d).take(a)` for a ≤ b — the property
+    * that lets the oracle embed [[MaxLshBits]] plane literals and gate
+    * each bit on the runtime-adaptive count (SimilaritySpec pins it).
+    */
+  private[graft] def planes(nBits: Int, dim: Int,
       seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
+
+  /** Runtime-adaptive sign-LSH bit count (the Components/BPE cutover
+    * discipline applied to bucket geometry): the smallest bit count
+    * whose 2^bits buckets hold ≤ [[LshTargetBucket]] rows on average,
+    * clamped to [[MinLshBits]]..[[MaxLshBits]]. Fixed bits cannot
+    * survive a corpus-size change — 6 bits over a billion vectors is
+    * ~16M rows per bucket (the self-join quadratics the bucketing
+    * exists to prevent), while 24 bits over 500 vectors is all
+    * singletons (zero recall). Pure integer arithmetic (no log2
+    * doubles) so the SQL twin computes the identical count at every
+    * boundary.
+    */
+  private[graft] val LshTargetBucket = 32L
+  private[graft] val MinLshBits = 6
+  private[graft] val MaxLshBits = 24
+  private[graft] def lshBits(n: Long): Int =
+    (MinLshBits to MaxLshBits)
+      .find(b => (1L << b) * LshTargetBucket >= n).getOrElse(MaxLshBits)
+
+  /** SQL twin of [[lshBits]] over the embeddings count, as a 1-row CTE
+    * body (column `nb`) — same integer comparison, same clamp.
+    */
+  private def lshBitsSql(countFrom: String): String =
+    s"""SELECT coalesce((SELECT min(b) FROM range($MinLshBits, ${MaxLshBits + 1}) t(b)
+           WHERE (CAST(1 AS BIGINT) << b) * $LshTargetBucket >=
+                 (SELECT count(*) FROM $countFrom)), $MaxLshBits) AS nb"""
+
+  /** SQL bucket expression over vector column `v` with the adaptive bit
+    * count read from CTE column `nb`: all [[MaxLshBits]] plane literals
+    * are embedded (planes() is prefix-stable), bit b contributes only
+    * when b < nb.
+    */
+  private def adaptiveBucketSql: String =
+    planes(MaxLshBits, Dim).zipWithIndex.map { case (p, b) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"CASE WHEN $b < nb AND list_dot_product(v, $lit) > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString("(", " + ", ")")
 
   /** Dense-bucket refinement cap (the embedding analog of
     * [[Dedup.maxShingleDf]]'s stop-shingle guard).
@@ -203,22 +246,23 @@ object Similarity extends QueryModule {
     cents
   }
 
-  /** Exact DuckDB twin of `ann_lsh_bucketed`. The 6 seeded hyperplanes
+  /** Exact DuckDB twin of `ann_lsh_bucketed`. The seeded hyperplanes
     * are embedded as DOUBLE literals (Scala's Double.toString is
     * round-trip exact, and DuckDB parses decimal literals to the nearest
     * double — the identical value), so bucket ids, cosines, and the
     * per-query top-3 window all reproduce bit-identically: dot products
     * are the same in-order fold on both sides (graft_dot ↔
     * list_dot_product, the convention every cosine oracle here uses).
+    * The bit count is the adaptive [[lshBits]] of the corpus count,
+    * replayed in SQL ([[lshBitsSql]]) over the prefix-stable literal
+    * set.
     */
   private def lshOracle: String = {
-    val bucket = planes(6, Dim).zipWithIndex.map { case (p, b) =>
-      val lit = p.mkString("[", ", ", "]")
-      s"CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1L << b} ELSE 0 END"
-    }.mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
-        b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+        nbv AS (${lshBitsSql("embeddings")}),
+        b AS (SELECT vec_id, v, $adaptiveBucketSql AS bucket
+              FROM e, nbv),
         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
               FROM b WHERE vec_id < 20),
         sc AS (SELECT q_id, vec_id,
@@ -241,13 +285,11 @@ object Similarity extends QueryModule {
     * hash-compare is exact.
     */
   private def knnLabelOracle: String = {
-    val bucket = planes(6, Dim).zipWithIndex.map { case (p, b) =>
-      val lit = p.mkString("[", ", ", "]")
-      s"CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1L << b} ELSE 0 END"
-    }.mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                    FROM embeddings),
-        b AS (SELECT vec_id, v, label, $bucket AS bucket FROM e),
+        nbv AS (${lshBitsSql("embeddings")}),
+        b AS (SELECT vec_id, v, label, $adaptiveBucketSql AS bucket
+              FROM e, nbv),
         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket,
                      label AS true_label
               FROM b WHERE vec_id % 5 = 0),
@@ -272,9 +314,17 @@ object Similarity extends QueryModule {
         FROM win WHERE vr = 1"""
   }
 
+  /** IVF probe width: each query searches its [[NProbe]] nearest cells,
+    * the standard recall lever for boundary vectors (a query near a
+    * Voronoi face has true neighbors in the adjacent cell; nprobe = 1
+    * loses them). Cost is linear in nprobe and bounded by nprobe ×
+    * mean-cell-size candidates per query.
+    */
+  private val NProbe = 3
+
   /** Exact DuckDB twin of `ann_ivf`: replays the whole deterministic
     * quantizer — seeds = vectors 0..7, two Lloyd iterations, then the
-    * 2-cell probe — in SQL. Bit-exactness hinges on two conventions the
+    * [[NProbe]]-cell probe — in SQL. Bit-exactness hinges on two conventions the
     * other cosine oracles already rely on, plus one specific to Lloyd:
     *
     *   - in-order double folds (graft_dot ↔ list_dot_product), so the
@@ -322,7 +372,7 @@ object Similarity extends QueryModule {
                   FROM e CROSS JOIN c2) WHERE rn = 1),
         prb AS (SELECT vec_id AS q_id, v AS qv, cell AS probe_cell FROM (
                   SELECT vec_id, v, cell, $argmin AS rn
-                  FROM e CROSS JOIN c2 WHERE vec_id < 20) WHERE rn <= 2),
+                  FROM e CROSS JOIN c2 WHERE vec_id < 20) WHERE rn <= $NProbe),
         sc AS (SELECT q_id, vec_id,
                  list_dot_product(qv, v)
                  / (sqrt(list_dot_product(qv, qv))
@@ -334,6 +384,51 @@ object Similarity extends QueryModule {
                FROM sc)
         SELECT q_id, vec_id AS neighbor_id, round(sim, 4) AS cos_sim
         FROM rk WHERE rk <= 3"""
+  }
+
+  /** The ann_lsh_bucketed body at an explicit bit count — exposed so
+    * SimilaritySpec can drive both sides of the adaptive flip.
+    */
+  private[graft] def lshTopK(e0: DataFrame, bits: Int): DataFrame = {
+    val e = e0.withColumn("bucket", signBucket(col("v"), planes(bits, Dim)))
+    val queriesDf = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    queriesDf
+      .join(e, col("q_bucket") === col("bucket")
+        && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+
+  /** The knn_label body at an explicit bit count (see [[lshTopK]]). */
+  private[graft] def knnLabel(e0: DataFrame, bits: Int): DataFrame = {
+    val e = e0.withColumn("bucket", signBucket(col("v"), planes(bits, Dim)))
+    val queriesDf = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("bucket").as("q_bucket"), col("label").as("true_label"))
+    val labeled = e.filter(col("vec_id") % 5 =!= 0)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val top = queriesDf
+      .join(labeled, col("q_bucket") === col("bucket"))
+      .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+    top.groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("label").as("pred_label"),
+        col("votes"), col("true_label"))
   }
 
   override val queries: Seq[Q] = Seq(
@@ -383,30 +478,19 @@ object Similarity extends QueryModule {
               SELECT vec_a, vec_b, round(sim, 4) AS cos_sim FROM p
               WHERE sim >= 0.3""")),
 
-    // Scale path: sign-LSH bucketed ANN. 6 hyperplane sign bits → 64
-    // buckets; candidates = same-bucket rows; top-3 per query via a
-    // bounded per-bucket window. Exactly oracled ([[lshOracle]]: the
-    // seeded planes embed as literals); SimilaritySpec additionally
-    // measures recall against the brute-force path.
+    // Scale path: sign-LSH bucketed ANN. The bit count adapts to the
+    // corpus at runtime ([[lshBits]] of one cheap count — the adaptive
+    // cutover discipline): ~2^bits buckets sized for ≤32 mean occupancy,
+    // so the same query survives a 10⁶× corpus growth without the
+    // per-bucket self-join going quadratic. Candidates = same-bucket
+    // rows; top-3 per query via a bounded per-bucket window. Exactly
+    // oracled ([[lshOracle]] replays both the bit-count arithmetic and
+    // the prefix-stable planes); SimilaritySpec additionally measures
+    // recall against the brute-force path and pins planted-pair
+    // collision across the bit flip.
     Q("ann_lsh_bucketed",
-      (s, d) => {
-        val pl = planes(6, 64)
-        val e = emb(s, d).withColumn("bucket", signBucket(col("v"), pl))
-        val queriesDf = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("bucket").as("q_bucket"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        queriesDf
-          .join(e, col("q_bucket") === col("bucket")
-            && col("q_id") =!= col("vec_id"))
-          .select(col("q_id"), col("vec_id"),
-            cosine(col("qv"), col("v")).as("sim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            round(col("sim"), 4).as("cos_sim"))
-      },
+      (s, d) => lshTopK(emb(s, d),
+        lshBits(Tables.load(s, d, "embeddings").count())),
       Some(lshOracle)),
 
     // kNN label propagation — semi-supervised labeling over the
@@ -416,34 +500,13 @@ object Similarity extends QueryModule {
     // smaller label id — fully deterministic). The quality-classifier
     // analog on the embedding side: how a pipeline assigns
     // topic/quality labels to new documents from a labeled seed set at
-    // corpus scale. Shape: the same 64-bucket sign-LSH candidate bound
-    // as ann_lsh_bucketed (bits scale with corpus size in production),
-    // one bounded per-query window, one vote aggregate — never an
-    // all-pairs scan.
+    // corpus scale. Shape: the same runtime-adaptive sign-LSH candidate
+    // bound as ann_lsh_bucketed ([[lshBits]] — bits really do scale
+    // with corpus size now), one bounded per-query window, one vote
+    // aggregate — never an all-pairs scan.
     Q("knn_label",
-      (s, d) => {
-        val pl = planes(6, Dim)
-        val e = emb(s, d).withColumn("bucket", signBucket(col("v"), pl))
-        val queriesDf = e.filter(col("vec_id") % 5 === 0)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("bucket").as("q_bucket"), col("label").as("true_label"))
-        val labeled = e.filter(col("vec_id") % 5 =!= 0)
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        val top = queriesDf
-          .join(labeled, col("q_bucket") === col("bucket"))
-          .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
-            cosine(col("qv"), col("v")).as("sim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-        top.groupBy(col("q_id"), col("true_label"), col("label"))
-          .agg(count(lit(1)).as("votes"))
-          .withColumn("vr", row_number().over(Window.partitionBy(col("q_id"))
-            .orderBy(col("votes").desc, col("label"))))
-          .filter(col("vr") === 1)
-          .select(col("q_id"), col("label").as("pred_label"),
-            col("votes"), col("true_label"))
-      },
+      (s, d) => knnLabel(emb(s, d),
+        lshBits(Tables.load(s, d, "embeddings").count())),
       Some(knnLabelOracle)),
 
     // Embedding-cosine near-duplicate detection (the dedup-family
@@ -459,13 +522,20 @@ object Similarity extends QueryModule {
         val corpus = e.unionByName(
           e.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // runtime-adaptive level-1 bits ([[lshBits]]); the count doubles
+        // as the persisted corpus' pipeline breaker. Recall is
+        // bit-count-invariant for the planted signal — identical
+        // vectors collide in EVERY bucketing — and the oracle is the
+        // exact all-pairs result, so the flip can never change answers
+        // (SimilaritySpec pins both).
+        val bits = lshBits(corpus.count())
         // skew-guarded buckets: a dense level-1 bucket is replaced by
         // banded sub-bucketings instead of going quadratic (see
         // skewSafeBuckets; exact dups keep colliding in every band).
         // Candidate pairs are DISTINCTed before scoring — a pair
         // colliding in several bands must score once, like the
         // band-deduped candidates in dedup_minhash_lsh.
-        val b = skewSafeBuckets(corpus)
+        val b = skewSafeBuckets(corpus, bits)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val cand = b.as("a")
           .join(b.as("b"), col("a.band") === col("b.band")
@@ -495,8 +565,9 @@ object Similarity extends QueryModule {
               WHERE sim >= 0.9""")),
 
     // IVF ANN — the second scale path next to sign-LSH: deterministic
-    // Lloyd-refined coarse quantizer (8 cells), queries probe their 2
-    // nearest cells, exact cosine within probed cells, top-3 per query.
+    // Lloyd-refined coarse quantizer (8 cells), queries probe their
+    // NProbe=3 nearest cells, exact cosine within probed cells, top-3
+    // per query.
     // Exactly oracled ([[ivfOracle]] replays the Lloyd loop in SQL);
     // SimilaritySpec additionally pins recall against brute force.
     Q("ann_ivf",
@@ -509,7 +580,7 @@ object Similarity extends QueryModule {
         val probes = assigned.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             explode(transform(
-              slice(array_sort(centDists(col("v"), cents)), 1, 2),
+              slice(array_sort(centDists(col("v"), cents)), 1, NProbe),
               s => s.getField("i"))).as("probe_cell"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("vec_id"))
