@@ -177,8 +177,9 @@ object Similarity extends QueryModule {
     * is bucket-cardinality bounded (≤ 2^bits rows), AQE broadcasts it.
     *
     * @param corpus (vec_id, v) rows
-    * @param bits   level-1 plane count (spec injects a tiny value to
-    *               plant a dense bucket; production default 16)
+    * @param bits   level-1 plane count — callers pass the
+    *               runtime-adaptive [[lshBits]] of the corpus count
+    *               (specs inject a tiny value to plant a dense bucket)
     */
   private[graft] def skewSafeBuckets(corpus: DataFrame, bits: Int = 16,
       cap: Long = maxBucketSize): DataFrame = {
