@@ -160,10 +160,12 @@ object CorpusOps extends QueryModule {
     * collected ROWS, but each repr is the SEP-expanded form (~3× token
     * chars), so a vocabulary of long tokens could pass the row check
     * while putting hundreds of MB of tuples on the driver. The cutover
-    * aggregate therefore also sums repr length (repr is ASCII + control
-    * separators, so chars = bytes) and the fast path requires BOTH
-    * bounds. 256 MB of repr payload ≈ well under a GB of heap with
-    * String/tuple overhead — trivially safe on any driver.
+    * aggregate therefore also sums repr octet_length (UTF-8 BYTES, not
+    * codepoints — a CJK/astral vocabulary packs up to 4 payload bytes
+    * per codepoint, so a char count would undercount by 4×) and the
+    * fast path requires BOTH bounds. 256 MB of repr payload ≈ well
+    * under a GB of heap with String/tuple overhead — trivially safe on
+    * any driver.
     */
   private val DriverVocabByteLimit = 256L << 20
 
@@ -190,11 +192,18 @@ object CorpusOps extends QueryModule {
       // row count for the collect bound, total repr chars for the byte
       // bound.
       val cut = words.agg(count(lit(1)).as("n"),
-        coalesce(sum(length(col("repr"))), lit(0L)).as("chars")).head()
+        coalesce(sum(octet_length(col("repr"))), lit(0L)).as("bytes")).head()
+      // Both paths stop identically when the pair inventory is exhausted
+      // before k merges (a degenerate vocabulary — e.g. every word a
+      // single character — runs out of adjacent pairs): the merge list
+      // is simply shorter. Without the guard the fast path would throw
+      // empty.minBy and the distributed path would index an empty
+      // collect; spec-pinned equivalence includes the truncated case.
       if (cut.getLong(0) <= driverVocabLimit &&
           cut.getLong(1) <= driverVocabByteLimit) {
         var cur = words.collect().map(r => (r.getLong(0), r.getString(1)))
-        for (i <- 1 to k) {
+        var exhausted = false
+        for (i <- 1 to k if !exhausted) {
           val pc = scala.collection.mutable.Map
             .empty[(String, String), Long].withDefaultValue(0L)
           cur.foreach { case (cnt, repr) =>
@@ -202,25 +211,29 @@ object CorpusOps extends QueryModule {
             var j = 0
             while (j + 1 < sy.length) { pc((sy(j), sy(j + 1))) += cnt; j += 1 }
           }
-          // (count DESC, s1, s2) argmax with the STRING legs compared as
-          // UTF-8 bytes (Utf8Order) — the distributed orderBy and the
-          // DuckDB oracle both use UTF-8 binary ordering, and Java's
-          // UTF-16 tuple ordering diverges on supplementary characters,
-          // so a plain minBy would pick different merges on an
-          // astral-token corpus
-          val ((m1, m2), c) = pc.toSeq
-            .minBy { case ((a, b), n) => (-n, a, b) }(
-              Ordering.Tuple3(Ordering.Long, Utf8Order, Utf8Order))
-          merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
-          val pat = SEP + m1 + SEP + SEP + m2 + SEP
-          val rep = SEP + m1 + m2 + SEP
-          cur = cur.map { case (cnt, repr) => (cnt, repr.replace(pat, rep)) }
+          if (pc.isEmpty) exhausted = true
+          else {
+            // (count DESC, s1, s2) argmax with the STRING legs compared
+            // as UTF-8 bytes (Utf8Order) — the distributed orderBy and
+            // the DuckDB oracle both use UTF-8 binary ordering, and
+            // Java's UTF-16 tuple ordering diverges on supplementary
+            // characters, so a plain minBy would pick different merges
+            // on an astral-token corpus
+            val ((m1, m2), c) = pc.toSeq
+              .minBy { case ((a, b), n) => (-n, a, b) }(
+                Ordering.Tuple3(Ordering.Long, Utf8Order, Utf8Order))
+            merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
+            val pat = SEP + m1 + SEP + SEP + m2 + SEP
+            val rep = SEP + m1 + m2 + SEP
+            cur = cur.map { case (cnt, repr) => (cnt, repr.replace(pat, rep)) }
+          }
         }
         import toks.sparkSession.implicits._
         finish(merges.result(), cur.toSeq.toDF("cnt", "repr"))
       } else {
         var cur = words
-        for (i <- 1 to k) {
+        var exhausted = false
+        for (i <- 1 to k if !exhausted) {
           val pairs = symbols(cur)
             .filter(size(col("s")) >= 2)
             .select(col("cnt"), explode(expr(
@@ -230,12 +243,16 @@ object CorpusOps extends QueryModule {
             .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
             .agg(sum(col("cnt")).as("c"))
           val best = pairs.orderBy(col("c").desc, col("s1"), col("s2"))
-            .limit(1).collect()(0)
-          val (m1, m2, c) = (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
-          cur = cur.select(col("cnt"),
-            replace(col("repr"), lit(SEP + m1 + SEP + SEP + m2 + SEP),
-              lit(SEP + m1 + m2 + SEP)).as("repr"))
+            .limit(1).collect()
+          if (best.isEmpty) exhausted = true
+          else {
+            val (m1, m2, c) =
+              (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+            merges += ((i.toLong, bpeDisp(m1), bpeDisp(m2), bpeDisp(m1 + m2), c))
+            cur = cur.select(col("cnt"),
+              replace(col("repr"), lit(SEP + m1 + SEP + SEP + m2 + SEP),
+                lit(SEP + m1 + m2 + SEP)).as("repr"))
+          }
         }
         finish(merges.result(), cur)
       }

@@ -22,7 +22,11 @@ final case class MediaFeatures(
     doc_id: Long, n_pixels: Int,
     chan_sum: Array[Long],  // 3: per-channel pixel-value sums (R, G, B)
     quad_sum: Array[Long],  // 4: 2×2 "resize" — per-quadrant (r+g+b) sums
-    frames: Array[Int])     // first 4 pixels of row 0, packed 0xRRGGBB; -1 past width
+    frames: Array[Int])     // first 4 pixels of row 0, packed 0xRRGGBB;
+                            // -1 past width (unreachable at dims()'s
+                            // current w >= 4 — kept mirrored with the
+                            // oracle's CASE so a dims change can't
+                            // desync the two)
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * with a REAL `javax.imageio` PNG decode in the hot path (no external
@@ -83,6 +87,20 @@ object Multimodal extends QueryModule {
     out.toByteArray
   }
 
+  /** Decode one payload or fail with the doc_id attached: ImageIO.read
+    * returns NULL (it does not throw) for bytes no registered codec
+    * accepts, and dereferencing that null would abort the query with an
+    * opaque NPE carrying no record identity. The raise-with-context
+    * posture matches emb()'s raise_error on a bad embedding width.
+    */
+  private def decodeImage(id: Long, bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalArgumentException(
+      s"graft.Multimodal: undecodable image payload for doc_id=$id " +
+        s"(${bytes.length} bytes)")
+    img
+  }
+
   /** Untimed codec warmup for Bench: one encode→decode round trip pays
     * ImageIO's plugin-registry scan and PNG codec class-init once per
     * JVM, so the first timed multimodal query measures steady-state
@@ -118,7 +136,7 @@ object Multimodal extends QueryModule {
     bin.as[(Long, Array[Byte])].mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map { case (id, bytes) =>
-        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        val img = decodeImage(id, bytes)
         val (w, h) = (img.getWidth, img.getHeight)
         var sum = 0L
         var y = 0
@@ -145,7 +163,7 @@ object Multimodal extends QueryModule {
     bin.as[(Long, Array[Byte])].mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map { case (id, bytes) =>
-        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        val img = decodeImage(id, bytes)
         val (w, h) = (img.getWidth, img.getHeight)
         val chan = new Array[Long](3)
         val quad = new Array[Long](4)

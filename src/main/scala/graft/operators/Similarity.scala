@@ -524,11 +524,16 @@ object Similarity extends QueryModule {
           e.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
           .persist(StorageLevel.MEMORY_AND_DISK)
         // runtime-adaptive level-1 bits ([[lshBits]]); the count doubles
-        // as the persisted corpus' pipeline breaker. Recall is
-        // bit-count-invariant for the planted signal — identical
-        // vectors collide in EVERY bucketing — and the oracle is the
-        // exact all-pairs result, so the flip can never change answers
-        // (SimilaritySpec pins both).
+        // as the persisted corpus' pipeline breaker. Recall for the
+        // PLANTED signal is bit-count-invariant — identical vectors
+        // collide in every bucketing (SimilaritySpec pins this across
+        // the flip) — so against THIS corpus, whose only ≥0.9 pairs are
+        // the planted identical copies, the result equals the oracle's
+        // exact all-pairs at any bit count. A regenerated corpus with
+        // non-identical near-dup pairs would make recall (and so the
+        // exact-oracle equality) bit-count-dependent — the standard LSH
+        // tradeoff, and the oracle gate would surface it as a count
+        // mismatch rather than silently.
         val bits = lshBits(corpus.count())
         // skew-guarded buckets: a dense level-1 bucket is replaced by
         // banded sub-bucketings instead of going quadratic (see

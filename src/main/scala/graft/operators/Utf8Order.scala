@@ -12,16 +12,25 @@ package graft.operators
   * astral-character corpus silently picks different winners per path.
   */
 private[graft] object Utf8Order extends Ordering[String] {
+  /** Allocation-free code-point walk: UTF-8 is order-preserving on code
+    * points, so comparing code points IS the UTF-8 byte comparison —
+    * without materializing two byte arrays per call (this runs inside
+    * the BPE argmax over a vocabulary-scale pair map, K times per
+    * loop). Also safer than getBytes(UTF_8), which silently maps
+    * unpaired surrogates to '?' and would order them all equal.
+    */
   override def compare(x: String, y: String): Int = {
-    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(a.length, b.length)
+    val nx = x.length
+    val ny = y.length
     var i = 0
-    var r = 0
-    while (r == 0 && i < n) {
-      r = (a(i) & 0xff) - (b(i) & 0xff)
-      i += 1
+    var j = 0
+    while (i < nx && j < ny) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
     }
-    if (r != 0) r else a.length - b.length
+    Integer.compare(nx - i, ny - j)
   }
 }

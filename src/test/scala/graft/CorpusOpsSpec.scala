@@ -226,6 +226,18 @@ class CorpusOpsSpec extends SparkSuite {
         s"byte limit $b diverged")
   }
 
+  test("bpe loop: pair inventory exhausted before k — both paths stop identically") {
+    import spark.implicits._
+    // single-char words: merge 1 learns (a, EOW), after which every
+    // word is one symbol and no pairs remain — a 6-merge request must
+    // return the 1 learnable merge, not crash (empty argmax)
+    val toks = Seq((1L, Seq("a", "a", "a"))).toDF("doc_id", "t")
+    val fast = graft.operators.CorpusOps.bpeLoop(toks, 6)((m, _) => m)
+    val dist = graft.operators.CorpusOps.bpeLoop(toks, 6, 0L)((m, _) => m)
+    assert(fast == dist)
+    assert(fast.length == 1 && fast.head._2 == "a" && fast.head._3 == "</w>")
+  }
+
   test("bpe loop: non-BMP alphabet — fast path matches the loop's UTF-8 tie-break") {
     import spark.implicits._
     // U+1F355 (4-byte UTF-8, leading 0xF0) vs U+E000 (3-byte, 0xEE):

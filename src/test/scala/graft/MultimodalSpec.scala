@@ -88,6 +88,19 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("undecodable payload fails with the doc_id in the error, not an NPE") {
+    import spark.implicits._
+    // ImageIO.read returns null (not an exception) for bytes no codec
+    // accepts; the kernel must turn that into a per-record error that
+    // names the record
+    val bad = Seq((42L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMeta(bad).collect()
+    }
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+    assert(msg.contains("doc_id=42"), s"error lacks record identity: $msg")
+  }
+
   test("payload column is BinaryType") {
     val schema = Multimodal.binaryPayload(spark, sf).schema
     assert(schema("payload").dataType ==
