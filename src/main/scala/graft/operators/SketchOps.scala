@@ -47,25 +47,98 @@ object SketchOps extends QueryModule {
     // Equi-depth histogram bounds — the third ANALYZE artifact
     // (`statistics/histogram.go:79`, 256 buckets default at
     // `executor/analyze.go:62`; 8 here to keep the result readable).
-    // Exact `percentile` and DuckDB's quantile_cont share the
-    // type-7 / percentile_cont interpolation, so bounds hash-match. The
-    // exact aggregate buffers the column per task — fine as the oracle
-    // baseline; the 100 TB path is approx_percentile (same plan shape,
-    // bounded t-digest state), pinned within tolerance by SketchSpec.
+    //
+    // EXACT-DECIMAL interpolation, not percentile doubles: at p = k/8
+    // over 2-decimal prices, every type-7 bound is an exact scale-5
+    // decimal (fraction m/8 with m ∈ 0..7, times a 2-decimal delta —
+    // 1/8 = 0.125), so both engines can compute the identical rational
+    // and cast it to the identical nearest double. The previous
+    // round(percentile, 4) form hashed GREEN at sf0.01 but RED at
+    // sf0.1: b5 there is exactly …0.43875, a round-half boundary where
+    // Spark's and DuckDB's independently-interpolated doubles sit an
+    // ulp apart — any fixed-precision rounding of engine-divergent
+    // floats is fragile; quantized-before-the-fact integer/decimal
+    // arithmetic (the ExactNum / text_entropy posture) is not.
+    //
+    // Scale shape (also strictly better than the old per-task column
+    // buffer): ONE distinct-value census (NDV-scale hash agg), a
+    // two-level prefix sum for global ranks (coarse 4096-currency-unit
+    // value bins → metadata-scale bin-offset window → intra-bin window,
+    // the pack_sequences pattern — no data-scale single-partition
+    // stage), then a broadcast join against the ≤16 needed ranks. Only
+    // those 16 (rank, value) rows reach the driver; the k/8
+    // interpolation over them is metadata-scale arithmetic (the
+    // stats_cm_freq precedent). The 100 TB approximate path stays
+    // approx_percentile, pinned within tolerance by SketchSpec.
     Q("stats_histogram",
       (s, dir) => {
-        val probs = (1 to 8).map(_ / 8.0)
-        // ONE percentile aggregate over the probability array (a single
-        // per-task buffer of the column), projected into b1..b8
-        Tables.load(s, dir, "orders")
-          .agg(percentile(col("o_totalprice"),
-            array(probs.map(lit): _*)).as("q"))
-          .select((1 to 8).map(i =>
-            round(element_at(col("q"), i), 4).as(s"b$i")): _*)
+        import org.apache.spark.sql.expressions.Window
+        val pr = Tables.load(s, dir, "orders")
+          .select(col("o_totalprice").cast("decimal(18,2)").as("v"))
+        val n = pr.count()
+        // type-7 target for p = k/8: position k(n-1)/8 = p0 + m/8
+        val spec = (1 to 8).map { k =>
+          val t = k.toLong * (n - 1); (k, t / 8, (t % 8).toInt)
+        }
+        val needed = spec.flatMap { case (_, p0, m) =>
+          if (m > 0) Seq(p0, p0 + 1) else Seq(p0)
+        }.distinct
+        // distinct-value census with an EXACT integer coarse bin: cents
+        // are integral for a scale-2 decimal, so `cents div 409600`
+        // (4096 currency units) can never mis-bin a boundary value the
+        // way rounded decimal division could
+        val vc = pr.groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .withColumn("bkt", expr("CAST(v * 100 AS BIGINT) div 409600"))
+        // bin offsets: single-partition window over BIN aggregates only
+        // (metadata-scale, like pack_sequences' bucket table)
+        val bktOff = vc.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+          .withColumn("boff", coalesce(sum(col("bc")).over(
+            Window.orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .drop("bc")
+        // global rank range of each distinct value: [lo, lo + c)
+        val ranked = vc.join(broadcast(bktOff), "bkt")
+          .withColumn("lo", col("boff") + coalesce(sum(col("c")).over(
+            Window.partitionBy(col("bkt")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        import s.implicits._
+        val atRank = ranked
+          .join(broadcast(needed.toDF("r")),
+            col("r") >= col("lo") && col("r") < col("lo") + col("c"))
+          .select(col("r"), col("v"))
+          .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1)))
+          .toMap
+        val eighth = BigDecimal("0.125")
+        // exact scale-5 decimal → nearest double; DuckDB's
+        // CAST(DECIMAL AS DOUBLE) of the same rational lands on the
+        // same bits
+        val b = spec.map { case (_, p0, m) =>
+          val v0 = atRank(p0)
+          val v1 = if (m > 0) atRank(p0 + 1) else v0
+          ((v0 * (8 - m) + v1 * m) * eighth).toDouble
+        }
+        Seq((b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7)))
+          .toDF((1 to 8).map(i => s"b$i"): _*)
       },
-      Some((1 to 8).map(i =>
-          s"round(quantile_cont(o_totalprice, ${i / 8.0}), 4) AS b$i")
-        .mkString("SELECT ", ", ", " FROM orders"))),
+      Some("""WITH p AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v
+                         FROM orders),
+              nn AS (SELECT count(*) AS n FROM p),
+              s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r
+                    FROM p),
+              kk AS (SELECT k, (k * (n - 1)) // 8 AS p0,
+                            (k * (n - 1)) % 8 AS m
+                     FROM range(1, 9) t(k), nn),
+              bd AS (SELECT k,
+                       CAST(CAST((s0.v * CAST(8 - m AS DECIMAL(1,0))
+                                  + coalesce(s1.v, s0.v)
+                                    * CAST(m AS DECIMAL(1,0)))
+                                 * CAST(0.125 AS DECIMAL(4,3))
+                                 AS DECIMAL(30,5)) AS DOUBLE) AS bound
+                     FROM kk JOIN s s0 ON s0.r = p0
+                             LEFT JOIN s s1 ON s1.r = p0 + 1)
+              SELECT """ + (1 to 8).map(i =>
+                s"max(CASE WHEN k = $i THEN bound END) AS b$i")
+                .mkString(", ") + " FROM bd")),
 
     // Misra-Gries heavy hitters (k=64) over the event-type stream: the
     // mergeable top-k companion to Count-Min (MG underestimates, CM

@@ -53,9 +53,35 @@ class SketchSpec extends SparkSuite {
       s"FM estimate $est outside [${exact / 2}, ${exact * 2}]")
   }
 
+  test("stats_histogram equals a naive exact interpolation bit-for-bit") {
+    // the production query computes ranks with a two-level prefix sum
+    // and interpolates in exact decimal; this replays the same type-7
+    // definition naively (collect, sort, BigDecimal) and demands
+    // IDENTICAL doubles — pinning the census/bin/offset/rank machinery
+    // end to end, including the r10 fix for the round-half fragility
+    // (sf0.1's b5 lands on an exact …43875)
+    val got = SparkEntry.queries("stats_histogram")(spark, sf).head()
+    val prices = Tables.load(spark, sf, "orders")
+      .select(col("o_totalprice").cast("decimal(18,2)"))
+      .collect().map(r => BigDecimal(r.getDecimal(0))).sorted
+    val n = prices.length
+    val eighth = BigDecimal("0.125")
+    (1 to 8).foreach { k =>
+      val t = k.toLong * (n - 1)
+      val p0 = (t / 8).toInt; val m = (t % 8).toInt
+      val v0 = prices(p0)
+      val v1 = if (m > 0) prices(p0 + 1) else v0
+      val want = ((v0 * (8 - m) + v1 * m) * eighth).toDouble
+      assert(got.getDouble(k - 1) == want,
+        s"b$k: ${got.getDouble(k - 1)} != naive $want")
+    }
+  }
+
   test("approx_percentile tracks the exact histogram bounds") {
-    // the oracled stats_histogram uses exact percentile (buffers the
-    // column); this pins the bounded-state scale path against it
+    // the oracled stats_histogram interpolates exact decimals at known
+    // ranks; this pins the bounded-state scale path
+    // (approx_percentile) against the same type-7 definition via
+    // Spark's exact percentile
     val o = Tables.load(spark, sf, "orders")
     val probs = (1 to 8).map(_ / 8.0)
     val exact = o.agg(percentile(col("o_totalprice"),
