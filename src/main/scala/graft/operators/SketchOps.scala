@@ -75,7 +75,17 @@ object SketchOps extends QueryModule {
         import org.apache.spark.sql.expressions.Window
         val pr = Tables.load(s, dir, "orders")
           .select(col("o_totalprice").cast("decimal(18,2)").as("v"))
-        val n = pr.count()
+        // distinct-value census with an EXACT integer coarse bin: cents
+        // are integral for a scale-2 decimal, so `cents div 409600`
+        // (4096 currency units) can never mis-bin a boundary value the
+        // way rounded decimal division could. Persisted: n comes from
+        // the same census (one parquet scan, one shuffle — the
+        // separate pr.count() job would rescan the file), and the rank
+        // pipeline below reuses the materialized NDV-scale relation.
+        val vc = pr.groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .withColumn("bkt", expr("CAST(v * 100 AS BIGINT) div 409600"))
+          .persist()
+        val n = vc.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
         // type-7 target for p = k/8: position k(n-1)/8 = p0 + m/8
         val spec = (1 to 8).map { k =>
           val t = k.toLong * (n - 1); (k, t / 8, (t % 8).toInt)
@@ -83,12 +93,6 @@ object SketchOps extends QueryModule {
         val needed = spec.flatMap { case (_, p0, m) =>
           if (m > 0) Seq(p0, p0 + 1) else Seq(p0)
         }.distinct
-        // distinct-value census with an EXACT integer coarse bin: cents
-        // are integral for a scale-2 decimal, so `cents div 409600`
-        // (4096 currency units) can never mis-bin a boundary value the
-        // way rounded decimal division could
-        val vc = pr.groupBy(col("v")).agg(count(lit(1)).as("c"))
-          .withColumn("bkt", expr("CAST(v * 100 AS BIGINT) div 409600"))
         // bin offsets: single-partition window over BIN aggregates only
         // (metadata-scale, like pack_sequences' bucket table)
         val bktOff = vc.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
@@ -102,12 +106,13 @@ object SketchOps extends QueryModule {
             Window.partitionBy(col("bkt")).orderBy(col("v"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         import s.implicits._
-        val atRank = ranked
+        val atRank = try ranked
           .join(broadcast(needed.toDF("r")),
             col("r") >= col("lo") && col("r") < col("lo") + col("c"))
           .select(col("r"), col("v"))
           .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1)))
           .toMap
+        finally vc.unpersist(blocking = false)
         val eighth = BigDecimal("0.125")
         // exact scale-5 decimal → nearest double; DuckDB's
         // CAST(DECIMAL AS DOUBLE) of the same rational lands on the
