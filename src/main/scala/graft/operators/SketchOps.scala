@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.Sketches
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 
 /** Statistics sketches as engine operators — the reference's ANALYZE
   * pipeline builds these per column (`executor/analyze.go:44-62`:
@@ -71,60 +71,8 @@ object SketchOps extends QueryModule {
     // stats_cm_freq precedent). The 100 TB approximate path stays
     // approx_percentile, pinned within tolerance by SketchSpec.
     Q("stats_histogram",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val pr = Tables.load(s, dir, "orders")
-          .select(col("o_totalprice").cast("decimal(18,2)").as("v"))
-        // distinct-value census with an EXACT integer coarse bin: cents
-        // are integral for a scale-2 decimal, so `cents div 409600`
-        // (4096 currency units) can never mis-bin a boundary value the
-        // way rounded decimal division could. Persisted: n comes from
-        // the same census (one parquet scan, one shuffle — the
-        // separate pr.count() job would rescan the file), and the rank
-        // pipeline below reuses the materialized NDV-scale relation.
-        val vc = pr.groupBy(col("v")).agg(count(lit(1)).as("c"))
-          .withColumn("bkt", expr("CAST(v * 100 AS BIGINT) div 409600"))
-          .persist()
-        val n = vc.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-        // type-7 target for p = k/8: position k(n-1)/8 = p0 + m/8
-        val spec = (1 to 8).map { k =>
-          val t = k.toLong * (n - 1); (k, t / 8, (t % 8).toInt)
-        }
-        val needed = spec.flatMap { case (_, p0, m) =>
-          if (m > 0) Seq(p0, p0 + 1) else Seq(p0)
-        }.distinct
-        // bin offsets: single-partition window over BIN aggregates only
-        // (metadata-scale, like pack_sequences' bucket table)
-        val bktOff = vc.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
-          .withColumn("boff", coalesce(sum(col("bc")).over(
-            Window.orderBy(col("bkt"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .drop("bc")
-        // global rank range of each distinct value: [lo, lo + c)
-        val ranked = vc.join(broadcast(bktOff), "bkt")
-          .withColumn("lo", col("boff") + coalesce(sum(col("c")).over(
-            Window.partitionBy(col("bkt")).orderBy(col("v"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        import s.implicits._
-        val atRank = try ranked
-          .join(broadcast(needed.toDF("r")),
-            col("r") >= col("lo") && col("r") < col("lo") + col("c"))
-          .select(col("r"), col("v"))
-          .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1)))
-          .toMap
-        finally vc.unpersist(blocking = false)
-        val eighth = BigDecimal("0.125")
-        // exact scale-5 decimal → nearest double; DuckDB's
-        // CAST(DECIMAL AS DOUBLE) of the same rational lands on the
-        // same bits
-        val b = spec.map { case (_, p0, m) =>
-          val v0 = atRank(p0)
-          val v1 = if (m > 0) atRank(p0 + 1) else v0
-          ((v0 * (8 - m) + v1 * m) * eighth).toDouble
-        }
-        Seq((b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7)))
-          .toDF((1 to 8).map(i => s"b$i"): _*)
-      },
+      (s, dir) => equiDepthBounds(s, Tables.load(s, dir, "orders")
+        .select(col("o_totalprice").cast("decimal(18,2)").as("v"))),
       Some("""WITH p AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v
                          FROM orders),
               nn AS (SELECT count(*) AS n FROM p),
@@ -181,4 +129,83 @@ object SketchOps extends QueryModule {
       Some("""SELECT count(DISTINCT o_custkey) AS ndv_custkey,
                      count(DISTINCT o_orderstatus) AS ndv_status
               FROM orders""")))
+
+  /** Exact 8-bucket equi-depth bounds over a single `decimal(18,2)`
+    * column `v` (non-null): one row `(b1..b8)` of doubles, each the
+    * type-7 quantile at p = k/8 computed as an EXACT scale-5 decimal
+    * and then cast to the nearest double (see the stats_histogram
+    * commentary above for why exactness matters and for the shape's
+    * scale account). Extracted so SketchSpec can drive synthetic edge
+    * frames — empty, single-row, all-equal, negative, bin-boundary —
+    * through the EXACT production pipeline.
+    *
+    * Empty input returns one all-NULL row, matching what an aggregate
+    * with no GROUP BY returns over empty input in both engines (the
+    * agg_empty_input discipline).
+    *
+    * Negative values are safe under the `cents div 409600` coarse bin:
+    * integer `div` truncates toward zero, so the negative bins are
+    * asymmetric (bin 0 spans (-4096, 4096) in currency units) but the
+    * bin ranges stay disjoint and monotone in `bkt` — which is all the
+    * bin-offset prefix sum needs (spec-pinned).
+    */
+  private[graft] def equiDepthBounds(
+      s: SparkSession, pr: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    // distinct-value census with an EXACT integer coarse bin: cents
+    // are integral for a scale-2 decimal, so `cents div 409600`
+    // (4096 currency units) can never mis-bin a boundary value the
+    // way rounded decimal division could. Persisted: n comes from
+    // the same census (one parquet scan, one shuffle — a separate
+    // pr.count() job would rescan the file), and the rank pipeline
+    // below reuses the materialized NDV-scale relation.
+    val vc = pr.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("CAST(v * 100 AS BIGINT) div 409600"))
+      .persist()
+    try {
+      val n = vc.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      if (n == 0L) {
+        val none: Option[Double] = None
+        return Seq((none, none, none, none, none, none, none, none))
+          .toDF((1 to 8).map(i => s"b$i"): _*)
+      }
+      // type-7 target for p = k/8: position k(n-1)/8 = p0 + m/8
+      val spec = (1 to 8).map { k =>
+        val t = k.toLong * (n - 1); (k, t / 8, (t % 8).toInt)
+      }
+      val needed = spec.flatMap { case (_, p0, m) =>
+        if (m > 0) Seq(p0, p0 + 1) else Seq(p0)
+      }.distinct
+      // bin offsets: single-partition window over BIN aggregates only
+      // (metadata-scale, like pack_sequences' bucket table)
+      val bktOff = vc.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+        .withColumn("boff", coalesce(sum(col("bc")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("bc")
+      // global rank range of each distinct value: [lo, lo + c)
+      val ranked = vc.join(broadcast(bktOff), "bkt")
+        .withColumn("lo", col("boff") + coalesce(sum(col("c")).over(
+          Window.partitionBy(col("bkt")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val atRank = ranked
+        .join(broadcast(needed.toDF("r")),
+          col("r") >= col("lo") && col("r") < col("lo") + col("c"))
+        .select(col("r"), col("v"))
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1)))
+        .toMap
+      val eighth = BigDecimal("0.125")
+      // exact scale-5 decimal → nearest double; DuckDB's
+      // CAST(DECIMAL AS DOUBLE) of the same rational lands on the
+      // same bits
+      val b = spec.map { case (_, p0, m) =>
+        val v0 = atRank(p0)
+        val v1 = if (m > 0) atRank(p0 + 1) else v0
+        ((v0 * (8 - m) + v1 * m) * eighth).toDouble
+      }
+      Seq((b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7)))
+        .toDF((1 to 8).map(i => s"b$i"): _*)
+    } finally vc.unpersist(blocking = false)
+  }
 }

@@ -77,6 +77,43 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("equiDepthBounds edge frames: empty, single, all-equal, negative, bin-boundary") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def run(vals: Seq[String]) =
+      graft.operators.SketchOps.equiDepthBounds(spark,
+        vals.toDF("s").select(col("s").cast("decimal(18,2)").as("v"))).head()
+    def naive(vals: Seq[String]): Seq[Double] = {
+      val sorted = vals.map(BigDecimal(_)).sorted
+      val eighth = BigDecimal("0.125")
+      (1 to 8).map { k =>
+        val t = k.toLong * (sorted.length - 1)
+        val p0 = (t / 8).toInt; val m = (t % 8).toInt
+        val v0 = sorted(p0)
+        val v1 = if (m > 0) sorted(p0 + 1) else v0
+        ((v0 * (8 - m) + v1 * m) * eighth).toDouble
+      }
+    }
+    def check(vals: Seq[String], label: String): Unit = {
+      val got = run(vals); val want = naive(vals)
+      (0 until 8).foreach(i => assert(got.getDouble(i) == want(i),
+        s"$label b${i + 1}: ${got.getDouble(i)} != ${want(i)}"))
+    }
+    // empty input → one all-NULL row (both engines' no-GROUP-BY form)
+    val empty = run(Nil)
+    assert((0 until 8).forall(empty.isNullAt), s"empty: $empty")
+    check(Seq("42.17"), "single")                    // n=1: every bound = v
+    check(Seq.fill(5)("7.00"), "all-equal")
+    // values ON and AROUND the 4096.00 coarse-bin boundary, plus
+    // negatives (div truncates toward zero: asymmetric but monotone
+    // bins) and a duplicate straddling a rank cut
+    check(Seq("-8192.00", "-4096.00", "-4095.99", "-0.01", "0.00",
+      "0.01", "4095.99", "4096.00", "4096.01", "8192.00", "8192.00"),
+      "boundary")
+    // ulp-hazard shape from sf0.1: an exact …875 tie at 4 decimals
+    check(Seq("312494.43", "312494.44", "312494.45"), "tie-prone")
+  }
+
   test("approx_percentile tracks the exact histogram bounds") {
     // the oracled stats_histogram interpolates exact decimals at known
     // ranks; this pins the bounded-state scale path
