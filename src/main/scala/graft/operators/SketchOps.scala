@@ -148,6 +148,15 @@ object SketchOps extends QueryModule {
     * asymmetric (bin 0 spans (-4096, 4096) in currency units) but the
     * bin ranges stay disjoint and monotone in `bkt` — which is all the
     * bin-offset prefix sum needs (spec-pinned).
+    *
+    * CROSS-ENGINE PRECISION BOUND: the "identical nearest double" claim
+    * holds while the bound's scale-5 unscaled value stays under 2^53
+    * (|v| ≲ 9·10^10). Above that, DuckDB's DECIMAL→DOUBLE cast
+    * double-rounds (INT128→double, then ÷10^5) where Java's
+    * BigDecimal.doubleValue rounds once, and the two can land an ulp
+    * apart — the exact failure mode this helper exists to remove. Fine
+    * for any price-like column; do NOT reuse for magnitudes beyond that
+    * without re-deriving the oracle.
     */
   private[graft] def equiDepthBounds(
       s: SparkSession, pr: DataFrame): DataFrame = {

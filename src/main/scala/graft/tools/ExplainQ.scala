@@ -9,6 +9,14 @@ import graft.{Engine, SparkEntry}
   *   sbt "runMain graft.tools.ExplainQ ngram_novelty ann_lsh_bucketed"
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.01), SPARK_GRAFT_CPUS.
+  *
+  * CAVEAT: driver-assembled queries (stats_cm_freq, stats_topk,
+  * stats_histogram — anything whose builder collects a metadata-scale
+  * result and re-wraps it) EXECUTE their distributed jobs inside the
+  * builder and return a LocalTableScan, so this tool prints only the
+  * final local relation for them. Audit those pipelines at the source
+  * (their Scaladoc documents each exchange) or by timing the stages in
+  * a profiler tool instead.
   */
 object ExplainQ {
   def main(args: Array[String]): Unit = {

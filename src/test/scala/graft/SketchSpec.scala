@@ -53,6 +53,22 @@ class SketchSpec extends SparkSuite {
       s"FM estimate $est outside [${exact / 2}, ${exact * 2}]")
   }
 
+  /** Independent type-7 reference: sort, split k(n-1)/8 into p0 + m/8,
+    * interpolate in exact BigDecimal, round once to double — the single
+    * definition both histogram tests pin the production pipeline to.
+    */
+  private def naiveBounds(values: Seq[BigDecimal]): Seq[Double] = {
+    val sorted = values.sorted
+    val eighth = BigDecimal("0.125")
+    (1 to 8).map { k =>
+      val t = k.toLong * (sorted.length - 1)
+      val p0 = (t / 8).toInt; val m = (t % 8).toInt
+      val v0 = sorted(p0)
+      val v1 = if (m > 0) sorted(p0 + 1) else v0
+      ((v0 * (8 - m) + v1 * m) * eighth).toDouble
+    }
+  }
+
   test("stats_histogram equals a naive exact interpolation bit-for-bit") {
     // the production query computes ranks with a two-level prefix sum
     // and interpolates in exact decimal; this replays the same type-7
@@ -61,19 +77,12 @@ class SketchSpec extends SparkSuite {
     // end to end, including the r10 fix for the round-half fragility
     // (sf0.1's b5 lands on an exact …43875)
     val got = SparkEntry.queries("stats_histogram")(spark, sf).head()
-    val prices = Tables.load(spark, sf, "orders")
+    val want = naiveBounds(Tables.load(spark, sf, "orders")
       .select(col("o_totalprice").cast("decimal(18,2)"))
-      .collect().map(r => BigDecimal(r.getDecimal(0))).sorted
-    val n = prices.length
-    val eighth = BigDecimal("0.125")
+      .collect().toSeq.map(r => BigDecimal(r.getDecimal(0))))
     (1 to 8).foreach { k =>
-      val t = k.toLong * (n - 1)
-      val p0 = (t / 8).toInt; val m = (t % 8).toInt
-      val v0 = prices(p0)
-      val v1 = if (m > 0) prices(p0 + 1) else v0
-      val want = ((v0 * (8 - m) + v1 * m) * eighth).toDouble
-      assert(got.getDouble(k - 1) == want,
-        s"b$k: ${got.getDouble(k - 1)} != naive $want")
+      assert(got.getDouble(k - 1) == want(k - 1),
+        s"b$k: ${got.getDouble(k - 1)} != naive ${want(k - 1)}")
     }
   }
 
@@ -83,19 +92,8 @@ class SketchSpec extends SparkSuite {
     def run(vals: Seq[String]) =
       graft.operators.SketchOps.equiDepthBounds(spark,
         vals.toDF("s").select(col("s").cast("decimal(18,2)").as("v"))).head()
-    def naive(vals: Seq[String]): Seq[Double] = {
-      val sorted = vals.map(BigDecimal(_)).sorted
-      val eighth = BigDecimal("0.125")
-      (1 to 8).map { k =>
-        val t = k.toLong * (sorted.length - 1)
-        val p0 = (t / 8).toInt; val m = (t % 8).toInt
-        val v0 = sorted(p0)
-        val v1 = if (m > 0) sorted(p0 + 1) else v0
-        ((v0 * (8 - m) + v1 * m) * eighth).toDouble
-      }
-    }
     def check(vals: Seq[String], label: String): Unit = {
-      val got = run(vals); val want = naive(vals)
+      val got = run(vals); val want = naiveBounds(vals.map(BigDecimal(_)))
       (0 until 8).foreach(i => assert(got.getDouble(i) == want(i),
         s"$label b${i + 1}: ${got.getDouble(i)} != ${want(i)}"))
     }
