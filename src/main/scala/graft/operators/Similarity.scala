@@ -174,19 +174,24 @@ object Similarity extends QueryModule {
     * Cost at scale: the level-1 frame is persisted (session-lifetime,
     * module convention — see Dedup's header note) and read three times
     * (census, under-cap pass-through, dense explode); the census output
-    * is bucket-cardinality bounded (≤ 2^bits rows), AQE broadcasts it.
+    * (the HOT set, `__n > cap` survivors) is bounded by
+    * min(2^bits, corpus/cap) rows — under runtime-adaptive bits the
+    * corpus/cap term is the binding one (2^bits alone would read as
+    * 16.7M at the 24-bit clamp) — and AQE broadcasts it.
     *
     * @param corpus (vec_id, v) rows
-    * @param bits   level-1 plane count — callers pass the
-    *               runtime-adaptive [[lshBits]] of the corpus count
+    * @param bits   level-1 plane count — the production caller passes
+    *               the runtime-adaptive [[lshBits]] of the corpus
+    *               count; no default, so a new call site must choose
     *               (specs inject a tiny value to plant a dense bucket)
     */
-  private[graft] def skewSafeBuckets(corpus: DataFrame, bits: Int = 16,
+  private[graft] def skewSafeBuckets(corpus: DataFrame, bits: Int,
       cap: Long = maxBucketSize): DataFrame = {
     val b1 = corpus.withColumn("b1", signBucket(col("v"), planes(bits, Dim)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // persisted: the census feeds BOTH branches below (no cross-branch
-    // CSE — see Dedup's header note) and is tiny (≤ 2^bits rows)
+    // CSE — see Dedup's header note) and is tiny (≤ corpus/cap rows —
+    // each survivor represents > cap corpus rows)
     val hot = b1.groupBy(col("b1")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap).select(col("b1"))
       .persist(StorageLevel.MEMORY_AND_DISK)
