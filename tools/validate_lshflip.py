@@ -21,6 +21,13 @@ near 0 at dim=64, so dedup_embedding's >=0.9 pairs are exactly its own
 planted identical copies (recall for identical vectors is bit-count
 invariant) and the exact-all-pairs oracle stays the right answer on
 either side of the flip.
+
+The default sweep also runs one SKEW case (n=2048 with vectors 0..599
+all identical): dedup_embedding's doubled corpus puts 1200 identical
+vectors in one level-1 bucket, past the 1024 maxBucketSize cap, so the
+skewSafeBuckets banded-refinement path executes INSIDE the gate at a
+flipped bit count — identical vectors collide in every band, so the
+exact all-pairs oracle (719,400 within-group pairs) still holds.
 """
 import os
 import shutil
@@ -38,8 +45,10 @@ OTHERS = ("region nation customer supplier part orders lineitem "
           "events documents").split()
 
 failed = False
-for n in [int(a) for a in sys.argv[1:]] or [4096, 9000]:
-    d, out = f"/tmp/lshflip_{n}", f"/tmp/lshflip_{n}_out"
+cases = ([(int(a), 0) for a in sys.argv[1:]]
+         or [(4096, 0), (9000, 0), (2048, 600)])
+for n, skew in cases:
+    d, out = f"/tmp/lshflip_{n}_{skew}", f"/tmp/lshflip_{n}_{skew}_out"
     for p in (d, out):
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(d)
@@ -47,6 +56,8 @@ for n in [int(a) for a in sys.argv[1:]] or [4096, 9000]:
         os.symlink(f"{SF}/{t}.parquet", f"{d}/{t}.parquet")
     rng = np.random.default_rng(1234 + n)
     emb = rng.standard_normal((n, 64)).astype("float32")
+    if skew:  # one identical group -> a dense bucket past the cap
+        emb[:skew] = emb[0]
     pq.write_table(pa.table({
         "vec_id": pa.array(np.arange(n, dtype="int64")),
         "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
@@ -62,7 +73,7 @@ for n in [int(a) for a in sys.argv[1:]] or [4096, 9000]:
         sys.exit(f"Verify failed at n={n}")
     r = subprocess.run(
         [sys.executable, f"{REPO}/tools/compare.py", out, d] + QUERIES)
-    print(f"-- n={n}: {'FAILED' if r.returncode else 'ok'}")
+    print(f"-- n={n} skew={skew}: {'FAILED' if r.returncode else 'ok'}")
     failed = failed or bool(r.returncode)
 
 sys.exit("FLIP GATE FAILED" if failed else print("FLIP GATE OK"))
