@@ -61,15 +61,18 @@ object SketchOps extends QueryModule {
     // arithmetic (the ExactNum / text_entropy posture) is not.
     //
     // Scale shape (also strictly better than the old per-task column
-    // buffer): ONE distinct-value census (NDV-scale hash agg), a
-    // two-level prefix sum for global ranks (coarse 4096-currency-unit
-    // value bins → metadata-scale bin-offset window → intra-bin window,
-    // the pack_sequences pattern — no data-scale single-partition
-    // stage), then a broadcast join against the ≤16 needed ranks. Only
-    // those 16 (rank, value) rows reach the driver; the k/8
-    // interpolation over them is metadata-scale arithmetic (the
-    // stats_cm_freq precedent). The 100 TB approximate path stays
-    // approx_percentile, pinned within tolerance by SketchSpec.
+    // buffer): ONE distinct-value census (NDV-scale hash agg), then an
+    // ADAPTIVE rank lookup (the connectedComponents/BPE cutover
+    // discipline): a census under DriverCensusLimit collects once and
+    // the rank walk runs in-process; above it, a two-level prefix sum
+    // (coarse 4096-currency-unit value bins → metadata-scale
+    // bin-offset window → intra-bin window, the pack_sequences
+    // pattern — no data-scale single-partition stage) plus a broadcast
+    // join against the ≤16 needed ranks, with only those 16 rows
+    // reaching the driver. Both paths feed the same exact-decimal
+    // interpolation (spec-pinned equivalence incl. the boundary ±1).
+    // The 100 TB approximate path stays approx_percentile, pinned
+    // within tolerance by SketchSpec.
     Q("stats_histogram",
       (s, dir) => equiDepthBounds(s, Tables.load(s, dir, "orders")
         .select(col("o_totalprice").cast("decimal(18,2)").as("v"))),
@@ -158,9 +161,8 @@ object SketchOps extends QueryModule {
     * for any price-like column; do NOT reuse for magnitudes beyond that
     * without re-deriving the oracle.
     */
-  private[graft] def equiDepthBounds(
-      s: SparkSession, pr: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def equiDepthBounds(s: SparkSession, pr: DataFrame,
+      driverCensusLimit: Long = DriverCensusLimit): DataFrame = {
     import s.implicits._
     // distinct-value census with an EXACT integer coarse bin: cents
     // are integral for a scale-2 decimal, so `cents div 409600`
@@ -173,7 +175,11 @@ object SketchOps extends QueryModule {
       .withColumn("bkt", expr("CAST(v * 100 AS BIGINT) div 409600"))
       .persist()
     try {
-      val n = vc.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      // ONE aggregate decides n AND the adaptive cutover (and
+      // materializes the persist)
+      val cut = vc.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        count(lit(1)).as("ndv")).head()
+      val n = cut.getLong(0)
       if (n == 0L) {
         val none: Option[Double] = None
         return Seq((none, none, none, none, none, none, none, none))
@@ -186,24 +192,29 @@ object SketchOps extends QueryModule {
       val needed = spec.flatMap { case (_, p0, m) =>
         if (m > 0) Seq(p0, p0 + 1) else Seq(p0)
       }.distinct
-      // bin offsets: single-partition window over BIN aggregates only
-      // (metadata-scale, like pack_sequences' bucket table)
-      val bktOff = vc.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
-        .withColumn("boff", coalesce(sum(col("bc")).over(
-          Window.orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .drop("bc")
-      // global rank range of each distinct value: [lo, lo + c)
-      val ranked = vc.join(broadcast(bktOff), "bkt")
-        .withColumn("lo", col("boff") + coalesce(sum(col("c")).over(
-          Window.partitionBy(col("bkt")).orderBy(col("v"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val atRank = ranked
-        .join(broadcast(needed.toDF("r")),
-          col("r") >= col("lo") && col("r") < col("lo") + col("c"))
-        .select(col("r"), col("v"))
-        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1)))
-        .toMap
+      // Adaptive cutover (the connectedComponents/BPE discipline): a
+      // census under the bound is collected ONCE and the rank walk
+      // runs in-process — the distributed path below costs ~6 more
+      // stage launches for ranks the driver can read off a sorted
+      // array. Same interpolation code on both paths (spec-pinned
+      // equivalence, including the boundary ±1).
+      val atRank: Map[Long, BigDecimal] =
+        if (cut.getLong(1) <= driverCensusLimit) {
+          val sorted = vc.select(col("v"), col("c")).collect()
+            .map(r => (BigDecimal(r.getDecimal(0)), r.getLong(1)))
+            .sortBy(_._1)
+          val want = needed.sorted
+          val found = Map.newBuilder[Long, BigDecimal]
+          var cum = 0L; var i = 0; var w = 0
+          while (w < want.length && i < sorted.length) {
+            val (v, c) = sorted(i)
+            while (w < want.length && want(w) < cum + c) {
+              found += want(w) -> v; w += 1
+            }
+            cum += c; i += 1
+          }
+          found.result()
+        } else distributedAtRank(vc, needed)
       val eighth = BigDecimal("0.125")
       // exact scale-5 decimal → nearest double; DuckDB's
       // CAST(DECIMAL AS DOUBLE) of the same rational lands on the
@@ -216,5 +227,43 @@ object SketchOps extends QueryModule {
       Seq((b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7)))
         .toDF((1 to 8).map(i => s"b$i"): _*)
     } finally vc.unpersist(blocking = false)
+  }
+
+  /** Driver-side census bound for [[equiDepthBounds]]' adaptive fast
+    * path: rows are (decimal, long, long) ≈ tens of bytes, so 1M rows
+    * collect in the low tens of MB — trivially driver-safe. A
+    * cents-granular price column at 100 TB can exceed it (NDV up to
+    * ~6·10⁷ for a bounded price domain), which is what keeps the
+    * distributed rank pipeline live.
+    */
+  private[graft] val DriverCensusLimit = 1000000L
+
+  /** The distributed rank lookup (the over-bound path): bin offsets by
+    * a metadata-scale window over BIN aggregates (pack_sequences
+    * pattern), an intra-bin prefix window, then a broadcast join
+    * against the ≤16 needed ranks. No data-scale single-partition
+    * stage, nothing buffers the column.
+    */
+  private def distributedAtRank(vc: DataFrame,
+      needed: Seq[Long]): Map[Long, BigDecimal] = {
+    import org.apache.spark.sql.expressions.Window
+    val s = vc.sparkSession
+    import s.implicits._
+    val bktOff = vc.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+      .withColumn("boff", coalesce(sum(col("bc")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("bc")
+    // global rank range of each distinct value: [lo, lo + c)
+    val ranked = vc.join(broadcast(bktOff), "bkt")
+      .withColumn("lo", col("boff") + coalesce(sum(col("c")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked
+      .join(broadcast(needed.toDF("r")),
+        col("r") >= col("lo") && col("r") < col("lo") + col("c"))
+      .select(col("r"), col("v"))
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1)))
+      .toMap
   }
 }

@@ -89,16 +89,22 @@ class SketchSpec extends SparkSuite {
   test("equiDepthBounds edge frames: empty, single, all-equal, negative, bin-boundary") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    def run(vals: Seq[String]) =
+    def run(vals: Seq[String], limit: Long) =
       graft.operators.SketchOps.equiDepthBounds(spark,
-        vals.toDF("s").select(col("s").cast("decimal(18,2)").as("v"))).head()
+        vals.toDF("s").select(col("s").cast("decimal(18,2)").as("v")),
+        driverCensusLimit = limit).head()
     def check(vals: Seq[String], label: String): Unit = {
-      val got = run(vals); val want = naiveBounds(vals.map(BigDecimal(_)))
-      (0 until 8).foreach(i => assert(got.getDouble(i) == want(i),
-        s"$label b${i + 1}: ${got.getDouble(i)} != ${want(i)}"))
+      val want = naiveBounds(vals.map(BigDecimal(_)))
+      // BOTH adaptive paths against the same reference: limit=0 forces
+      // the distributed rank pipeline, MaxValue the driver fast path
+      Seq(0L -> "dist", Long.MaxValue -> "fast").foreach { case (lim, p) =>
+        val got = run(vals, lim)
+        (0 until 8).foreach(i => assert(got.getDouble(i) == want(i),
+          s"$label/$p b${i + 1}: ${got.getDouble(i)} != ${want(i)}"))
+      }
     }
     // empty input → one all-NULL row (both engines' no-GROUP-BY form)
-    val empty = run(Nil)
+    val empty = run(Nil, Long.MaxValue)
     assert((0 until 8).forall(empty.isNullAt), s"empty: $empty")
     check(Seq("42.17"), "single")                    // n=1: every bound = v
     check(Seq.fill(5)("7.00"), "all-equal")
@@ -110,6 +116,17 @@ class SketchSpec extends SparkSuite {
       "boundary")
     // ulp-hazard shape from sf0.1: an exact …875 tie at 4 decimals
     check(Seq("312494.43", "312494.44", "312494.45"), "tie-prone")
+    // cutover boundary ±1 (the PipelineScaleOpsSpec discipline): a
+    // census of NDV=3 must give identical bits whether the limit sits
+    // below, at, or above it — a future off-by-one in the cutover
+    // can't silently switch paths mid-gate
+    val vals = Seq("1.00", "2.00", "2.00", "3.00")
+    val want = naiveBounds(vals.map(BigDecimal(_)))
+    Seq(2L, 3L, 4L).foreach { lim =>
+      val got = run(vals, lim)
+      (0 until 8).foreach(i => assert(got.getDouble(i) == want(i),
+        s"limit=$lim b${i + 1}: ${got.getDouble(i)} != ${want(i)}"))
+    }
   }
 
   test("approx_percentile tracks the exact histogram bounds") {
