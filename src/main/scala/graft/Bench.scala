@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR.
   * Results are fully materialized through a noop-format write — a
@@ -17,7 +18,20 @@ import org.apache.spark.sql.SparkSession
   *     since r10: printing the ~1.9 KB map line ate the driver's bounded
   *     stdout tail in r9 and dropped 23 per-query points;
   *   - the LAST (and only other) stdout line is a total-only record
-  *     (~100 bytes, no per-query map) that survives any tail window.
+  *     (~160 bytes, no per-query map) that survives any tail window.
+  *
+  * Host-health self-report (r10): the total record carries a `sched`
+  * probe — median and max of five timed runs of one fixed 2-stage
+  * 32-task shuffle job whose per-task work is trivial, taken once
+  * after warmup (`pre`) and once after the suite (`post`). The number
+  * IS the host's task-dispatch + stage-boundary overhead, independent
+  * of the data and of this repo's code (~0.05 s median on a healthy
+  * box). The post-reboot host measured in BASELINE.md's r10 notes
+  * intermittently inflates exactly that overhead (kernel-time storms;
+  * identical code, identical config: dedup_components 7.4–49 s within
+  * one hour), so per-query comparisons across rounds need to know
+  * which regime the artifact was measured in — this field makes every
+  * artifact carry that context.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,6 +75,21 @@ object Bench {
       sec
     }
 
+    // Fixed-shape scheduler-health probe (see scaladoc): median + max of
+    // five runs of a trivial 2-stage shuffle. collect() of a 1-row
+    // aggregate, deliberately NOT a noop write, so the probe measures
+    // dispatch overhead and nothing else.
+    def schedProbe(): (Double, Double) = {
+      val probe = spark.range(0, 1024, 1, cpus.toInt)
+        .groupBy(col("id") % 7).count()
+        .agg(sum(col("count")))
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); probe.collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (ts(2), ts.last)
+    }
+
     // Untimed warmup: pays the one-off JIT/codegen/parquet-footer cost so
     // the first timed query isn't a ~5s outlier. scan_bucketed_join's
     // warmup also builds the session-cached bucketed tables (the index
@@ -90,6 +119,7 @@ object Bench {
       System.err.println(s"[bench] codec warmup failed: ${e.getMessage}")
     }
     spark.catalog.clearCache()
+    val (preP50, preMax) = schedProbe()
 
     // Optional name filter for local profiling (comma-separated);
     // unset = the full suite, as the driver runs it.
@@ -99,11 +129,14 @@ object Bench {
       println(s"""{"q":"$n","sec":${fmt(sec)}}""")
       n -> sec
     }
+    val (postP50, postMax) = schedProbe()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val sched = s""""sched":{"pre_p50":${fmt(preP50)},"pre_max":${
+      fmt(preMax)},"post_p50":${fmt(postP50)},"post_max":${fmt(postMax)}}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$sched,"sf":"$sfDir"}"""
     // The ~1.9 KB per-query map line goes to the FILE ONLY: in r9 it
     // consumed most of the driver's bounded stdout tail and pushed 23 of
     // the 107 short per-query lines out of the window. Stdout carries
@@ -111,7 +144,7 @@ object Bench {
     // record (~100 bytes) as the LAST line, so any tail window keeps the
     // total and the maximum number of per-query points.
     val totalOnly =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},$sched,"sf":"$sfDir"}"""
     println(totalOnly)
     try {
       val outFile = new java.io.File(benchOut)
