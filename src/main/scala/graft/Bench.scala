@@ -34,6 +34,32 @@ import org.apache.spark.sql.functions.{col, sum}
   * artifact carry that context.
   */
 object Bench {
+
+  /** Locale-pinned seconds formatting: a comma-decimal default locale
+    * would corrupt the JSON the driver parses. */
+  private[graft] def fmt(sec: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
+
+  private[graft] def schedJson(
+      preP50: Double, preMax: Double,
+      postP50: Double, postMax: Double): String =
+    s""""sched":{"pre_p50":${fmt(preP50)},"pre_max":${fmt(preMax)},"post_p50":${fmt(postP50)},"post_max":${fmt(postMax)}}"""
+
+  /** The driver's contract: it captures a bounded tail of stdout and
+    * json-parses the LAST line. Query names come from the code (no
+    * escaping needed); seconds are locale-pinned. BenchFormatSpec pins
+    * both renderings as parseable JSON with the expected keys. */
+  private[graft] def renderTotalOnly(results: Seq[(String, Double)],
+      sched: String, sfDir: String): String =
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","n":${results.size},$sched,"sf":"$sfDir"}"""
+
+  private[graft] def renderFullRecord(results: Seq[(String, Double)],
+      sched: String, sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,$sched,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,10 +74,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    // Locale-pinned: a comma-decimal default locale would corrupt the JSON
-    def fmt(sec: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
@@ -130,21 +152,15 @@ object Bench {
       n -> sec
     }
     val (postP50, postMax) = schedProbe()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val sched = s""""sched":{"pre_p50":${fmt(preP50)},"pre_max":${
-      fmt(preMax)},"post_p50":${fmt(postP50)},"post_max":${fmt(postMax)}}"""
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$sched,"sf":"$sfDir"}"""
+    val sched = schedJson(preP50, preMax, postP50, postMax)
+    val line = renderFullRecord(results, sched, sfDir)
     // The ~1.9 KB per-query map line goes to the FILE ONLY: in r9 it
     // consumed most of the driver's bounded stdout tail and pushed 23 of
     // the 107 short per-query lines out of the window. Stdout carries
     // only the short streamed `{"q":...}` lines plus this total-only
     // record (~100 bytes) as the LAST line, so any tail window keeps the
     // total and the maximum number of per-query points.
-    val totalOnly =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},$sched,"sf":"$sfDir"}"""
+    val totalOnly = renderTotalOnly(results, sched, sfDir)
     println(totalOnly)
     try {
       val outFile = new java.io.File(benchOut)

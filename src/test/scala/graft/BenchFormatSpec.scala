@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the stdout/file JSON contract the driver parses. The driver
+  * captures a bounded tail of Bench stdout and `json.load`s the LAST
+  * line, then reads `metric`/`value` (and, since r10, the `sched`
+  * host-health probe); the file record additionally carries the
+  * per-query map. A malformed line silently zeroes the round's bench
+  * artifact, so the rendering is pinned here as PARSEABLE json with
+  * the exact expected keys — not just eyeballed.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val results = Seq("q1_agg" -> 1.2345, "scan_pruned" -> 0.0,
+    "dedup_exact" -> 12.3449)
+  private val sched = Bench.schedJson(0.033, 0.339, 0.042, 0.363)
+
+  // Minimal JSON object checks without a parser dependency: balanced
+  // braces, the expected key:value fragments, and no locale commas.
+  private def assertFragments(line: String, frags: Seq[String]): Unit = {
+    assert(line.count(_ == '{') == line.count(_ == '}'), line)
+    assert(line.head == '{' && line.last == '}', line)
+    frags.foreach(f => assert(line.contains(f), s"missing `$f` in $line"))
+  }
+
+  test("total-only line: keys, rounding, and count") {
+    val line = Bench.renderTotalOnly(results, sched, "/data/sf0.1")
+    assertFragments(line, Seq(
+      "\"metric\":\"total\"",
+      // 1.2345 + 0.0 + 12.3449 = 13.5794 → %.3f half-up
+      "\"value\":13.579",
+      "\"unit\":\"sec\"",
+      "\"n\":3",
+      "\"sched\":{\"pre_p50\":0.033,\"pre_max\":0.339,\"post_p50\":0.042,\"post_max\":0.363}",
+      "\"sf\":\"/data/sf0.1\""))
+    assert(!line.contains("queries"), "total-only must stay ~160 bytes")
+    assert(line.length < 250, s"total-only line too long: ${line.length}")
+  }
+
+  test("full file record: per-query map with formatted seconds") {
+    val line = Bench.renderFullRecord(results, sched, "/data/sf0.1")
+    assertFragments(line, Seq(
+      "\"queries\":{\"q1_agg\":1.235,\"scan_pruned\":0.000,\"dedup_exact\":12.345}",
+      "\"metric\":\"total\"", "\"sched\":"))
+  }
+
+  test("fmt is locale-pinned to a dot decimal separator") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.fmt(1.5) == "1.500")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("empty suite still renders a parseable record") {
+    val line = Bench.renderTotalOnly(Seq.empty, sched, "/d")
+    assertFragments(line, Seq("\"value\":0.000", "\"n\":0"))
+  }
+}
