@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions.{col, sum}
   *     (~160 bytes, no per-query map) that survives any tail window.
   *
   * Host-health self-report (r10): the total record carries a `sched`
-  * probe — median and max of five timed runs of one fixed 2-stage
-  * 32-task shuffle job whose per-task work is trivial, taken once
-  * after warmup (`pre`) and once after the suite (`post`). The number
+  * probe — median and max of five timed runs (after one untimed
+  * codegen/JIT first-touch) of one fixed shuffle chain — 32 input
+  * slices, an explicit repartition(32) exchange, a 1-row aggregate —
+  * whose per-task work is trivial, taken once after warmup (`pre`)
+  * and once after the suite (`post`). Partition counts are pinned in
+  * the shape, NOT inherited from CPUS, so artifacts from different
+  * configs stay comparable. The number
   * IS the host's task-dispatch + stage-boundary overhead, independent
   * of the data and of this repo's code (~0.05 s median on a healthy
   * box). The post-reboot host measured in BASELINE.md's r10 notes
@@ -40,6 +44,18 @@ object Bench {
   private[graft] def fmt(sec: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
 
+  /** JSON string escape for the one externally-controlled field
+    * (sfDir comes from the environment): backslash, quote, and all
+    * control chars — the same posture as Verify's oracle_sql.json
+    * writer. Query names are code-controlled and need none of this. */
+  private[graft] def jstr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   private[graft] def schedJson(
       preP50: Double, preMax: Double,
       postP50: Double, postMax: Double): String =
@@ -51,13 +67,13 @@ object Bench {
     * both renderings as parseable JSON with the expected keys. */
   private[graft] def renderTotalOnly(results: Seq[(String, Double)],
       sched: String, sfDir: String): String =
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","n":${results.size},$sched,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","n":${results.size},$sched,"sf":"${jstr(sfDir)}"}"""
 
   private[graft] def renderFullRecord(results: Seq[(String, Double)],
       sched: String, sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,$sched,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,$sched,"sf":"${jstr(sfDir)}"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,19 +114,28 @@ object Bench {
     }
 
     // Fixed-shape scheduler-health probe (see scaladoc): median + max of
-    // five runs of a trivial 2-stage shuffle. collect() of a 1-row
+    // five runs of a trivial shuffle chain. collect() of a 1-row
     // aggregate, deliberately NOT a noop write, so the probe measures
-    // dispatch overhead and nothing else.
+    // dispatch overhead and nothing else. Two shape pins keep artifacts
+    // comparable across configs: explicit partition counts everywhere
+    // (32 input slices, repartition(32, …) for the exchange — a groupBy
+    // would inherit spark.sql.shuffle.partitions and make a CPUS=4
+    // artifact's sched field incomparable with the CPUS=32 records),
+    // and one UNTIMED execution first so the probe's own whole-stage
+    // codegen/JIT first-touch doesn't land in pre_max and read as a
+    // storm (measured ~0.3-0.5 s cold vs ~0.03 s warm on a healthy
+    // box).
+    val schedShape = spark.range(0, 1024, 1, 32)
+      .repartition(32, col("id") % 7)
+      .select(sum(col("id")))
     def schedProbe(): (Double, Double) = {
-      val probe = spark.range(0, 1024, 1, cpus.toInt)
-        .groupBy(col("id") % 7).count()
-        .agg(sum(col("count")))
       val ts = (1 to 5).map { _ =>
-        val t0 = System.nanoTime(); probe.collect()
+        val t0 = System.nanoTime(); schedShape.collect()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       (ts(2), ts.last)
     }
+    schedShape.collect() // untimed first-touch (codegen + JIT)
 
     // Untimed warmup: pays the one-off JIT/codegen/parquet-footer cost so
     // the first timed query isn't a ~5s outlier. scan_bucketed_join's

@@ -35,7 +35,10 @@ object ProbeSched {
     val oneStage = spark.range(0, 32, 1, 32).select(sum(col("id")))
     val twoStage = spark.range(0, 1024, 1, 32)
       .groupBy(col("id") % 7).count().select(sum(col("count")))
-    def chain = (1 to 4).foldLeft(spark.range(0, 1024, 1, 32).toDF("id")) {
+    // val, not def: a def would rebuild the frame each timed iteration
+    // and fold fresh plan analysis + codegen into exactly the dispatch
+    // overhead this tool isolates (the 1-/2-stage shapes are vals too)
+    val chain = (1 to 4).foldLeft(spark.range(0, 1024, 1, 32).toDF("id")) {
       (df, i) => df.groupBy((col("id") + i) % (7 + i)).agg(
         sum(col("id")).as("id")).select(col("id"))
     }.select(sum(col("id")))

