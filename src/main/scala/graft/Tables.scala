@@ -35,18 +35,32 @@ object Tables {
     * timestamp[us] (which loads as TIMESTAMP_NTZ — cast to the
     * session-UTC TimestampType so every downstream window/unix_micros
     * shape and the oracle string form are unchanged). Handle both by
-    * inspecting the loaded dtype, not the round.
+    * inspecting the loaded dtype, not the round. The probe and the
+    * normalization are the ONE shared definition for batch and
+    * streaming ([[graft.streaming.EventsStream.source]]) — the dtype
+    * has already changed twice, and a future change must not be able
+    * to split the two paths.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
+    val tsLong = eventsTsIsLong(spark, dir)
+    normalizeEventsTs(load(spark, dir, "events"), tsLong)
+  }
+
+  /** True when events.ts ships as TIMESTAMP(NANOS), which the enabled
+    * legacy conf reads as a nanos LONG column. Schema-only probe (no
+    * data scan). */
+  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-    }
+    load(spark, dir, "events").schema("ts").dataType == LongType
+  }
+
+  /** The shared ts normalization: nanos-long → truncated micros
+    * timestamp; timestamp[us] (loaded NTZ) → session-UTC timestamp. */
+  def normalizeEventsTs(df: DataFrame, tsLong: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    if (tsLong) df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df.withColumn("ts", col("ts").cast(TimestampType))
   }
 }

@@ -52,27 +52,6 @@ object DedupStream {
   def dedupCounts(spark: SparkSession, dir: String): DataFrame =
     dedupCounts(source(spark, dir))
 
-  /** Streaming twin of the batch `decontaminate` operator: documents
-    * stream in and each is flagged against a STATIC held-out eval
-    * n-gram set at ingest time — the benchmark-leak filter of a
-    * continuously-ingesting corpus build, where contaminated documents
-    * must be dropped before they ever reach training shards.
-    *
-    * Shape: completely STATELESS (Append mode, no watermark, zero
-    * state store) — the eval hash set is collapsed to a single-row
-    * array (benchmark-scale: a fixed eval suite, not a corpus) and
-    * cross-joined onto the stream; per-document overlap is a per-row
-    * `array_intersect` over the doc's distinct n-gram hashes. Batch
-    * and stream share the n-gram definition
-    * ([[graft.operators.Dedup.ngramHashArrExpr]]) and the eval-set
-    * definition, so they cannot drift; StreamingSpec pins exact
-    * row-level agreement with the batch operator.
-    *
-    * At 100 TB: throughput is corpus-linear with no shuffle on the
-    * stream side; a real eval suite (~10⁵-10⁶ n-grams, a few MB as an
-    * 8-byte-hash array) rides the broadcast exactly like the batch
-    * op's AQE-broadcast overlap join.
-    */
   /** Streaming twin of the batch `dedup_delta` operator: documents
     * stream in and each is classified at ingest time against a STATIC
     * existing corpus as `exact` (digest match), `near` (3-gram Jaccard
@@ -133,6 +112,16 @@ object DedupStream {
     val hotArr = D.hotShingles(raw)
       .agg(collect_set(col("s")).as("hot")).withColumn("__k", lit(1))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the per-batch static sides NOW, then free the build
+    // staging: `raw` (the corpus-scale shingle explode — the largest
+    // relation here) and `shBase` are only inputs to digest/index/
+    // hotArr; left cached they would occupy executor storage for the
+    // stream's whole lifetime, evicting the caches each micro-batch
+    // actually reuses (the batch twin unpersists rawAll the same way,
+    // Dedup.scala dedup_delta staging)
+    index.count(); hotArr.count(); digest.count()
+    raw.unpersist(blocking = false)
+    shBase.unpersist(blocking = false)
     val cands = docs
       .select(col("doc_id"), lower(col("text")).as("text"))
       .withColumn("t", D.tokenArr(col("text")))
@@ -183,6 +172,27 @@ object DedupStream {
       .toDF("doc_id", "verdict", "match_id")
   }
 
+  /** Streaming twin of the batch `decontaminate` operator: documents
+    * stream in and each is flagged against a STATIC held-out eval
+    * n-gram set at ingest time — the benchmark-leak filter of a
+    * continuously-ingesting corpus build, where contaminated documents
+    * must be dropped before they ever reach training shards.
+    *
+    * Shape: completely STATELESS (Append mode, no watermark, zero
+    * state store) — the eval hash set is collapsed to a single-row
+    * array (benchmark-scale: a fixed eval suite, not a corpus) and
+    * cross-joined onto the stream; per-document overlap is a per-row
+    * `array_intersect` over the doc's distinct n-gram hashes. Batch
+    * and stream share the n-gram definition
+    * ([[graft.operators.Dedup.ngramHashArrExpr]]) and the eval-set
+    * definition, so they cannot drift; StreamingSpec pins exact
+    * row-level agreement with the batch operator.
+    *
+    * At 100 TB: throughput is corpus-linear with no shuffle on the
+    * stream side; a real eval suite (~10⁵-10⁶ n-grams, a few MB as an
+    * 8-byte-hash array) rides the broadcast exactly like the batch
+    * op's AQE-broadcast overlap join.
+    */
   def decontaminate(docs: DataFrame, evalHashes: DataFrame): DataFrame = {
     // single-row eval array, keyed so the stream-static join is a plain
     // supported equi inner join (stream cross joins are restricted).
@@ -245,8 +255,14 @@ object DedupStream {
     import spark.implicits._
     val D = graft.operators.Dedup
     val P = graft.operators.PipelineOps
-    // static LM: unigram counts, vocabulary size, bigram q-table
+    // static LM: unigram counts, vocabulary size, bigram q-table.
+    // btoks persisted: it feeds BOTH the unigram census and the bigram
+    // q-table — unpersisted, the corpus repartition + regexp tokenize
+    // would execute twice during the one-time model build (the batch
+    // twin lm_bigram_score persists toks for the same reason,
+    // PipelineOps.scala)
     val btoks = D.tokens(base.select(col("doc_id"), col("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val uni = btoks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -265,6 +281,11 @@ object DedupStream {
       floor(log(lit(1.0) / (col("c1") + lit(vocabV)).cast("double")) * 1e6)
         .cast("long").as("qo"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the model tables, then free the build staging (same
+    // hygiene as deltaDedup above): only qtable/quni are read per batch
+    qtable.count(); quni.count()
+    btoks.unpersist(blocking = false)
+    uni.unpersist(blocking = false)
     val qOov = math.floor(math.log(1.0 / vocabV) * 1e6).toLong
     // stream: per-row classifier fold, bigram explode, model joins
     val scored = docs

@@ -15,9 +15,6 @@ final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 final case class SessionWindow(
     user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
-/** Running per-user session state (gap-based, 30-min inactivity). */
-final case class UserSessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
-
 /** Per-user session summary emitted downstream. */
 final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
@@ -44,22 +41,17 @@ final case class FunnelRow(user_id: Long, view_us: Long,
   */
 object EventsStream {
 
-  /** events.parquet raw schema. The ts physical type has varied across
-    * driver rounds (TIMESTAMP(NANOS) vs timestamp[us]) — probe the
-    * batch-loaded dtype via Tables.loadEvents-equivalent logic and
-    * declare the matching streaming schema (readStream needs an explicit
-    * schema, so it cannot self-discover).
+  /** Streaming source over the driver's parquet dir. The ts physical
+    * type has varied across driver rounds (TIMESTAMP(NANOS) vs
+    * timestamp[us]) — the dtype probe and the normalization expressions
+    * are SHARED with the batch loader ([[graft.Tables.eventsTsIsLong]] /
+    * [[graft.Tables.normalizeEventsTs]]) so batch and streaming cannot
+    * drift on the exact conversion the parity specs depend on; only the
+    * explicit schema declaration is streaming-specific (readStream
+    * cannot self-discover it).
     */
-  private def rawTsIsLong(spark: SparkSession, dir: String): Boolean = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(graft.Tables.path(dir, "events"))
-      .schema("ts").dataType == LongType
-  }
-
-  /** Streaming source over the driver's parquet dir. */
   def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsLong = rawTsIsLong(spark, dir)
+    val tsLong = graft.Tables.eventsTsIsLong(spark, dir)
     val rawSchema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", if (tsLong) LongType else TimestampNTZType),
@@ -67,12 +59,12 @@ object EventsStream {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    val src = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    if (tsLong) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else src.withColumn("ts", col("ts").cast(TimestampType))
+    graft.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir),
+      tsLong)
   }
 
   /** Watermarked 5-minute tumbling-window counts (streaming twin of
@@ -87,27 +79,40 @@ object EventsStream {
 
   /** Stateful gap-based sessionization via flatMapGroupsWithState
     * (streaming twin of `events_sessionize`): counts sessions per user
-    * with a 30-minute inactivity gap. State is one small record per user.
+    * with a 30-minute inactivity gap.
+    *
+    * State is the user's merged session INTERVAL list, not just the
+    * latest timestamp: a scalar (lastTs, counts) fold is only correct
+    * when arrival order across micro-batches is event-time order — an
+    * older event landing in a later batch would regress the anchor and
+    * mis-count against the true ordering. The interval merge gives
+    * exact batch parity under ANY cross-batch arrival order (no
+    * watermark here, so nothing is late-dropped). The price is
+    * O(sessions per user) state; [[closedSessions]] is the
+    * watermark-bounded production shape for unbounded streams, while
+    * this update-mode counter favors disorder-exactness.
     */
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = 1800L * 1000000L
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserSessionState, UserSessions](
+      .flatMapGroupsWithState[List[OpenSession], UserSessions](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Ev], state: GroupState[UserSessionState]) =>
-          // Micro-batch arrival order is not time order: sort the batch.
-          val sorted = it.toSeq.sortBy(_.ts_us)
-          var st = state.getOption.getOrElse(UserSessionState(Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val newSession = st.lastTsUs == Long.MinValue ||
-              e.ts_us - st.lastTsUs > gapUs
-            st = UserSessionState(e.ts_us,
-              st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
-          }
-          state.update(st)
-          Iterator(UserSessions(user, st.nSessions, st.nEvents))
+        (user: Long, it: Iterator[Ev],
+            state: GroupState[List[OpenSession]]) =>
+          val fresh = it.map(e => OpenSession(e.ts_us, e.ts_us, 1)).toList
+          val all = (state.getOption.getOrElse(Nil) ++ fresh)
+            .sortBy(s => (s.startUs, s.lastUs))
+          val merged = all.foldLeft(List.empty[OpenSession]) {
+            case (prev :: rest, cur) if cur.startUs - prev.lastUs <= gapUs =>
+              OpenSession(prev.startUs, math.max(prev.lastUs, cur.lastUs),
+                prev.n + cur.n) :: rest
+            case (acc, cur) => cur :: acc
+          }.reverse
+          state.update(merged)
+          Iterator(UserSessions(user, merged.size.toLong,
+            merged.map(_.n).sum))
       }
   }
 
@@ -145,52 +150,35 @@ object EventsStream {
   }
 
   /** One click/purchase event for the streaming as-of join (`ts` carries
-  * the watermark through to the stateful operator; the logic works in
-  * `ts_us` micros).
-  */
-final case class AsofEv(user_id: Long, event_id: Long,
-    ts: java.sql.Timestamp, ts_us: Long, value: Double, is_p: Boolean)
-
-/** Per-user as-of state: the single best watermark-safe click (no
-  * earlier click can ever beat it for any future purchase) plus every
-  * event still inside the watermark.
-  */
-final case class AsofState(safeUs: Long, safeId: Long, safeVal: Double,
-    hasSafe: Boolean, pending: List[AsofEv])
-
-/** A purchase matched to the latest at-or-before click (emitted once,
-  * when the watermark makes the match final).
-  */
-final case class AsofMatch(purchase_id: Long, user_id: Long,
-    purchase_us: Long, click_id: Long, click_us: Long,
-    purchase_value: Double, click_value: Double)
-
-/** Gap-based sessionization with an EVENT-TIME timeout: a session is
-    * emitted exactly once, only after the WATERMARK passes its
-    * 30-minute inactivity gap — the production shape for "emit finished
-    * sessions downstream" (append mode), complementing [[sessionize]]'s
-    * running per-user counters (update mode).
-    *
-    * State holds EVERY not-yet-safe session as an interval list (merged
-    * by the gap rule), never just the latest: an intra-batch gap must
-    * NOT emit immediately, because an out-of-order event still above
-    * the watermark may yet extend or bridge those sessions. Events
-    * below the watermark are dropped (standard late-data policy —
-    * flatMapGroupsWithState does not drop them for us). State size is
-    * O(sessions inside one watermark delay) per user.
-    *
-    * `events` must have columns (user_id LONG, ts TIMESTAMP); event time
-    * is kept in true microseconds end to end, matching the batch
-    * `events_sessionize` arithmetic.
+    * the watermark through to the stateful operator; the logic works in
+    * `ts_us` micros).
     */
+  final case class AsofEv(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, ts_us: Long, value: Double, is_p: Boolean)
+
+  /** Per-user as-of state: the single best watermark-safe click (no
+    * earlier click can ever beat it for any future purchase) plus every
+    * event still inside the watermark.
+    */
+  final case class AsofState(safeUs: Long, safeId: Long, safeVal: Double,
+      hasSafe: Boolean, pending: List[AsofEv])
+
+  /** A purchase matched to the latest at-or-before click (emitted once,
+    * when the watermark makes the match final).
+    */
+  final case class AsofMatch(purchase_id: Long, user_id: Long,
+      purchase_us: Long, click_id: Long, click_us: Long,
+      purchase_value: Double, click_value: Double)
+
   /** Streaming twin of the batch `join_asof`: each purchase is matched
     * to the user's LATEST click at-or-before it, emitted exactly once.
     *
     * Finality argument: a purchase's match may only change while a click
     * with `c.us <= p.us` can still arrive; once the watermark passes
     * `p.us` any such click would be below the watermark and is dropped
-    * (this function drops sub-watermark input itself —
-    * flatMapGroupsWithState does not do it for us). So a purchase is
+    * (Spark's EventTimeTimeout late filter drops ts <= wm before the
+    * function runs — pinned by StreamingSpec's boundary test; the
+    * in-function `>= wmUs` filter is defense-in-depth). So a purchase is
     * emitted when `wm > p.us`, and the emission is final — append mode,
     * no retraction ever needed.
     *
@@ -240,11 +228,21 @@ final case class AsofMatch(purchase_id: Long, user_id: Long,
             best.map(_._1).getOrElse(Long.MinValue),
             best.map(_._2).getOrElse(Long.MinValue),
             best.map(_._3).getOrElse(0.0), best.isDefined, pending)
-          state.update(next)
-          // wake this user once the watermark passes its oldest pending
-          // purchase, so matches emit even if the user goes quiet
-          pending.filter(_.is_p).map(_.ts_us).minOption.foreach(us =>
-            state.setTimeoutTimestamp(us / 1000L + 1L))
+          if (!next.hasSafe && next.pending.isEmpty)
+            // nothing retained and nothing to wait for (a purchase-only
+            // user whose purchases all ripened unmatched): remove the
+            // entry — a vacuous record per user_id ever seen would
+            // otherwise accumulate for the life of the query
+            state.remove()
+          else {
+            state.update(next)
+            // wake once the watermark passes the oldest pending EVENT
+            // (purchase OR click): purchases must emit even if the user
+            // goes quiet, and quiet users' ripened clicks must fold into
+            // the one compacted record instead of pending forever
+            next.pending.map(_.ts_us).minOption.foreach(us =>
+              state.setTimeoutTimestamp(us / 1000L + 1L))
+          }
           out.result().iterator
       }
   }
@@ -344,6 +342,26 @@ final case class AsofMatch(purchase_id: Long, user_id: Long,
       }
   }
 
+  /** Gap-based sessionization with an EVENT-TIME timeout: a session is
+    * emitted exactly once, only after the WATERMARK passes its
+    * 30-minute inactivity gap — the production shape for "emit finished
+    * sessions downstream" (append mode), complementing [[sessionize]]'s
+    * running per-user counters (update mode).
+    *
+    * State holds EVERY not-yet-safe session as an interval list (merged
+    * by the gap rule), never just the latest: an intra-batch gap must
+    * NOT emit immediately, because an out-of-order event still above
+    * the watermark may yet extend or bridge those sessions. Events at
+    * or below the watermark are dropped — by Spark's own
+    * EventTimeTimeout late filter before the function runs (pinned by
+    * StreamingSpec's boundary test), with the in-function filter as
+    * defense-in-depth. State size is
+    * O(sessions inside one watermark delay) per user.
+    *
+    * `events` must have columns (user_id LONG, ts TIMESTAMP); event time
+    * is kept in true microseconds end to end, matching the batch
+    * `events_sessionize` arithmetic.
+    */
   def closedSessions(events: DataFrame): Dataset[SessionWindow] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -370,13 +388,27 @@ final case class AsofMatch(purchase_id: Long, user_id: Long,
                 prev.n + cur.n) :: rest
             case (acc, cur) => cur :: acc
           }.reverse
-          // a session is safe once no in-watermark event can extend it
+          // a session is safe once no in-watermark event can extend it.
+          // `<=` is correct AT equality because Spark's own late-row
+          // filter for EventTimeTimeout operators drops rows with
+          // ts <= watermark BEFORE they reach this function (pinned by
+          // StreamingSpec's boundary test): when wm == lastUs + gap, an
+          // extender would need ts <= lastUs + gap == wm and so can
+          // never arrive. (Our `>= wmUs` keep-filter above is the
+          // documented manual policy, but the equality row is already
+          // gone at the operator boundary.)
           val (closed, open) = merged.partition(_.lastUs + gapUs <= wmUs)
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
-            state.setTimeoutTimestamp(open.map(_.lastUs).min / 1000L +
-              1800L * 1000L)
+            // clamp past the current watermark: an open session has
+            // lastUs + gap > wm in MICROS, but the ms-truncated wake
+            // time (lastUs/1000 + gapMs) can still equal wmMs when
+            // lastUs carries sub-ms digits, and Spark rejects
+            // event-time timeouts at or before the watermark
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.lastUs).min / 1000L + 1800L * 1000L,
+              state.getCurrentWatermarkMs()) + 1L)
           }
           closed.iterator
             .map(s => SessionWindow(user, s.startUs, s.lastUs, s.n))

@@ -336,6 +336,112 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("close at lastUs+gap == watermark is safe: Spark drops ts == wm rows") {
+    // Pins the boundary semantics the `<=` close condition in
+    // closedSessions relies on: Spark's late-row filter for
+    // EventTimeTimeout operators drops input rows with ts <= watermark
+    // BEFORE the flatMapGroupsWithState function runs (our own manual
+    // `>= wmUs` filter would keep the equality row — it never gets the
+    // chance). So once wm reaches lastUs + gap, no event that the gap
+    // rule could merge (ts <= lastUs + gap) can ever arrive, and
+    // closing at equality cannot split a batch-semantics session. If a
+    // Spark upgrade ever changes the boundary to strict `<`, this test
+    // fails and the close condition must become strict with it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-07-01 09:00:00")
+    def at(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val us = (m: Int) => at(m).getTime * 1000L
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sq = EventsStream.closedSessions(in.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("boundary_sessions")
+      .outputMode("append").start()
+    try {
+      // watermark lands EXACTLY on session [0,0]'s close boundary
+      // (max 40min − 10min delay = 30min = 0 + gap)
+      in.addData((1L, at(0)), (9L, at(40)))
+      sq.processAllAvailable()
+      // at(31) neither merges with [0,0] (31 > 30-min gap) nor moves
+      // the watermark (31 < 40); at(30) sits exactly ON the watermark
+      // and must be dropped by Spark before the operator sees it
+      in.addData((1L, at(31)))
+      sq.processAllAvailable()
+      in.addData((1L, at(30)))
+      sq.processAllAvailable()
+      in.addData((9L, at(120)))
+      sq.processAllAvailable()
+      in.addData((9L, at(121)))
+      sq.processAllAvailable()
+      val user1 = spark.table("boundary_sessions")
+        .where(col("user_id") === 1L)
+        .select("start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the ts == wm row is late: user 1 keeps TWO sessions, and the
+      // dropped event is counted in neither
+      assert(user1 == Set((us(0), us(0), 1L), (us(31), us(31), 1L)),
+        s"ts == wm boundary semantics changed: $user1")
+    } finally sq.stop()
+  }
+
+  test("sessionize counts exactly under cross-batch out-of-order arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Ev
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-08-01 10:00:00").getTime * 1000L
+    val in = MemoryStream[Ev]
+    val sq = EventsStream.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("update").start()
+    try {
+      // the 10:00 event arrives FIRST, the 09:00 event a batch later:
+      // 60 min apart => batch semantics say TWO sessions. A scalar
+      // last-timestamp fold would regress its anchor and report one.
+      in.addData(Ev(1L, base + 3600L * 1000000L))
+      sq.processAllAvailable()
+      in.addData(Ev(1L, base))
+      sq.processAllAvailable()
+      val rows = spark.table("sess_ooo")
+        .select("user_id", "n_sessions", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, 2L, 2L)),
+        s"out-of-order cross-batch events must still count 2 sessions: $rows")
+    } finally sq.stop()
+  }
+
+  test("as-of state drops users holding neither a safe click nor pending") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-09-01 08:00:00")
+    def at(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double, Boolean)]
+    val sq = EventsStream.asofMatches(
+        in.toDF().toDF("user_id", "event_id", "ts", "value", "is_p"))
+      .writeStream.format("memory").queryName("asof_state")
+      .outputMode("append").start()
+    try {
+      // user 1 is purchase-only; users 2/3 advance the watermark
+      in.addData((1L, 11L, at(0), 5.0, true), (2L, 21L, at(60), 0.0, false))
+      sq.processAllAvailable()
+      in.addData((3L, 31L, at(120), 0.0, false))
+      sq.processAllAvailable() // wm=50min: user 1's purchase ripens unmatched
+      in.addData((3L, 32L, at(121), 0.0, false))
+      sq.processAllAvailable() // wm=110min: user 2's quiet click compacts
+      assert(spark.table("asof_state").count() == 0) // nothing ever matched
+      // state must hold exactly user 2 (one compacted safe click) and
+      // user 3 (pending clicks) — user 1's vacuous entry is removed,
+      // not retained for the life of the query
+      val stateRows = sq.recentProgress.reverse
+        .flatMap(p => p.stateOperators.headOption).head.numRowsTotal
+      assert(stateRows == 2L,
+        s"expected 2 state rows (users 2 and 3), got $stateRows")
+    } finally sq.stop()
+  }
+
   test("streaming LM/quality ingest filter equals the batch scorers") {
     import org.apache.spark.sql.types._
     val base = spark.read.parquet(s"$sf/documents.parquet")
