@@ -98,6 +98,17 @@ final class GraftSession(val spark: SparkSession) {
     */
   private val txnBuckets =
     mutable.LinkedHashMap.empty[String, Option[mutable.Buffer[DataFrame]]]
+  /** Scratch parquet stages whose frames a buffered transaction still
+    * references (txn source pins, auto-inc pins inside a txn): deletable
+    * only once COMMIT/ROLLBACK has released the overlays.
+    */
+  private val txnStages = mutable.Buffer.empty[String]
+  /** Scratch stages created by the CURRENT statement (auto-inc pins):
+    * their consumers write eagerly within the statement, so the sweep at
+    * top-level statement end reclaims them — unless a transaction is
+    * open, in which case they migrate to [[txnStages]].
+    */
+  private val stmtStages = mutable.Buffer.empty[String]
 
   private lazy val snapshotRoot: String =
     Files.createTempDirectory("graft-idx").toString
@@ -133,7 +144,7 @@ final class GraftSession(val spark: SparkSession) {
 
   private def bucketKeys(ref: String): Seq[String] =
     tableProps(ref).get("graft.keys").map(_.split(',').toSeq)
-      .orElse(primaryKeys.get(unqualified(ref)))
+      .orElse(primaryKeys.get(metaKey(ref)))
       .getOrElse(Seq(spark.table(ref).schema.fieldNames.head))
 
   private def bucketCount(ref: String): Int =
@@ -192,7 +203,7 @@ final class GraftSession(val spark: SparkSession) {
   private def checkUniqueIndexes(ref: String, incoming: DataFrame,
       txnState: Option[DataFrame]): Unit =
     indexes.foreach {
-      case ((tb, name), m) if tb == unqualified(ref) &&
+      case ((tb, name), m) if tb == metaKey(ref) &&
           m.tableRef == ref && m.unique =>
         val cur = txnState.map(_.select(m.cols.map(col): _*))
           .getOrElse(readSnapshot(m))
@@ -257,7 +268,18 @@ final class GraftSession(val spark: SparkSession) {
       !up.startsWith("SHOW ERRORS") && !up.startsWith("SHOW COUNT"))
       warnings.clear()
     execDepth += 1
-    try executeRouted(sql, up, sql0) finally execDepth -= 1
+    try executeRouted(sql, up, sql0) finally {
+      execDepth -= 1
+      if (execDepth == 0 && stmtStages.nonEmpty) {
+        // statement done: its eager writes have consumed the scratch
+        // stages — reclaim them now, unless an open transaction's
+        // overlay may still reference them lazily
+        if (txnActive) txnStages ++= stmtStages
+        else stmtStages.foreach(s =>
+          GraftSession.deleteRecursively(java.nio.file.Paths.get(s)))
+        stmtStages.clear()
+      }
+    }
   }
 
   private def executeRouted(sql: String, up: String, sql0: String): DataFrame = {
@@ -298,6 +320,14 @@ final class GraftSession(val spark: SparkSession) {
         commit()
         val existed = spark.catalog.databaseExists(clean(db))
         spark.sql(s"DROP DATABASE ${opt(ifEx)}$db CASCADE")
+        // the CASCADE dropped every table in the database: sweep their
+        // session metadata by key prefix so a later re-created db.table
+        // cannot inherit a dead table's PK/defaults/indexes
+        val prefix = clean(db).toLowerCase + "."
+        Seq(primaryKeys, columnDefaults, autoIncCols).foreach(m =>
+          m.keys.filter(_.startsWith(prefix)).toSeq.foreach(m.remove))
+        indexes.keys.filter(_._1.startsWith(prefix)).toSeq
+          .foreach(indexes.remove)
         if (existed) recordDdl("drop schema", clean(db), "")
         ok()
       case _ if up.startsWith("CREATE TABLE") => createTable(sql); ok()
@@ -355,10 +385,10 @@ final class GraftSession(val spark: SparkSession) {
       case InsertFullRe(t, colList, source) =>
         val ref = qualify(clean(t))
         val incoming = buildIncoming(spark.table(ref), Option(colList),
-          source, Some(unqualified(ref)))
+          source, Some(metaKey(ref)))
         if (isManaged(ref)) {
           val incB = withBucket(ref, incoming)
-          if (hasPk(ref) || indexes.keys.exists(_._1 == unqualified(ref))) {
+          if (hasPk(ref) || indexes.keys.exists(_._1 == metaKey(ref))) {
             // Pin the incoming rows ONCE so the duplicate-key check, the
             // affected-bucket set and the write cannot disagree: VALUES
             // batches are literal relations (already deterministic, no
@@ -523,7 +553,7 @@ final class GraftSession(val spark: SparkSession) {
     */
   private def describe(t: String): DataFrame = {
     import spark.implicits._
-    val base = unqualified(t)
+    val base = metaKey(t)
     val pk = primaryKeys.getOrElse(base, Nil).toSet
     // MySQL shows UNI only for SINGLE-column unique indexes; the first
     // column of a composite unique (or any non-unique) index shows MUL
@@ -561,17 +591,21 @@ final class GraftSession(val spark: SparkSession) {
           val (cols, vals) = parseSetAssignments(asgns)
           buildIncoming(tableState(clean(t)), Some(cols.mkString(", ")),
             s"VALUES (${vals.mkString(", ")})",
-            Some(unqualified(clean(t))), planOnly = true)
+            Some(metaKey(t)), planOnly = true)
         case InsertFullRe(t, colList, source) =>
           buildIncoming(tableState(clean(t)), Option(colList), source,
-            Some(unqualified(clean(t))), planOnly = true)
+            Some(metaKey(t)), planOnly = true)
         case ReplaceRe(t, colList, source) =>
           val target = tableState(clean(t))
           val incoming = buildIncoming(target, Option(colList), source,
-            Some(unqualified(clean(t))), planOnly = true)
-          operators.Dml.replaceInto(target, incoming,
-            primaryKeys.getOrElse(unqualified(clean(t)),
-              Seq(target.schema.fieldNames.head)))
+            Some(metaKey(t)), planOnly = true)
+          // mirrors replaceInto's key rule: no declared PRIMARY KEY /
+          // layout PK means REPLACE inserts (MySQL: no unique key, no
+          // displacement) — never dedup on an arbitrary fallback column
+          replaceKeysFor(qualify(clean(t))) match {
+            case Some(k) => operators.Dml.replaceInto(target, incoming, k)
+            case None => target.unionByName(incoming)
+          }
         case other =>
           throw new IllegalArgumentException(s"cannot EXPLAIN: $other")
       }
@@ -593,21 +627,41 @@ final class GraftSession(val spark: SparkSession) {
         case SetScopeRe(scope, name, expr) =>
           // `SET GLOBAL x` / `SET SESSION x` keyword form
           // (`executor/set.go:40` IsGlobal dispatch)
-          val target =
-            if (scope.equalsIgnoreCase("GLOBAL")) globalVars else sysVars
-          target(name.toLowerCase) = String.valueOf(evalScalar(expr))
+          setSysVar(scope.equalsIgnoreCase("GLOBAL"), name,
+            String.valueOf(evalScalar(expr)))
         case SysVarAsgnRe(name, expr) =>
           val key0 = name.toLowerCase.stripPrefix("@@")
           if (key0 == "names") () // SET NAMES charset: accepted, no-op
           else if (key0.startsWith("global."))
-            globalVars(key0.stripPrefix("global.")) =
-              String.valueOf(evalScalar(expr))
-          else sysVars(key0.stripPrefix("session.")) =
-            String.valueOf(evalScalar(expr))
+            setSysVar(global = true, key0.stripPrefix("global."),
+              String.valueOf(evalScalar(expr)))
+          else setSysVar(global = false, key0.stripPrefix("session."),
+            String.valueOf(evalScalar(expr)))
         case other =>
           throw new IllegalArgumentException(s"cannot parse SET $other")
       }
     }
+
+  /** Scoped sysvar write with the reference's validation
+    * (`ErrUnknownSystemVar`, set_test.go:38-41; MySQL 1193/1229): an
+    * unknown name errors on WRITE exactly as [[substituteVars]] errors
+    * on read (a silent typo'd `SET @@sql_modee` would leave strict mode
+    * on while the user believes it off), and a GLOBAL-only variable
+    * rejects a session-scope write instead of creating a session shadow
+    * that diverges from the live global.
+    */
+  private def setSysVar(global: Boolean, name0: String, value: String): Unit = {
+    val name = name0.toLowerCase
+    val globalOnly = GraftSession.globalOnlyVars.exists(_._1 == name)
+    val known = globalOnly || GraftSession.defaultSysVars.exists(_._1 == name)
+    if (!known) throw new IllegalArgumentException(
+      s"Unknown system variable '$name'")
+    if (global) globalVars(name) = value
+    else if (globalOnly) throw new IllegalArgumentException(
+      s"Variable '$name' is a GLOBAL variable and should be set with " +
+        "SET GLOBAL")
+    else sysVars(name) = value
+  }
 
   /** Driver-side scalar eval for session state — the analog of the
     * reference's `v.Expr.Eval(chunk.Row{})` (`executor/set.go:48`).
@@ -721,9 +775,9 @@ final class GraftSession(val spark: SparkSession) {
       s"  `${f.name}` ${mysqlTypeName(f.dataType)}" +
         (if (f.nullable) "" else " NOT NULL")
     }
-    val pk = primaryKeys.get(unqualified(t))
+    val pk = primaryKeys.get(metaKey(t))
       .map(ks => s"  PRIMARY KEY (${ks.map(k => s"`$k`").mkString(",")})")
-    val keys = indexes.collect { case ((tb, name), m) if tb == unqualified(t) =>
+    val keys = indexes.collect { case ((tb, name), m) if tb == metaKey(t) =>
       val kw = if (m.unique) "UNIQUE KEY" else "KEY"
       s"  $kw `$name` (${m.cols.map(c => s"`$c`").mkString(",")})"
     }
@@ -747,6 +801,7 @@ final class GraftSession(val spark: SparkSession) {
         throw new IllegalArgumentException(s"cannot parse CREATE TABLE: $sql")
     }
     val table = unqualified(qualifiedName)
+    val mkey = metaKey(qualifiedName)
     val ifNotExists = header.toUpperCase.contains("IF NOT EXISTS")
     val defs = splitTopLevel(sql.substring(open + 1, close), ',')
     val cols = mutable.Buffer.empty[(String, String, String)] // name, type, suffix
@@ -756,16 +811,23 @@ final class GraftSession(val spark: SparkSession) {
     // up NOT creating anything (IF NOT EXISTS no-op, parse error, failed
     // physical create) leaves the existing table's metadata untouched —
     // otherwise a no-op CREATE could re-key an existing table's upserts.
-    val priorPk = primaryKeys.get(table)
-    val priorDefaults = columnDefaults.get(table)
-    val priorAuto = autoIncCols.get(table)
+    val priorPk = primaryKeys.get(mkey)
+    val priorDefaults = columnDefaults.get(mkey)
+    val priorAuto = autoIncCols.get(mkey)
     def restoreMeta(): Unit = {
       def put[V](m: mutable.Map[String, V], v: Option[V]): Unit =
-        v match { case Some(x) => m(table) = x case None => m.remove(table) }
+        v match { case Some(x) => m(mkey) = x case None => m.remove(mkey) }
       put(primaryKeys, priorPk)
       put(columnDefaults, priorDefaults)
       put(autoIncCols, priorAuto)
     }
+    // start the walk from a CLEAN slate for this key: a previous
+    // same-named table's entries (recordColumnExtras MERGES defaults)
+    // must not leak into the new definition; the snapshot above restores
+    // them when the statement ends up not creating anything
+    primaryKeys.remove(mkey)
+    columnDefaults.remove(mkey)
+    autoIncCols.remove(mkey)
     try {
       defs.foreach { d =>
         val du = d.toUpperCase
@@ -774,7 +836,7 @@ final class GraftSession(val spark: SparkSession) {
         val isConstraint =
           ConstraintRe.findFirstIn(du).isDefined && d.contains("(")
         if (du.startsWith("PRIMARY KEY"))
-          primaryKeys(table) = splitCols(parenBody(d))
+          primaryKeys(mkey) = splitCols(parenBody(d))
         else if (isConstraint) {
           val cols0 = splitCols(parenBody(d))
           val name = IndexNameRe.findFirstMatchIn(d).map(m => clean(m.group(2)))
@@ -782,7 +844,7 @@ final class GraftSession(val spark: SparkSession) {
           deferredIdx += ((name, du.startsWith("UNIQUE"), cols0))
         } else d match {
           case ColumnDefRe(name, tpe, extras) =>
-            val notNull = recordColumnExtras(table, clean(name), extras)
+            val notNull = recordColumnExtras(mkey, clean(name), extras)
             cols += ((clean(name),
               applyUnsigned(mysqlToSparkType(tpe), extras), notNull))
           case other =>
@@ -802,7 +864,7 @@ final class GraftSession(val spark: SparkSession) {
       }
       dropStaleLocation(spark, ref)
       dropStaleLocation(spark, physRef(ref))
-      val pk = primaryKeys.get(table)
+      val pk = primaryKeys.get(mkey)
       val keys = pk.getOrElse(Seq(cols.head._1))
       spark.sql(s"CREATE TABLE ${physRef(ref)} (" +
         cols.map(c => s"`${c._1}` ${c._2}${c._3}").mkString(", ") +
@@ -918,7 +980,7 @@ final class GraftSession(val spark: SparkSession) {
         GraftSession.dropStaleLocation(spark, ref)
         GraftSession.dropStaleLocation(spark, physRef(ref))
       }
-      val base = unqualified(name)
+      val base = metaKey(name)
       indexes.keys.filter(_._1 == base).toSeq.foreach(indexes.remove)
       primaryKeys.remove(base)
       columnDefaults.remove(base)
@@ -936,8 +998,14 @@ final class GraftSession(val spark: SparkSession) {
       recordDdl("add index", dbOf(qualify(clean(t))), unqualified(clean(t)))
     case AlterAddColRe(t, rest) =>
       val body = if (rest.trim.startsWith("(")) parenBody(rest) else rest
-      val base = unqualified(clean(t))
-      val parsed = splitTopLevel(body, ',').map {
+      val base = metaKey(t)
+      // parsing mutates shared metadata; the physical ALTER below can
+      // still fail (duplicate column, missing table) — snapshot and
+      // restore on ANY throw, the same discipline as createTable, so a
+      // failed statement cannot leave a phantom DEFAULT that silently
+      // fills later INSERTs
+      val snap = metaSnapshot(base)
+      val parsed = try splitTopLevel(body, ',').map {
         case ColumnDefRe(name, tpe, extras) =>
           val notNull = recordColumnExtras(base, clean(name), extras).nonEmpty
           // MySQL fills a new NOT NULL column (no DEFAULT) with the
@@ -953,13 +1021,15 @@ final class GraftSession(val spark: SparkSession) {
           (clean(name), sparkType, notNull)
         case other =>
           throw new IllegalArgumentException(s"cannot parse column def: $other")
-      }
-      commit() // parsing complete — the statement may now implicitly commit
+      } catch { case e: Throwable => restoreMetaSnapshot(base, snap); throw e }
       val ref = qualify(clean(t))
-      val addTarget = if (isManaged(ref)) physRef(ref) else t
-      spark.sql(s"ALTER TABLE $addTarget ADD COLUMNS (" +
-        parsed.map(p => s"`${p._1}` ${p._2}").mkString(", ") + ")")
-      if (isManaged(ref)) createLogicalView(ref)
+      try {
+        commit() // parsing complete — the statement may now implicitly commit
+        val addTarget = if (isManaged(ref)) physRef(ref) else t
+        spark.sql(s"ALTER TABLE $addTarget ADD COLUMNS (" +
+          parsed.map(p => s"`${p._1}` ${p._2}").mkString(", ") + ")")
+        if (isManaged(ref)) createLogicalView(ref)
+      } catch { case e: Throwable => restoreMetaSnapshot(base, snap); throw e }
       // backfill existing rows of every added column that has a default —
       // explicit DEFAULTs and the NOT-NULL zero value alike (the
       // reference fills existing rows via OriginDefaultValue,
@@ -1019,24 +1089,27 @@ final class GraftSession(val spark: SparkSession) {
     }
     require(data.schema.fieldNames.length > 1,
       s"cannot drop the only column of $ref")
-    val base = unqualified(ref)
-    // metadata follows the column out (MySQL drops the column from any
-    // index; an index left with no columns is dropped)
-    primaryKeys.get(base).foreach { pk =>
-      val left = pk.filterNot(_ == actual)
-      if (left.isEmpty) primaryKeys.remove(base) else primaryKeys(base) = left
-    }
-    columnDefaults.get(base).foreach(m => columnDefaults(base) = m - actual)
-    if (autoIncCols.get(base).contains(actual)) autoIncCols.remove(base)
-    indexes.filter(_._1._1 == base).foreach { case (k, m) =>
-      val left = m.cols.filterNot(_ == actual)
-      if (left.isEmpty) indexes.remove(k)
-      else indexes(k) = m.copy(cols = left)
-    }
-    // keys from the DURABLE layout metadata (a fresh session has no
-    // primaryKeys entry), minus the dropped column
-    recreateManagedTable(ref, data.drop(actual),
-      bucketKeys(ref).filterNot(_ == actual), pkHint = hasPk(ref))
+    val base = metaKey(ref)
+    val snap = metaSnapshot(base)
+    try {
+      // metadata follows the column out (MySQL drops the column from any
+      // index; an index left with no columns is dropped)
+      primaryKeys.get(base).foreach { pk =>
+        val left = pk.filterNot(_ == actual)
+        if (left.isEmpty) primaryKeys.remove(base) else primaryKeys(base) = left
+      }
+      columnDefaults.get(base).foreach(m => columnDefaults(base) = m - actual)
+      if (autoIncCols.get(base).contains(actual)) autoIncCols.remove(base)
+      indexes.filter(_._1._1 == base).foreach { case (k, m) =>
+        val left = m.cols.filterNot(_ == actual)
+        if (left.isEmpty) indexes.remove(k)
+        else indexes(k) = m.copy(cols = left)
+      }
+      // keys from the DURABLE layout metadata (a fresh session has no
+      // primaryKeys entry), minus the dropped column
+      recreateManagedTable(ref, data.drop(actual),
+        bucketKeys(ref).filterNot(_ == actual), pkHint = hasPk(ref))
+    } catch { case e: Throwable => restoreMetaSnapshot(base, snap); throw e }
     true
   }
 
@@ -1055,7 +1128,7 @@ final class GraftSession(val spark: SparkSession) {
       require(isManaged(ref),
         s"ALTER MODIFY/CHANGE COLUMN requires a managed table: $ref")
       val newName = clean(name0)
-      val base = unqualified(ref)
+      val base = metaKey(ref)
       val data = spark.table(ref)
       val actual = resolveColumnOpt(data, oldName) match {
         case Some(a) => a
@@ -1073,27 +1146,31 @@ final class GraftSession(val spark: SparkSession) {
       require(retypeAllowed(oldType, sparkType),
         s"unsupported modify column: $actual $oldType -> $sparkType " +
           "(only widening within the same type family)")
-      // the NEW definition governs: stale attributes of the old one go
-      columnDefaults.get(base).foreach(m => columnDefaults(base) = m - actual)
-      if (autoIncCols.get(base).contains(actual)) autoIncCols.remove(base)
-      recordColumnExtras(base, newName, extras)
-      if (newName != actual) {
-        primaryKeys.get(base).foreach(pk => primaryKeys(base) =
-          pk.map(k => if (k == actual) newName else k))
-        indexes.filter(_._1._1 == base).foreach { case (k, m) =>
-          indexes(k) = m.copy(cols =
-            m.cols.map(cn => if (cn == actual) newName else cn))
+      val priorKeys = bucketKeys(ref)
+      val snap = metaSnapshot(base)
+      try {
+        // the NEW definition governs: stale attributes of the old one go
+        columnDefaults.get(base).foreach(m => columnDefaults(base) = m - actual)
+        if (autoIncCols.get(base).contains(actual)) autoIncCols.remove(base)
+        recordColumnExtras(base, newName, extras)
+        if (newName != actual) {
+          primaryKeys.get(base).foreach(pk => primaryKeys(base) =
+            pk.map(k => if (k == actual) newName else k))
+          indexes.filter(_._1._1 == base).foreach { case (k, m) =>
+            indexes(k) = m.copy(cols =
+              m.cols.map(cn => if (cn == actual) newName else cn))
+          }
         }
-      }
-      val next = data.withColumnRenamed(actual, newName)
-        .withColumn(newName, col(newName).cast(sparkType))
-      // a PRIMARY KEY clause in the new definition re-keys the layout
-      val declaredPk =
-        maskQuoted(extras).toUpperCase.contains("PRIMARY KEY")
-      recreateManagedTable(ref, next,
-        if (declaredPk) Seq(newName)
-        else bucketKeys(ref).map(k => if (k == actual) newName else k),
-        pkHint = declaredPk || hasPk(ref))
+        val next = data.withColumnRenamed(actual, newName)
+          .withColumn(newName, col(newName).cast(sparkType))
+        // a PRIMARY KEY clause in the new definition re-keys the layout
+        val declaredPk =
+          maskQuoted(extras).toUpperCase.contains("PRIMARY KEY")
+        recreateManagedTable(ref, next,
+          if (declaredPk) Seq(newName)
+          else priorKeys.map(k => if (k == actual) newName else k),
+          pkHint = declaredPk || hasPk(ref))
+      } catch { case e: Throwable => restoreMetaSnapshot(base, snap); throw e }
       true
     case other =>
       throw new IllegalArgumentException(s"cannot parse column def: $other")
@@ -1183,10 +1260,21 @@ final class GraftSession(val spark: SparkSession) {
       unique: Boolean = false): Unit = {
     val ref = qualify(tableRef) // stored qualified: lookups from another
     // current database (and same-named tables in other dbs) stay correct
-    val base = unqualified(ref)
+    val base = metaKey(ref)
+    // MySQL error 1061: an index name is unique per table — silently
+    // overwriting the old definition would orphan its snapshot
+    require(!indexes.contains((base, name)),
+      s"Duplicate key name '$name'")
+    // validate BEFORE registering: a failed materialization (missing
+    // table, unknown column) must not leave a phantom index entry that
+    // breaks every later write to this table name
+    val tbl = spark.table(ref) // throws if the table does not exist
+    cols.foreach(c => require(tbl.columns.contains(c),
+      s"unknown column '$c' in index $name on $ref"))
     indexes((base, name)) =
       IndexMeta(unique, cols, idxPath(base, name), ref)
-    refreshIndexes(ref)
+    try refreshIndexes(ref)
+    catch { case e: Throwable => indexes.remove((base, name)); throw e }
   }
 
   /** An index snapshot as a DataFrame: the empty projection when the
@@ -1208,7 +1296,7 @@ final class GraftSession(val spark: SparkSession) {
     else spark.table(m.tableRef).select(m.cols.map(col): _*).limit(0)
 
   private def dropIndex(t: String, name: String): Unit = {
-    val removed = indexes.remove((unqualified(t), name))
+    val removed = indexes.remove((metaKey(t), name))
     require(removed.isDefined, s"no such index $name on $t")
   }
 
@@ -1221,7 +1309,7 @@ final class GraftSession(val spark: SparkSession) {
     */
   private def refreshIndexes(t: String, affected: Option[Seq[Int]] = None,
       emptied: Seq[Int] = Nil): Unit = {
-    val base = unqualified(t)
+    val base = metaKey(t)
     indexes.foreach { case ((tb, _), m) if tb == base =>
       val ref = qualify(m.tableRef)
       if (isManaged(ref)) {
@@ -1252,7 +1340,7 @@ final class GraftSession(val spark: SparkSession) {
     */
   private def adminCheck(t: String): DataFrame = {
     import spark.implicits._
-    val base = unqualified(t)
+    val base = metaKey(t)
     val rows = indexes.collect { case ((tb, name), m) if tb == base =>
       val cur = spark.table(m.tableRef).select(m.cols.map(col): _*)
       // managed snapshots carry the bucket partition column — projected
@@ -1265,9 +1353,11 @@ final class GraftSession(val spark: SparkSession) {
         .unionByName(snap.withColumn("__d", lit(-1L)))
         .groupBy(m.cols.map(col): _*).agg(sum(col("__d")).as("__s"))
         .filter(col("__s") =!= 0).limit(1).collect()
-      (base, name, if (mismatch.isEmpty) "OK" else "CORRUPT")
+      // display the UNQUALIFIED name (MySQL's output shape); the
+      // qualified metaKey is lookup-only
+      (unqualified(t), name, if (mismatch.isEmpty) "OK" else "CORRUPT")
     }.toSeq
-    val out = if (rows.isEmpty) Seq((base, "<none>", "OK")) else rows
+    val out = if (rows.isEmpty) Seq((unqualified(t), "<none>", "OK")) else rows
     out.toDF("table_name", "index_name", "status")
   }
 
@@ -1401,6 +1491,37 @@ final class GraftSession(val spark: SparkSession) {
   private def qualify(t: String): String =
     if (t.contains('.')) t else s"${spark.catalog.currentDatabase}.$t"
 
+  /** Session-metadata key (primaryKeys/columnDefaults/autoIncCols/
+    * indexes): the qualified, backtick-stripped, lower-cased table ref —
+    * bare names resolve against the CURRENT database, so same-named
+    * tables in different databases keep separate entries (an unqualified
+    * key let `DROP TABLE t` under db2 wipe db1.t's metadata), and DROP
+    * DATABASE sweeps its tables' entries by `db.` prefix.
+    */
+  private def metaKey(t: String): String = qualify(clean(t)).toLowerCase
+
+  /** Snapshot of one table's session metadata (PK, defaults, auto-inc,
+    * indexes) for restore-on-failure around mutating DDL — ALTER paths
+    * record metadata while parsing, before the physical statement that
+    * can still fail (the createTable discipline, shared).
+    */
+  private type MetaSnap = (Option[Seq[String]], Option[Map[String, String]],
+    Option[String], Seq[((String, String), IndexMeta)])
+
+  private def metaSnapshot(key: String): MetaSnap =
+    (primaryKeys.get(key), columnDefaults.get(key), autoIncCols.get(key),
+      indexes.filter(_._1._1 == key).toSeq)
+
+  private def restoreMetaSnapshot(key: String, s: MetaSnap): Unit = {
+    def put[V](m: mutable.Map[String, V], v: Option[V]): Unit =
+      v match { case Some(x) => m(key) = x case None => m.remove(key) }
+    put(primaryKeys, s._1)
+    put(columnDefaults, s._2)
+    put(autoIncCols, s._3)
+    indexes.keys.filter(_._1 == key).toSeq.foreach(indexes.remove)
+    s._4.foreach { case (k, v) => indexes(k) = v }
+  }
+
   /** The table's current LOGICAL state: the open transaction's overlay if
     * one exists, the committed base otherwise.
     */
@@ -1520,7 +1641,9 @@ final class GraftSession(val spark: SparkSession) {
       case (ref, stage, None) =>
         spark.read.parquet(stage).write.mode("overwrite").insertInto(ref)
         refreshIndexes(ref)
+        GraftSession.deleteRecursively(java.nio.file.Paths.get(stage))
     }
+    releaseTxnStages()
   }
 
   private def rollback(): Unit = if (txnActive) {
@@ -1528,6 +1651,14 @@ final class GraftSession(val spark: SparkSession) {
     clearShadows()
     txnOverlay.clear()
     txnBuckets.clear()
+    releaseTxnStages()
+  }
+
+  /** Reclaim source-pin stages once no overlay references them. */
+  private def releaseTxnStages(): Unit = {
+    txnStages.foreach(s =>
+      GraftSession.deleteRecursively(java.nio.file.Paths.get(s)))
+    txnStages.clear()
   }
 
   /** INSERT inside an open transaction: buffered into the overlay. The
@@ -1537,8 +1668,23 @@ final class GraftSession(val spark: SparkSession) {
   private def txnInsert(t: String, colList: Option[String],
       source: String): Unit = {
     val base = tableState(t)
-    val incoming = buildIncoming(base, colList, source, Some(unqualified(t)))
     val ref = qualify(t)
+    val incoming0 = buildIncoming(base, colList, source, Some(metaKey(ref)))
+    // Pin a SELECT source ONCE (the non-txn path's discipline, line
+    // ~363): the overlay and the bucket frame otherwise re-execute the
+    // source independently at COMMIT, and a nondeterministic source
+    // (multi-partition LIMIT without ORDER BY) can produce rows hashing
+    // to buckets absent from the collected set — those rows would be
+    // pruned out of the staged write and silently vanish. VALUES
+    // batches are literal relations: no pin needed.
+    val incoming =
+      if (source.toUpperCase.startsWith("VALUES")) incoming0
+      else {
+        val stage = Files.createTempDirectory("graft-txn-ins").toString
+        incoming0.write.mode("overwrite").parquet(stage)
+        txnStages += stage
+        spark.read.parquet(stage)
+      }
     if (isManaged(ref)) {
       if (hasPk(ref)) checkDuplicateKeys(ref, base, incoming)
       checkUniqueIndexes(ref, incoming, txnState = Some(base))
@@ -1802,6 +1948,9 @@ final class GraftSession(val spark: SparkSession) {
         rn.cast(f.dataType)).drop("__pid")
     else {
       val stage = Files.createTempDirectory("graft-ai").toString
+      // reclaimed at statement end (or COMMIT when a txn overlay holds
+      // the pinned frame) — see stmtStages
+      stmtStages += stage
       df.write.mode("overwrite").parquet(stage)
       val pinned = spark.read.parquet(stage)
       val withPid = pinned.withColumn("__pid", spark_partition_id())
@@ -1842,18 +1991,39 @@ final class GraftSession(val spark: SparkSession) {
     * in other buckets, so those buckets are discovered with one
     * column-pruned probe per unique index and added to the rewrite set.
     */
+  /** The key columns REPLACE dedups on: the declared PRIMARY KEY (the
+    * managed layout's keys when graft.pk records one, the session PK
+    * entry otherwise), or None when the table has no primary key —
+    * MySQL REPLACE without ANY unique key is a plain insert, so the
+    * first-column layout fallback must never displace rows (it would
+    * silently delete rows sharing an arbitrary column value).
+    * Unique-INDEX displacement is applied separately in either case.
+    */
+  private def replaceKeysFor(ref: String): Option[Seq[String]] =
+    if (isManaged(ref)) { if (hasPk(ref)) Some(bucketKeys(ref)) else None }
+    else primaryKeys.get(metaKey(ref))
+
   private def replaceInto(t: String, colList: Option[String],
       source: String): Unit = {
     val ref = qualify(t)
-    val base = unqualified(ref)
+    val base = metaKey(ref)
     val target = tableState(t)
-    val incoming = buildIncoming(target, colList, source, Some(unqualified(t)))
-    val keys =
-      if (isManaged(ref)) bucketKeys(ref)
-      else primaryKeys.getOrElse(base, Seq(target.schema.fieldNames.head))
+    val incoming0 = buildIncoming(target, colList, source, Some(base))
+    // txn route: pin a SELECT source once (same reasoning as txnInsert —
+    // the overlay and the bucket frames must see the SAME rows)
+    val incoming =
+      if (!txnActive || source.toUpperCase.startsWith("VALUES")) incoming0
+      else {
+        val stage = Files.createTempDirectory("graft-txn-ins").toString
+        incoming0.write.mode("overwrite").parquet(stage)
+        txnStages += stage
+        spark.read.parquet(stage)
+      }
+    val pkKeys = replaceKeysFor(ref)
+    val keyCols = pkKeys.getOrElse(Nil)
     val uniqIdx = indexes.collect {
       case ((tb, _), m) if tb == base && m.tableRef == ref && m.unique &&
-        m.cols != keys && m.cols.forall(target.columns.contains) => m
+        m.cols != keyCols && m.cols.forall(target.columns.contains) => m
     }.toSeq
     val uniqCols = uniqIdx.map(_.cols)
     if (!txnActive && isManaged(ref)) {
@@ -1876,8 +2046,11 @@ final class GraftSession(val spark: SparkSession) {
           .map(_.getInt(0)) ++ idxBuckets).distinct.toSeq
         val baseAff = antiUniqueConflicts(
           phys.where(col(GbCol).isin(affected: _*)), incB, uniqCols)
-        val merged = operators.Dml.replaceInto(
-          baseAff, incB.select(physCols(ref).map(col): _*), keys)
+        val incCols = incB.select(physCols(ref).map(col): _*)
+        val merged = pkKeys match {
+          case Some(k) => operators.Dml.replaceInto(baseAff, incCols, k)
+          case None => baseAff.unionByName(incCols)
+        }
         rewriteManaged(ref, merged, Some(affected))
       } finally incB.unpersist()
     } else {
@@ -1890,7 +2063,11 @@ final class GraftSession(val spark: SparkSession) {
             .foldLeft(incoming.select(bucketCol(ref).as(GbCol)))(
               _ unionByName _))
         else None
-      applyWrite(t, operators.Dml.replaceInto(kept, incoming, keys), buckets)
+      val next = pkKeys match {
+        case Some(k) => operators.Dml.replaceInto(kept, incoming, k)
+        case None => kept.unionByName(incoming)
+      }
+      applyWrite(t, next, buckets)
     }
   }
 
@@ -1917,10 +2094,12 @@ final class GraftSession(val spark: SparkSession) {
   private def rewriteTable(t: String, next: DataFrame): Unit = {
     val target = spark.table(t)
     val stage = Files.createTempDirectory("graft-rw").toString
-    next.select(target.schema.fieldNames.map(col).toSeq: _*)
-      .write.mode("overwrite").parquet(stage)
-    spark.read.parquet(stage).write.mode("overwrite").insertInto(t)
-    refreshIndexes(t)
+    try {
+      next.select(target.schema.fieldNames.map(col).toSeq: _*)
+        .write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage).write.mode("overwrite").insertInto(t)
+      refreshIndexes(t)
+    } finally GraftSession.deleteRecursively(java.nio.file.Paths.get(stage))
   }
 
   /** Partition-pruned rewrite of a managed table: stage `nextWithGb`
@@ -2278,10 +2457,27 @@ object GraftSession {
 
   private def opt(s: String): String = Option(s).getOrElse("")
 
-  private def clean(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
+  /** Dot-separated identifier parts with per-part backtick stripping:
+    * `db`.`t` → Seq(db, t). Dots INSIDE a quoted part stay in that part
+    * (`my.table` is one identifier), which the old single-outer-pair
+    * strip mangled for every statement except CREATE TABLE.
+    */
+  private def identParts(s: String): Seq[String] = {
+    val parts = mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    var inTick = false
+    s.trim.foreach {
+      case '`' => inTick = !inTick
+      case '.' if !inTick => parts += sb.result().trim; sb.clear()
+      case c => sb += c
+    }
+    parts += sb.result().trim
+    parts.toSeq
+  }
 
-  private def unqualified(t: String): String =
-    clean(clean(t).split('.').last)
+  private def clean(s: String): String = identParts(s).mkString(".")
+
+  private def unqualified(t: String): String = identParts(t).last
 
   /** Split an index/insert column list; index prefix lengths like
     * `c_str(10)` (reference `parser/model/model.go:507` prefix indexes)

@@ -538,4 +538,112 @@ class SqlFrontendSpec extends SparkSuite {
     val Seq(r2) = gs.query("ADMIN COMPACT TABLE cpz")
     assert(r2.split(" ")(1).toInt == 0, s"second compact must no-op: $r2")
   }
+
+  test("metadata is per-database: same-named tables do not clobber") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS metaa")
+    gs.execute("CREATE DATABASE IF NOT EXISTS metab")
+    gs.execute("USE metaa")
+    gs.execute("CREATE TABLE mt (id INT PRIMARY KEY, v INT DEFAULT 5)")
+    gs.execute("USE metab")
+    // dropping a NONEXISTENT metab.mt must not wipe metaa.mt's metadata
+    gs.execute("DROP TABLE IF EXISTS mt")
+    // and a same-named metab.mt keeps its own (default-less) metadata
+    gs.execute("CREATE TABLE mt (id INT PRIMARY KEY, v INT)")
+    gs.execute("INSERT INTO mt (id) VALUES (1)")
+    gs.execute("USE metaa")
+    gs.execute("INSERT INTO mt (id) VALUES (1)")
+    assert(gs.query("SELECT id, v FROM metaa.mt") == Seq("1 5"),
+      "metaa.mt must keep DEFAULT 5")
+    assert(gs.query("SELECT id, coalesce(v, -1) FROM metab.mt") == Seq("1 -1"),
+      "metab.mt has no default")
+    gs.execute("USE default")
+    gs.execute("DROP DATABASE metaa")
+    gs.execute("DROP DATABASE metab")
+  }
+
+  test("DROP DATABASE sweeps table metadata; re-created table starts clean") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS metac")
+    gs.execute("USE metac")
+    gs.execute("CREATE TABLE ct (a INT DEFAULT 7, b INT)")
+    gs.execute("USE default")
+    gs.execute("DROP DATABASE metac")
+    gs.execute("CREATE DATABASE metac")
+    gs.execute("USE metac")
+    gs.execute("CREATE TABLE ct (a INT, b INT)")
+    gs.execute("INSERT INTO ct (b) VALUES (1)")
+    assert(gs.query("SELECT coalesce(a, -1), b FROM ct") == Seq("-1 1"),
+      "stale DEFAULT 7 must not leak into the re-created table")
+    gs.execute("USE default")
+    gs.execute("DROP DATABASE metac")
+  }
+
+  test("REPLACE INTO a table without PRIMARY KEY inserts (MySQL semantics)") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS nopk")
+    gs.execute("CREATE TABLE nopk (a INT, b INT)")
+    gs.execute("INSERT INTO nopk VALUES (1, 1)")
+    gs.execute("REPLACE INTO nopk VALUES (1, 2)")
+    // no unique key -> REPLACE behaves as INSERT: both rows survive
+    assert(gs.query("SELECT a, b FROM nopk ORDER BY b") ==
+      Seq("1 1", "1 2"))
+    gs.execute("DROP TABLE nopk")
+    gs.execute("USE default")
+  }
+
+  test("failed ALTER ADD COLUMN leaves no phantom default behind") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS altf")
+    gs.execute("CREATE TABLE altf (id INT PRIMARY KEY, v INT)")
+    gs.execute("INSERT INTO altf VALUES (1, NULL)")
+    // duplicate column: the physical ALTER throws AFTER parsing recorded
+    // the DEFAULT — which must be rolled back with it
+    intercept[Exception](
+      gs.execute("ALTER TABLE altf ADD COLUMN v DOUBLE DEFAULT 7"))
+    gs.execute("INSERT INTO altf (id) VALUES (2)")
+    assert(gs.query("SELECT id, coalesce(v, -1) FROM altf ORDER BY id") ==
+      Seq("1 -1", "2 -1"), "phantom DEFAULT 7 from the failed ALTER")
+    gs.execute("DROP TABLE altf")
+    gs.execute("USE default")
+  }
+
+  test("failed CREATE INDEX leaves no phantom index entry") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS phidx")
+    intercept[Exception](gs.execute("CREATE INDEX pi1 ON phidx (x)"))
+    // the table is created AFTERWARDS: writes must not trip over a
+    // phantom index on a column that never existed
+    gs.execute("CREATE TABLE phidx (y INT PRIMARY KEY)")
+    gs.execute("INSERT INTO phidx VALUES (1)")
+    assert(gs.query("SELECT y FROM phidx") == Seq("1"))
+    // duplicate index name is MySQL error 1061, not a silent overwrite
+    gs.execute("CREATE INDEX pi2 ON phidx (y)")
+    intercept[Exception](gs.execute("CREATE INDEX pi2 ON phidx (y)"))
+    gs.execute("DROP TABLE phidx")
+    gs.execute("USE default")
+  }
+
+  test("SET validates sysvar names and GLOBAL-only scope") {
+    // unknown variable: write errors exactly as the read path does
+    intercept[IllegalArgumentException](gs.execute("SET @@sql_modee = ''"))
+    intercept[IllegalArgumentException](
+      gs.execute("SET GLOBAL nonsense_var = 1"))
+    // GLOBAL-only variable refuses a session-scope write (MySQL 1229)
+    intercept[IllegalArgumentException](
+      gs.execute("SET SESSION max_connections = 5"))
+    gs.execute("SET GLOBAL max_connections = 200")
+    assert(gs.query("SELECT @@max_connections AS v") == Seq("200"))
+  }
+
+  test("backtick-quoted qualified names parse per part") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("CREATE TABLE `sqlfe`.`bt` (id INT PRIMARY KEY, v INT)")
+    gs.execute("INSERT INTO `sqlfe`.`bt` VALUES (1, 10)")
+    assert(gs.query("SELECT v FROM `sqlfe`.`bt` WHERE id = 1") == Seq("10"))
+    gs.execute("DROP TABLE `sqlfe`.`bt`")
+    assert(gs.query("SHOW TABLES IN sqlfe LIKE 'bt'").isEmpty ||
+      !gs.query("SHOW TABLES IN sqlfe").exists(_.contains("bt")))
+  }
 }
