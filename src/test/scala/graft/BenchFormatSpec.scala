@@ -42,7 +42,24 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.renderFullRecord(results, sched, "/data/sf0.1")
     assertFragments(line, Seq(
       "\"queries\":{\"q1_agg\":1.235,\"scan_pruned\":0.000,\"dedup_exact\":12.345}",
-      "\"metric\":\"total\"", "\"sched\":"))
+      "\"metric\":\"total\"", "\"sched\":",
+      // no mid probes passed → an empty but still-parseable array
+      "\"sched_mid\":[]"))
+  }
+
+  test("mid-suite probe fragments: streamed line shape and file array") {
+    val mids = Seq((15, 0.033, 0.051), (30, 0.106, 0.15))
+    assert(Bench.midJson(mids) ==
+      "\"sched_mid\":[{\"after\":15,\"p50\":0.033,\"max\":0.051}," +
+        "{\"after\":30,\"p50\":0.106,\"max\":0.150}]")
+    val line = Bench.renderFullRecord(results, sched, "/d", mids)
+    assertFragments(line, Seq(
+      "\"sched_mid\":[{\"after\":15,\"p50\":0.033,\"max\":0.051}"))
+    // the streamed stdout twin must stay well under the per-query lines'
+    // length budget (the whole point is not to ration the bounded tail)
+    val streamed = s"""{"sched_mid":${Bench.fmt(0.033)},"max":${Bench.fmt(0.051)},"after":15}"""
+    assert(streamed.length < 60, streamed)
+    assertFragments(streamed, Seq("\"sched_mid\":0.033", "\"after\":15"))
   }
 
   test("fmt is locale-pinned to a dot decimal separator") {
