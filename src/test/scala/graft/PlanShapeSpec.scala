@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Meta
+import org.apache.spark.sql.functions.{col, expr, size}
 
 /** Plan-shape assertions: the 100 TB posture. Filters reach the parquet
   * scan, projections prune the read schema, small dims broadcast, and the
@@ -203,5 +204,52 @@ class PlanShapeSpec extends SparkSuite {
       .mkString("\n")
     assert(!plan.contains("SinglePartition"), plan)
     gs.execute("USE default")
+  }
+
+  test("single-partition windows only ever see metadata-scale inputs (sf0.1 census)") {
+    // A handful of queries run an UNPARTITIONED window — the correct
+    // plan for them, because each window's input relation is bounded by
+    // a DOMAIN (score range, bucket count, bin count), never by the
+    // corpus. Until now that argument lived in comments at each site;
+    // this case measures the actual input relations at the largest
+    // local SF, where the data relations are 5,000 (documents) /
+    // 150,000 (orders) / 600,000 (lineitem) rows — so an edit that
+    // widens one of these windows to a data-scale relation fails the
+    // census instead of shipping a single-task funnel. The arithmetic
+    // below intentionally restates each site's binning expression
+    // (constants cited to their source) — deriving it FROM the
+    // operator would make the test tautological.
+    val d = "/root/testdata/sf0.1"
+    val Bound = 4096L
+    val docs = Tables.load(spark, d, "documents")
+    // quality_buckets (CorpusOps.scala:382): cumulative count over the
+    // DISTINCT token-count relation, bounded by the longest document
+    val scores = graft.operators.Dedup.tokens(docs)
+      .select(size(col("t")).cast("long").as("score")).distinct().count()
+    assert(scores <= Bound, s"quality_buckets window input: $scores rows")
+    // pack_sequences (Sampling.scala:40): bucket-offset window over one
+    // row per `doc_id div PackBucket(=256)` leaf bucket
+    val buckets = docs.select(expr("doc_id div 256")).distinct().count()
+    assert(buckets <= Bound, s"pack_sequences bucket-offset input: $buckets rows")
+    // stats_histogram distributed rank path (SketchOps.scala:175,254):
+    // bin-offset window over one row per 4096-currency-unit value bin
+    val bins = Tables.load(spark, d, "orders")
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 409600"))
+      .distinct().count()
+    assert(bins <= Bound, s"stats_histogram bin-offset input: $bins rows")
+    // vocab_topk (PipelineOps.scala:68) / pmi_collocations
+    // (CorpusOps.scala:581): the rank window's input is bounded by
+    // CONSTRUCTION (limit 100 / 20), so the invariant is structural —
+    // the bounded take must feed the window; a rewrite that loses the
+    // limit would funnel the whole vocabulary through one task
+    for (name <- Seq("vocab_topk", "pmi_collocations")) {
+      val plan = Meta.explainFormatted(q(name))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name rank window no longer fed by a bounded take:\n" + plan)
+    }
+    // Remaining unpartitioned-window sites, bounded by construction and
+    // NOT data-measurable here: SqlFrontend's VALUES-batch id window
+    // (input = a driver-authored literal batch) — covered structurally
+    // by the INSERT..SELECT SinglePartition assertion above.
   }
 }

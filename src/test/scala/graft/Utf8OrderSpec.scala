@@ -73,6 +73,33 @@ class Utf8OrderSpec extends SparkSuite {
       assert(Utf8Order.compare(x, z) <= 0)
   }
 
+  test("lone surrogates: the one divergent input class is unreachable after a Spark round-trip") {
+    // Ill-formed UTF-16: an unpaired high surrogate. Here — and ONLY
+    // here — Utf8Order diverges from the getBytes(UTF_8) byte path:
+    // the code-point walk sees 0xD800 (sorts between the 3-byte BMP
+    // range and U+E000), while the UTF-8 ENCODER cannot represent a
+    // lone surrogate and substitutes '?' (0x3F, sorts below all
+    // non-ASCII). Both facts are pinned so neither side can drift
+    // silently.
+    val lone = new String(Array('\uD800'))
+    assert(Utf8Order.compare(lone, cp(0x800)) > 0)   // code-point order
+    assert(Utf8Order.compare(lone, cp(0xE000)) < 0)
+    assert(new String(lone.getBytes(UTF_8), UTF_8) == "?") // encoder substitutes
+    // Why the divergence is unreachable in production: every driver-side
+    // replay input (BPE vocab collect, text_rank graph, MG top-k) comes
+    // OUT OF a Spark row, and Spark's UTF8String conversion applies the
+    // same getBytes(UTF_8) substitution on the way IN — after the
+    // round-trip the string literally IS "?", a well-formed string on
+    // which all orderings agree. Pinned end-to-end: if a future Spark
+    // ever starts preserving lone surrogates (WTF-8-style), this fails
+    // and Utf8Order must be revisited.
+    import spark.implicits._
+    val roundTripped = Seq(lone).toDF("s").as[String].collect().head
+    assert(roundTripped == "?",
+      s"Spark no longer sanitizes lone surrogates: got code points " +
+        roundTripped.codePoints.toArray.mkString(","))
+  }
+
   test("prefix sorts first; equality only on identical strings") {
     assert(Utf8Order.compare("a", "ab") < 0)
     assert(Utf8Order.compare(astral, astral + "a") < 0)
