@@ -402,10 +402,10 @@ final class GraftSession(val spark: SparkSession) {
                   None: Option[String])
               } else {
                 val stage = Files.createTempDirectory("graft-ins").toString
-                incB.select(physCols(ref).map(col): _*)
-                  .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
+                val proj = incB.select(physCols(ref).map(col): _*)
+                proj.write.partitionBy(GbCol).mode("overwrite").parquet(stage)
                 // the staged dir names ARE the affected buckets (no job)
-                (spark.read.parquet(stage)
+                (readStage(stage, proj.schema)
                   .select(physCols(ref).map(col): _*), listBucketDirs(stage),
                   Some(stage))
               }
@@ -1621,12 +1621,15 @@ final class GraftSession(val spark: SparkSession) {
           }
           frame.select(physCols(ref).map(col): _*)
             .write.partitionBy(GbCol).mode("overwrite").parquet(stage)
-          (ref, stage, Some(affected))
+          (ref, stage, Some(affected), None: Option[StructType])
         } else {
           val target = spark.table(ref)
-          next.select(target.schema.fieldNames.map(col).toSeq: _*)
-            .write.mode("overwrite").parquet(stage)
-          (ref, stage, None)
+          val proj = next.select(target.schema.fieldNames.map(col).toSeq: _*)
+          proj.write.mode("overwrite").parquet(stage)
+          // carry the WRITTEN schema to phase 2: a txn that emptied the
+          // table stages zero files, and the apply below must still read
+          // the stage (schema-pinned) to truncate via overwrite
+          (ref, stage, None, Some(proj.schema))
         }
       } catch { case e: Throwable => rollback(); throw e }
     txnActive = false
@@ -1636,10 +1639,10 @@ final class GraftSession(val spark: SparkSession) {
     txnOverlay.clear()
     txnBuckets.clear()
     staged.foreach {
-      case (ref, stage, Some(affected)) =>
+      case (ref, stage, Some(affected), _) =>
         applyStagedManaged(ref, stage, affected)
-      case (ref, stage, None) =>
-        spark.read.parquet(stage).write.mode("overwrite").insertInto(ref)
+      case (ref, stage, None, schema) =>
+        readStage(stage, schema.get).write.mode("overwrite").insertInto(ref)
         refreshIndexes(ref)
         GraftSession.deleteRecursively(java.nio.file.Paths.get(stage))
     }
@@ -1683,7 +1686,7 @@ final class GraftSession(val spark: SparkSession) {
         val stage = Files.createTempDirectory("graft-txn-ins").toString
         incoming0.write.mode("overwrite").parquet(stage)
         txnStages += stage
-        spark.read.parquet(stage)
+        readStage(stage, incoming0.schema)
       }
     if (isManaged(ref)) {
       if (hasPk(ref)) checkDuplicateKeys(ref, base, incoming)
@@ -1952,7 +1955,7 @@ final class GraftSession(val spark: SparkSession) {
       // the pinned frame) — see stmtStages
       stmtStages += stage
       df.write.mode("overwrite").parquet(stage)
-      val pinned = spark.read.parquet(stage)
+      val pinned = readStage(stage, df.schema)
       val withPid = pinned.withColumn("__pid", spark_partition_id())
       val stats = withPid.groupBy(col("__pid"))
         .agg(sum(when(needsId, 1L).otherwise(0L)).as("__n"),
@@ -2017,7 +2020,7 @@ final class GraftSession(val spark: SparkSession) {
         val stage = Files.createTempDirectory("graft-txn-ins").toString
         incoming0.write.mode("overwrite").parquet(stage)
         txnStages += stage
-        spark.read.parquet(stage)
+        readStage(stage, incoming0.schema)
       }
     val pkKeys = replaceKeysFor(ref)
     val keyCols = pkKeys.getOrElse(Nil)
@@ -2095,9 +2098,9 @@ final class GraftSession(val spark: SparkSession) {
     val target = spark.table(t)
     val stage = Files.createTempDirectory("graft-rw").toString
     try {
-      next.select(target.schema.fieldNames.map(col).toSeq: _*)
-        .write.mode("overwrite").parquet(stage)
-      spark.read.parquet(stage).write.mode("overwrite").insertInto(t)
+      val proj = next.select(target.schema.fieldNames.map(col).toSeq: _*)
+      proj.write.mode("overwrite").parquet(stage)
+      readStage(stage, proj.schema).write.mode("overwrite").insertInto(t)
       refreshIndexes(t)
     } finally GraftSession.deleteRecursively(java.nio.file.Paths.get(stage))
   }
@@ -2239,6 +2242,22 @@ final class GraftSession(val spark: SparkSession) {
     Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
       .filter(_.startsWith(s"$GbCol="))
       .map(_.stripPrefix(s"$GbCol=").toInt).toSeq
+
+  /** Read back a just-staged parquet dir with the WRITER's schema pinned.
+    * A 0-row stage holds no data files (FileFormatWriter skips empty
+    * tasks), so plain `spark.read.parquet` dies on schema INFERENCE —
+    * but a 0-row DML source is legal, not exceptional: `INSERT ...
+    * SELECT` matching nothing, an unconditional DELETE, a transaction
+    * emptying a table. MySQL semantics make those "0 rows affected"
+    * no-ops (reference: executor write paths count touched rows, they
+    * never error on an empty source). Every caller pins the schema of
+    * the exact frame it wrote, so types always match the files when
+    * files DO exist; partition columns in the schema (the bucket col of
+    * partitionBy stages) resolve from directory names as usual, and
+    * zero dirs yield the empty relation with the right shape.
+    */
+  private def readStage(stage: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(stage)
 
   // ----------------------------------------------------------------- helpers
 

@@ -44,6 +44,51 @@ object ProfileSql {
     ex("ADMIN COMPACT TABLE cmp")
     ex("SELECT o_orderkey, round(o_totalprice, 2) AS price FROM graft_prof.cmp")
 
+    // r10 verdict item 5: decompose the heaviest non-dedup rows
+    // (sql_dml_lifecycle / sql_ddl_alter, ~2-3 s steady-state) into
+    // metastore vs commit-protocol vs plan cost — profile-only, no
+    // restructuring. The controls: CREATE/DROP of an EMPTY table is
+    // pure metastore; a 1-row INSERT pays metastore + file-commit but
+    // ~zero plan/data; the 200-row INSERT adds the actual scan+write.
+    // Whatever separates the 1-row from the 200-row insert is plan/data;
+    // the rest of the 1-row time is the per-statement floor.
+    println("== decomposition controls ==")
+    ex("DROP TABLE IF EXISTS floor_t")
+    ex("CREATE TABLE floor_t (k BIGINT PRIMARY KEY, v DOUBLE)") // metastore only
+    ex("INSERT INTO floor_t VALUES (1, 1.0)") // + commit protocol, ~no plan
+    ex("INSERT INTO floor_t SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey = 1 AND c_custkey > 1") // 0-row scan+write
+    ex("DROP TABLE floor_t") // metastore only
+
+    println("== sql_dml_lifecycle body ==")
+    ex("DROP TABLE IF EXISTS cust")
+    ex("""CREATE TABLE cust (
+            c_custkey BIGINT NOT NULL PRIMARY KEY,
+            c_name VARCHAR(64),
+            c_acctbal DOUBLE)""")
+    ex("""INSERT INTO cust
+          SELECT c_custkey, c_name, c_acctbal FROM customer
+          WHERE c_custkey <= 200""")
+    ex("""REPLACE INTO cust
+          SELECT c_custkey, c_name, c_acctbal + 1000 FROM customer
+          WHERE c_custkey <= 50""")
+    ex("DELETE FROM cust WHERE c_custkey % 10 = 0")
+    ex("SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM graft_prof.cust")
+
+    println("== sql_ddl_alter body ==")
+    ex("DROP TABLE IF EXISTS alt")
+    ex("""CREATE TABLE alt (id BIGINT PRIMARY KEY, v VARCHAR(32),
+            junk INT, region_id INT)""")
+    ex("""INSERT INTO alt
+          SELECT n_nationkey, n_name, 0, CAST(n_regionkey AS INT)
+          FROM nation""")
+    ex("ALTER TABLE alt ADD COLUMN score DOUBLE DEFAULT 1.5")
+    ex("ALTER TABLE alt MODIFY COLUMN region_id BIGINT")
+    ex("ALTER TABLE alt CHANGE COLUMN v nation_name VARCHAR(64)")
+    ex("ALTER TABLE alt DROP COLUMN junk")
+    ex("INSERT INTO alt VALUES (100, 'ATLANTIS', 5, 2.5)")
+    ex("""SELECT id, nation_name, region_id, round(score, 2) AS score
+          FROM graft_prof.alt""")
+
     println("== sql_txn body ==")
     ex("DROP TABLE IF EXISTS txn_t")
     ex("CREATE TABLE txn_t (n_nationkey BIGINT PRIMARY KEY, n_name VARCHAR(32))")

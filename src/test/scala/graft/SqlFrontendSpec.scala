@@ -637,6 +637,59 @@ class SqlFrontendSpec extends SparkSuite {
     assert(gs.query("SELECT @@max_connections AS v") == Seq("200"))
   }
 
+  test("0-row DML sources are no-ops, never errors (MySQL '0 rows affected')") {
+    // Every SELECT-sourced write path pins its source by staging it to
+    // parquet and reading it back. A 0-row source stages ZERO data
+    // files, and schema INFERENCE on the empty stage used to throw
+    // UNABLE_TO_INFER_SCHEMA — turning legal no-op statements into
+    // crashes (found by the lifecycle profiler's 0-row control; the
+    // driver gate never exercises an empty source). MySQL semantics:
+    // "0 rows affected", state unchanged. Each statement below routes
+    // a different staged read-back.
+    gs.execute("CREATE DATABASE IF NOT EXISTS zerodb")
+    gs.execute("USE zerodb")
+    gs.execute("DROP TABLE IF EXISTS z")
+    gs.execute("CREATE TABLE z (k BIGINT PRIMARY KEY, v DOUBLE)")
+    gs.execute("INSERT INTO z VALUES (1, 1.5), (2, 2.5)")
+    // keyed managed INSERT...SELECT (statement-time staging pin)
+    gs.execute(
+      "INSERT INTO z SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 0")
+    // REPLACE...SELECT matching nothing (displacement probe over ∅)
+    gs.execute(
+      "REPLACE INTO z SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 0")
+    // keyed DELETE touching nothing
+    gs.execute("DELETE FROM z WHERE k < 0")
+    assert(gs.query("SELECT k, round(v, 1) FROM zerodb.z") ==
+      Seq("1 1.5", "2 2.5"), "0-row statements must leave state untouched")
+    // AUTO_INCREMENT id allocator over a 0-row scan source
+    gs.execute("DROP TABLE IF EXISTS zai")
+    gs.execute("CREATE TABLE zai (id INT PRIMARY KEY AUTO_INCREMENT, c BIGINT)")
+    gs.execute(
+      "INSERT INTO zai (c) SELECT c_custkey FROM customer WHERE c_custkey < 0")
+    assert(gs.query("SELECT count(*) FROM zerodb.zai") == Seq("0"))
+    // transactional pins: 0-row INSERT and REPLACE buffered then committed
+    gs.executeAll(
+      """BEGIN;
+         INSERT INTO z SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 0;
+         REPLACE INTO z SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 0;
+         COMMIT""")
+    assert(gs.query("SELECT count(*) FROM zerodb.z") == Seq("2"))
+    // UNMANAGED table (created outside the front-end, stage-then-
+    // overwrite rewrite): an unconditional DELETE empties it...
+    spark.sql("DROP TABLE IF EXISTS zerodb.um")
+    spark.sql("CREATE TABLE zerodb.um (k BIGINT, v STRING) USING parquet")
+    spark.sql("INSERT INTO zerodb.um VALUES (1, 'a'), (2, 'b')")
+    gs.execute("DELETE FROM um")
+    assert(gs.query("SELECT count(*) FROM zerodb.um") == Seq("0"))
+    // ...and a transaction emptying it commits as a truncate (the 2-phase
+    // commit's unmanaged branch stages zero files)
+    spark.sql("INSERT INTO zerodb.um VALUES (3, 'c')")
+    gs.executeAll("BEGIN; DELETE FROM um; COMMIT")
+    assert(gs.query("SELECT count(*) FROM zerodb.um") == Seq("0"))
+    gs.execute("USE default")
+    gs.execute("DROP DATABASE zerodb")
+  }
+
   test("backtick-quoted qualified names parse per part") {
     gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
     gs.execute("CREATE TABLE `sqlfe`.`bt` (id INT PRIMARY KEY, v INT)")
