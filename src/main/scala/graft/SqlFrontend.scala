@@ -2050,9 +2050,15 @@ final class GraftSession(val spark: SparkSession) {
         val baseAff = antiUniqueConflicts(
           phys.where(col(GbCol).isin(affected: _*)), incB, uniqCols)
         val incCols = incB.select(physCols(ref).map(col): _*)
+        // base displacement probes use the FULL batch (a dropped batch
+        // row's keys still displaced table rows); only the merged-in
+        // rows are the intra-batch survivors
+        val incLive = replaceSurvivors(incCols, pkKeys.toSeq ++ uniqCols)
         val merged = pkKeys match {
-          case Some(k) => operators.Dml.replaceInto(baseAff, incCols, k)
-          case None => baseAff.unionByName(incCols)
+          case Some(k) =>
+            baseAff.join(uniqueProbe(incCols, k), k, "left_anti")
+              .unionByName(incLive)
+          case None => baseAff.unionByName(incLive)
         }
         rewriteManaged(ref, merged, Some(affected))
       } finally incB.unpersist()
@@ -2066,13 +2072,53 @@ final class GraftSession(val spark: SparkSession) {
             .foldLeft(incoming.select(bucketCol(ref).as(GbCol)))(
               _ unionByName _))
         else None
+      val incLive = replaceSurvivors(incoming, pkKeys.toSeq ++ uniqCols)
       val next = pkKeys match {
-        case Some(k) => operators.Dml.replaceInto(kept, incoming, k)
-        case None => kept.unionByName(incoming)
+        case Some(k) =>
+          kept.join(uniqueProbe(incoming, k), k, "left_anti")
+            .unionByName(incLive)
+        case None => kept.unionByName(incLive)
       }
       applyWrite(t, next, buckets)
     }
   }
+
+  /** Intra-batch REPLACE survivors. MySQL REPLACE processes the batch
+    * row by row: each arriving row deletes EVERY live row sharing its
+    * PRIMARY KEY or any unique-key value, then inserts — so a batch row
+    * survives the statement iff NO LATER batch row shares any of its
+    * key values (a row MySQL deleted mid-statement stays deleted; NULL
+    * unique-key components never conflict, so NULL rows are always
+    * "last" for that key). That row-at-a-time semantics reduces to one
+    * set-based pass over the FULL batch: a rank-from-end per key set,
+    * ANDed (reference row loop: executor/replace.go removeRow/addRecord
+    * per row). Batch order is the source order: a VALUES relation's row
+    * order, or the pinned staged order of a SELECT source (MySQL makes
+    * no ordering promise for SELECT sources either).
+    *
+    * The caller must keep DISPLACEMENT probes against the table on the
+    * full PRE-dedup batch: a dropped row's key values still displaced
+    * table rows before the dropper arrived.
+    */
+  private def replaceSurvivors(incoming: DataFrame,
+      keySets: Seq[Seq[String]]): DataFrame =
+    if (keySets.isEmpty) incoming
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val seqd = incoming.withColumn("__seq", monotonically_increasing_id())
+      val ranked = keySets.zipWithIndex.foldLeft(seqd) {
+        case (df, (ks, i)) =>
+          val anyNull = ks.map(col(_).isNull).reduce(_ || _)
+          val w = Window.partitionBy(ks.map(col): _*)
+            .orderBy(col("__seq").desc)
+          df.withColumn(s"__last$i",
+            when(anyNull, lit(1)).otherwise(row_number().over(w)))
+      }
+      ranked
+        .where(keySets.indices.map(i => col(s"__last$i") === 1)
+          .reduce(_ && _))
+        .drop("__seq" +: keySets.indices.map(i => s"__last$i"): _*)
+    }
 
   /** Distinct non-NULL key tuples of the incoming rows (REPLACE/unique
     * probes): NULL components never conflict.

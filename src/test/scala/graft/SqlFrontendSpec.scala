@@ -690,6 +690,50 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("DROP DATABASE zerodb")
   }
 
+  test("REPLACE intra-batch semantics: a later batch row displaces earlier ones") {
+    // MySQL REPLACE is row-at-a-time: each arriving row deletes every
+    // live row sharing its PK or any unique-key value, then inserts.
+    // Within one statement that means a batch row survives iff no LATER
+    // row shares any of its key values — including chains where the
+    // displaced row had itself displaced a table row. Expected results
+    // below are hand-derived from that row loop (reference:
+    // executor/replace.go removeRow/addRecord per row).
+    gs.execute("CREATE DATABASE IF NOT EXISTS repdb")
+    gs.execute("USE repdb")
+    gs.execute("DROP TABLE IF EXISTS r")
+    gs.execute("CREATE TABLE r (id BIGINT PRIMARY KEY, v VARCHAR(16))")
+    gs.execute("CREATE UNIQUE INDEX rv ON r (v)")
+    // plain intra-batch PK dup: last row wins, deterministically
+    gs.execute("REPLACE INTO r VALUES (1, 'a'), (1, 'b')")
+    assert(gs.query("SELECT id, v FROM repdb.r") == Seq("1 b"))
+    // intra-batch unique-INDEX dup across different PKs: (2,'b') first
+    // displaces the existing (1,'b') on v, then (3,'b') displaces (2,'b')
+    gs.execute("REPLACE INTO r VALUES (2, 'b'), (3, 'b')")
+    assert(gs.query("SELECT id, v FROM repdb.r") == Seq("3 b"))
+    // chain through BOTH keys: row1=(4,'b') kills (3,'b') on v;
+    // row2=(4,'c') kills row1 on PK — so id 3 must stay gone even
+    // though the surviving row never carried v='b'
+    gs.execute("REPLACE INTO r VALUES (4, 'b'), (4, 'c')")
+    assert(gs.query("SELECT id, v FROM repdb.r") == Seq("4 c"))
+    // the reverse chain: row1=(4,'d') takes PK 4; row2=(5,'c') takes
+    // v='c' from row1? no — row1 is (4,'d'), so row2 displaces the
+    // TABLE row (4,'c') on v... which row1 already replaced on PK.
+    // Net: both batch rows survive (no shared key between them)
+    gs.execute("REPLACE INTO r VALUES (4, 'd'), (5, 'c')")
+    assert(gs.query("SELECT id, v FROM repdb.r ORDER BY id") ==
+      Seq("4 d", "5 c"))
+    // no-PK table with a unique index: displacement and intra-batch
+    // last-wins ride the index alone; rows without conflicts all insert
+    gs.execute("DROP TABLE IF EXISTS rn")
+    gs.execute("CREATE TABLE rn (k BIGINT, v VARCHAR(16))")
+    gs.execute("CREATE UNIQUE INDEX rnv ON rn (v)")
+    gs.execute("REPLACE INTO rn VALUES (10, 'x'), (11, 'x'), (12, 'y')")
+    assert(gs.query("SELECT k, v FROM repdb.rn ORDER BY k") ==
+      Seq("11 x", "12 y"))
+    gs.execute("USE default")
+    gs.execute("DROP DATABASE repdb")
+  }
+
   test("backtick-quoted qualified names parse per part") {
     gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
     gs.execute("CREATE TABLE `sqlfe`.`bt` (id INT PRIMARY KEY, v INT)")
