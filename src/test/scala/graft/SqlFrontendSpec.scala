@@ -730,6 +730,16 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("REPLACE INTO rn VALUES (10, 'x'), (11, 'x'), (12, 'y')")
     assert(gs.query("SELECT k, v FROM repdb.rn ORDER BY k") ==
       Seq("11 x", "12 y"))
+    // the TRANSACTIONAL route is a separate code path (overlay +
+    // applyWrite, not the bucket-pruned rewrite): same row-loop contract
+    gs.execute("DROP TABLE IF EXISTS tr")
+    gs.execute("CREATE TABLE tr (id BIGINT PRIMARY KEY, v VARCHAR(8))")
+    gs.execute("INSERT INTO tr VALUES (1, 'a')")
+    gs.executeAll(
+      """BEGIN;
+         REPLACE INTO tr VALUES (1, 'b'), (1, 'c');
+         COMMIT""")
+    assert(gs.query("SELECT id, v FROM repdb.tr") == Seq("1 c"))
     gs.execute("USE default")
     gs.execute("DROP DATABASE repdb")
   }
