@@ -134,7 +134,16 @@ object Similarity extends QueryModule {
     * `array_min`/`array_sort` pick the nearest cell, ties to lower id.
     */
   private def centDists(v: Column, cents: Array[Seq[Double]]): Column =
-    array(cents.zipWithIndex.toIndexedSeq.map {
+    if (cents.isEmpty)
+      // An EMPTY corpus collects zero centroids (a filtered source
+      // being empty is routine at scale). An untyped `array()` literal
+      // is VOID-typed and fails ANALYSIS — killing the query at plan
+      // time even though no row would ever flow. A typed NULL keeps
+      // the plan analyzable; the empty relation never evaluates it.
+      lit(null).cast(types.ArrayType(types.StructType(Seq(
+        types.StructField("d", types.DoubleType),
+        types.StructField("i", types.IntegerType)))))
+    else array(cents.zipWithIndex.toIndexedSeq.map {
       case (c: Seq[Double], i: Int) =>
         val c2 = c.map(x => x * x).sum
         // named_struct: field names survive array_sort/slice, plain

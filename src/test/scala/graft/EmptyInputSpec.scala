@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Empty-input robustness: every declared query must ANALYZE and run
+  * against zero-row copies of all ten tables. At scale an empty source
+  * is routine (a filter, a partition, a date range matching nothing),
+  * and two classes of failure hide from the row-ful driver gate:
+  * plan-time errors from literals built off empty collects (the r11
+  * find: zero Lloyd centroids rendered an untyped `array()` —
+  * VOID-typed, analysis error — in ann_ivf/dedup_semantic), and
+  * driver-side head()/reduce() on empty aggregates. The whole
+  * 107-query surface sweeps here; results may be empty or a single
+  * all-NULL/zero aggregate row, but never an exception.
+  */
+class EmptyInputSpec extends SparkSuite {
+
+  private lazy val emptyDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-sfempty").toString
+    Tables.names.foreach { t =>
+      spark.read.parquet(Tables.path(sf, t)).limit(0)
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    d
+  }
+
+  test("every query survives an all-empty source dir") {
+    val failures = SparkEntry.selectNames(None).flatMap { n =>
+      try { SparkEntry.queries(n)(spark, emptyDir).collect(); None }
+      catch { case e: Throwable =>
+        Some(n -> Option(e.getMessage).getOrElse(e.toString).take(200))
+      }
+    }
+    assert(failures.isEmpty, failures.map { case (n, m) =>
+      s"$n :: ${m.replaceAll("\\s+", " ")}" }.mkString("\n"))
+  }
+
+  test("centroid expressions stay typed with zero collected centroids") {
+    // the specific r11 regression: the Lloyd pass over an empty corpus
+    // collects zero centroids, and cellOf/centDists must still render
+    // an analyzable, correctly-typed plan (previously an untyped
+    // array() → AnalysisException before a single row could flow)
+    for (n <- Seq("ann_ivf", "dedup_semantic")) {
+      val df = SparkEntry.queries(n)(spark, emptyDir)
+      assert(df.schema.fieldNames.nonEmpty, s"$n lost its schema")
+      assert(df.count() == 0L, s"$n conjured rows from nothing")
+    }
+  }
+}
