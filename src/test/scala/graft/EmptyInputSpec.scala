@@ -15,24 +15,35 @@ import org.apache.spark.sql.functions.col
   */
 class EmptyInputSpec extends SparkSuite {
 
-  private lazy val emptyDir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-sfempty").toString
+  private def fixtureDir(rows: Int): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-sfdegen").toString
     Tables.names.foreach { t =>
-      spark.read.parquet(Tables.path(sf, t)).limit(0)
+      spark.read.parquet(Tables.path(sf, t)).limit(rows)
         .write.mode("overwrite").parquet(s"$d/$t.parquet")
     }
     d
   }
+  private lazy val emptyDir: String = fixtureDir(0)
+  private lazy val oneRowDir: String = fixtureDir(1)
 
-  test("every query survives an all-empty source dir") {
+  private def sweep(dir: String): Unit = {
     val failures = SparkEntry.selectNames(None).flatMap { n =>
-      try { SparkEntry.queries(n)(spark, emptyDir).collect(); None }
+      try { SparkEntry.queries(n)(spark, dir).collect(); None }
       catch { case e: Throwable =>
         Some(n -> Option(e.getMessage).getOrElse(e.toString).take(200))
       }
     }
     assert(failures.isEmpty, failures.map { case (n, m) =>
       s"$n :: ${m.replaceAll("\\s+", " ")}" }.mkString("\n"))
+  }
+
+  test("every query survives an all-empty source dir") { sweep(emptyDir) }
+
+  test("every query survives 1-row tables (degenerate joins, 1-sample stats)") {
+    // single-partition, single-row relations: windows over one row,
+    // BPE over one document, FK joins that match nothing, aggregates
+    // with one sample — all legal shapes a filtered corpus produces
+    sweep(oneRowDir)
   }
 
   test("centroid expressions stay typed with zero collected centroids") {
