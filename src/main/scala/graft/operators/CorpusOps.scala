@@ -433,7 +433,13 @@ object CorpusOps extends QueryModule {
           .repartition(col("doc_id"))
           .select(col("doc_id"), Dedup.tokenArr(col("text")).as("t"))
           .withColumn("barr", expr(
-            "filter(sequence(1, size(t)), i -> substring(md5(element_at(t, i)), 1, 1) IN ('0', '1'))"))
+            // 0-token docs have no boundaries: sequence(1, 0) silently
+            // DESCENDS ([1, 0]) and element_at(t, 1) then errors on the
+            // empty array — guard to the typed empty list
+            """filter(
+                 CASE WHEN size(t) >= 1 THEN sequence(1, size(t))
+                      ELSE CAST(array() AS ARRAY<INT>) END,
+                 i -> substring(md5(element_at(t, i)), 1, 1) IN ('0', '1'))"""))
           .withColumn("h", explode(expr(
             """transform(
                  filter(zip_with(concat(array(1), transform(barr, b -> b + 1)),
@@ -625,8 +631,13 @@ object CorpusOps extends QueryModule {
         val blk = docs(s, d)
           .select(col("source"), Dedup.tokenArr(col("text")).as("t"))
           .select(col("source"), explode(expr(
-            """transform(sequence(1, size(t), 8),
-               st -> md5(array_join(slice(t, st, 8), ' ')))""")).as("h"))
+            // a 0-token doc has NO blocks: sequence(1, 0, 8) is an
+            // ERROR in Spark (DuckDB's generate_series yields empty),
+            // so guard the degenerate bound to the typed empty list
+            """transform(
+                 CASE WHEN size(t) >= 1 THEN sequence(1, size(t), 8)
+                      ELSE CAST(array() AS ARRAY<INT>) END,
+                 st -> md5(array_join(slice(t, st, 8), ' ')))""")).as("h"))
         blk.groupBy(col("h"))
           .agg(sort_array(collect_set(col("source"))).as("ss"))
           .filter(size(col("ss")) >= 2)

@@ -379,7 +379,9 @@ object Dedup extends QueryModule {
     // dedup_passage/chunk_overlap
     run(docs.select(col("source"), tokenArr(col("text")).as("t"))
       .select(col("source"), explode(expr(
-        """transform(sequence(1, size(t), 8),
+        """transform(
+             CASE WHEN size(t) >= 1 THEN sequence(1, size(t), 8)
+                  ELSE CAST(array() AS ARRAY<INT>) END,
            st -> md5(array_join(slice(t, st, 8), ' ')))""")).as("h"))
       .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
       .select(size(col("ss"))))

@@ -202,7 +202,11 @@ object PipelineOps extends QueryModule {
           .select(col("doc_id"), Dedup.tokenArr(col("text")).as("t"))
         val blk = toks
           .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(t), 8),
+            // 0-token docs have no blocks; sequence(1, 0, 8) errors
+            // (the DuckDB twin's generate_series yields empty)
+            """transform(
+                 CASE WHEN size(t) >= 1 THEN sequence(1, size(t), 8)
+                      ELSE CAST(array() AS ARRAY<INT>) END,
                s -> struct(CAST((s - 1) div 8 AS BIGINT) AS idx,
                            array_join(slice(t, s, 8), ' ') AS btext))"""))
             .as("b"))
@@ -260,7 +264,10 @@ object PipelineOps extends QueryModule {
     Q("chunk_overlap",
       (s, d) => Dedup.tokens(docs(s, d))
         .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(t), 24),
+          // 0-token docs have no chunks; sequence(1, 0, 24) errors
+          """transform(
+               CASE WHEN size(t) >= 1 THEN sequence(1, size(t), 24)
+                    ELSE CAST(array() AS ARRAY<INT>) END,
              s -> struct(CAST((s - 1) div 24 AS BIGINT) AS chunk_idx,
                          CAST(s AS BIGINT) AS start_pos,
                          CAST(size(slice(t, s, 32)) AS BIGINT) AS n_tokens,

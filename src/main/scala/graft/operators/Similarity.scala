@@ -228,7 +228,12 @@ object Similarity extends QueryModule {
     */
   private[operators] def ivfCentroids(e: DataFrame, k: Int,
       iters: Int, dim: Int = 64): Array[Seq[Double]] = {
-    var cents: Array[Seq[Double]] = e.filter(col("vec_id") < k)
+    // NULL vectors (padding / failed-encode rows) take no part in the
+    // quantizer: a NULL seed would put a null Seq into the centroid
+    // literals (MatchError in centDists) and a NULL row contributes
+    // nothing to any mean. Callers exclude them from assignment too.
+    val nn = e.where(col("v").isNotNull)
+    var cents: Array[Seq[Double]] = nn.filter(col("vec_id") < k)
       .orderBy("vec_id").select("v").collect()
       .map(_.getSeq[Double](0))
     for (_ <- 0 until iters) {
@@ -249,7 +254,7 @@ object Similarity extends QueryModule {
       val meanCols = (0 until dim).map(i =>
         (sum(col("v").getItem(i).cast(types.DecimalType(30, 15)))
           .cast("double") / count(col("v").getItem(i))).as(s"m$i"))
-      val byCell = e.select(cellOf(col("v"), cents).as("cell"), col("v"))
+      val byCell = nn.select(cellOf(col("v"), cents).as("cell"), col("v"))
         .groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
         .collect()
         .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
@@ -378,7 +383,7 @@ object Similarity extends QueryModule {
   private def ivfOracle: String = {
     val argmin = lloydArgmin
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
         ${lloydStage(1, "c0")},
         ${lloydStage(2, "c1")},
@@ -592,7 +597,10 @@ object Similarity extends QueryModule {
     // SimilaritySpec additionally pins recall against brute force.
     Q("ann_ivf",
       (s, d) => {
+        // NULL embeddings are excluded from the index AND the query
+        // set (mirrored by the oracle's `embedding IS NOT NULL`)
         val e = emb(s, d).select(col("vec_id"), col("v"))
+          .where(col("v").isNotNull)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val cents = ivfCentroids(e, 8, 2)
         val assigned = e.withColumn("cell", cellOf(col("v"), cents))
@@ -679,7 +687,10 @@ object Similarity extends QueryModule {
     // spec corpus no cell is dense, so the direct form is the plan.
     Q("dedup_semantic",
       (s, d) => {
+        // NULL embeddings cannot be semantically deduped: excluded from
+        // the corpus and the result (oracle mirrors)
         val e0 = emb(s, d).select(col("vec_id"), col("v"))
+          .where(col("v").isNotNull)
         val corpus = e0.unionByName(
           e0.filter(col("vec_id") % 4 === 0)
             .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
@@ -711,10 +722,11 @@ object Similarity extends QueryModule {
     */
   private def semanticOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings
+                   FROM embeddings WHERE embedding IS NOT NULL
                    UNION ALL
                    SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
-                   FROM embeddings WHERE vec_id % 4 = 0),
+                   FROM embeddings
+                   WHERE vec_id % 4 = 0 AND embedding IS NOT NULL),
         c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
         ${lloydStage(1, "c0")},
         ${lloydStage(2, "c1")},

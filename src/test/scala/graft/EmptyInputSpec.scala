@@ -46,6 +46,44 @@ class EmptyInputSpec extends SparkSuite {
     sweep(oneRowDir)
   }
 
+  private lazy val nullDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-sfnull").toString
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    Tables.names.foreach { t =>
+      val base = spark.read.parquet(Tables.path(sf, t))
+      val mutated = t match {
+        case "documents" =>
+          // explicit code points (not source literals): U+1F355 pizza
+          // (astral, 4-byte UTF-8), U+00E9 é, U+6771 東, U+10348 Gothic
+          val astral = Seq(0x1F355, 0x20, 0x63, 0x61, 0x66, 0xE9, 0x20,
+            0x6771, 0x20, 0x10348)
+            .map(cp => new String(Character.toChars(cp))).mkString
+          base.withColumn("text",
+            when(col("doc_id") % 4 === 0, lit(null))
+              .when(col("doc_id") % 7 === 0, lit(""))
+              .when(col("doc_id") % 5 === 0,
+                concat(col("text"), lit(" " + astral)))
+              .otherwise(col("text")))
+        case "embeddings" =>
+          base.withColumn("embedding",
+            when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("embedding")))
+        case _ => base
+      }
+      mutated.write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    d
+  }
+
+  test("every query survives NULL/empty/astral text and NULL vectors") {
+    // real corpora carry all three: failed fetches (NULL text), empty
+    // pages, and non-BMP unicode. The r11 finds this sweep locks in:
+    // block/chunk builders died on sequence(1, 0, step) for 0-token
+    // docs (dedup_cdc's unguarded sequence(1, 0) even DESCENDS), and
+    // zero/NULL vectors reaching the Lloyd seed collect put a null Seq
+    // into the centroid literals (MatchError in ann_ivf/dedup_semantic)
+    sweep(nullDir)
+  }
+
   test("centroid expressions stay typed with zero collected centroids") {
     // the specific r11 regression: the Lloyd pass over an empty corpus
     // collects zero centroids, and cellOf/centDists must still render
