@@ -67,6 +67,17 @@ class EmptyInputSpec extends SparkSuite {
         case "embeddings" =>
           base.withColumn("embedding",
             when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("embedding")))
+        case "events" =>
+          // routine telemetry shapes: unnamed events, missing payloads
+          base.withColumn("event_type",
+              when(col("event_id") % 6 === 0, lit(null))
+                .otherwise(col("event_type")))
+            .withColumn("value",
+              when(col("event_id") % 9 === 0, lit(null))
+                .otherwise(col("value")))
+            .withColumn("props",
+              when(col("event_id") % 11 === 0, lit(null))
+                .otherwise(col("props")))
         case _ => base
       }
       mutated.write.mode("overwrite").parquet(s"$d/$t.parquet")
