@@ -62,6 +62,57 @@ class BenchFormatSpec extends AnyFunSuite {
     assertFragments(streamed, Seq("\"sched_mid\":0.033", "\"after\":15"))
   }
 
+  test("positional qv block: header, chunking, order, and shape") {
+    val rs = (1 to 85).map(i => s"q$i" -> i / 100.0)
+    val lines = Bench.renderQvLines(rs, chunk = 40)
+    // header + ceil(85/40) = 3 chunks
+    assert(lines.size == 4, lines.mkString("\n"))
+    assertFragments(lines.head,
+      Seq("\"qn\":85", "\"ord\":\"alpha\"", "\"unit\":\"sec\""))
+    lines.tail.zipWithIndex.foreach { case (l, k) =>
+      assertFragments(l, Seq(s"""{"qv":$k,"t":[""")) }
+    // concatenated arrays reproduce the per-query values in suite order
+    val vals = lines.tail.flatMap(l =>
+      l.substring(l.indexOf('[') + 1, l.lastIndexOf(']'))
+        .split(',').toSeq)
+    assert(vals == rs.map(r => Bench.fmt(r._2)),
+      s"positional vector diverged: ${vals.take(5)}")
+    assert(lines.tail.take(2).forall(_.length < 600),
+      "full chunks must stay far under the 1.9 KB line-truncation limit")
+  }
+
+  test("full-suite positional block + total fit the driver's 2000-byte tail") {
+    // The real contract this round exists for: the BENCH_r9-r11
+    // artifacts each captured EXACTLY 2000 tail bytes, and the named
+    // map (~2.4 KB minimum for 107 entries) cannot fit next to the
+    // total line. Render the block for the real 107-query suite with
+    // the committed comparator values (the realistic digit widths) and
+    // assert the end-of-suite block leaves headroom: block + total
+    // <= 1500 bytes, so ~500 bytes of streamed named lines survive to
+    // cross-check the positional order even if every value grows a
+    // digit under a storm.
+    val rs = BenchRef.committed.toSeq.sortBy(_._1)
+    assert(rs.size >= 100, "comparator map lost its suite")
+    val sched = Bench.schedJson(0.02, 0.047, 0.013, 0.029)
+    val block = Bench.renderQvLines(rs).map(_ + "\n").mkString +
+      Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1") + "\n"
+    assert(block.length <= 1500,
+      s"end-of-suite block grew to ${block.length} bytes — the 2000-byte " +
+        "tail would start losing the cross-check named lines")
+  }
+
+  test("sched_hit: streamed line and file array shapes") {
+    val streamed = Bench.renderSchedHit("stats_topk", 2.7341, 0.018, 0.051)
+    assertFragments(streamed, Seq("\"sched_hit\":0.018", "\"max\":0.051",
+      "\"q\":\"stats_topk\"", "\"r\":2.7"))
+    assert(streamed.length < 80, streamed)
+    assert(Bench.hitsJson(Seq(("stats_topk", 2.7341, 0.018, 0.051))) ==
+      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051}]""")
+    // no hits → an empty but still-parseable array in the file record
+    val line = Bench.renderFullRecord(results, sched, "/d")
+    assertFragments(line, Seq("\"sched_hit\":[]"))
+  }
+
   test("fmt is locale-pinned to a dot decimal separator") {
     // No global Locale.setDefault here: mutating the JVM default races
     // any concurrently-running suite. The pin is demonstrated by
