@@ -2105,19 +2105,32 @@ final class GraftSession(val spark: SparkSession) {
     if (keySets.isEmpty) incoming
     else {
       import org.apache.spark.sql.expressions.Window
-      val seqd = incoming.withColumn("__seq", monotonically_increasing_id())
+      // Working-column names are uniquified against the incoming schema:
+      // `__seq` is a LEGAL MySQL column name (the identifier lexer here
+      // accepts it too), and a bare withColumn("__seq", ...) on a table
+      // that owns that column would silently overwrite the user's data
+      // and corrupt the survivor ranking. One shared suffix keeps every
+      // generated name out of the user namespace.
+      val taken = incoming.columns.toSet
+      val sfx = Iterator.from(0).map(i => if (i == 0) "" else s"_$i")
+        .find(s => !taken.contains(s"__seq$s")
+          && keySets.indices.forall(i => !taken.contains(s"__last$i$s")))
+        .get
+      val seqCol = s"__seq$sfx"
+      def lastCol(i: Int) = s"__last$i$sfx"
+      val seqd = incoming.withColumn(seqCol, monotonically_increasing_id())
       val ranked = keySets.zipWithIndex.foldLeft(seqd) {
         case (df, (ks, i)) =>
           val anyNull = ks.map(col(_).isNull).reduce(_ || _)
           val w = Window.partitionBy(ks.map(col): _*)
-            .orderBy(col("__seq").desc)
-          df.withColumn(s"__last$i",
+            .orderBy(col(seqCol).desc)
+          df.withColumn(lastCol(i),
             when(anyNull, lit(1)).otherwise(row_number().over(w)))
       }
       ranked
-        .where(keySets.indices.map(i => col(s"__last$i") === 1)
+        .where(keySets.indices.map(i => col(lastCol(i)) === 1)
           .reduce(_ && _))
-        .drop("__seq" +: keySets.indices.map(i => s"__last$i"): _*)
+        .drop(seqCol +: keySets.indices.map(lastCol): _*)
     }
 
   /** Distinct non-NULL key tuples of the incoming rows (REPLACE/unique

@@ -236,7 +236,17 @@ object Similarity extends QueryModule {
     var cents: Array[Seq[Double]] = nn.filter(col("vec_id") < k)
       .orderBy("vec_id").select("v").collect()
       .map(_.getSeq[Double](0))
-    for (_ <- 0 until iters) {
+    // Zero seeds with a NON-empty corpus (every vec_id < k row carries a
+    // NULL embedding — routine after a failed encode batch) must skip
+    // the Lloyd loop entirely: with no centroids cellOf yields a NULL
+    // cell for every row, and the refinement collect's getInt(0) on the
+    // NULL-cell group would NPE. Callers already degrade correctly on
+    // empty cents (centDists renders a typed NULL → NULL cells → the
+    // cell equi-joins match nothing). The seed PREDICATE stays vec_id<k,
+    // not a limit(k) over non-NULL rows: the DuckDB oracles replay the
+    // seeds as `vec_id < k`, and changing the seed set would silently
+    // fork the two engines' quantizers.
+    for (_ <- 0 until iters if cents.nonEmpty) {
       // per-cell mean vector as `dim` aggregates: one map-side-combinable
       // shuffle on cell, k result rows — no explode. The mean goes
       // through a decimal-exact sum (the ExactNum pattern): a plain

@@ -13,10 +13,25 @@ import org.apache.spark.sql.functions.col
   * 107-query surface sweeps here; results may be empty or a single
   * all-NULL/zero aggregate row, but never an exception.
   */
-class EmptyInputSpec extends SparkSuite {
+class EmptyInputSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  // every fixture dir this suite materializes, removed in afterAll —
+  // repeated local runs were accumulating full table copies in /tmp
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def newTempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs.synchronized { tempDirs += d }
+    d
+  }
+  override def afterAll(): Unit = {
+    tempDirs.foreach(d =>
+      GraftSession.deleteRecursively(java.nio.file.Paths.get(d)))
+    super.afterAll()
+  }
 
   private def fixtureDir(rows: Int): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-sfdegen").toString
+    val d = newTempDir("graft-sfdegen")
     Tables.names.foreach { t =>
       spark.read.parquet(Tables.path(sf, t)).limit(rows)
         .write.mode("overwrite").parquet(s"$d/$t.parquet")
@@ -47,7 +62,7 @@ class EmptyInputSpec extends SparkSuite {
   }
 
   private lazy val nullDir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-sfnull").toString
+    val d = newTempDir("graft-sfnull")
     import org.apache.spark.sql.functions.{concat, lit, when}
     Tables.names.foreach { t =>
       val base = spark.read.parquet(Tables.path(sf, t))
@@ -93,6 +108,32 @@ class EmptyInputSpec extends SparkSuite {
     // zero/NULL vectors reaching the Lloyd seed collect put a null Seq
     // into the centroid literals (MatchError in ann_ivf/dedup_semantic)
     sweep(nullDir)
+  }
+
+  test("a NULL-embedding seed window leaves the Lloyd loop skippable") {
+    // sharper than the all-NULL case: the corpus HAS non-NULL vectors,
+    // but every seed row (vec_id < k = 8) carries a NULL embedding — a
+    // routine shape when one encode batch fails. Zero seeds must skip
+    // Lloyd refinement (previously the NULL-cell group's getInt NPE'd
+    // at runtime) and degrade to cell-less results: ann_ivf probes
+    // nothing, dedup_semantic flags nothing.
+    val d = newTempDir("graft-sfnullseed")
+    import org.apache.spark.sql.functions.{lit, when}
+    Tables.names.foreach { t =>
+      val base = spark.read.parquet(Tables.path(sf, t))
+      val mutated =
+        if (t == "embeddings")
+          base.withColumn("embedding",
+            when(col("vec_id") < 8, lit(null)).otherwise(col("embedding")))
+        else base
+      mutated.write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    val ivf = SparkEntry.queries("ann_ivf")(spark, d)
+    assert(ivf.count() == 0L, "no quantizer -> no probed cells -> no rows")
+    val sem = SparkEntry.queries("dedup_semantic")(spark, d).collect()
+    assert(sem.nonEmpty, "non-NULL vectors must still be reported")
+    assert(sem.forall(!_.getAs[Boolean]("is_dup")),
+      "no quantizer -> no cell cohabitation -> nothing may flag")
   }
 
   test("centroid expressions stay typed with zero collected centroids") {

@@ -744,6 +744,29 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("DROP DATABASE repdb")
   }
 
+  test("REPLACE works on a table that owns the survivor working-column names") {
+    // `__seq` / `__last0` are legal MySQL column names; the survivor
+    // ranking must not clobber user columns that collide with its
+    // working columns (previously a bare withColumn overwrote them,
+    // corrupting both the ranking and the written rows)
+    gs.execute("CREATE DATABASE IF NOT EXISTS wcdb")
+    gs.execute("USE wcdb")
+    gs.execute("DROP TABLE IF EXISTS wc")
+    gs.execute("CREATE TABLE wc (id BIGINT PRIMARY KEY, __seq BIGINT, " +
+      "__last0 VARCHAR(8))")
+    // intra-batch PK dup: the LATER row must win, and its user-column
+    // values — including the colliding names — must land intact
+    gs.execute("REPLACE INTO wc VALUES (1, 100, 'a'), (1, 200, 'b')")
+    assert(gs.query("SELECT id, __seq, __last0 FROM wc") == Seq("1 200 b"))
+    // displacement of an existing row still keys on the PK, not on any
+    // accidental working-column read
+    gs.execute("REPLACE INTO wc VALUES (1, 300, 'c'), (2, 400, 'd')")
+    assert(gs.query("SELECT id, __seq, __last0 FROM wc ORDER BY id") ==
+      Seq("1 300 c", "2 400 d"))
+    gs.execute("USE default")
+    gs.execute("DROP DATABASE wcdb")
+  }
+
   test("backtick-quoted qualified names parse per part") {
     gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
     gs.execute("CREATE TABLE `sqlfe`.`bt` (id INT PRIMARY KEY, v INT)")
