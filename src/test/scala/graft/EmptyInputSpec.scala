@@ -110,6 +110,49 @@ class EmptyInputSpec extends SparkSuite
     sweep(nullDir)
   }
 
+  private lazy val hugeDocDir: String = {
+    // The opposite tail of the degenerate axis (r11 verdict item 4):
+    // one multi-megabyte document. A single 100 MB crawl page is
+    // routine at 100 TB, and the per-row HOF representations (token
+    // array → shingle/gram/winnow/BPE-repr transforms) hold O(doc
+    // length) arrays per ROW — the classic executor-OOM / straggler
+    // input that a row-COUNT-degenerate sweep can never reach. The
+    // fixture plants a 1,000,000-token (~7.8 MB) document with a 50k
+    // word vocabulary; SCALE.md records the 4M-token probe and the
+    // extrapolated 100 MB posture.
+    val d = newTempDir("graft-sfhuge")
+    import org.apache.spark.sql.functions.lit
+    val text = (0 until 1000000)
+      .map(i => "w" + ((i * 2654435761L) % 50021)).mkString(" ")
+    Tables.names.foreach { t =>
+      val base = spark.read.parquet(Tables.path(sf, t))
+      val mutated =
+        if (t == "documents")
+          // doc_id 999 stays in the original id space (< 1M), so the
+          // planted-duplicate and prefix-copy corpora replicate the
+          // huge doc too — the pair-emitting and component paths see
+          // huge-doc PAIRS, not just a huge singleton
+          base.unionByName(base.sparkSession.range(1).select(
+            lit(999L).as("doc_id"), lit(text).as("text"),
+            lit("en").as("lang"), lit("crawl").as("source"),
+            lit(text.length.toLong).as("n_chars")))
+        else base
+      mutated.write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    d
+  }
+
+  test("every query survives one 1M-token (~8 MB) document") {
+    sweep(hugeDocDir)
+    // spot exactness on the giant row: the linear single-pass counters
+    // must come back exact, not truncated or overflowed
+    val row = SparkEntry.queries("text_token_count")(spark, hugeDocDir)
+      .where(col("doc_id") === 999L).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Number]("ws_tokens").longValue == 1000000L,
+      s"giant row miscounted: ${row(0)}")
+  }
+
   test("a NULL-embedding seed window leaves the Lloyd loop skippable") {
     // sharper than the all-NULL case: the corpus HAS non-NULL vectors,
     // but every seed row (vec_id < k = 8) carries a NULL embedding — a

@@ -39,6 +39,80 @@ class SkewSpec extends SparkSuite {
       s"salting failed to spread the hot key: ${counts.mkString(",")}")
   }
 
+  test("a >maxShingleDf identical mega-cluster honors each dedup family's contract") {
+    // SCALE.md "Mega-cluster posture" as an executable contract (r11
+    // verdict item 3) — the boilerplate-crawl worst case: one cluster
+    // of identical documents LARGER than the stop-shingle df cap. The
+    // r11 ad-hoc probe established the per-family split; this case
+    // makes a future cap/banding edit that silently un-bounds a bucket
+    // fail the suite instead of shipping. 150 identical docs; the
+    // planted-duplicate corpus doubles them to n = 300 > maxShingleDf
+    // = 256, so EVERY shingle/fingerprint is a stop-shingle.
+    val nDocs = 150
+    val n = 2 * nDocs
+    assert(n > graft.operators.Dedup.maxShingleDf,
+      "fixture must exceed the df cap or the case tests nothing")
+    // 45 distinct tokens: enough for real shingle (>=3), 8-gram (>=11),
+    // and packing (>=40 tokens) relations in every family
+    val text = (1 to 45).map(i => s"boiler$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mega").toString
+    try {
+      import spark.implicits._
+      (0L until nDocs.toLong)
+        .map(i => (i, text, "en", "crawl", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+      // exact dedup collapses the cluster to ONE digest group — linear
+      // at any cluster size, which is why exact-collapse-first is the
+      // documented recipe ahead of pair-emitting families
+      val exact = run("dedup_exact").collect()
+      assert(exact.length == 1, s"expected one group, got ${exact.length}")
+      assert(exact(0).getAs[Long]("keep_id") == 0L)
+      assert(exact(0).getAs[Long]("n_copies") == n.toLong)
+
+      // df-capped families drop the cluster's shingles as stop-shingles
+      // and emit ZERO pairs for it — the documented trade that bounds
+      // every inverted-index bucket at the cap
+      assert(run("dedup_ngram_jaccard").count() == 0L,
+        "df cap must suppress the mega-cluster from the Jaccard index")
+      assert(run("dedup_substring").count() == 0L,
+        "df cap must suppress the mega-cluster from the fingerprint index")
+
+      // pair-EMITTING families return exactly C(n,2) — semantically
+      // exact and therefore output-quadratic in cluster size; the spec
+      // pins that the count is the EXACT answer, not a blown-up or
+      // silently-truncated one
+      val pairs = n.toLong * (n - 1) / 2
+      val mh = run("dedup_minhash_lsh")
+      assert(mh.count() == pairs, s"minhash pairs != C($n,2)")
+      assert(mh.agg(min(col("jaccard"))).head.getDouble(0) == 1.0)
+      val sim = run("dedup_simhash")
+      assert(sim.count() == pairs, s"simhash pairs != C($n,2)")
+      assert(sim.agg(max(col("hamming")).cast("long")).head.getLong(0) == 0L)
+
+      // component clustering completes without edge blowup: the capped
+      // index only keeps the tail shingles unique to the 150 full docs
+      // (df = 150 <= cap), so the edge relation is bounded by the cap,
+      // the full docs collapse to keeper 0, and every prefix copy is a
+      // singleton (its shingles were all stop-shingles)
+      val comp = run("dedup_components").collect()
+      assert(comp.length == 3 * nDocs, s"vertices: ${comp.length}")
+      assert(comp.count(_.getAs[Long]("component") == 0L) == nDocs)
+      assert(comp.map(_.getAs[Long]("component")).distinct.length ==
+        2 * nDocs + 1)
+
+      // the capstone build survives end to end: one keeper is a
+      // cataloged document, so exactly one packed row comes out
+      assert(run("pipeline_corpus").count() == 1L)
+    } finally {
+      spark.catalog.clearCache() // the dedup queries persist staging
+      GraftSession.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("the physical join is keyed on (key, salt)") {
     // formatted mode renders "Left keys [2]: [l_suppkey, __salt]" — assert
     // the salt reaches the JOIN KEYS, not merely a projection somewhere
