@@ -1348,11 +1348,15 @@ final class GraftSession(val spark: SparkSession) {
       val snap = readSnapshot(m)
       // multiset equality in ONE job: ±1 counts per distinct row sum to
       // zero everywhere iff the two sides agree (two exceptAll passes
-      // would scan both relations twice)
-      val mismatch = cur.withColumn("__d", lit(1L))
-        .unionByName(snap.withColumn("__d", lit(-1L)))
-        .groupBy(m.cols.map(col): _*).agg(sum(col("__d")).as("__s"))
-        .filter(col("__s") =!= 0).limit(1).collect()
+      // would scan both relations twice). The sign column is uniquified:
+      // an INDEXED user column named __d would otherwise be replaced by
+      // the constant and the check would compare signs, not data
+      val dCol = freshName(m.cols.toSet, "__d")
+      val sCol = freshName(m.cols.toSet + dCol, "__s")
+      val mismatch = cur.withColumn(dCol, lit(1L))
+        .unionByName(snap.withColumn(dCol, lit(-1L)))
+        .groupBy(m.cols.map(col): _*).agg(sum(col(dCol)).as(sCol))
+        .filter(col(sCol) =!= 0).limit(1).collect()
       // display the UNQUALIFIED name (MySQL's output shape); the
       // qualified metaKey is lookup-only
       (unqualified(t), name, if (mismatch.isEmpty) "OK" else "CORRUPT")
@@ -1886,6 +1890,16 @@ final class GraftSession(val spark: SparkSession) {
     }.select(target.schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** A working-column name absent from `taken`: `__`-prefixed names are
+    * LEGAL MySQL identifiers, so every internal withColumn/join helper
+    * that decorates a user frame must uniquify its scratch names or risk
+    * silently overwriting (and then dropping) user data — the
+    * replaceSurvivors bug class.
+    */
+  private def freshName(taken: Set[String], base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+      .find(!taken.contains(_)).get
+
   /** AUTO_INCREMENT fill for literal VALUES batches: omitted or NULL
     * values take generated ids starting above both max(existing) and the
     * batch's explicit ids, counting only the rows that consume an id
@@ -1901,21 +1915,24 @@ final class GraftSession(val spark: SparkSession) {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // uniquified: a user column named __maxid would make the post-join
+    // reference ambiguous (see freshName)
+    val maxidCol = freshName(df.columns.toSet, "__maxid")
     val base = target.agg(
-      coalesce(max(col(f.name)), lit(0)).cast("bigint").as("__maxid"))
+      coalesce(max(col(f.name)), lit(0)).cast("bigint").as(maxidCol))
     val needsId = if (provided) col(f.name).isNull else lit(true)
     val start =
       if (provided)
-        greatest(col("__maxid"),
+        greatest(col(maxidCol),
           coalesce(max(col(f.name).cast("bigint")).over(allW), lit(0L)))
-      else col("__maxid")
+      else col(maxidCol)
     val ord = sum(when(needsId, 1).otherwise(0)).over(ordW)
     val next = (start + ord).cast(f.dataType)
     df.crossJoin(base)
       .withColumn(f.name,
         if (provided) when(needsId, next).otherwise(col(f.name).cast(f.dataType))
         else next)
-      .drop("__maxid")
+      .drop(maxidCol)
   }
 
   /** AUTO_INCREMENT fill for INSERT ... SELECT (unbounded input): ids are
@@ -1933,7 +1950,12 @@ final class GraftSession(val spark: SparkSession) {
   private def assignAutoIncScan(df: DataFrame, target: DataFrame,
       f: StructField, provided: Boolean, planOnly: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("__pid"))
+    // uniquified: a user column named __pid would be overwritten with
+    // partition ids and then DROPPED from the written rows; __off would
+    // make the offset-join reference ambiguous (see freshName)
+    val pidCol = freshName(df.columns.toSet, "__pid")
+    val offCol = freshName(df.columns.toSet + pidCol, "__off")
+    val w = Window.partitionBy(col(pidCol))
       .orderBy(monotonically_increasing_id())
     def fill(src: DataFrame, next: org.apache.spark.sql.Column): DataFrame =
       src.withColumn(f.name,
@@ -1947,8 +1969,8 @@ final class GraftSession(val spark: SparkSession) {
       // metadata jobs: a zero base stands in for the collected offsets —
       // the plan shape (per-partition window, no SinglePartition) is
       // what EXPLAIN is for
-      fill(df.withColumn("__pid", spark_partition_id()),
-        rn.cast(f.dataType)).drop("__pid")
+      fill(df.withColumn(pidCol, spark_partition_id()),
+        rn.cast(f.dataType)).drop(pidCol)
     else {
       val stage = Files.createTempDirectory("graft-ai").toString
       // reclaimed at statement end (or COMMIT when a txn overlay holds
@@ -1956,8 +1978,11 @@ final class GraftSession(val spark: SparkSession) {
       stmtStages += stage
       df.write.mode("overwrite").parquet(stage)
       val pinned = readStage(stage, df.schema)
-      val withPid = pinned.withColumn("__pid", spark_partition_id())
-      val stats = withPid.groupBy(col("__pid"))
+      val withPid = pinned.withColumn(pidCol, spark_partition_id())
+      // the aggregate outputs (__n/__mx) live in a groupBy().agg() frame
+      // whose schema is exactly these three columns — no user data to
+      // collide with; reads below are positional
+      val stats = withPid.groupBy(col(pidCol))
         .agg(sum(when(needsId, 1L).otherwise(0L)).as("__n"),
           (if (provided) max(col(f.name).cast("bigint"))
            else lit(null).cast("bigint")).as("__mx"))
@@ -1974,10 +1999,10 @@ final class GraftSession(val spark: SparkSession) {
         val o = acc; acc += r.getLong(1); (r.getInt(0), o)
       }.toSeq
       import spark.implicits._
-      val offDf = offsets.toDF("__pid", "__off")
-      fill(withPid.join(broadcast(offDf), "__pid"),
-        (lit(start) + col("__off") + rn).cast(f.dataType))
-        .drop("__pid", "__off")
+      val offDf = offsets.toDF(pidCol, offCol)
+      fill(withPid.join(broadcast(offDf), pidCol),
+        (lit(start) + col(offCol) + rn).cast(f.dataType))
+        .drop(pidCol, offCol)
     }
   }
 

@@ -101,6 +101,44 @@ class BenchFormatSpec extends AnyFunSuite {
         "tail would start losing the cross-check named lines")
   }
 
+  test("the last 2000 stdout bytes reconstruct all 107 per-query points") {
+    // End-to-end simulation of the driver's capture: build the FULL
+    // realistic stdout stream (107 streamed named lines, 7 sched_mid
+    // lines, the positional block, the total), keep only the LAST 2000
+    // bytes as the driver does, and assert the artifact contract —
+    // every per-query value recoverable, total line intact and last,
+    // and enough named lines left to cross-check the positional order.
+    val rs = BenchRef.committed.toSeq.sortBy(_._1)
+    val sched = Bench.schedJson(0.02, 0.047, 0.013, 0.029)
+    val stdout = new StringBuilder
+    rs.zipWithIndex.foreach { case ((n, v), i) =>
+      stdout ++= s"""{"q":"$n","sec":${Bench.fmt(v)}}""" + "\n"
+      if ((i + 1) % 15 == 0 && i + 1 < rs.size)
+        stdout ++= s"""{"sched_mid":0.016,"max":0.053,"after":${i + 1}}""" + "\n"
+    }
+    Bench.renderQvLines(rs).foreach(l => stdout ++= l + "\n")
+    val total = Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1")
+    stdout ++= total + "\n"
+    val tail = stdout.takeRight(2000).toString
+    val lines = tail.linesIterator.toSeq
+    // the total must be the last line, untruncated
+    assert(lines.last == total, s"total lost: ${lines.last.take(80)}")
+    // the positional block must be complete inside the tail
+    val header = lines.find(_.startsWith("{\"qn\":"))
+    assert(header.contains(s"""{"qn":${rs.size},"ord":"alpha","unit":"sec"}"""),
+      s"qv header lost from the tail: $header")
+    val vals = lines.filter(_.startsWith("{\"qv\":")).flatMap(l =>
+      l.substring(l.indexOf('[') + 1, l.lastIndexOf(']')).split(','))
+    assert(vals.size == rs.size,
+      s"only ${vals.size}/${rs.size} per-query points survive the tail")
+    assert(vals == rs.map(r => Bench.fmt(r._2)),
+      "positional values diverged from the suite results")
+    // and the named cross-check lines: at least the last ~10 queries'
+    // streamed lines must also fit behind the block
+    val named = lines.count(_.startsWith("{\"q\":"))
+    assert(named >= 10, s"only $named named lines left for cross-checking")
+  }
+
   test("sched_hit: streamed line and file array shapes") {
     val streamed = Bench.renderSchedHit("stats_topk", 2.7341, 0.018, 0.051)
     assertFragments(streamed, Seq("\"sched_hit\":0.018", "\"max\":0.051",

@@ -763,6 +763,23 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("REPLACE INTO wc VALUES (1, 300, 'c'), (2, 400, 'd')")
     assert(gs.query("SELECT id, __seq, __last0 FROM wc ORDER BY id") ==
       Seq("1 300 c", "2 400 d"))
+    // the AUTO_INCREMENT allocators use scratch columns too: __maxid
+    // (VALUES route) and __pid/__off (SELECT route, where a collision
+    // used to DROP the user column from the written rows)
+    gs.execute("CREATE TABLE ai (id BIGINT PRIMARY KEY AUTO_INCREMENT, " +
+      "__pid BIGINT, __off BIGINT, __maxid BIGINT)")
+    gs.execute("INSERT INTO ai (__pid, __off, __maxid) VALUES (7, 8, 9)")
+    gs.execute("INSERT INTO ai (__pid, __off, __maxid) " +
+      "SELECT __pid + 10, __off + 10, __maxid + 10 FROM ai")
+    assert(gs.query(
+      "SELECT id, __pid, __off, __maxid FROM ai ORDER BY id") ==
+      Seq("1 7 8 9", "2 17 18 19"))
+    // ADMIN CHECK's ±1 multiset probe must survive an INDEXED user
+    // column named __d (previously it would have compared constants)
+    gs.execute("CREATE TABLE cd (id BIGINT PRIMARY KEY, __d BIGINT)")
+    gs.execute("CREATE INDEX cdd ON cd (__d)")
+    gs.execute("INSERT INTO cd VALUES (1, 5), (2, 6)")
+    assert(gs.query("ADMIN CHECK TABLE cd").forall(_.endsWith("OK")))
     gs.execute("USE default")
     gs.execute("DROP DATABASE wcdb")
   }
