@@ -852,6 +852,13 @@ final class GraftSession(val spark: SparkSession) {
         }
       }
       require(cols.nonEmpty, s"CREATE TABLE without columns: $sql")
+      // `__gb` is the managed layout's PHYSICAL bucket partition column
+      // (baked into every snapshot and partition directory), the one
+      // scratch name that CANNOT be uniquified per-statement — reject it
+      // up front with a clear error instead of failing later inside the
+      // physical CREATE with a duplicate-column message
+      require(!cols.exists(_._1 == GbCol),
+        s"column name `$GbCol` is reserved for bucket partitioning")
       // parsing is complete — only now may the statement implicitly commit
       commit()
       val ref = qualify(qualifiedName)
@@ -1022,6 +1029,12 @@ final class GraftSession(val spark: SparkSession) {
         case other =>
           throw new IllegalArgumentException(s"cannot parse column def: $other")
       } catch { case e: Throwable => restoreMetaSnapshot(base, snap); throw e }
+      if (parsed.exists(_._1 == GbCol)) {
+        // reserved physical bucket column — see createTable
+        restoreMetaSnapshot(base, snap)
+        throw new IllegalArgumentException(
+          s"column name `$GbCol` is reserved for bucket partitioning")
+      }
       val ref = qualify(clean(t))
       try {
         commit() // parsing complete — the statement may now implicitly commit
@@ -1128,6 +1141,10 @@ final class GraftSession(val spark: SparkSession) {
       require(isManaged(ref),
         s"ALTER MODIFY/CHANGE COLUMN requires a managed table: $ref")
       val newName = clean(name0)
+      // reserved physical bucket column — see createTable (a CHANGE
+      // rename is the third route a user name could reach the layout)
+      require(newName != GbCol,
+        s"column name `$GbCol` is reserved for bucket partitioning")
       val base = metaKey(ref)
       val data = spark.table(ref)
       val actual = resolveColumnOpt(data, oldName) match {

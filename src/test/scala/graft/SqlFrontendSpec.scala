@@ -780,6 +780,19 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("CREATE INDEX cdd ON cd (__d)")
     gs.execute("INSERT INTO cd VALUES (1, 5), (2, 6)")
     assert(gs.query("ADMIN CHECK TABLE cd").forall(_.endsWith("OK")))
+    // __gb is the ONE reservation that cannot be uniquified away — it is
+    // the physical bucket partition column of every managed layout. All
+    // three routes a user name could reach it must fail with the clear
+    // reserved-name error, leaving table state untouched
+    for (stmt <- Seq(
+        "CREATE TABLE gbres (id BIGINT PRIMARY KEY, __gb INT)",
+        "ALTER TABLE cd ADD COLUMN __gb INT",
+        "ALTER TABLE cd CHANGE __d __gb BIGINT")) {
+      val e = intercept[IllegalArgumentException](gs.execute(stmt))
+      assert(e.getMessage.contains("reserved"), s"$stmt -> ${e.getMessage}")
+    }
+    assert(gs.query("SELECT id, __d FROM cd ORDER BY id") ==
+      Seq("1 5", "2 6"), "rejected DDL must not perturb the table")
     gs.execute("USE default")
     gs.execute("DROP DATABASE wcdb")
   }
