@@ -113,6 +113,57 @@ class SkewSpec extends SparkSuite {
     }
   }
 
+  test("a >maxBucketSize identical-vector mega-cluster rides the dense-bucket path") {
+    // The embedding-side twin of the document mega-cluster case: 600
+    // identical vectors, doubled by dedup_embedding's planted corpus to
+    // 1200 > maxBucketSize = 1024, so the level-1 sign-LSH bucket is
+    // DENSE and skewSafeBuckets must swap in the banded refinement.
+    // Identical vectors collide in every band by construction, so the
+    // contract is the same split as the text side: the pair-emitting
+    // answer is exactly C(1200,2) at cosine 1.0 (output-quadratic in
+    // the ANSWER — the exact-collapse-first recipe applies here too),
+    // and the refinement's job is bounding NEAR-dup dense buckets, not
+    // shrinking an identical cluster no hash can split.
+    val nVecs = 600
+    val n = 2 * nVecs
+    assert(n > graft.operators.Similarity.maxBucketSize,
+      "fixture must exceed the bucket cap or the dense path never runs")
+    val dim = 64
+    val vec = (0 until dim).map(i => ((i * 37) % 13 - 6) / 6.0f)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vmega").toString
+    try {
+      import spark.implicits._
+      (0L until nVecs.toLong).map(i => (i, vec, (i % 4).toInt))
+        .toDF("vec_id", "embedding", "label")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = SparkEntry.queries("dedup_embedding")(spark, dir)
+        .persist()
+      val pairs = n.toLong * (n - 1) / 2
+      assert(out.count() == pairs, s"embedding pairs != C($n,2)")
+      assert(out.agg(min(col("cos_sim"))).head.getDouble(0) == 1.0)
+      out.unpersist(blocking = false)
+      // structural: the dense level-1 bucket really took the banded
+      // refinement (band >= 0), not the under-cap pass-through (band -1)
+      val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val bands = graft.operators.Similarity
+        .skewSafeBuckets(corpus.unionByName(corpus
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))), 16)
+        .select(col("band")).distinct().collect().map(_.getInt(0)).sorted
+      assert(bands.headOption.contains(0) && bands.length == 8,
+        s"dense bucket did not refine into the 8 bands: ${bands.mkString(",")}")
+      // the ANN surfaces must complete on the degenerate geometry (one
+      // cell / one bucket holding the whole corpus)
+      assert(SparkEntry.queries("ann_lsh_bucketed")(spark, dir).count() > 0)
+      assert(SparkEntry.queries("dedup_semantic")(spark, dir).count() > 0)
+    } finally {
+      spark.catalog.clearCache()
+      GraftSession.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("the physical join is keyed on (key, salt)") {
     // formatted mode renders "Left keys [2]: [l_suppkey, __salt]" — assert
     // the salt reaches the JOIN KEYS, not merely a projection somewhere
