@@ -16,6 +16,14 @@ object BenchRef {
   /** Provenance of the committed values. */
   val source = "BENCH_LOCAL_r11.json (sf0.1, cpus=32)"
 
+  /** The regime the comparator was recorded in. The outlier trigger
+    * only arms when the running config MATCHES — a cpus=4 debug run or
+    * a different SF would legitimately exceed 1.5x on most heavy
+    * queries and spray ~100 spurious probes (and tail lines) into the
+    * artifact. */
+  val sfDirSuffix = "sf0.1"
+  val cpus = "32"
+
   val committed: Map[String, Double] = Map(
     "agg_distinct" -> 0.242,
     "agg_empty_input" -> 0.194,

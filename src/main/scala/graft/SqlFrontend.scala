@@ -857,7 +857,7 @@ final class GraftSession(val spark: SparkSession) {
       // scratch name that CANNOT be uniquified per-statement — reject it
       // up front with a clear error instead of failing later inside the
       // physical CREATE with a duplicate-column message
-      require(!cols.exists(_._1 == GbCol),
+      require(!cols.exists(_._1.equalsIgnoreCase(GbCol)),
         s"column name `$GbCol` is reserved for bucket partitioning")
       // parsing is complete — only now may the statement implicitly commit
       commit()
@@ -1029,7 +1029,7 @@ final class GraftSession(val spark: SparkSession) {
         case other =>
           throw new IllegalArgumentException(s"cannot parse column def: $other")
       } catch { case e: Throwable => restoreMetaSnapshot(base, snap); throw e }
-      if (parsed.exists(_._1 == GbCol)) {
+      if (parsed.exists(_._1.equalsIgnoreCase(GbCol))) {
         // reserved physical bucket column — see createTable
         restoreMetaSnapshot(base, snap)
         throw new IllegalArgumentException(
@@ -1143,7 +1143,7 @@ final class GraftSession(val spark: SparkSession) {
       val newName = clean(name0)
       // reserved physical bucket column — see createTable (a CHANGE
       // rename is the third route a user name could reach the layout)
-      require(newName != GbCol,
+      require(!newName.equalsIgnoreCase(GbCol),
         s"column name `$GbCol` is reserved for bucket partitioning")
       val base = metaKey(ref)
       val data = spark.table(ref)
@@ -1911,11 +1911,17 @@ final class GraftSession(val spark: SparkSession) {
     * LEGAL MySQL identifiers, so every internal withColumn/join helper
     * that decorates a user frame must uniquify its scratch names or risk
     * silently overwriting (and then dropping) user data — the
-    * replaceSurvivors bug class.
+    * replaceSurvivors bug class. Comparison is CASE-INSENSITIVE because
+    * Spark's column resolution is (spark.sql.caseSensitive defaults
+    * false): withColumn("__d", ...) replaces a user column named __D,
+    * so a case-sensitive collision check would leave the exact hole it
+    * exists to close.
     */
-  private def freshName(taken: Set[String], base: String): String =
+  private def freshName(taken: Set[String], base: String): String = {
+    val lower = taken.map(_.toLowerCase(java.util.Locale.ROOT))
     Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
-      .find(!taken.contains(_)).get
+      .find(n => !lower.contains(n.toLowerCase(java.util.Locale.ROOT))).get
+  }
 
   /** AUTO_INCREMENT fill for literal VALUES batches: omitted or NULL
     * values take generated ids starting above both max(existing) and the
@@ -2147,19 +2153,19 @@ final class GraftSession(val spark: SparkSession) {
     if (keySets.isEmpty) incoming
     else {
       import org.apache.spark.sql.expressions.Window
-      // Working-column names are uniquified against the incoming schema:
+      // Working-column names are uniquified against the incoming schema
+      // ([[freshName]] — case-insensitive, like Spark's resolution):
       // `__seq` is a LEGAL MySQL column name (the identifier lexer here
       // accepts it too), and a bare withColumn("__seq", ...) on a table
       // that owns that column would silently overwrite the user's data
-      // and corrupt the survivor ranking. One shared suffix keeps every
-      // generated name out of the user namespace.
-      val taken = incoming.columns.toSet
-      val sfx = Iterator.from(0).map(i => if (i == 0) "" else s"_$i")
-        .find(s => !taken.contains(s"__seq$s")
-          && keySets.indices.forall(i => !taken.contains(s"__last$i$s")))
-        .get
-      val seqCol = s"__seq$sfx"
-      def lastCol(i: Int) = s"__last$i$sfx"
+      // and corrupt the survivor ranking.
+      var taken = incoming.columns.toSet
+      val seqCol = freshName(taken, "__seq")
+      taken += seqCol
+      val lastCols = keySets.indices.map { i =>
+        val c = freshName(taken, s"__last$i"); taken += c; c
+      }
+      def lastCol(i: Int) = lastCols(i)
       val seqd = incoming.withColumn(seqCol, monotonically_increasing_id())
       val ranked = keySets.zipWithIndex.foldLeft(seqd) {
         case (df, (ks, i)) =>

@@ -151,6 +151,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assertFragments(line, Seq("\"sched_hit\":[]"))
   }
 
+  test("the committed comparator covers the suite exactly") {
+    // BenchRef is a regenerated snapshot; if the suite grows or a query
+    // is renamed without re-recording it, two guarantees silently rot:
+    // new queries get no outlier-probe coverage (committed.get = None),
+    // and the tail-budget tests above validate a stale, smaller block.
+    assert(BenchRef.committed.keySet == SparkEntry.selectNames(None).toSet,
+      "BenchRef drifted from the declared suite — regenerate it from " +
+        "the latest committed BENCH_LOCAL record")
+  }
+
   test("fmt is locale-pinned to a dot decimal separator") {
     // No global Locale.setDefault here: mutating the JVM default races
     // any concurrently-running suite. The pin is demonstrated by

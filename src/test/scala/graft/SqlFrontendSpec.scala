@@ -780,14 +780,25 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("CREATE INDEX cdd ON cd (__d)")
     gs.execute("INSERT INTO cd VALUES (1, 5), (2, 6)")
     assert(gs.query("ADMIN CHECK TABLE cd").forall(_.endsWith("OK")))
+    // case variants collide too: Spark resolution is case-insensitive
+    // (withColumn("__seq",...) replaces a user __SEQ), so the
+    // uniquifier and the checks below must be case-insensitive as well
+    gs.execute("CREATE TABLE wcu (id BIGINT PRIMARY KEY, __SEQ BIGINT)")
+    gs.execute("REPLACE INTO wcu VALUES (1, 100), (1, 200)")
+    assert(gs.query("SELECT id, __SEQ FROM wcu") == Seq("1 200"))
+    gs.execute("CREATE TABLE cdu (id BIGINT PRIMARY KEY, __D BIGINT)")
+    gs.execute("CREATE INDEX cdud ON cdu (__D)")
+    gs.execute("INSERT INTO cdu VALUES (1, 5)")
+    assert(gs.query("ADMIN CHECK TABLE cdu").forall(_.endsWith("OK")))
     // __gb is the ONE reservation that cannot be uniquified away — it is
     // the physical bucket partition column of every managed layout. All
-    // three routes a user name could reach it must fail with the clear
-    // reserved-name error, leaving table state untouched
+    // three routes a user name could reach it (in ANY case) must fail
+    // with the clear reserved-name error, leaving table state untouched
     for (stmt <- Seq(
         "CREATE TABLE gbres (id BIGINT PRIMARY KEY, __gb INT)",
+        "CREATE TABLE gbres (id BIGINT PRIMARY KEY, __GB INT)",
         "ALTER TABLE cd ADD COLUMN __gb INT",
-        "ALTER TABLE cd CHANGE __d __gb BIGINT")) {
+        "ALTER TABLE cd CHANGE __d __Gb BIGINT")) {
       val e = intercept[IllegalArgumentException](gs.execute(stmt))
       assert(e.getMessage.contains("reserved"), s"$stmt -> ${e.getMessage}")
     }
