@@ -129,8 +129,14 @@ object Sampling extends QueryModule {
     // equal skew-safe path.)
     Q("sample_stratified",
       (s, d) => {
+        // asc_nulls_last: md5(NULL text) is NULL in both engines, but
+        // Spark's ascending sort defaults NULLS FIRST while DuckDB
+        // defaults NULLS LAST — a NULL-text doc (failed fetch) would
+        // take rank 1 here and rank >quota in the oracle. Pinning
+        // NULLS LAST makes the two engines agree AND keeps content-less
+        // docs out of the quota unless the stratum underflows.
         val w = Window.partitionBy(col("lang"))
-          .orderBy(md5(col("text")), col("doc_id"))
+          .orderBy(md5(col("text")).asc_nulls_last, col("doc_id"))
         Tables.load(s, d, "documents")
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 20)

@@ -287,9 +287,20 @@ object DedupStream {
     btoks.unpersist(blocking = false)
     uni.unpersist(blocking = false)
     val qOov = math.floor(math.log(1.0 / vocabV) * 1e6).toLong
-    // stream: per-row classifier fold, bigram explode, model joins
+    // stream: per-row classifier fold, bigram explode, model joins.
+    // NULL text (a failed fetch) folds as an empty token array — same
+    // guard as deltaDedup/decontaminate above; unguarded, size(NULL)
+    // and the classifier fold are NULL and the tuple encoder below
+    // kills the whole streaming query on one bad row. The verdict row
+    // is (0 tokens, 0 score, 0 bigrams, keep=true): a streaming filter
+    // must emit SOMETHING per arriving doc (omission = silently eating
+    // it), and with no LM evidence the score-based keep passes — the
+    // deliberate, documented delta vs the batch census twins, which
+    // simply have no occurrence rows for token-less docs.
     val scored = docs
-      .select(col("doc_id"), D.tokenArr(col("text")).as("t"))
+      .select(col("doc_id"),
+        when(col("text").isNotNull, D.tokenArr(col("text")))
+          .otherwise(typedLit(Seq.empty[String])).as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("cls", aggregate(
         transform(col("t"), P.tokenWeight(_)), lit(0L), _ + _))

@@ -407,7 +407,7 @@ object EventsStream {
             // lastUs carries sub-ms digits, and Spark rejects
             // event-time timeouts at or before the watermark
             state.setTimeoutTimestamp(math.max(
-              open.map(_.lastUs).min / 1000L + 1800L * 1000L,
+              open.map(_.lastUs).min / 1000L + gapUs / 1000L,
               state.getCurrentWatermarkMs()) + 1L)
           }
           closed.iterator

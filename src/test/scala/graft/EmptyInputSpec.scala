@@ -179,6 +179,28 @@ class EmptyInputSpec extends SparkSuite
       "no quantizer -> no cell cohabitation -> nothing may flag")
   }
 
+  test("NULL-text docs rank behind content in the stratified quota") {
+    // Spark ascending sort defaults NULLS FIRST, DuckDB NULLS LAST: an
+    // unpinned ORDER BY md5(text) would hand failed-fetch docs rank 1
+    // here and rank >quota in the oracle — individually consistent,
+    // hash-mismatched. The operator pins NULLS LAST; this case plants
+    // 25 docs (3 NULL) in one stratum and the 20-slot quota must hold
+    // content docs only.
+    val d = newTempDir("graft-sfnulltext")
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    (0L until 25L).map(i =>
+        (i, if (i % 9 == 0) null else s"doc number $i body", "en",
+          "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("sample_stratified")(spark, d).collect()
+    assert(out.length == 20, s"quota: ${out.length}")
+    val nullIds = Set(0L, 9L, 18L)
+    assert(!out.exists(r => nullIds.contains(r.getAs[Long]("doc_id"))),
+      "NULL-text docs entered the quota ahead of content docs")
+  }
+
   test("centroid expressions stay typed with zero collected centroids") {
     // the specific r11 regression: the Lloyd pass over an empty corpus
     // collects zero centroids, and cellOf/centDists must still render

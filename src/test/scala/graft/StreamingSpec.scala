@@ -450,9 +450,16 @@ class StreamingSpec extends SparkSuite {
     val split = java.nio.file.Files.createTempDirectory("lmq-split").toString
     base.repartition(3).write.mode("overwrite").parquet(split)
     val oovId = 999999L
+    val nullId = 999998L
     locally {
       import spark.implicits._
       Seq((oovId, "zzqx wwvk yyrg", "en", "srcX", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(split)
+      // a failed-fetch NULL-text doc: one bad row must not kill the
+      // streaming query (unguarded, the tuple encoder NPE'd on
+      // size(NULL)); its verdict is the documented all-zero keep row
+      Seq((nullId, null: String, "en", "srcX", 0L))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("append").parquet(split)
     }
@@ -464,7 +471,11 @@ class StreamingSpec extends SparkSuite {
     assert(sq.recentProgress.count(_.numInputRows > 0) >= 4,
       "expected one micro-batch per split file")
     val streamed = spark.table("lmq_stream")
-    assert(streamed.count() == base.count() + 1)
+    assert(streamed.count() == base.count() + 2)
+    val nullRow = streamed.where(col("doc_id") === nullId).collect()(0)
+    assert(Seq("n_tokens", "cls_score", "n_bigrams", "logp_micro")
+      .forall(c => nullRow.getAs[Long](c) == 0L), nullRow.toString)
+    assert(nullRow.getAs[Boolean]("keep"), "no LM evidence -> keep")
     // field-level parity with BOTH batch operators on the corpus docs
     val cls = q("quality_classifier").select(col("doc_id"),
       col("n_tokens").as("b_nt"), col("score").as("b_score"),
