@@ -50,12 +50,17 @@ object Stats {
     * is only populated when CBO is enabled on the session.
     */
   def rowCount(spark: SparkSession, table: String): Option[BigInt] = {
+    // last two parts name the (db, table) in the session catalog — a
+    // catalog-qualified 3-part name previously fell through whole into
+    // TableIdentifier and threw; unknown/temp names return None (the
+    // documented contract), not an exception
     val parts = table.split('.')
     val ident =
-      if (parts.length == 2)
-        org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+      if (parts.length >= 2)
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          parts(parts.length - 1), Some(parts(parts.length - 2)))
       else org.apache.spark.sql.catalyst.TableIdentifier(table)
-    spark.sessionState.catalog.getTableMetadata(ident).stats
-      .flatMap(_.rowCount)
+    scala.util.Try(spark.sessionState.catalog.getTableMetadata(ident))
+      .toOption.flatMap(_.stats).flatMap(_.rowCount)
   }
 }

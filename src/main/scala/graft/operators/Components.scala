@@ -196,7 +196,8 @@ object Components extends QueryModule {
     val toks = Tables.load(s, d, "documents")
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
+        regexp_extract_all(lower(col("text")),
+          lit(TextOps.NonWsToken), lit(0)).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def prefixCopy(shift: Long, num: Int, den: Int): DataFrame =
       toks.select((col("doc_id") + shift).as("doc_id"),

@@ -676,8 +676,8 @@ object CorpusOps extends QueryModule {
       (s, d) => {
         val cc = docs(s, d)
           .select(col("doc_id"),
-            explode(regexp_extract_all(lower(col("text")), lit("\\S"), lit(0)))
-              .as("ch"))
+            explode(regexp_extract_all(lower(col("text")),
+              lit(s"[^${TextOps.WsChars}]"), lit(0))).as("ch"))
           .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
         val tot = cc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
         cc.join(tot, "doc_id")

@@ -105,7 +105,8 @@ object Dedup extends QueryModule {
   private[graft] def shingles(df: DataFrame): DataFrame =
     shinglesFromTokens(df.repartition(col("doc_id"))
       .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t")))
+        regexp_extract_all(col("text"), lit(TextOps.NonWsToken), lit(0))
+          .as("t")))
 
   /** Shingles from pre-tokenized input (doc_id, t: array<string>) — for
     * callers that already hold token arrays (e.g. the components corpus,
@@ -158,7 +159,7 @@ object Dedup extends QueryModule {
     * the two.
     */
   private[graft] def tokenArr(text: Column): Column =
-    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    regexp_extract_all(lower(text), lit(TextOps.NonWsToken), lit(0))
 
   /** Lowercased token arrays (doc_id, t) fanned out past file
     * parallelism — shared entry staging for the n-gram pipelines.
@@ -537,8 +538,8 @@ object Dedup extends QueryModule {
         // repartition, not at file parallelism
         val toks = corpus(s, d).repartition(col("doc_id"))
           .select(col("doc_id"),
-            explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-              .as("tok"))
+            explode(regexp_extract_all(col("text"),
+              lit(TextOps.NonWsToken), lit(0))).as("tok"))
         val h = xxhash64(col("tok"))
         val bitSums = (0 until 64).map(j =>
           sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))

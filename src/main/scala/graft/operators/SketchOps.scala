@@ -32,17 +32,29 @@ object SketchOps extends QueryModule {
       (s, dir) => {
         val cm = udaf(new Sketches.CountMinAgg(5, 2048), Encoders.STRING)
         val li = Tables.load(s, dir, "lineitem")
-        val sketch = li.agg(cm(col("l_returnflag"))).head().getSeq[Long](0).toArray
-        // distinct flag values: bounded domain (A/N/R), metadata-scale
-        val keys = li.select(col("l_returnflag")).distinct()
-          .collect().map(_.getString(0))
+        // ONE scan yields both artifacts: the sketch AND the bounded
+        // key domain (collect_set — NDV-scale like the sketch itself,
+        // and NULL-skipping like CountMinAgg.reduce, so a NULL flag
+        // neither NPEs the driver-side cmEstimate nor conjures a key
+        // the sketch never counted). The previous separate
+        // distinct() job re-scanned the largest table just for 3
+        // values — the module's one-pass posture, violated by its
+        // own first query.
+        val agged = li.agg(cm(col("l_returnflag")).as("sk"),
+          collect_set(col("l_returnflag")).as("ks")).head()
+        val sketch = agged.getSeq[Long](0).toArray
+        val keys = agged.getSeq[String](1)
         import s.implicits._
-        keys.map(k => (k, Sketches.cmEstimate(sketch, k))).toSeq
+        keys.map(k => (k, Sketches.cmEstimate(sketch, k)))
           .toDF("l_returnflag", "est_count")
           .orderBy("l_returnflag")
       },
+      // IS NOT NULL mirrors the sketch contract (NULL keys take no part
+      // in a frequency sketch); without it a NULL-bearing column would
+      // add a NULL group row here that the Spark side rightly omits
       Some("""SELECT l_returnflag, count(*) AS est_count
-              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+              FROM lineitem WHERE l_returnflag IS NOT NULL
+              GROUP BY 1 ORDER BY 1""")),
 
     // Equi-depth histogram bounds — the third ANALYZE artifact
     // (`statistics/histogram.go:79`, 256 buckets default at
@@ -114,7 +126,11 @@ object SketchOps extends QueryModule {
             Ordering.Tuple2(Ordering.Long, Utf8Order)).take(3)
           .toDF("event_type", "est_count")
       },
+      // IS NOT NULL mirrors MisraGriesAgg.reduce's null skip: unnamed
+      // events carry no key for a heavy-hitter sketch, and the oracle's
+      // GROUP BY would otherwise rank a NULL group the sketch never saw
       Some("""SELECT event_type, count(*) AS est_count FROM events
+              WHERE event_type IS NOT NULL
               GROUP BY 1 ORDER BY est_count DESC, event_type LIMIT 3""")),
 
     // FM-sketch NDV for two orders columns in one aggregate pass. With

@@ -15,9 +15,9 @@ object SqlSurface extends QueryModule {
     * the oracle also uses).
     */
   private def session(s: SparkSession, d: String): GraftSession = {
-    Tables.names.filterNot(_ == "events").foreach(n =>
-      Tables.load(s, d, n).createOrReplaceTempView(n))
-    Tables.loadEvents(s, d).createOrReplaceTempView("events")
+    // one registration definition for the whole repo (events dtype
+    // normalization included) — see Meta.registerAll
+    Meta.registerAll(s, d, prefix = "")
     new GraftSession(s)
   }
 

@@ -11,18 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryModule {
 
+  /** RE2-aligned ASCII whitespace, as a regex-source fragment. Java's
+    * `\s` is `[ \t\n\x0B\f\r]` but RE2's (DuckDB's) is `[\t\n\f\r ]` —
+    * vertical tab is the one disagreement, and an implicit `\s`/`\S` on
+    * the Spark side silently forks every token count, shingle set, and
+    * quality ratio from the oracle the moment real crawl text carries a
+    * VT. Every Spark-side tokenizer/whitespace regex in the repo spells
+    * the class out from these fragments instead (the oracle SQL keeps
+    * plain `\s`, which RE2 already reads as exactly this set);
+    * DedupSpec pins the VT behavior.
+    */
+  private[graft] val WsChars = " \\t\\n\\f\\r"
+
+  /** `\S+` with RE2 semantics (VT is a token character). */
+  private[graft] val NonWsToken = s"[^$WsChars]+"
+
   /** Whitespace-delimited token count. `regexp_count` walks the matches
     * without materializing them — `size(regexp_extract_all(...))` builds
     * an array of every matched substring per row just to take its
     * length, which at corpus scale is an allocation per token.
     */
-  def wsTokens(text: Column): Column = regexp_count(text, lit("\\S+"))
+  def wsTokens(text: Column): Column = regexp_count(text, lit(NonWsToken))
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
     * punctuation — the usual byte-level BPE split shape.
     */
   def bpeTokens(text: Column): Column =
-    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+    regexp_count(lower(text), lit(s"[a-z]+|[0-9]+|[^a-z0-9$WsChars]"))
 
   private def stopCount(text: Column, words: String): Column =
     regexp_count(lower(text), lit(s"\\b($words)\\b"))
@@ -32,7 +47,8 @@ object TextOps extends QueryModule {
     */
   def qualityKeep(text: Column): Column = {
     val nTok = wsTokens(text)
-    val meanTok = length(regexp_replace(text, "\\s", "")) / nullif(nTok, lit(0))
+    val meanTok =
+      length(regexp_replace(text, s"[$WsChars]", "")) / nullif(nTok, lit(0))
     nTok >= 20 && meanTok >= 2 && meanTok <= 12
   }
 
@@ -86,7 +102,7 @@ object TextOps extends QueryModule {
       (s, d) => {
         val txt = col("text")
         val nTok = wsTokens(txt)
-        val nonSpace = length(regexp_replace(txt, "\\s", ""))
+        val nonSpace = length(regexp_replace(txt, s"[$WsChars]", ""))
         val stops = stopCount(txt, "the|a|of|to|and|in|is")
         val meanTok = nonSpace / nullif(nTok, lit(0))
         Tables.load(s, d, "documents").select(
@@ -130,8 +146,15 @@ object TextOps extends QueryModule {
           .withColumn("es", es).withColumn("zh", zh)
           .select(
             col("doc_id"), col("lang").as("true_lang"),
-            when(col("en") + col("de") + col("fr") + col("es") + col("zh")
-              === 0, "und")
+            // coalesce: NULL text makes every count NULL, and a NULL
+            // sum fails every comparison below — without it a
+            // failed-fetch doc fell through the whole chain to the
+            // `otherwise` and was confidently labeled zh in BOTH
+            // engines (agreeing, so the parity gate could never catch
+            // it). No evidence = 'und'.
+            when(coalesce(
+              col("en") + col("de") + col("fr") + col("es") + col("zh"),
+              lit(0)) === 0, "und")
               .when(col("en") >= col("de") && col("en") >= col("fr")
                 && col("en") >= col("es") && col("en") >= col("zh"), "en")
               .when(col("de") >= col("fr") && col("de") >= col("es")
@@ -153,7 +176,8 @@ object TextOps extends QueryModule {
                   len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
                 FROM documents)
               SELECT doc_id, lang AS true_lang,
-                     CASE WHEN en + de + fr + es + zh = 0 THEN 'und'
+                     CASE WHEN coalesce(en + de + fr + es + zh, 0) = 0
+                            THEN 'und'
                           WHEN en >= de AND en >= fr AND en >= es AND en >= zh
                             THEN 'en'
                           WHEN de >= fr AND de >= es AND de >= zh THEN 'de'

@@ -30,7 +30,7 @@ object ProfileMinhash {
 
     val sh = corpus.repartition(col("doc_id"))
       .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+        regexp_extract_all(col("text"), lit(graft.operators.TextOps.NonWsToken), lit(0)).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), " +
@@ -84,7 +84,7 @@ object ProfileMinhash {
     time("verify+final 2nd")(fin.write.format("noop").mode("overwrite").save())
     val sh2 = corpus.repartition(col("doc_id"))
       .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+        regexp_extract_all(col("text"), lit(graft.operators.TextOps.NonWsToken), lit(0)).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), " +

@@ -31,7 +31,7 @@ object ProfileNgram {
 
     val shRaw = corpus.repartition(col("doc_id"))
       .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+        regexp_extract_all(col("text"), lit(graft.operators.TextOps.NonWsToken), lit(0)).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), " +

@@ -17,9 +17,7 @@ object ProfileSql {
       r
     }
 
-    Tables.names.filterNot(_ == "events").foreach(n =>
-      Tables.load(spark, d, n).createOrReplaceTempView(n))
-    Tables.loadEvents(spark, d).createOrReplaceTempView("events")
+    graft.operators.Meta.registerAll(spark, d, prefix = "")
     val gs = time("new GraftSession")(new GraftSession(spark))
 
     def ex(sql: String): Unit =

@@ -171,4 +171,20 @@ class DedupSpec extends SparkSuite {
       assert(v != "near", s"fragment $id scored near")
     }
   }
+
+  test("vertical tab is a token character (RE2/DuckDB \\S semantics)") {
+    // Java's \s includes \x0B, RE2's does not; the Spark-side
+    // tokenizers spell the RE2 class out (TextOps.WsChars) so both
+    // engines see "a<VT>b c" as TWO tokens — an implicit Java \S+
+    // would see three and silently fork every token-derived relation
+    import spark.implicits._
+    val vt = "\u000b" // explicit escape: a raw VT byte in source invites mangling
+    val df = Seq((1L, s"a${vt}b c")).toDF("doc_id", "text")
+    val toks = df
+      .select(graft.operators.Dedup.tokenArr(col("text")).as("t"))
+      .head.getSeq[String](0)
+    assert(toks == Seq(s"a${vt}b", "c"), toks.mkString("|"))
+    assert(df.select(graft.operators.TextOps.wsTokens(col("text")))
+      .head.getInt(0) == 2)
+  }
 }

@@ -179,6 +179,17 @@ class EmptyInputSpec extends SparkSuite
       "no quantizer -> no cell cohabitation -> nothing may flag")
   }
 
+  test("NULL-text docs language-classify as 'und', never the argmax fallback") {
+    // NULL counts fail every >= comparison, so an unguarded when-chain
+    // fell through to the final otherwise and labeled failed fetches
+    // 'zh' in BOTH engines — agreeing, so only a semantic assertion
+    // (not the parity gate) can catch it
+    val preds = SparkEntry.queries("text_langid")(spark, nullDir)
+      .where(col("doc_id") % 4 === 0)
+      .select("pred_lang").distinct().collect().map(_.getString(0))
+    assert(preds.toSeq == Seq("und"), preds.mkString(","))
+  }
+
   test("NULL-text docs rank behind content in the stratified quota") {
     // Spark ascending sort defaults NULLS FIRST, DuckDB NULLS LAST: an
     // unpinned ORDER BY md5(text) would hand failed-fetch docs rank 1
