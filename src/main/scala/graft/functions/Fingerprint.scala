@@ -73,8 +73,13 @@ case class Fingerprint(child: Expression) extends UnaryExpression {
 object Fingerprint {
   /** Registers `graft_fingerprint` in the session's registry (idempotent). */
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, "graft_fingerprint")(
-      exprs => Fingerprint(exprs.head))
+    Registry.registerOnce(spark, "graft_fingerprint") { exprs =>
+      // arity-check at analysis: exprs.head alone would silently drop
+      // extra SQL arguments and return a plausible wrong fingerprint
+      require(exprs.length == 1,
+        s"graft_fingerprint expects 1 argument, got ${exprs.length}")
+      Fingerprint(exprs.head)
+    }
 
   /** Column-API entry point; requires [[register]] on the session first. */
   def fingerprint(text: Column): Column =

@@ -31,10 +31,20 @@ object MySqlCoerce {
   }
 
   /** MySQL-semantics string→bigint: truncating the float prefix toward
-    * zero, as MySQL does when an integer context is required.
+    * zero, as MySQL does when an integer context is required. SATURATES
+    * at the bigint range like MySQL (types/convert.go clamps to
+    * LLONG_MAX/LLONG_MIN with a warning) — a bare ANSI cast would abort
+    * the whole query with CAST_OVERFLOW on a "1e300" prefix instead of
+    * coercing. Long.MaxValue.toDouble rounds UP to 2^63 (not
+    * representable), so the >= comparison is the correct boundary;
+    * Long.MinValue is a power of two and exact.
     */
-  def toLong(c: Column): Column =
-    toDouble(c).cast("bigint")
+  def toLong(c: Column): Column = {
+    val d = toDouble(c)
+    when(d >= lit(Long.MaxValue.toDouble), lit(Long.MaxValue))
+      .when(d <= lit(Long.MinValue.toDouble), lit(Long.MinValue))
+      .otherwise(d.cast("bigint"))
+  }
 
   /** MySQL true division (`arithmeticDivide`,
     * `expression/builtin_arithmetic.go:471`): always real-valued, NULL on

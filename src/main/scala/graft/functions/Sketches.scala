@@ -244,7 +244,7 @@ object Sketches {
 
     override def finish(b: MGBuf): Map[String, Long] = {
       import scala.jdk.CollectionConverters._
-      b.counts.asScala.toMap.map { case (key, c) => key -> c.longValue() }
+      b.counts.asScala.toMap
     }
     override def bufferEncoder: Encoder[MGBuf] = Encoders.kryo[MGBuf]
     override def outputEncoder: Encoder[Map[String, Long]] =

@@ -44,8 +44,11 @@ case class StrCmp(left: Expression, right: Expression)
 object StrCmp {
   /** Registers `strcmp` in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, "strcmp")(
-      exprs => StrCmp(exprs(0), exprs(1)))
+    Registry.registerOnce(spark, "strcmp") { exprs =>
+      require(exprs.length == 2,
+        s"strcmp expects 2 arguments, got ${exprs.length}")
+      StrCmp(exprs(0), exprs(1))
+    }
 
   /** Column-API entry point; requires [[register]] on the session first. */
   def strcmp(a: Column, b: Column): Column = call_function("strcmp", a, b)

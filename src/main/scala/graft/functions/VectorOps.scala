@@ -94,8 +94,11 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorOps {
   /** Registers `graft_dot` in the session's function registry. */
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, "graft_dot")(
-      exprs => DotProduct(exprs(0), exprs(1)))
+    Registry.registerOnce(spark, "graft_dot") { exprs =>
+      require(exprs.length == 2,
+        s"graft_dot expects 2 arguments, got ${exprs.length}")
+      DotProduct(exprs(0), exprs(1))
+    }
 
   /** Column-API entry point; requires [[register]] on the session first. */
   def dot(a: Column, b: Column): Column =

@@ -17,7 +17,12 @@ object EventsOps extends QueryModule {
     // Tumbling-window aggregation: groupBy(window(ts)) shuffles once on
     // (window, type) — the shape that scales to 100 TB of logs.
     Q("events_window_agg",
+      // ts IS NOT NULL on both sides: Spark's window() silently DROPS a
+      // NULL-ts row while DuckDB's time_bucket groups it under a NULL
+      // bucket — the explicit filter is the one policy both engines
+      // express identically (see join_asof's note)
       (s, d) => Tables.loadEvents(s, d)
+        .where(col("ts").isNotNull)
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_val"))
         .select(
@@ -28,7 +33,7 @@ object EventsOps extends QueryModule {
                                '%Y-%m-%d %H:%M:%S') AS win_start,
                       event_type, count(*) AS n,
                       ${oracleSum("value")} AS sum_val
-               FROM events GROUP BY 1, 2""")),
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""")),
 
     // Semi-structured extraction: JSON props column.
     Q("events_json_extract",
@@ -80,48 +85,59 @@ object EventsOps extends QueryModule {
     // same-timestamp purchases, so an equal-ts click is eligible.
     Q("join_asof",
       (s, d) => {
+        // ts IS NOT NULL: a timestamp-less event cannot be time-ordered,
+        // and the two engines disagree on where NULLs sort in a window
+        // (Spark NULLS FIRST asc, DuckDB NULLS LAST) — filtering them is
+        // the one policy both express identically. The carried click is
+        // ONE struct, not three per-column last(...ignoreNulls) calls: a
+        // latest click whose value is NULL must yield click_value NULL,
+        // not silently splice in an OLDER click's value (the streaming
+        // twin, which keeps the best click as one tuple, already had
+        // these semantics — the per-column form was the divergent side).
         val ev = Tables.loadEvents(s, d)
-          .where(col("event_type").isin("click", "purchase"))
+          .where(col("event_type").isin("click", "purchase")
+            && col("ts").isNotNull)
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("us"), col("value"),
             when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("us"), col("is_p"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        def carry(c: org.apache.spark.sql.Column) =
-          last(when(col("is_p") === 0, c), ignoreNulls = true).over(w)
-        ev.withColumn("click_id", carry(col("event_id")))
-          .withColumn("click_us", carry(col("us")))
-          .withColumn("click_val", carry(col("value")))
-          .where(col("is_p") === 1 && col("click_id").isNotNull)
+        val ck = last(
+          when(col("is_p") === 0,
+            struct(col("event_id"), col("us"), col("value"))),
+          ignoreNulls = true).over(w)
+        ev.withColumn("ck", ck)
+          .where(col("is_p") === 1 && col("ck").isNotNull)
           .select(col("event_id").as("purchase_id"), col("user_id"),
-            col("us").as("purchase_us"), col("click_id"), col("click_us"),
+            col("us").as("purchase_us"),
+            col("ck.event_id").as("click_id"), col("ck.us").as("click_us"),
             round(col("value"), 2).as("purchase_value"),
-            round(col("click_val"), 2).as("click_value"))
+            round(col("ck.value"), 2).as("click_value"))
       },
       Some("""WITH ev AS (
                 SELECT event_id, user_id, epoch_us(ts) AS us, value,
                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                          AS is_p
-                FROM events WHERE event_type IN ('click', 'purchase')),
+                FROM events WHERE event_type IN ('click', 'purchase')
+                  AND ts IS NOT NULL),
               j AS (
                 SELECT *,
-                       last_value(CASE WHEN is_p = 0 THEN event_id END
-                                  IGNORE NULLS) OVER w AS click_id,
-                       last_value(CASE WHEN is_p = 0 THEN us END
-                                  IGNORE NULLS) OVER w AS click_us,
-                       last_value(CASE WHEN is_p = 0 THEN value END
-                                  IGNORE NULLS) OVER w AS click_val
+                       last_value(CASE WHEN is_p = 0 THEN struct_pack(
+                                    eid := event_id, cus := us, val := value)
+                                  END IGNORE NULLS) OVER w AS ck
                 FROM ev
                 WINDOW w AS (PARTITION BY user_id
                              ORDER BY us, is_p, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW))
               SELECT event_id AS purchase_id, user_id,
-                     us AS purchase_us, click_id, click_us,
+                     us AS purchase_us,
+                     struct_extract(ck, 'eid') AS click_id,
+                     struct_extract(ck, 'cus') AS click_us,
                      round(value, 2) AS purchase_value,
-                     round(click_val, 2) AS click_value
-              FROM j WHERE is_p = 1 AND click_id IS NOT NULL""")),
+                     round(struct_extract(ck, 'val'), 2) AS click_value
+              FROM j WHERE is_p = 1 AND ck IS NOT NULL""")),
 
     // Gap-based sessionization (30-min inactivity): lag over a per-user
     // window; partition-parallel by user_id. Epoch-micros ordering keeps
@@ -131,7 +147,11 @@ object EventsOps extends QueryModule {
         val us = unix_micros(col("ts"))
         val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
         val lagUs = lag(us, 1).over(w)
+        // ts IS NOT NULL: engines disagree on NULL placement in the
+        // ordered window (see join_asof's note), and a timestamp-less
+        // event belongs to no session anyway
         Tables.loadEvents(s, d)
+          .where(col("ts").isNotNull)
           .withColumn("brk",
             when(lagUs.isNull || us - lagUs > 1800L * 1000000L, 1)
               .otherwise(0))
@@ -144,7 +164,7 @@ object EventsOps extends QueryModule {
                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                                  > 1800000000
                             THEN 1 ELSE 0 END AS brk
-                FROM events
+                FROM events WHERE ts IS NOT NULL
                 WINDOW w AS (PARTITION BY user_id
                              ORDER BY epoch_us(ts), event_id))
               SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,

@@ -198,8 +198,9 @@ object PipelineOps extends QueryModule {
             .select((col("doc_id") + 2000000L).as("doc_id"),
               array_join(slice(Dedup.tokenArr(col("text")), 1, 16), " ")
                 .as("text")))
-        val toks = pcorp.repartition(col("doc_id"))
-          .select(col("doc_id"), Dedup.tokenArr(col("text")).as("t"))
+        // the one shared tokenize-staging definition (lower() inside
+        // tokenArr is idempotent on the pre-lowercased pcorp)
+        val toks = Dedup.tokens(pcorp)
         val blk = toks
           .select(col("doc_id"), explode(expr(
             // 0-token docs have no blocks; sequence(1, 0, 8) errors

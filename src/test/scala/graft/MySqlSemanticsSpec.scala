@@ -101,4 +101,29 @@ class MySqlSemanticsSpec extends SparkSuite {
       .select(MySqlCoerce.toDouble(col("s"))).collect().map(_.getDouble(0))
     assert(sparkVals.toSeq == headline.map(_._2))
   }
+
+  test("integer-context coercion saturates at the bigint range like MySQL") {
+    import spark.implicits._
+    // MySQL clamps to LLONG_MAX/LLONG_MIN with a warning
+    // (types/convert.go); an ANSI cast would instead abort the whole
+    // query with CAST_OVERFLOW on one huge prefix
+    val vals = Seq("1e300", "-1e300", "9223372036854775807x", "42.9", "-7")
+      .toDF("s")
+      .select(MySqlCoerce.toLong(col("s"))).collect().map(_.getLong(0))
+    assert(vals.toSeq == Seq(Long.MaxValue, Long.MinValue,
+      Long.MaxValue, 42L, -7L), vals.mkString(","))
+  }
+
+  test("custom SQL functions reject wrong arity at analysis") {
+    graft.functions.StrCmp.register(spark)
+    graft.functions.Fingerprint.register(spark)
+    // silently dropping extra arguments returned plausible wrong
+    // results; now the builder raises with the expected count
+    for (sql <- Seq("SELECT strcmp('a')", "SELECT strcmp('a','b','c')",
+        "SELECT graft_fingerprint('a','b')")) {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage != null && e.getMessage.contains("argument"),
+        s"$sql -> ${e.getMessage}")
+    }
+  }
 }
