@@ -1907,21 +1907,10 @@ final class GraftSession(val spark: SparkSession) {
     }.select(target.schema.fieldNames.map(col).toSeq: _*)
   }
 
-  /** A working-column name absent from `taken`: `__`-prefixed names are
-    * LEGAL MySQL identifiers, so every internal withColumn/join helper
-    * that decorates a user frame must uniquify its scratch names or risk
-    * silently overwriting (and then dropping) user data — the
-    * replaceSurvivors bug class. Comparison is CASE-INSENSITIVE because
-    * Spark's column resolution is (spark.sql.caseSensitive defaults
-    * false): withColumn("__d", ...) replaces a user column named __D,
-    * so a case-sensitive collision check would leave the exact hole it
-    * exists to close.
-    */
-  private def freshName(taken: Set[String], base: String): String = {
-    val lower = taken.map(_.toLowerCase(java.util.Locale.ROOT))
-    Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
-      .find(n => !lower.contains(n.toLowerCase(java.util.Locale.ROOT))).get
-  }
+  /** See [[GraftSession.freshName]] — forwarded so the many class-local
+    * call sites stay short. */
+  private def freshName(taken: Set[String], base: String): String =
+    GraftSession.freshName(taken, base)
 
   /** AUTO_INCREMENT fill for literal VALUES batches: omitted or NULL
     * values take generated ids starting above both max(existing) and the
@@ -2383,6 +2372,22 @@ final class GraftSession(val spark: SparkSession) {
 }
 
 object GraftSession {
+
+  /** A working-column name absent from `taken`: `__`-prefixed names are
+    * LEGAL MySQL identifiers, so every internal withColumn/join helper
+    * that decorates a user frame must uniquify its scratch names or risk
+    * silently overwriting (and then dropping) user data — the
+    * replaceSurvivors bug class. Comparison is CASE-INSENSITIVE because
+    * Spark's column resolution is (spark.sql.caseSensitive defaults
+    * false): withColumn("__d", ...) replaces a user column named __D,
+    * so a case-sensitive collision check would leave the exact hole it
+    * exists to close. Shared repo-wide (operators.Dml uses it too).
+    */
+  private[graft] def freshName(taken: Set[String], base: String): String = {
+    val lower = taken.map(_.toLowerCase(java.util.Locale.ROOT))
+    Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+      .find(n => !lower.contains(n.toLowerCase(java.util.Locale.ROOT))).get
+  }
 
   final case class IndexMeta(unique: Boolean, cols: Seq[String],
       path: String, tableRef: String)

@@ -48,12 +48,26 @@ object Tables {
 
   /** True when events.ts ships as TIMESTAMP(NANOS), which the enabled
     * legacy conf reads as a nanos LONG column. Schema-only probe (no
-    * data scan). */
-  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events").schema("ts").dataType == LongType
-  }
+    * data scan), cached per fixture dir — every loadEvents call was
+    * paying a redundant footer read. Conf hygiene: the legacy conf must
+    * STAY enabled for a nanos fixture (the returned frame reads its
+    * files lazily, long after this probe), but for the common
+    * non-nanos fixtures it is UNSET again — leaving it on session-wide
+    * silently mapped any OTHER nanos timestamp column (a user table's,
+    * say) to a bare long instead of failing loudly. Fixture dirs within
+    * one session are homogeneous per driver round, so the last probe's
+    * conf decision cannot fight an earlier one's.
+    */
+  private val tsLongCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean =
+    tsLongCache.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.types._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val isLong = load(spark, dir, "events").schema("ts").dataType == LongType
+      if (!isLong) spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      isLong
+    })
 
   /** The shared ts normalization: nanos-long → truncated micros
     * timestamp; timestamp[us] (loaded NTZ) → session-UTC timestamp. */

@@ -28,8 +28,12 @@ object Verify {
         val dir = Paths.get(s"$outDir/$name")
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
+          // walk() holds directory handles until closed — abandoning
+          // the stream leaked a descriptor per failed query
+          val walk = Files.walk(dir)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(Files.deleteIfExists(_))
+          finally walk.close()
         }
       }
       // free per-query persisted subtrees (same hygiene as Bench)

@@ -33,12 +33,26 @@ object Dml extends QueryModule {
     */
   def replaceInto(base: DataFrame, incoming: DataFrame,
       keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri").desc)
-    base.withColumn("__pri", lit(1))
-      .unionByName(incoming.withColumn("__pri", lit(2)))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__pri", "__rn")
+    // Scratch names uniquified (case-insensitively) against BOTH input
+    // schemas — fixed "__pri"/"__rn" literals violated the freshName
+    // invariant and silently overwrote-then-dropped a user column of
+    // that name (reachable via EXPLAIN REPLACE on such a table). The
+    // intra-batch tie-break is the incoming frame's row order (same
+    // last-row-wins contract as the execution path's replaceSurvivors):
+    // ordering by priority alone left duplicate-key incoming rows tied
+    // and the survivor nondeterministic per run.
+    val taken = (base.columns ++ incoming.columns).toSet
+    val pri = graft.GraftSession.freshName(taken, "__pri")
+    val seq = graft.GraftSession.freshName(taken + pri, "__seq")
+    val rn = graft.GraftSession.freshName(taken + pri + seq, "__rn")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(pri).desc, col(seq).desc)
+    base.withColumn(pri, lit(1)).withColumn(seq, lit(0L))
+      .unionByName(incoming.withColumn(pri, lit(2))
+        .withColumn(seq, monotonically_increasing_id()))
+      .withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1)
+      .drop(pri, seq, rn)
   }
 
   override val queries: Seq[Q] = Seq(
@@ -69,8 +83,13 @@ object Dml extends QueryModule {
           Tables.load(s, d, "orders"),
           col("o_orderstatus") === "F" && col("o_totalprice") < 100000)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+      // coalesce mirrors delete()'s NULL handling: a NULL condition row
+      // is KEPT (MySQL semantics); a bare NOT(cond) would drop it —
+      // NOT(NULL) is NULL, which filters — the moment orders gains a
+      // NULL status/price
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
-              WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)""")),
+              WHERE NOT coalesce(
+                o_orderstatus = 'F' AND o_totalprice < 100000, FALSE)""")),
 
     Q("dml_replace",
       (s, d) => {

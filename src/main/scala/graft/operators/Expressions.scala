@@ -157,7 +157,12 @@ object Expressions extends QueryModule {
               SELECT p_partkey,
                      CASE WHEN r1 = '' THEN 0.0 ELSE CAST(r1 AS DOUBLE) END AS v1,
                      CASE WHEN r2 = '' THEN 0.0 ELSE CAST(r2 AS DOUBLE) END AS v2,
-                     CAST(CASE WHEN r1 = '' THEN 0.0 ELSE CAST(r1 AS DOUBLE) END AS BIGINT) AS v1_int
+                     -- TRUNC pins truncate-toward-zero: DuckDB's bare
+                     -- CAST(DOUBLE AS BIGINT) rounds to nearest while the
+                     -- Spark side (MySqlCoerce.toLong, MySQL semantics)
+                     -- truncates — masked today only because the planted
+                     -- prefix N.De1 is always exactly integral
+                     CAST(TRUNC(CASE WHEN r1 = '' THEN 0.0 ELSE CAST(r1 AS DOUBLE) END) AS BIGINT) AS v1_int
               FROM ex"""))
   )
 }

@@ -170,8 +170,13 @@ object Relational extends QueryModule {
         val l = t(s, d, "lineitem").filter(col("l_quantity") > 10)
         val o = t(s, d, "orders")
         val c = t(s, d, "customer")
-        val n = broadcast(t(s, d, "nation"))
-        val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA"))
+        // broadcast policy CONSUMED from the catalog's one declaration
+        // (Tables.alwaysBroadcast) instead of restated inline — the set
+        // and this plan can no longer drift
+        def dim(name: String, df: org.apache.spark.sql.DataFrame) =
+          if (Tables.alwaysBroadcast(name)) broadcast(df) else df
+        val n = dim("nation", t(s, d, "nation"))
+        val r = dim("region", t(s, d, "region").filter(col("r_name") === "ASIA"))
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .join(n, c("c_nationkey") === n("n_nationkey"))

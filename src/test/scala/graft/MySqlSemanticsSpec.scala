@@ -114,6 +114,21 @@ class MySqlSemanticsSpec extends SparkSuite {
       Long.MaxValue, 42L, -7L), vals.mkString(","))
   }
 
+  test("replaceInto helper: scratch columns uniquified, ties last-row-wins") {
+    import spark.implicits._
+    // a user column literally named __pri must survive intact, and
+    // duplicate-key incoming rows must resolve to the LATER row
+    // deterministically (the replaceSurvivors contract) — the old fixed
+    // "__pri" literal clobbered the user column and left ties arbitrary
+    val base = Seq((1L, "old", 7L)).toDF("k", "v", "__pri")
+    val inc = Seq((1L, "a", 8L), (1L, "b", 9L), (2L, "c", 10L))
+      .toDF("k", "v", "__pri")
+    val out = graft.operators.Dml.replaceInto(base, inc, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "b", 9L), (2L, "c", 10L)), out.mkString(","))
+  }
+
   test("custom SQL functions reject wrong arity at analysis") {
     graft.functions.StrCmp.register(spark)
     graft.functions.Fingerprint.register(spark)
