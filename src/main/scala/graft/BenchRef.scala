@@ -16,6 +16,13 @@ object BenchRef {
   /** Provenance of the committed values. */
   val source = "BENCH_LOCAL_r12.json (sf0.1, cpus=32)"
 
+  /** The committed artifact file (repo root) these values were
+    * transcribed from — BenchFormatSpec parses it and asserts the map
+    * below matches value-for-value, so a re-recorded comparator or a
+    * transcription typo cannot silently skew which queries trigger
+    * sched_hit probes. Update together with [[source]] and the map. */
+  val sourceFile = "BENCH_LOCAL_r12.json"
+
   /** The regime the comparator was recorded in. The outlier trigger
     * only arms when the running config MATCHES — a cpus=4 debug run or
     * a different SF would legitimately exceed 1.5x on most heavy

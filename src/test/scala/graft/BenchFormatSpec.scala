@@ -81,22 +81,58 @@ class BenchFormatSpec extends AnyFunSuite {
       "full chunks must stay far under the 1.9 KB line-truncation limit")
   }
 
+  test("probe-context line: sm order, hit cap, true count, and size") {
+    val mids = Seq((15, 0.014, 0.03), (30, 0.015, 0.04), (45, 1.234, 2.0))
+    val hits = Seq(
+      ("decontaminate", 2.25, 0.022, 0.05),
+      ("ngram_novelty", 1.58, 0.018, 0.04),
+      ("dedup_minhash_lsh", 1.55, 0.020, 0.05))
+    val line = Bench.renderProbeContext(mids, hits)
+    // sm carries every mid probe p50 in cadence order — a storm window
+    // is visible at its position (the 1.234 third entry here)
+    assertFragments(line, Seq(
+      "\"sm\":[0.014,0.015,1.234]", "\"hn\":3",
+      // hits sorted worst-first by ratio
+      """["decontaminate",2.3,0.022],["ngram_novelty",1.6,0.018],["dedup_minhash_lsh",1.6,0.020]"""))
+    // the cap keeps a pathological run from eating the tail; hn still
+    // records the TRUE count so the cap is never a silent truncation
+    val many = (1 to 20).map(i => (s"query_with_a_long_name_$i",
+      1.5 + i / 10.0, 0.02, 0.05))
+    val capped = Bench.renderProbeContext(mids, many)
+    assert(capped.contains("\"hn\":20"), capped)
+    assert(capped.count(_ == '[') == 1 + 1 + 6, // sm + hits array + 6 triples
+      s"hit cap not applied: $capped")
+    assert(capped.length < 350, s"capped probe line too long: ${capped.length}")
+    // healthy run: empty hits, still parseable
+    assertFragments(Bench.renderProbeContext(mids, Nil),
+      Seq("\"hn\":0", "\"hits\":[]"))
+  }
+
   test("full-suite positional block + total fit the driver's 2000-byte tail") {
     // The real contract this round exists for: the BENCH_r9-r11
     // artifacts each captured EXACTLY 2000 tail bytes, and the named
     // map (~2.4 KB minimum for 107 entries) cannot fit next to the
     // total line. Render the block for the real 107-query suite with
-    // the committed comparator values (the realistic digit widths) and
-    // assert the end-of-suite block leaves headroom: block + total
-    // <= 1500 bytes, so ~500 bytes of streamed named lines survive to
-    // cross-check the positional order even if every value grows a
-    // digit under a storm.
+    // the committed comparator values (the realistic digit widths) plus
+    // a WORST-CASE probe-context line (7 storm-inflated mids + the hit
+    // cap saturated with the longest query names) and assert the
+    // end-of-suite block leaves headroom: block + probes + total
+    // <= 1700 bytes, so ~300 bytes of streamed named lines survive to
+    // cross-check the positional order even when every probe fires at
+    // storm magnitudes. (A healthy run's probe line is ~60 bytes, not
+    // ~260, so the usual margin stays ~500.)
     val rs = BenchRef.committed.toSeq.sortBy(_._1)
     assert(rs.size >= 100, "comparator map lost its suite")
     val sched = Bench.schedJson(0.02, 0.047, 0.013, 0.029)
+    // worst-case probe context: all 7 mid probes inflated to 4 digits,
+    // the hit cap saturated with the suite's longest query names
+    val longest = rs.map(_._1).sortBy(-_.length)
+    val worstMids = (1 to 7).map(i => (i * 15, 12.345, 99.999))
+    val worstHits = longest.take(8).map(n => (n, 12.3, 12.345, 99.999))
     val block = Bench.renderQvLines(rs).map(_ + "\n").mkString +
+      Bench.renderProbeContext(worstMids, worstHits) + "\n" +
       Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1") + "\n"
-    assert(block.length <= 1500,
+    assert(block.length <= 1700,
       s"end-of-suite block grew to ${block.length} bytes — the 2000-byte " +
         "tail would start losing the cross-check named lines")
   }
@@ -111,12 +147,25 @@ class BenchFormatSpec extends AnyFunSuite {
     val rs = BenchRef.committed.toSeq.sortBy(_._1)
     val sched = Bench.schedJson(0.02, 0.047, 0.013, 0.029)
     val stdout = new StringBuilder
+    // realistic probe story: 7 cadence mids, plus three early-suite
+    // outlier hits (the r12 scenario — all fired in the cut head)
+    val mids = Seq.newBuilder[(Int, Double, Double)]
+    val hits = Seq(
+      ("decontaminate", 2.25, 0.022, 0.05),
+      ("dedup_minhash_lsh", 1.55, 0.020, 0.05),
+      ("ngram_novelty", 1.58, 0.018, 0.04))
     rs.zipWithIndex.foreach { case ((n, v), i) =>
       stdout ++= s"""{"q":"$n","sec":${Bench.fmt(v)}}""" + "\n"
-      if ((i + 1) % 15 == 0 && i + 1 < rs.size)
+      hits.find(_._1 == n).foreach { case (hn, r, p, m) =>
+        stdout ++= Bench.renderSchedHit(hn, r, p, m) + "\n" }
+      if ((i + 1) % 15 == 0 && i + 1 < rs.size) {
+        mids += ((i + 1, 0.016, 0.053))
         stdout ++= s"""{"sched_mid":0.016,"max":0.053,"after":${i + 1}}""" + "\n"
+      }
     }
     Bench.renderQvLines(rs).foreach(l => stdout ++= l + "\n")
+    val probeCtx = Bench.renderProbeContext(mids.result(), hits)
+    stdout ++= probeCtx + "\n"
     val total = Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1")
     stdout ++= total + "\n"
     val tail = stdout.takeRight(2000).toString
@@ -133,6 +182,19 @@ class BenchFormatSpec extends AnyFunSuite {
       s"only ${vals.size}/${rs.size} per-query points survive the tail")
     assert(vals == rs.map(r => Bench.fmt(r._2)),
       "positional values diverged from the suite results")
+    // the probe-context line must survive the tail intact — this IS the
+    // r12 verdict item: the streamed hit lines for these three
+    // early-suite movers are all in the cut head, and without this line
+    // the artifact cannot adjudicate them
+    assert(lines.contains(probeCtx), s"probe context lost from the tail")
+    assert(probeCtx.contains("\"hn\":3") &&
+      probeCtx.contains("\"decontaminate\"") &&
+      probeCtx.contains("\"ngram_novelty\"") &&
+      probeCtx.contains("\"dedup_minhash_lsh\""), probeCtx)
+    // while the streamed early-suite hit lines themselves are indeed cut
+    // (the scenario the context line exists for)
+    assert(!lines.exists(_.startsWith("{\"sched_hit\"")),
+      "simulation no longer reproduces the cut-head scenario")
     // and the named cross-check lines: at least the last ~10 queries'
     // streamed lines must also fit behind the block
     val named = lines.count(_.startsWith("{\"q\":"))
@@ -149,6 +211,33 @@ class BenchFormatSpec extends AnyFunSuite {
     // no hits → an empty but still-parseable array in the file record
     val line = Bench.renderFullRecord(results, sched, "/d")
     assertFragments(line, Seq("\"sched_hit\":[]"))
+  }
+
+  test("the committed comparator matches its source artifact's values") {
+    // BenchRef.committed is a hand-transcribed snapshot of the named
+    // artifact; the drift test below pins only the KEY SET, so a
+    // re-recorded comparator or a one-value transcription typo would
+    // silently skew which queries trigger sched_hit probes. Parse the
+    // artifact's `"queries":{...}` object (Bench writes it with
+    // code-controlled names and fmt-rendered values — no nesting, no
+    // escapes) and pin value-for-value equality.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(BenchRef.sourceFile)), "UTF-8")
+    val qStart = src.indexOf("\"queries\":{")
+    assert(qStart >= 0, s"${BenchRef.sourceFile} lost its queries map")
+    val body = src.substring(qStart + "\"queries\":{".length,
+      src.indexOf('}', qStart))
+    val parsed = body.split(',').map { kv =>
+      val Array(k, v) = kv.split(':')
+      k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+    }.toMap
+    assert(parsed.size == BenchRef.committed.size,
+      s"artifact has ${parsed.size} queries, BenchRef ${BenchRef.committed.size}")
+    val diffs = BenchRef.committed.collect {
+      case (k, v) if parsed.get(k) != Some(v) => s"$k: ref=$v art=${parsed.get(k)}"
+    }
+    assert(diffs.isEmpty,
+      s"BenchRef diverged from ${BenchRef.sourceFile}: ${diffs.take(5).mkString("; ")}")
   }
 
   test("the committed comparator covers the suite exactly") {
