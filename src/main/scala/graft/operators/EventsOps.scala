@@ -107,15 +107,23 @@ object EventsOps extends QueryModule {
           when(col("is_p") === 0,
             struct(col("event_id"), col("us"), col("value"))),
           ignoreNulls = true).over(w)
+        // money emitted as EXACT integer cents (ExactNum.cents), not
+        // round(value, 2): double rounding at 2 dp is engine-divergent
+        // on full-precision inputs (Spark shortest-repr HALF_UP vs
+        // DuckDB scaled-binary — 0.285 → 0.29 vs 0.28), latent only
+        // while the fixture ships exactly-2-dp values. events.value has
+        // no decimal contract (unlike TPC-H money columns, 2-dp by
+        // spec), so this is the one surface a full-precision driver
+        // fixture would turn red. MySqlSemanticsSpec pins the class.
         ev.withColumn("ck", ck)
           .where(col("is_p") === 1 && col("ck").isNotNull)
           .select(col("event_id").as("purchase_id"), col("user_id"),
             col("us").as("purchase_us"),
             col("ck.event_id").as("click_id"), col("ck.us").as("click_us"),
-            round(col("value"), 2).as("purchase_value"),
-            round(col("ck.value"), 2).as("click_value"))
+            cents(col("value")).as("purchase_cents"),
+            cents(col("ck.value")).as("click_cents"))
       },
-      Some("""WITH ev AS (
+      Some(s"""WITH ev AS (
                 SELECT event_id, user_id, epoch_us(ts) AS us, value,
                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                          AS is_p
@@ -135,8 +143,8 @@ object EventsOps extends QueryModule {
                      us AS purchase_us,
                      struct_extract(ck, 'eid') AS click_id,
                      struct_extract(ck, 'cus') AS click_us,
-                     round(value, 2) AS purchase_value,
-                     round(struct_extract(ck, 'val'), 2) AS click_value
+                     ${oracleCents("value")} AS purchase_cents,
+                     ${oracleCents("struct_extract(ck, 'val')")} AS click_cents
               FROM j WHERE is_p = 1 AND ck IS NOT NULL""")),
 
     // Gap-based sessionization (30-min inactivity): lag over a per-user

@@ -151,24 +151,31 @@ object EventsStream {
 
   /** One click/purchase event for the streaming as-of join (`ts` carries
     * the watermark through to the stateful operator; the logic works in
-    * `ts_us` micros).
+    * `ts_us` micros). `value` is Option: the events table's value column
+    * is nullable and the batch twin keeps NULL-value events (only NULL
+    * ts is filtered) — a non-nullable Double field here made the
+    * encoder CRASH on the first NULL value, the same bug class as the
+    * r12 lmQualityFilter fix.
     */
   final case class AsofEv(user_id: Long, event_id: Long,
-      ts: java.sql.Timestamp, ts_us: Long, value: Double, is_p: Boolean)
+      ts: java.sql.Timestamp, ts_us: Long, value: Option[Double],
+      is_p: Boolean)
 
   /** Per-user as-of state: the single best watermark-safe click (no
     * earlier click can ever beat it for any future purchase) plus every
     * event still inside the watermark.
     */
-  final case class AsofState(safeUs: Long, safeId: Long, safeVal: Double,
-      hasSafe: Boolean, pending: List[AsofEv])
+  final case class AsofState(safeUs: Long, safeId: Long,
+      safeVal: Option[Double], hasSafe: Boolean, pending: List[AsofEv])
 
   /** A purchase matched to the latest at-or-before click (emitted once,
-    * when the watermark makes the match final).
+    * when the watermark makes the match final). Values stay Option end
+    * to end: a matched click whose value is NULL must emit click_value
+    * NULL — exactly what the batch struct-carry produces.
     */
   final case class AsofMatch(purchase_id: Long, user_id: Long,
       purchase_us: Long, click_id: Long, click_us: Long,
-      purchase_value: Double, click_value: Double)
+      purchase_value: Option[Double], click_value: Option[Double])
 
   /** Streaming twin of the batch `join_asof`: each purchase is matched
     * to the user's LATEST click at-or-before it, emitted exactly once.
@@ -206,7 +213,7 @@ object EventsStream {
         (user: Long, it: Iterator[AsofEv], state: GroupState[AsofState]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(
-            AsofState(Long.MinValue, Long.MinValue, 0.0, hasSafe = false, Nil))
+            AsofState(Long.MinValue, Long.MinValue, None, hasSafe = false, Nil))
           // late data below the watermark is dropped (standard policy);
           // the compacted safe click is always OLDER than every retained
           // event (it was folded under an earlier, smaller watermark), so
@@ -227,7 +234,7 @@ object EventsStream {
           val next = AsofState(
             best.map(_._1).getOrElse(Long.MinValue),
             best.map(_._2).getOrElse(Long.MinValue),
-            best.map(_._3).getOrElse(0.0), best.isDefined, pending)
+            best.flatMap(_._3), best.isDefined, pending)
           if (!next.hasSafe && next.pending.isEmpty)
             // nothing retained and nothing to wait for (a purchase-only
             // user whose purchases all ripened unmatched): remove the

@@ -129,6 +129,43 @@ class MySqlSemanticsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, "b", 9L), (2L, "c", 10L)), out.mkString(","))
   }
 
+  test("cents is scaled-binary exact on full-precision doubles") {
+    import graft.functions.ExactNum
+    import spark.implicits._
+    // The round(double, 2) divergence class (r12 deferred item (a)):
+    // Spark HALF_UPs the SHORTEST-DECIMAL repr while DuckDB rounds the
+    // scaled BINARY value — 0.285 is really 0.28499999999999998…, so
+    // the engines answer 0.29 vs 0.28 and the hash gate goes red the
+    // moment a fixture ships full-precision doubles. ExactNum.cents
+    // scales to integer first, where every half-point is dyadic and
+    // the engines agree. Expectation computed here by DuckDB's own
+    // rule (round-half-away-from-zero on the double product), NOT by
+    // Spark — so this is a genuine cross-engine pin, plus hand-checked
+    // anchors for the headline divergent values.
+    val vals = Seq(0.285, 2.675, 1.005, -0.285, -2.675, 12.5 / 100,
+      -12.5 / 100, 0.49999999999999994, 7.0, 0.0, 1e9 + 0.005)
+    def duckRound(x: Double): Long = {
+      val p = x * 100 // same IEEE product both engines compute
+      (math.signum(p) * math.floor(math.abs(p) + 0.5)).toLong
+    }
+    val out = vals.toDF("v").select(ExactNum.cents(col("v")))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == vals.map(duckRound),
+      out.zip(vals).mkString(","))
+    // hand-checked anchors: the binary value of 0.285*100 is below
+    // 28.5, so BOTH engines must say 28 — while Spark's round(x, 2)
+    // says 0.29 (the divergence this pin exists to keep closed)
+    assert(out(0) == 28L && out(3) == -28L)
+    val sparkRound2 = Seq(0.285).toDF("v")
+      .select(round(col("v"), 2)).collect()(0).getDouble(0)
+    assert(sparkRound2 == 0.29,
+      "Spark's shortest-repr rounding changed — revisit the cents rationale")
+    // NULL flows through (the join_asof fixture carries NULL values)
+    val n = Seq[Option[Double]](None, Some(1.25)).toDF("v")
+      .select(ExactNum.cents(col("v"))).collect()
+    assert(n(0).isNullAt(0) && n(1).getLong(0) == 125L)
+  }
+
   test("custom SQL functions reject wrong arity at analysis") {
     graft.functions.StrCmp.register(spark)
     graft.functions.Fingerprint.register(spark)

@@ -221,8 +221,11 @@ class StreamingSpec extends SparkSuite {
       val streamed = spark.table("asof_stream")
         .select(col("purchase_id"), col("user_id"), col("purchase_us"),
           col("click_id"), col("click_us"),
-          round(col("purchase_value"), 2).as("purchase_value"),
-          round(col("click_value"), 2).as("click_value"))
+          // the batch operator emits exact integer cents (ExactNum.cents)
+          graft.functions.ExactNum.cents(col("purchase_value"))
+            .as("purchase_cents"),
+          graft.functions.ExactNum.cents(col("click_value"))
+            .as("click_cents"))
       val batch = q("join_asof")
       assert(streamed.count() > 0)
       assert(streamed.exceptAll(batch).count() == 0)
@@ -257,6 +260,63 @@ class StreamingSpec extends SparkSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       // the purchase matched the late-arriving click@3, not click@0
       assert(rows == Set((11L, 12L)))
+    } finally sq.stop()
+  }
+
+  test("streaming as-of survives NULL event values and matches batch") {
+    // the events value column is nullable and the batch operator keeps
+    // NULL-value events (only NULL ts is filtered) — the streaming
+    // twin's former non-nullable Double fields crashed the encoder on
+    // the first NULL (the r12 lmQualityFilter bug class, deferred item
+    // (b)). Mutate the fixture exactly like EmptyInputSpec's nullDir
+    // (every 9th event's value NULL), run the BATCH join_asof on the
+    // mutated dir, and stream the same events through asofMatches.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("asof-nullval").toString
+    Tables.loadEvents(spark, sf)
+      .withColumn("value",
+        when(col("event_id") % 9 === 0, lit(null)).otherwise(col("value")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.loadEvents(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        (col("event_type") === "purchase").as("is_p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+      .sortBy(_._3.getTime)
+    assert(ev.exists(_._4.isEmpty), "fixture must actually plant NULL values")
+    val in =
+      MemoryStream[(Long, Long, java.sql.Timestamp, Option[Double], Boolean)]
+    val sq = EventsStream.asofMatches(
+        in.toDF().toDF("user_id", "event_id", "ts", "value", "is_p"))
+      .writeStream.format("memory").queryName("asof_nullval")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); sq.processAllAvailable()
+      }
+      val far = new java.sql.Timestamp(ev.last._3.getTime + 7200000L)
+      in.addData((-1L, -1L, far, Some(0.0), false)); sq.processAllAvailable()
+      in.addData((-1L, -2L,
+        new java.sql.Timestamp(far.getTime + 60000L), Some(0.0), false))
+      sq.processAllAvailable()
+      val streamed = spark.table("asof_nullval")
+        .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+          col("click_id"), col("click_us"),
+          graft.functions.ExactNum.cents(col("purchase_value"))
+            .as("purchase_cents"),
+          graft.functions.ExactNum.cents(col("click_value"))
+            .as("click_cents"))
+      val batch = SparkEntry.queries("join_asof")(spark, dir)
+      assert(streamed.count() > 0)
+      // NULL values must flow through to NULL match columns on BOTH sides
+      assert(streamed.filter(col("click_cents").isNull
+        || col("purchase_cents").isNull).count() > 0,
+        "planted NULLs never reached a match — the fixture is too weak")
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
     } finally sq.stop()
   }
 
