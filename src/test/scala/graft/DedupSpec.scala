@@ -57,6 +57,33 @@ class DedupSpec extends SparkSuite {
       "LSH result diverges from exact all-pairs result — drop the oracle")
   }
 
+  test("VT precondition: Java-\\S+ spec restatements stay sound on this corpus") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // This suite's independent restatements (the `\\S+` literals below)
+    // deliberately use JAVA regex semantics, where vertical tab is
+    // whitespace; the operators and the DuckDB oracle use the RE2 class
+    // (TextOps.NonWsToken), where it is not. Pin the fork explicitly:
+    // (1) demonstrate the divergence is exactly the VT class —
+    val vt = Seq((1L, "alpha\u000Bbeta gamma")).toDF("doc_id", "text")
+    val javaN = vt.select(size(regexp_extract_all(col("text"),
+      lit("\\S+"), lit(0)))).collect()(0).getInt(0)
+    val opN = Dedup.tokens(vt).select(size(col("t")))
+      .collect()(0).getInt(0)
+    assert(javaN == 3, "Java \\S no longer splits on VT — re-audit the pin")
+    assert(opN == 2, "operator tokenizer split on VT — it has drifted " +
+      "from the RE2 class the oracle uses")
+    // (2) the restatements are only equivalent to the operators while
+    // the corpus carries no VT — make a VT fixture fail HERE, loudly,
+    // instead of letting a spec pass green while the oracle forks
+    val vtDocs = Tables.load(spark, sf, "documents")
+      .filter(col("text").contains("\u000B")).count()
+    assert(vtDocs == 0,
+      s"$vtDocs corpus docs now carry vertical tabs: the Java-\\S+ " +
+        "restatements in this suite are no longer equivalent to the " +
+        "RE2-aligned operators — restate them with TextOps.NonWsToken")
+  }
+
   test("corpus tokens are ASCII and < 32 bytes (simhash oracle precondition)") {
     import graft.operators.Dedup
     // The DuckDB xxhash64 twin (XxHash64Sql) reads bytes as ascii(t[i])
