@@ -54,20 +54,31 @@ object Tables {
     * files lazily, long after this probe), but for the common
     * non-nanos fixtures it is UNSET again — leaving it on session-wide
     * silently mapped any OTHER nanos timestamp column (a user table's,
-    * say) to a bare long instead of failing loudly. Fixture dirs within
-    * one session are homogeneous per driver round, so the last probe's
-    * conf decision cannot fight an earlier one's.
+    * say) to a bare long instead of failing loudly.
+    *
+    * The probe result is JVM-global but the conf is PER SESSION, so the
+    * conf decision cannot ride the cache: a cache HIT for a nanos dir
+    * in a fresh session must still establish the conf, and probing a
+    * non-nanos dir must not unset it while an earlier nanos dir's
+    * frames are still lazy (specs DO mix fixture dirs in one session).
+    * So every call (re-)asserts the conf for the PASSED session:
+    * set when this dir is nanos (idempotent, cheap), unset only when NO
+    * probed dir is nanos — the conservative policy that keeps every
+    * lazily-pending nanos frame readable.
     */
-  private val tsLongCache =
+  private[graft] val tsLongCache =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean =
-    tsLongCache.getOrElseUpdate(dir, {
+  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
+    val isLong = tsLongCache.getOrElseUpdate(dir, {
       import org.apache.spark.sql.types._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val isLong = load(spark, dir, "events").schema("ts").dataType == LongType
-      if (!isLong) spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      isLong
+      load(spark, dir, "events").schema("ts").dataType == LongType
     })
+    if (isLong || tsLongCache.values.exists(identity))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    else spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    isLong
+  }
 
   /** The shared ts normalization: nanos-long → truncated micros
     * timestamp; timestamp[us] (loaded NTZ) → session-UTC timestamp. */

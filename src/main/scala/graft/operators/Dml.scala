@@ -40,7 +40,14 @@ object Dml extends QueryModule {
     // intra-batch tie-break is the incoming frame's row order (same
     // last-row-wins contract as the execution path's replaceSurvivors):
     // ordering by priority alone left duplicate-key incoming rows tied
-    // and the survivor nondeterministic per run.
+    // and the survivor nondeterministic per run. Scope: the
+    // monotonically_increasing_id ordering equals STATEMENT row order
+    // only for a deterministic, non-shuffled incoming plan — i.e. the
+    // REPLACE ... VALUES batches the SQL frontend feeds this (and the
+    // spec pins). For a REPLACE ... SELECT whose plan shuffles, "later
+    // row" degrades to partition-index order: still deterministic per
+    // plan, but callers that need statement order from such a source
+    // must supply their own ordering column.
     val taken = (base.columns ++ incoming.columns).toSet
     val pri = graft.GraftSession.freshName(taken, "__pri")
     val seq = graft.GraftSession.freshName(taken + pri, "__seq")

@@ -27,16 +27,21 @@ object Formats extends QueryModule {
           .filter(col("l_orderkey") <= 1000)
           .select(col("l_orderkey"), col("l_partkey"),
             col("l_quantity"), col("l_returnflag"))
-        // DETERMINISTIC scratch dir per source fixture (md5-keyed), not
-        // a fresh createTempDirectory: the result frame lazily reads
-        // from these files, so they cannot be deleted here, and a
-        // unique dir per invocation leaked one full CSV+JSON copy into
-        // /tmp on every bench/verify run. Overwrite mode bounds the
-        // footprint to one copy per fixture path instead.
+        // DETERMINISTIC scratch dir per (fixture, process), not a fresh
+        // createTempDirectory: the result frame lazily reads from these
+        // files, so they cannot be deleted here, and a unique dir per
+        // invocation leaked one full CSV+JSON copy into /tmp on every
+        // bench/verify run. Overwrite mode bounds the footprint to one
+        // copy per fixture path per JVM. The PID component keeps two
+        // CONCURRENT JVMs (an overlapping bench and verify on the same
+        // fixture) from overwriting each other's files while the other's
+        // result frame is still lazily reading them — a purely
+        // fixture-keyed dir was a cross-process race.
         val key = java.util.UUID
           .nameUUIDFromBytes(d.getBytes("UTF-8")).toString.take(8)
         val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_fmt_$key").getAbsolutePath
+          s"graft_fmt_${key}_p${ProcessHandle.current().pid()}")
+          .getAbsolutePath
         li.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
         li.write.mode("overwrite").json(s"$dir/json")
         val c = s.read.schema(li.schema).option("header", "true").csv(s"$dir/csv")

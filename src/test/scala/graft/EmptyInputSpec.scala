@@ -212,6 +212,45 @@ class EmptyInputSpec extends SparkSuite
       "NULL-text docs entered the quota ahead of content docs")
   }
 
+  test("events dtype probe: the nanos conf follows the session, not the cache") {
+    // the probe caches per DIR in a JVM-global map, but the legacy
+    // nanosAsLong conf is per SESSION and used to be touched only on a
+    // cache MISS — so probing a non-nanos dir could unset it while an
+    // earlier nanos dir's frames were still lazy (this very suite mixes
+    // fixture dirs in one session), and a cache hit in a fresh session
+    // never established it at all. Every call now (re-)asserts the conf
+    // for the passed session.
+    val conf = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = Tables.tsLongCache.readOnlySnapshot().toMap
+    val nanosDir = "/simulated/nanos/fixture"
+    try {
+      // a previously-probed nanos dir sits in the global cache: probing
+      // a NON-nanos dir must keep the conf set (that dir's frames may
+      // still be lazy in this session)
+      Tables.tsLongCache.put(nanosDir, true)
+      assert(!Tables.eventsTsIsLong(spark, sf))
+      assert(spark.conf.getOption(conf).contains("true"),
+        "non-nanos probe unset the conf under a live nanos dir")
+      // a cache HIT on the nanos dir must establish the conf even
+      // though the probe body never runs (the fresh-session case)
+      spark.conf.unset(conf)
+      assert(Tables.eventsTsIsLong(spark, nanosDir))
+      assert(spark.conf.getOption(conf).contains("true"),
+        "cache hit failed to establish the conf for this session")
+      // with no nanos dir cached anywhere, a non-nanos call unsets it
+      // (back to the registered default "false" — getOption never
+      // returns None for a conf with a default)
+      Tables.tsLongCache.remove(nanosDir)
+      assert(!Tables.eventsTsIsLong(spark, sf))
+      assert(spark.conf.get(conf) == "false",
+        "conf left enabled with no nanos fixture to justify it")
+    } finally {
+      Tables.tsLongCache.clear()
+      Tables.tsLongCache ++= saved
+      spark.conf.unset(conf)
+    }
+  }
+
   test("centroid expressions stay typed with zero collected centroids") {
     // the specific r11 regression: the Lloyd pass over an empty corpus
     // collects zero centroids, and cellOf/centDists must still render
