@@ -71,6 +71,15 @@ object CorpusOps extends QueryModule {
     * ~4 references per stage would re-expand the chain exponentially
     * (the first attempt died on 4^12 parquet opens).
     */
+  /** Shared WITH-chain for the BPE oracles. The w$i CASE guard matters
+    * on EXHAUSTION (pair inventory empty before K merges — a degenerate
+    * one-letter-vocabulary corpus): an empty b$i makes the scalar
+    * subqueries NULL, and DuckDB's replace(repr, NULL, NULL) NULLs
+    * EVERY repr, cascading through all later stages until the encode
+    * census returns zero rows while the engine emits the true top-50.
+    * The guard turns an exhausted merge into the no-op the engine's own
+    * `exhausted` break performs.
+    */
   private def bpeChain(k: Int): String = {
     val sb = new StringBuilder
     sb ++=
@@ -94,10 +103,13 @@ object CorpusOps extends QueryModule {
                    WHERE len(sy) >= 2)
                  GROUP BY s1, s2),
          b$i AS MATERIALIZED (SELECT s1, s2, c FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
-         w$i AS MATERIALIZED (SELECT cnt, replace(repr,
-                   chr(1) || (SELECT s1 FROM b$i) || chr(1) || chr(1) ||
-                             (SELECT s2 FROM b$i) || chr(1),
-                   chr(1) || (SELECT s1 || s2 FROM b$i) || chr(1)) AS repr
+         w$i AS MATERIALIZED (SELECT cnt,
+                   CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN repr
+                        ELSE replace(repr,
+                          chr(1) || (SELECT s1 FROM b$i) || chr(1) || chr(1) ||
+                                    (SELECT s2 FROM b$i) || chr(1),
+                          chr(1) || (SELECT s1 || s2 FROM b$i) || chr(1))
+                   END AS repr
                  FROM $prev)"""
     }
     sb.toString
@@ -375,8 +387,21 @@ object CorpusOps extends QueryModule {
     // guarantee.
     Q("quality_buckets",
       (s, d) => {
-        val sc = Dedup.tokens(docs(s, d))
+        // text IS NOT NULL on both sides: a failed-fetch doc has NULL
+        // score, which the engines place at OPPOSITE ends of the
+        // cumulative window (Spark NULLS FIRST vs DuckDB NULLS LAST —
+        // the sample_stratified fork), inflating every non-NULL cum by
+        // the NULL count, and the final equi-join on score silently
+        // DROPS the NULL docs from the Spark output while the oracle
+        // keeps them. A score-less doc belongs in no decile anyway;
+        // the explicit filter is the one policy both engines express
+        // identically (the join_asof ts precedent). sc persisted: it
+        // feeds the histogram (read twice: cum + total) AND the final
+        // join back, and unpersisted the corpus-scale tokenize pass ran
+        // up to three times (sc is two longs per doc — cache-trivial).
+        val sc = Dedup.tokens(docs(s, d).where(col("text").isNotNull))
           .select(col("doc_id"), size(col("t")).cast("long").as("score"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val hist = sc.groupBy(col("score")).agg(count(lit(1)).as("c"))
         val cum = hist.withColumn("cum",
           sum(col("c")).over(Window.orderBy(col("score"))
@@ -391,7 +416,7 @@ object CorpusOps extends QueryModule {
       Some("""WITH sc AS (SELECT doc_id,
                      CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
                        AS score
-                   FROM documents),
+                   FROM documents WHERE text IS NOT NULL),
               n AS (SELECT count(*) AS n FROM sc),
               cum AS (SELECT doc_id, score,
                              count(*) OVER (ORDER BY score) AS cum

@@ -286,7 +286,15 @@ object DedupStream {
     qtable.count(); quni.count()
     btoks.unpersist(blocking = false)
     uni.unpersist(blocking = false)
-    val qOov = math.floor(math.log(1.0 / vocabV) * 1e6).toLong
+    // An EMPTY base (bootstrap: no corpus yet, or all-NULL/empty texts)
+    // has no model at all: 1.0/0 made qOov floor(log(Inf)).toLong =
+    // Long.MaxValue, and the per-doc accumulator then WRAPPED negative
+    // on the second OOV bigram. No-evidence policy, same doctrine as
+    // the NULL-text verdict row above: an empty model contributes no
+    // penalty (qOov = 0), so every doc scores logp 0 and the
+    // classifier term alone decides keep.
+    val qOov = if (vocabV == 0L) 0L
+      else math.floor(math.log(1.0 / vocabV) * 1e6).toLong
     // stream: per-row classifier fold, bigram explode, model joins.
     // NULL text (a failed fetch) folds as an empty token array — same
     // guard as deltaDedup/decontaminate above; unguarded, size(NULL)

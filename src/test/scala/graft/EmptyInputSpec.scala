@@ -212,6 +212,26 @@ class EmptyInputSpec extends SparkSuite
       "NULL-text docs entered the quota ahead of content docs")
   }
 
+  test("quality_buckets excludes NULL-text docs and keeps deciles exact") {
+    // a failed-fetch doc has NULL score; before the explicit filter the
+    // engines put it at OPPOSITE ends of the cumulative window (Spark
+    // NULLS FIRST vs DuckDB NULLS LAST), shifting every bucket, and the
+    // final equi-join silently DROPPED the doc from the Spark output
+    // while the oracle kept it — a gate-blind divergence on the one
+    // input class this suite treats as routine
+    val out = SparkEntry.queries("quality_buckets")(spark, nullDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nonNull = spark.read.parquet(s"$nullDir/documents.parquet")
+      .filter(col("text").isNotNull).count()
+    assert(out.length == nonNull,
+      s"bucketed ${out.length} docs, expected the $nonNull non-NULL ones")
+    // with NULLs excluded the decile arithmetic is exact: the highest
+    // score must land in bucket 10, and every bucket is in [1, 10]
+    assert(out.map(_._3).max == 10L && out.map(_._3).min >= 1L)
+    val maxScore = out.map(_._2).max
+    assert(out.filter(_._2 == maxScore).forall(_._3 == 10L))
+  }
+
   test("events dtype probe: the nanos conf follows the session, not the cache") {
     // the probe caches per DIR in a JVM-global map, but the legacy
     // nanosAsLong conf is per SESSION and used to be touched only on a

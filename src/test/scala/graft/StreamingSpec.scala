@@ -556,4 +556,36 @@ class StreamingSpec extends SparkSuite {
     assert(oov.getAs[Long]("n_bigrams") == 2L)
     assert(oov.getAs[Long]("logp_micro") == 2 * qOov)
   }
+
+  test("LM filter with an EMPTY base scores logp 0, never wraps") {
+    // bootstrap deployment: the first corpus build has no static base
+    // yet. vocabV = 0 made the OOV floor log(1/0) = Inf, whose toLong
+    // is Long.MaxValue — so the second OOV bigram WRAPPED the per-doc
+    // accumulator negative and the filter emitted arithmetic garbage.
+    // Policy now matches the NULL-text verdict row: no model evidence
+    // means no LM penalty; the classifier term alone decides keep.
+    val split = java.nio.file.Files.createTempDirectory("lmq-empty").toString
+    locally {
+      import spark.implicits._
+      Seq((1L, "three tokens here and more of them", "en", "s", 34L),
+          (2L, "two words", "en", "s", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(split)
+    }
+    val emptyBase = spark.read.parquet(s"$sf/documents.parquet").limit(0)
+    val incoming = graft.streaming.DedupStream.source(spark, split, "*.parquet")
+    val sq = graft.streaming.DedupStream.lmQualityFilter(incoming, emptyBase)
+      .writeStream.format("memory").queryName("lmq_emptybase")
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    val rows = spark.table("lmq_emptybase").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("logp_micro") == 0L,
+        s"empty-model doc scored ${r.getAs[Long]("logp_micro")}, not 0")
+      assert(r.getAs[Long]("n_bigrams") ==
+        r.getAs[Long]("n_tokens") - 1, r.toString)
+      assert(r.getAs[Boolean]("keep"), "classifier-only keep must pass")
+    }
+  }
 }
