@@ -36,10 +36,22 @@ object Indexing extends QueryModule {
     * built at ingest, amortized across every query that probes it) — a
     * bench or verify run that probes the join repeatedly pays the ingest
     * cost once, so the measured time is the probe, not the build.
+    *
+    * The physical name embeds a SOURCE-DIR hash: a name keyed only by
+    * (table, key) aliased across fixture dirs, so switching dirs within
+    * one session (the spec suites do) overwrote the table IN PLACE and
+    * a lazily-held frame built against the previous dir either read the
+    * new dir's rows silently or died on missing files mid-scan. One
+    * table per (dir, table, key) keeps every handed-out frame valid for
+    * the session's lifetime — index-like, where rebuilding-in-place is
+    * not.
     */
   def bucketedCopy(s: SparkSession, d: String, table: String, key: String,
       buckets: Int = 8): String = synchronized {
-    val name = s"$db.${table}_by_$key"
+    val dirKey = java.util.UUID
+      .nameUUIDFromBytes(d.getBytes("UTF-8")).toString.take(8)
+      .replace("-", "")
+    val name = s"$db.${table}_by_${key}_$dirKey"
     val cur = (s.sparkContext.applicationId, d)
     if (!built.get(name).contains(cur) || !s.catalog.tableExists(name)) {
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -40,8 +40,27 @@ object Similarity extends QueryModule {
   private[operators] def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(a, b)
 
+  /** Cosine with a zero-norm guard: an ALL-ZERO embedding (padding /
+    * failed-encode rows — the same class emb_quantize guards) makes the
+    * denominator 0, which under the session's ANSI mode THREW
+    * DIVIDE_BY_ZERO and killed the whole query, while DuckDB's double
+    * division yields NULL and completes (verified on 1.0.0). nullif
+    * reproduces DuckDB's exact semantics: NULL sim, which every
+    * downstream threshold filters and every rank window sorts last on
+    * BOTH engines (Spark desc = desc_nulls_last; DuckDB defaults NULLS
+    * LAST in either direction — probed).
+    */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / nullif(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(0.0))
+
+  /** The ONE DuckDB cosine fragment every oracle here shares: the same
+    * in-order list_dot_product fold as [[cosine]]'s graft_dot, with
+    * DuckDB's native div-by-zero→NULL matching the nullif guard above.
+    * Single-sourced (the lloydStage discipline) so the bit-exactness
+    * convention cannot drift copy by copy.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   /** Embeddings with the widened vector column. The [[Dim]] guard runs
     * ONCE here at the scan (size() is a header read): a regenerated or
@@ -129,11 +148,21 @@ object Similarity extends QueryModule {
   private def dotLit(v: Column, c: Seq[Double]): Column =
     graft.functions.VectorOps.dot(v, typedLit(c))
 
-  /** Squared-distance struct list to each centroid (monotone in L2:
-    * |v|² - 2·v·c + |c|²; |v|² constant per row so dropped), ordered so
-    * `array_min`/`array_sort` pick the nearest cell, ties to lower id.
+  /** Squared-distance (d, cell-id) struct list to each centroid
+    * (monotone in L2: |v|² - 2·v·c + |c|²; |v|² constant per row so
+    * dropped), ordered so `array_min`/`array_sort` pick the nearest
+    * cell, ties to the lower id. Cell ids are the SEED
+    * vec_ids, not dense positions over the collected seeds: the SQL
+    * twins number cells `vec_id AS cell` (c0 in [[semanticOracle]] /
+    * [[ivfOracle]]), and a NULL embedding among the seed rows used to
+    * shift every dense index after the gap — identical clustering, but
+    * dedup_semantic exposes the cell column verbatim, so the
+    * hash-compare forked on partial-NULL seed windows. With vec_id
+    * ids the two numberings agree under ANY seed NULL pattern (and the
+    * argmin tie-break — array_min's (d, i) struct order vs the
+    * oracle's (d, cell) — stays aligned too).
     */
-  private def centDists(v: Column, cents: Array[Seq[Double]]): Column =
+  private def centDists(v: Column, cents: Array[(Int, Seq[Double])]): Column =
     if (cents.isEmpty)
       // An EMPTY corpus collects zero centroids (a filtered source
       // being empty is routine at scale). An untyped `array()` literal
@@ -143,17 +172,17 @@ object Similarity extends QueryModule {
       lit(null).cast(types.ArrayType(types.StructType(Seq(
         types.StructField("d", types.DoubleType),
         types.StructField("i", types.IntegerType)))))
-    else array(cents.zipWithIndex.toIndexedSeq.map {
-      case (c: Seq[Double], i: Int) =>
+    else array(cents.toIndexedSeq.map {
+      case (id: Int, c: Seq[Double]) =>
         val c2 = c.map(x => x * x).sum
         // named_struct: field names survive array_sort/slice, plain
         // struct aliases do not
         named_struct(lit("d"), lit(c2) - lit(2.0) * dotLit(v, c),
-          lit("i"), lit(i))
+          lit("i"), lit(id))
     }: _*)
 
-  /** Nearest-centroid cell id. */
-  private def cellOf(v: Column, cents: Array[Seq[Double]]): Column =
+  /** Nearest-centroid cell id (a seed vec_id — see [[centDists]]). */
+  private def cellOf(v: Column, cents: Array[(Int, Seq[Double])]): Column =
     array_min(centDists(v, cents)).getField("i")
 
   /** Bands × bits of the dense-bucket refinement (see
@@ -227,15 +256,17 @@ object Similarity extends QueryModule {
     * metadata-scale, like the reference's ANALYZE stats, not data-scale.
     */
   private[operators] def ivfCentroids(e: DataFrame, k: Int,
-      iters: Int, dim: Int = 64): Array[Seq[Double]] = {
+      iters: Int, dim: Int = 64): Array[(Int, Seq[Double])] = {
     // NULL vectors (padding / failed-encode rows) take no part in the
     // quantizer: a NULL seed would put a null Seq into the centroid
     // literals (MatchError in centDists) and a NULL row contributes
     // nothing to any mean. Callers exclude them from assignment too.
+    // Each centroid keeps its seed vec_id as the CELL ID (the oracles'
+    // numbering — see centDists).
     val nn = e.where(col("v").isNotNull)
-    var cents: Array[Seq[Double]] = nn.filter(col("vec_id") < k)
-      .orderBy("vec_id").select("v").collect()
-      .map(_.getSeq[Double](0))
+    var cents: Array[(Int, Seq[Double])] = nn.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("vec_id", "v").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
     // Zero seeds with a NON-empty corpus (every vec_id < k row carries a
     // NULL embedding — routine after a failed encode batch) must skip
     // the Lloyd loop entirely: with no centroids cellOf yields a NULL
@@ -269,8 +300,8 @@ object Similarity extends QueryModule {
         .collect()
         .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
         .toMap
-      cents = cents.zipWithIndex.map { case (old, i) =>
-        byCell.getOrElse(i, old) // empty cell keeps its centroid
+      cents = cents.map { case (id, old) =>
+        (id, byCell.getOrElse(id, old)) // empty cell keeps its centroid
       }
     }
     cents
@@ -289,16 +320,14 @@ object Similarity extends QueryModule {
     */
   private def lshOracle: String = {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         nbv AS (${lshBitsSql("embeddings")}),
         b AS (SELECT vec_id, v, $adaptiveBucketSql AS bucket
               FROM e, nbv),
         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
               FROM b WHERE vec_id < 20),
         sc AS (SELECT q_id, vec_id,
-                 list_dot_product(qv, v)
-                 / (sqrt(list_dot_product(qv, qv))
-                    * sqrt(list_dot_product(v, v))) AS sim
+                 ${cosSql("qv", "v")} AS sim
                FROM q JOIN b ON q_bucket = bucket AND q_id <> vec_id),
         rk AS (SELECT q_id, vec_id, sim,
                  row_number() OVER (PARTITION BY q_id
@@ -316,7 +345,7 @@ object Similarity extends QueryModule {
     */
   private def knnLabelOracle: String = {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         nbv AS (${lshBitsSql("embeddings")}),
         b AS (SELECT vec_id, v, label, $adaptiveBucketSql AS bucket
               FROM e, nbv),
@@ -325,9 +354,7 @@ object Similarity extends QueryModule {
               FROM b WHERE vec_id % 5 = 0),
         l AS (SELECT vec_id, v, label, bucket FROM b WHERE vec_id % 5 <> 0),
         sc AS (SELECT q_id, true_label, vec_id, label,
-                 list_dot_product(qv, v)
-                 / (sqrt(list_dot_product(qv, qv))
-                    * sqrt(list_dot_product(v, v))) AS sim
+                 ${cosSql("qv", "v")} AS sim
                FROM q JOIN l ON q_bucket = bucket),
         rk AS (SELECT q_id, true_label, vec_id, label, sim,
                  row_number() OVER (PARTITION BY q_id
@@ -404,9 +431,7 @@ object Similarity extends QueryModule {
                   SELECT vec_id, v, cell, $argmin AS rn
                   FROM e CROSS JOIN c2 WHERE vec_id < 20) WHERE rn <= $NProbe),
         sc AS (SELECT q_id, vec_id,
-                 list_dot_product(qv, v)
-                 / (sqrt(list_dot_product(qv, qv))
-                    * sqrt(list_dot_product(v, v))) AS sim
+                 ${cosSql("qv", "v")} AS sim
                FROM prb JOIN asg ON probe_cell = cell AND q_id <> vec_id),
         rk AS (SELECT q_id, vec_id, sim,
                  row_number() OVER (PARTITION BY q_id
@@ -454,8 +479,14 @@ object Similarity extends QueryModule {
       .filter(col("rk") <= 5)
     top.groupBy(col("q_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("votes"))
+      // asc_nulls_last on the label tie-break: embeddings.label is
+      // nullable, and on a votes tie Spark's bare asc (NULLS FIRST)
+      // would crown a NULL-label vote group while DuckDB's default
+      // (NULLS LAST, probed) picks the real label — the
+      // sample_stratified ordering fork, pinned here before a NULL
+      // label ever ships
       .withColumn("vr", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("votes").desc, col("label"))))
+        .orderBy(col("votes").desc, col("label").asc_nulls_last)))
       .filter(col("vr") === 1)
       .select(col("q_id"), col("label").as("pred_label"),
         col("votes"), col("true_label"))
@@ -467,7 +498,14 @@ object Similarity extends QueryModule {
     // broadcast the query row, one scan, TakeOrderedAndProject merge.
     Q("ann_cosine_topk",
       (s, d) => {
-        val e = emb(s, d)
+        // NULL embeddings take no part in ANY similarity query — the
+        // ann_ivf policy applied family-wide (all five unguarded
+        // queries + oracles, r13): a NULL vector is not a neighbor
+        // candidate, and DuckDB 1.0's vectorized list_dot_product can
+        // ERROR chunk-dependently on a parquet scan mixing NULL and
+        // real lists (probed), so the oracle-side filter is load-
+        // bearing, not just hygiene.
+        val e = emb(s, d).where(col("v").isNotNull)
         val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
@@ -476,14 +514,13 @@ object Similarity extends QueryModule {
           .limit(10)
           .select(col("vec_id"), round(col("sim"), 4).as("cos_sim"))
       },
-      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                         FROM embeddings WHERE vec_id = 0),
+      Some(s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                         FROM embeddings
+                         WHERE vec_id = 0 AND embedding IS NOT NULL),
                    sc AS (SELECT vec_id,
-                            list_dot_product(CAST(embedding AS DOUBLE[]), qv)
-                            / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                                     CAST(embedding AS DOUBLE[])))
-                               * sqrt(list_dot_product(qv, qv))) AS sim
-                          FROM embeddings, q WHERE vec_id != 0)
+                            ${cosSql("CAST(embedding AS DOUBLE[])", "qv")} AS sim
+                          FROM embeddings, q
+                          WHERE vec_id != 0 AND embedding IS NOT NULL)
               SELECT vec_id, round(sim, 4) AS cos_sim FROM sc
               ORDER BY sim DESC, vec_id LIMIT 10""")),
 
@@ -491,19 +528,19 @@ object Similarity extends QueryModule {
     // all pairs among vec_id < 300 with cosine ≥ 0.3.
     Q("emb_cosine_pairs",
       (s, d) => {
-        val sub = emb(s, d).filter(col("vec_id") < 300)
+        val sub = emb(s, d)
+          .filter(col("vec_id") < 300 && col("v").isNotNull)
         sub.as("a").join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             cosine(col("a.v"), col("b.v")).as("sim"))
           .filter(col("sim") >= 0.3)
           .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
       },
-      Some("""WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                           FROM embeddings WHERE vec_id < 300),
+      Some(s"""WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings
+                           WHERE vec_id < 300 AND embedding IS NOT NULL),
                    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                           list_dot_product(a.v, b.v)
-                           / (sqrt(list_dot_product(a.v, a.v))
-                              * sqrt(list_dot_product(b.v, b.v))) AS sim
+                           ${cosSql("a.v", "b.v")} AS sim
                          FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
               SELECT vec_a, vec_b, round(sim, 4) AS cos_sim FROM p
               WHERE sim >= 0.3""")),
@@ -519,7 +556,7 @@ object Similarity extends QueryModule {
     // recall against the brute-force path and pins planted-pair
     // collision across the bit flip.
     Q("ann_lsh_bucketed",
-      (s, d) => lshTopK(emb(s, d),
+      (s, d) => lshTopK(emb(s, d).where(col("v").isNotNull),
         lshBits(Tables.load(s, d, "embeddings").count())),
       Some(lshOracle)),
 
@@ -535,7 +572,7 @@ object Similarity extends QueryModule {
     // with corpus size now), one bounded per-query window, one vote
     // aggregate — never an all-pairs scan.
     Q("knn_label",
-      (s, d) => knnLabel(emb(s, d),
+      (s, d) => knnLabel(emb(s, d).where(col("v").isNotNull),
         lshBits(Tables.load(s, d, "embeddings").count())),
       Some(knnLabelOracle)),
 
@@ -549,6 +586,7 @@ object Similarity extends QueryModule {
     Q("dedup_embedding",
       (s, d) => {
         val e = emb(s, d).select(col("vec_id"), col("v"))
+          .where(col("v").isNotNull)
         val corpus = e.unionByName(
           e.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -586,15 +624,14 @@ object Similarity extends QueryModule {
           .filter(col("sim") >= 0.9)
           .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
       },
-      Some("""WITH corpus AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      Some(s"""WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE embedding IS NOT NULL
                 UNION ALL
                 SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
-                FROM embeddings),
+                FROM embeddings WHERE embedding IS NOT NULL),
               p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                      list_dot_product(a.v, b.v)
-                      / (sqrt(list_dot_product(a.v, a.v))
-                         * sqrt(list_dot_product(b.v, b.v))) AS sim
+                      ${cosSql("a.v", "b.v")} AS sim
                     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
               SELECT vec_a, vec_b, round(sim, 4) AS cos_sim FROM p
               WHERE sim >= 0.9""")),
@@ -650,9 +687,10 @@ object Similarity extends QueryModule {
         // into O(d²) codegen (~8k ops/row at d=64; measured 5× slower)
         val maxabs = col("maxabs")
         // all-zero vectors (padding / failed-encode rows) quantize to
-        // zeros — without the guard 0/0 is NaN and the ANSI long cast
-        // throws; the guarded branch keeps the exact op order of the
-        // oracle so non-degenerate values stay bit-identical
+        // zeros — without the guard the ANSI division throws
+        // DIVIDE_BY_ZERO outright; the guarded branch keeps the exact
+        // op order of the oracle so non-degenerate values stay
+        // bit-identical
         def q8(x: Column): Column =
           when(maxabs === 0.0, lit(0L))
             .otherwise(round(x * lit(127.0) / maxabs).cast("long"))
@@ -744,9 +782,7 @@ object Similarity extends QueryModule {
                   SELECT vec_id, v, cell, $lloydArgmin AS rn
                   FROM e CROSS JOIN c2) WHERE rn = 1),
         pr AS (SELECT b.vec_id,
-                 list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))) AS sim
+                 ${cosSql("a.v", "b.v")} AS sim
                FROM asg a JOIN asg b
                  ON a.cell = b.cell AND a.vec_id < b.vec_id),
         nn AS (SELECT vec_id, count(*) AS n_near FROM pr

@@ -213,10 +213,16 @@ object TextOps extends QueryModule {
         val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
         val phoneRe = "\\b555-[0-9]{4}\\b"
         val ipRe = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        // % (sign-of-dividend), not pmod: the oracle plants with
+        // DuckDB's %, which agrees with Spark's % on every sign while
+        // pmod(-3, 10000) = 9997 would plant a DIFFERENT phone/IP
+        // string for a negative doc_id — the silent-fork pattern the
+        // oracle conventions exist to prevent (identical for the
+        // fixture's non-negative ids)
         val planted = concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@mail.example.com tel 555-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-          lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), col("doc_id") % 256, lit(".7"))
         Tables.load(s, d, "documents")
           .select(col("doc_id"), planted.as("t"))
           .select(col("doc_id"),
