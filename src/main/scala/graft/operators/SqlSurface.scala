@@ -87,18 +87,30 @@ object SqlSurface extends QueryModule {
     // Subqueries through the router: IN (rewritten to a semi join by the
     // optimizer — the reference plans IN-subqueries the same way) plus an
     // uncorrelated scalar subquery in the predicate.
+    // The scalar gate is an exact-decimal sum over count, NOT a bare
+    // double avg(): a partition-order double aggregate can differ from
+    // DuckDB's scan-order sum in the last ULPs (the sql_roundtrip
+    // class), flipping the > comparison for a customer whose balance
+    // coincides with the mean. The decimal sum is order-independent
+    // and < 2^53 cents, so the DOUBLE cast and the division by count
+    // are the identical IEEE ops on both engines — same gate value
+    // bit-for-bit. Same ANSI text runs on both.
     Q("sql_subquery",
       (s, d) => session(s, d).execute(
         """SELECT c_custkey, round(c_acctbal, 2) AS bal
            FROM customer
            WHERE c_custkey IN (SELECT o_custkey FROM orders
                                WHERE o_totalprice > 400000)
-             AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)"""),
+             AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal
+                                AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                              FROM customer)"""),
       Some("""SELECT c_custkey, round(c_acctbal, 2) AS bal
               FROM customer
               WHERE c_custkey IN (SELECT o_custkey FROM orders
                                   WHERE o_totalprice > 400000)
-                AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)""")),
+                AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal
+                                   AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                                 FROM customer)""")),
 
     // Full managed-table DML lifecycle: CREATE → INSERT…SELECT →
     // REPLACE → DELETE → final state (write path of SURVEY §2.1).

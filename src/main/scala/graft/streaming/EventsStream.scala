@@ -41,6 +41,25 @@ final case class FunnelRow(user_id: Long, view_us: Long,
   */
 object EventsStream {
 
+  /** The ONE gap-rule interval merge both sessionization variants use:
+    * sort by (start, last), sweep, join runs whose gap is within
+    * `gapUs`. Previously duplicated in [[sessionize]] and
+    * [[closedSessions]] with already-drifted sort keys — a future gap
+    * fix applied to one copy only is exactly the silent-fork class the
+    * shared-helper convention exists to prevent. (The drift was
+    * result-neutral: equal-start runs merge to the same intervals
+    * under either secondary key.)
+    */
+  private def mergeSessions(all: List[OpenSession],
+      gapUs: Long): List[OpenSession] =
+    all.sortBy(s => (s.startUs, s.lastUs))
+      .foldLeft(List.empty[OpenSession]) {
+        case (prev :: rest, cur) if cur.startUs - prev.lastUs <= gapUs =>
+          OpenSession(prev.startUs, math.max(prev.lastUs, cur.lastUs),
+            prev.n + cur.n) :: rest
+        case (acc, cur) => cur :: acc
+      }.reverse
+
   /** Streaming source over the driver's parquet dir. The ts physical
     * type has varied across driver rounds (TIMESTAMP(NANOS) vs
     * timestamp[us]) — the dtype probe and the normalization expressions
@@ -102,24 +121,25 @@ object EventsStream {
         (user: Long, it: Iterator[Ev],
             state: GroupState[List[OpenSession]]) =>
           val fresh = it.map(e => OpenSession(e.ts_us, e.ts_us, 1)).toList
-          val all = (state.getOption.getOrElse(Nil) ++ fresh)
-            .sortBy(s => (s.startUs, s.lastUs))
-          val merged = all.foldLeft(List.empty[OpenSession]) {
-            case (prev :: rest, cur) if cur.startUs - prev.lastUs <= gapUs =>
-              OpenSession(prev.startUs, math.max(prev.lastUs, cur.lastUs),
-                prev.n + cur.n) :: rest
-            case (acc, cur) => cur :: acc
-          }.reverse
+          val merged =
+            mergeSessions(state.getOption.getOrElse(Nil) ++ fresh, gapUs)
           state.update(merged)
           Iterator(UserSessions(user, merged.size.toLong,
             merged.map(_.n).sum))
       }
   }
 
-  /** Streaming sessionization wired to the parquet source. */
+  /** Streaming sessionization wired to the parquet source. ts IS NOT
+    * NULL mirrors the batch twin's documented policy (a timestamp-less
+    * event belongs to no session, EventsOps events_sessionize) — and
+    * without it a NULL ts crashes the non-nullable `Ev.ts_us` encoder
+    * on the first bad row, the exact class the as-of `value` fix
+    * closed.
+    */
   def sessionCounts(spark: SparkSession, dir: String): Dataset[UserSessions] = {
     import spark.implicits._
     sessionize(source(spark, dir)
+      .where(col("ts").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[Ev])
   }
@@ -383,18 +403,12 @@ object EventsStream {
         (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
             state: GroupState[List[OpenSession]]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          // merge stored sessions + fresh in-watermark events by the gap
-          // rule: sort by start, sweep, join runs closer than the gap
+          // merge stored sessions + fresh in-watermark events by the
+          // shared gap rule ([[mergeSessions]])
           val fresh = it.map(_._3).filter(_ >= wmUs)
             .map(t => OpenSession(t, t, 1)).toList
-          val all = (state.getOption.getOrElse(Nil) ++ fresh).sortBy(_.startUs)
-          val merged = all.foldLeft(List.empty[OpenSession]) {
-            case (acc @ (prev :: rest), cur)
-                if cur.startUs - prev.lastUs <= gapUs =>
-              OpenSession(prev.startUs, math.max(prev.lastUs, cur.lastUs),
-                prev.n + cur.n) :: rest
-            case (acc, cur) => cur :: acc
-          }.reverse
+          val merged =
+            mergeSessions(state.getOption.getOrElse(Nil) ++ fresh, gapUs)
           // a session is safe once no in-watermark event can extend it.
           // `<=` is correct AT equality because Spark's own late-row
           // filter for EventTimeTimeout operators drops rows with

@@ -385,13 +385,34 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("stateful sessionization equals the batch lag-window version") {
-    val sq = EventsStream.sessionCounts(spark, sf)
+    // the fixture is mutated with NULL timestamps (every 13th event):
+    // a NULL ts crashed the non-nullable Ev.ts_us encoder before the
+    // source-side guard (the as-of `value` bug class), while the batch
+    // twin's documented policy silently drops timestamp-less events —
+    // parity on this dir proves the guard matches that policy exactly
+    val dir = java.nio.file.Files.createTempDirectory("sess-nullts").toString
+    // events.parquet must be a leaf FILE like the driver ships it (the
+    // streaming source's pathGlobFilter matches leaf names): write the
+    // single part file to staging and move it into place
+    Tables.loadEvents(spark, sf)
+      .withColumn("ts",
+        when(col("event_id") % 13 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("ts")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/staging")
+    val part = new java.io.File(s"$dir/staging").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    assert(spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("ts").isNull).count() > 0, "fixture must plant NULL ts")
+    val sq = EventsStream.sessionCounts(spark, dir)
       .writeStream.format("memory").queryName("sess_stream")
       .outputMode("update").start()
     try sq.processAllAvailable() finally sq.stop()
     val streamed = spark.table("sess_stream")
-    val batch = q("events_sessionize")
+    val batch = SparkEntry.queries("events_sessionize")(spark, dir)
       .select(col("user_id"), col("n_sessions"), col("n_events"))
+    assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
