@@ -204,7 +204,7 @@ final class GraftSession(val spark: SparkSession) {
       txnState: Option[DataFrame]): Unit =
     indexes.foreach {
       case ((tb, name), m) if tb == metaKey(ref) &&
-          m.tableRef == ref && m.unique =>
+          m.tableRef.equalsIgnoreCase(ref) && m.unique =>
         val cur = txnState.map(_.select(m.cols.map(col): _*))
           .getOrElse(readSnapshot(m))
         checkUniqueKeys(m.cols, name, cur, incoming)
@@ -431,6 +431,11 @@ final class GraftSession(val spark: SparkSession) {
             incB.select(physCols(ref).map(col): _*)
               .write.mode("append").insertInto(physRef(ref))
         } else {
+          // unmanaged tables still honor declared unique indexes (the
+          // managed path and REPLACE displacement both do): skipping
+          // the probe here accepted the duplicate AND rebuilt the
+          // snapshot around it, so ADMIN CHECK reported OK afterwards
+          checkUniqueIndexes(ref, incoming, None)
           incoming.write.mode("append").insertInto(ref)
           refreshIndexes(ref)
         }
@@ -596,16 +601,34 @@ final class GraftSession(val spark: SparkSession) {
           buildIncoming(tableState(clean(t)), Option(colList), source,
             Some(metaKey(t)), planOnly = true)
         case ReplaceRe(t, colList, source) =>
+          val ref = qualify(clean(t))
           val target = tableState(clean(t))
           val incoming = buildIncoming(target, Option(colList), source,
             Some(metaKey(t)), planOnly = true)
-          // mirrors replaceInto's key rule: no declared PRIMARY KEY /
-          // layout PK means REPLACE inserts (MySQL: no unique key, no
-          // displacement) — never dedup on an arbitrary fallback column
-          replaceKeysFor(qualify(clean(t))) match {
-            case Some(k) => operators.Dml.replaceInto(target, incoming, k)
-            case None => target.unionByName(incoming)
+          // the EXPLAINED frame is built from the EXECUTION path's own
+          // primitives (replaceSurvivors / uniqueProbe /
+          // antiUniqueConflicts), not Dml.replaceInto: the helper's
+          // PK-window dedup groups NULL keys and knows nothing of
+          // unique secondary indexes, so on a table with both it showed
+          // a write plan the statement would never perform. The key
+          // rule is unchanged: no PK means REPLACE inserts (MySQL: no
+          // unique key, no displacement).
+          val pkKeys = replaceKeysFor(ref)
+          val uniqCols = indexes.collect {
+            case ((tb, _), m) if tb == metaKey(ref) &&
+              m.tableRef.equalsIgnoreCase(ref) && m.unique &&
+              !pkKeys.contains(m.cols) &&
+              m.cols.forall(target.columns.contains) => m.cols
+          }.toSeq
+          val survivors =
+            replaceSurvivors(incoming, pkKeys.toSeq ++ uniqCols)
+          val keptPk = pkKeys match {
+            case Some(k) =>
+              target.join(uniqueProbe(survivors, k), k, "left_anti")
+            case None => target
           }
+          antiUniqueConflicts(keptPk, survivors, uniqCols)
+            .unionByName(survivors)
         case other =>
           throw new IllegalArgumentException(s"cannot EXPLAIN: $other")
       }
@@ -845,13 +868,36 @@ final class GraftSession(val spark: SparkSession) {
         } else d match {
           case ColumnDefRe(name, tpe, extras) =>
             val notNull = recordColumnExtras(mkey, clean(name), extras)
-            cols += ((clean(name),
-              applyUnsigned(mysqlToSparkType(tpe), extras), notNull))
+            val sparkType = applyUnsigned(mysqlToSparkType(tpe), extras)
+            // NOT NULL without DEFAULT fills the type's zero value when
+            // an INSERT omits the column — the reference's zero-datum
+            // rule the ALTER ADD path already applies
+            // (ddl_test.go:68); the CREATE path writing NULL instead
+            // made the same declaration behave differently depending on
+            // whether the column came from CREATE or ALTER
+            if (notNull.nonEmpty && !columnDefaults
+                .getOrElse(mkey, Map.empty).contains(clean(name)))
+              zeroLiteral(sparkType).foreach { z =>
+                columnDefaults(mkey) =
+                  columnDefaults.getOrElse(mkey, Map.empty) +
+                    (clean(name) -> z)
+              }
+            cols += ((clean(name), sparkType, notNull))
           case other =>
             throw new IllegalArgumentException(s"cannot parse column def: $other")
         }
       }
       require(cols.nonEmpty, s"CREATE TABLE without columns: $sql")
+      // index clauses must reference parsed columns — validated BEFORE
+      // the physical create, or a misparse (e.g. an unbackquoted column
+      // named `key` with a parameterized type, which MySQL also
+      // rejects) would create the table WITHOUT the column and then
+      // die inside createIndex, leaving a half-created table behind
+      deferredIdx.foreach { case (n, _, cs) =>
+        cs.foreach(c => require(cols.exists(_._1.equalsIgnoreCase(c)),
+          s"unknown column '$c' in index $n (a column named after a " +
+            "reserved word must be backquoted)"))
+      }
       // `__gb` is the managed layout's PHYSICAL bucket partition column
       // (baked into every snapshot and partition directory), the one
       // scratch name that CANNOT be uniquified per-statement — reject it
@@ -1286,10 +1332,15 @@ final class GraftSession(val spark: SparkSession) {
     // table, unknown column) must not leave a phantom index entry that
     // breaks every later write to this table name
     val tbl = spark.table(ref) // throws if the table does not exist
-    cols.foreach(c => require(tbl.columns.contains(c),
-      s"unknown column '$c' in index $name on $ref"))
+    // resolve case-INsensitively (Spark resolution, MySQL identifiers)
+    // and STORE the table's own spelling, so later case-sensitive uses
+    // of m.cols (snapshot projections, schema membership checks) agree
+    val resolved = cols.map(c =>
+      tbl.columns.find(_.equalsIgnoreCase(c)).getOrElse(throw
+        new IllegalArgumentException(
+          s"unknown column '$c' in index $name on $ref")))
     indexes((base, name)) =
-      IndexMeta(unique, cols, idxPath(base, name), ref)
+      IndexMeta(unique, resolved, idxPath(base, name), ref)
     try refreshIndexes(ref)
     catch { case e: Throwable => indexes.remove((base, name)); throw e }
   }
@@ -1302,8 +1353,9 @@ final class GraftSession(val spark: SparkSession) {
     val dir = java.nio.file.Paths.get(m.path)
     java.nio.file.Files.exists(dir) && {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala
-        .exists(_.toString.endsWith(".parquet"))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      finally walk.close()
     }
   }
 
@@ -2061,9 +2113,14 @@ final class GraftSession(val spark: SparkSession) {
       }
     val pkKeys = replaceKeysFor(ref)
     val keyCols = pkKeys.getOrElse(Nil)
+    // tableRef compare is case-INsensitive (like Spark resolution and
+    // tb's metaKey): a statement spelling the table in different case
+    // used to silently skip every unique-index check here and in
+    // checkUniqueIndexes
     val uniqIdx = indexes.collect {
-      case ((tb, _), m) if tb == base && m.tableRef == ref && m.unique &&
-        m.cols != keyCols && m.cols.forall(target.columns.contains) => m
+      case ((tb, _), m) if tb == base && m.tableRef.equalsIgnoreCase(ref) &&
+        m.unique && m.cols != keyCols &&
+        m.cols.forall(target.columns.contains) => m
     }.toSeq
     val uniqCols = uniqIdx.map(_.cols)
     if (!txnActive && isManaged(ref)) {
@@ -2424,8 +2481,12 @@ object GraftSession {
   private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      // walk() holds directory handles until closed (the Verify leak
+      // class): close it, don't abandon it
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
 
   /** Deterministic session defaults, names per MySQL/the reference's
@@ -2474,6 +2535,7 @@ object GraftSession {
     val out = new StringBuilder
     var i = 0
     var quote: Char = 0
+    var verDepth = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (quote != 0) {
@@ -2495,8 +2557,24 @@ object GraftSession {
           out ++= "- "; i += 1
         }
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*' &&
-        !(i + 2 < sql.length &&
-          (sql.charAt(i + 2) == '+' || sql.charAt(i + 2) == '!'))) {
+        i + 2 < sql.length && sql.charAt(i + 2) == '!') {
+        // MySQL version comment /*!NNNNN body */ EXECUTES its body when
+        // the server version qualifies (ours always does — the
+        // reference lexer does the same, parser/lexer.go:45 specialComment).
+        // Passing the markers through let Spark strip the whole thing
+        // as an ordinary bracketed comment, silently dropping
+        // executable content: drop the opener (+ optional version
+        // digits) here and the matching terminator below
+        var j = i + 3
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        verDepth += 1
+        out += ' '; i = j
+      } else if (verDepth > 0 && c == '*' && i + 1 < sql.length &&
+        sql.charAt(i + 1) == '/') {
+        verDepth -= 1
+        out += ' '; i += 2
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*' &&
+        !(i + 2 < sql.length && sql.charAt(i + 2) == '+')) {
         val end = sql.indexOf("*/", i + 2)
         require(end >= 0, s"unterminated comment in: $sql")
         i = end + 2

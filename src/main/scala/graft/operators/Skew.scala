@@ -29,8 +29,15 @@ object Skew extends QueryModule {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int): DataFrame = {
-    require(!probe.columns.contains("__salt") &&
-        !build.columns.contains("__salt"),
+    // salts = 0 would make the probe salt pmod(id, 0) = NULL and the
+    // build replication sequence(0, -1) — every probe row silently
+    // dropped instead of an error
+    require(salts > 0, s"saltedJoin needs salts >= 1, got $salts")
+    // case-INsensitive, like Spark resolution (the GraftSession
+    // .freshName invariant): a user column named __SALT would be
+    // case-insensitively REPLACED by withColumn and then dropped
+    require(!(probe.columns ++ build.columns)
+        .exists(_.equalsIgnoreCase("__salt")),
       "saltedJoin reserves the __salt column name")
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -817,4 +817,114 @@ class SqlFrontendSpec extends SparkSuite {
     assert(gs.query("SHOW TABLES IN sqlfe LIKE 'bt'").isEmpty ||
       !gs.query("SHOW TABLES IN sqlfe").exists(_.contains("bt")))
   }
+
+  test("unique index enforcement survives case-mixed table spelling") {
+    // index metadata compared tableRef with a case-SENSITIVE ==, while
+    // Spark resolution is case-insensitive — INSERT INTO a differently
+    // cased spelling silently skipped every unique-index probe
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS CaseT")
+    gs.execute("CREATE TABLE CaseT (id BIGINT PRIMARY KEY, em VARCHAR(30))")
+    gs.execute("CREATE UNIQUE INDEX ux ON CaseT (em)")
+    gs.execute("INSERT INTO CaseT VALUES (1, 'a@x.com')")
+    val e = intercept[Exception](
+      gs.execute("INSERT INTO caset VALUES (2, 'a@x.com')"))
+    assert(e.getMessage.toLowerCase.contains("duplicate"), e.getMessage)
+    assert(gs.query("SELECT count(*) AS n FROM CaseT") == Seq("1"))
+    gs.execute("DROP TABLE CaseT")
+  }
+
+  test("CREATE INDEX resolves column case like MySQL; bad CREATE TABLE index fails whole") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS ci")
+    gs.execute("CREATE TABLE ci (id BIGINT PRIMARY KEY, name VARCHAR(20))")
+    // case-insensitive resolution (the rest of the file resolves
+    // columns case-insensitively; this require was the one holdout)
+    gs.execute("CREATE INDEX i1 ON ci (NAME)")
+    gs.execute("INSERT INTO ci VALUES (1, 'x')")
+    assert(gs.query("SELECT name FROM ci WHERE id = 1") == Seq("x"))
+    // a CREATE TABLE whose index clause references a non-column must
+    // fail BEFORE the physical create — previously it created the
+    // table minus the misparsed column, then died in createIndex
+    gs.execute("DROP TABLE IF EXISTS halfT")
+    val e = intercept[IllegalArgumentException](gs.execute(
+      "CREATE TABLE halfT (id INT, key VARCHAR(10))"))
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+    assert(!gs.query("SHOW TABLES").exists(_.contains("halft")),
+      "half-created table left behind")
+    // the backquoted form MySQL requires parses as a column
+    gs.execute("CREATE TABLE halfT (id INT, `key` VARCHAR(10))")
+    gs.execute("INSERT INTO halfT VALUES (1, 'k')")
+    assert(gs.query("SELECT `key` FROM halfT WHERE id = 1") == Seq("k"))
+    gs.execute("DROP TABLE halfT")
+    gs.execute("DROP TABLE ci")
+  }
+
+  test("NOT NULL without DEFAULT zero-fills on INSERT omission (CREATE = ALTER)") {
+    // the reference's zero-datum rule (ddl_test.go:68) applied by the
+    // ALTER ADD path; the CREATE path silently wrote NULL into the NOT
+    // NULL column instead, so the same declaration behaved differently
+    // depending on its origin
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS nn")
+    gs.execute("""CREATE TABLE nn (id BIGINT PRIMARY KEY,
+        a INT NOT NULL, s VARCHAR(10) NOT NULL, b INT)""")
+    gs.execute("INSERT INTO nn (id, b) VALUES (1, 7)")
+    assert(gs.query("SELECT id, a, s, b FROM nn") == Seq("1 0  7"))
+    gs.execute("DROP TABLE nn")
+  }
+
+  test("EXPLAIN REPLACE on a PK + unique-index table shows the real write plan") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS er")
+    gs.execute("CREATE TABLE er (id BIGINT PRIMARY KEY, em VARCHAR(30))")
+    gs.execute("CREATE UNIQUE INDEX uxe ON er (em)")
+    gs.execute("INSERT INTO er VALUES (1, 'a@x.com')")
+    val plan = gs.query("EXPLAIN REPLACE INTO er VALUES (2, 'a@x.com')")
+    // the executed statement displaces via anti-joins on BOTH the PK
+    // and the unique index; the explained frame must show that shape
+    // (the old Dml.replaceInto rendering had no anti-join at all)
+    assert(plan.exists(_.contains("LeftAnti")), plan.mkString("\n"))
+    // and EXPLAIN never executes the side effect
+    assert(gs.query("SELECT count(*) AS n FROM er") == Seq("1"))
+    // the real REPLACE then behaves exactly as explained: row 1
+    // displaced through the unique index
+    gs.execute("REPLACE INTO er VALUES (2, 'a@x.com')")
+    assert(gs.query("SELECT id, em FROM er") == Seq("2 a@x.com"))
+    gs.execute("DROP TABLE er")
+  }
+
+  test("unmanaged tables honor declared unique indexes on INSERT") {
+    // a table created OUTSIDE the frontend takes the unmanaged append
+    // path, which used to skip checkUniqueIndexes entirely — the
+    // duplicate landed AND refreshIndexes rebuilt the snapshot around
+    // it, so ADMIN CHECK reported OK afterwards
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    spark.sql("DROP TABLE IF EXISTS sqlfe.unm")
+    spark.sql("CREATE TABLE sqlfe.unm (id BIGINT, em STRING) USING parquet")
+    gs.execute("USE sqlfe")
+    gs.execute("CREATE UNIQUE INDEX uxu ON unm (em)")
+    gs.execute("INSERT INTO unm VALUES (1, 'a@x.com')")
+    val e = intercept[Exception](
+      gs.execute("INSERT INTO unm VALUES (2, 'a@x.com')"))
+    assert(e.getMessage.toLowerCase.contains("duplicate"), e.getMessage)
+    assert(gs.query("SELECT count(*) AS n FROM unm") == Seq("1"))
+    spark.sql("DROP TABLE sqlfe.unm")
+  }
+
+  test("MySQL /*! version comments execute their body") {
+    // the reference lexer treats /*!NNNNN body */ as executable
+    // (parser/lexer.go:45 specialComment); passing the markers through
+    // let Spark strip the whole thing as an ordinary comment
+    assert(gs.query("SELECT /*!80000 1+*/2 AS v") == Seq("3"))
+    assert(gs.query("SELECT /*! 1 AS a,*/ 2 AS b") == Seq("1 2"))
+    // ordinary comments still strip; hints still pass through; the
+    // markers inside string literals stay literal
+    assert(gs.query("SELECT /* dead */ 5 AS v") == Seq("5"))
+    assert(gs.query("SELECT '/*!99999 x*/' AS v") == Seq("/*!99999 x*/"))
+  }
 }
