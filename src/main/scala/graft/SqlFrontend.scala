@@ -620,14 +620,17 @@ final class GraftSession(val spark: SparkSession) {
               !pkKeys.contains(m.cols) &&
               m.cols.forall(target.columns.contains) => m.cols
           }.toSeq
+          // displacement probes use the FULL pre-dedup batch, survivors
+          // only merge in — exactly the execution path's contract (a
+          // dropped batch row's keys still displaced table rows)
           val survivors =
             replaceSurvivors(incoming, pkKeys.toSeq ++ uniqCols)
           val keptPk = pkKeys match {
             case Some(k) =>
-              target.join(uniqueProbe(survivors, k), k, "left_anti")
+              target.join(uniqueProbe(incoming, k), k, "left_anti")
             case None => target
           }
-          antiUniqueConflicts(keptPk, survivors, uniqCols)
+          antiUniqueConflicts(keptPk, incoming, uniqCols)
             .unionByName(survivors)
         case other =>
           throw new IllegalArgumentException(s"cannot EXPLAIN: $other")
