@@ -395,13 +395,16 @@ object CorpusOps extends QueryModule {
         // DROPS the NULL docs from the Spark output while the oracle
         // keeps them. A score-less doc belongs in no decile anyway;
         // the explicit filter is the one policy both engines express
-        // identically (the join_asof ts precedent). sc persisted: it
-        // feeds the histogram (read twice: cum + total) AND the final
-        // join back, and unpersisted the corpus-scale tokenize pass ran
-        // up to three times (sc is two longs per doc — cache-trivial).
+        // identically (the join_asof ts precedent). sc is deliberately
+        // NOT persisted: the histogram's exchange is reused for cum and
+        // total (ReuseExchange), so the corpus tokenize runs twice (the
+        // hist exchange + the join-back scan), and those stages
+        // pipeline in parallel — a persist here forces a sequential
+        // materialize-then-consume barrier that measured ~2x slower at
+        // sf0.1 (0.58 s -> 1.0-1.2 s isolated, healthy probes) for a
+        // cache the plan reads back only once.
         val sc = Dedup.tokens(docs(s, d).where(col("text").isNotNull))
           .select(col("doc_id"), size(col("t")).cast("long").as("score"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
         val hist = sc.groupBy(col("score")).agg(count(lit(1)).as("c"))
         val cum = hist.withColumn("cum",
           sum(col("c")).over(Window.orderBy(col("score"))
