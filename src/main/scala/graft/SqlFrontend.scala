@@ -1954,8 +1954,25 @@ final class GraftSession(val spark: SparkSession) {
         else assignAutoIncScan(df, target, f, provided, planOnly)
       } else if (provided) {
         if (coerced.contains(f.name))
-          df.withColumn(f.name,
-            functions.MySqlCoerce.toDouble(col(f.name)).cast(f.dataType))
+          // integral targets go through the saturating integer-context
+          // coercion, clamped to the TARGET type's range like MySQL —
+          // toDouble + a bare ANSI cast aborted the whole statement
+          // with CAST_OVERFLOW on a '1e300' (or '5000000000' into INT)
+          // prefix, where MySQL clamps with warning 1265
+          df.withColumn(f.name, f.dataType match {
+            case LongType =>
+              functions.MySqlCoerce.toLong(col(f.name))
+            case IntegerType | ShortType | ByteType =>
+              val (mn, mx) = f.dataType match {
+                case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+                case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+                case _ => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+              }
+              least(greatest(functions.MySqlCoerce.toLong(col(f.name)),
+                lit(mn)), lit(mx)).cast(f.dataType)
+            case _ =>
+              functions.MySqlCoerce.toDouble(col(f.name)).cast(f.dataType)
+          })
         else df.withColumn(f.name, col(f.name).cast(f.dataType))
       } else df.withColumn(f.name,
         expr(defaults.getOrElse(f.name, "NULL")).cast(f.dataType))

@@ -30,20 +30,30 @@ object MySqlCoerce {
     when(p === "", lit(0.0)).otherwise(p.cast("double"))
   }
 
-  /** MySQL-semantics string→bigint: truncating the float prefix toward
-    * zero, as MySQL does when an integer context is required. SATURATES
-    * at the bigint range like MySQL (types/convert.go clamps to
-    * LLONG_MAX/LLONG_MIN with a warning) — a bare ANSI cast would abort
-    * the whole query with CAST_OVERFLOW on a "1e300" prefix instead of
-    * coercing. Long.MaxValue.toDouble rounds UP to 2^63 (not
-    * representable), so the >= comparison is the correct boundary;
-    * Long.MinValue is a power of two and exact.
+  /** MySQL-semantics string→bigint: the float prefix rounds HALF AWAY
+    * FROM ZERO in integer context — '42.9' → 43, '-1.5' → -2 — per the
+    * reference's `types/convert.go` floatStrToIntStr → roundIntStr on
+    * the first fractional digit (truncation was a silent divergence
+    * from that documented behavior). Spark's round() at integer scale
+    * equals DuckDB's (every half-point is dyadic — the ExactNum.cents
+    * argument), so the oracle twin is `CAST(round(x) AS BIGINT)`
+    * bit-for-bit. One knowing delta vs the reference: it rounds the
+    * DECIMAL DIGITS, we round the parsed double, so a >15-significant-
+    * digit prefix straddling its double's half-point can differ — both
+    * ENGINES here still agree with each other. SATURATES at the bigint
+    * range like MySQL (convert.go clamps to LLONG_MAX/LLONG_MIN with a
+    * warning) — a bare ANSI cast would abort the whole query with
+    * CAST_OVERFLOW on a "1e300" prefix instead of coercing.
+    * Long.MaxValue.toDouble rounds UP to 2^63 (not representable), so
+    * the >= comparison is the correct boundary (and inside it doubles
+    * at that magnitude are exact integers, so round() cannot escape
+    * the range); Long.MinValue is a power of two and exact.
     */
   def toLong(c: Column): Column = {
     val d = toDouble(c)
     when(d >= lit(Long.MaxValue.toDouble), lit(Long.MaxValue))
       .when(d <= lit(Long.MinValue.toDouble), lit(Long.MinValue))
-      .otherwise(d.cast("bigint"))
+      .otherwise(round(d).cast("bigint"))
   }
 
   /** MySQL true division (`arithmeticDivide`,
@@ -62,9 +72,15 @@ object MySqlCoerce {
     var sawDigit = false
     var sawDot = false
     var end = 0
+    // ASCII digits ONLY, like the production regex's [0-9] and the
+    // reference scanner: Char.isDigit also accepts Unicode decimal
+    // digits (Arabic-Indic, full-width), which substring(...).toDouble
+    // then throws on — the differential would CRASH instead of
+    // disagreeing gracefully
+    def dig(ch: Char) = ch >= '0' && ch <= '9'
     if (i < s.length && (s(i) == '+' || s(i) == '-')) i += 1
-    while (i < s.length && (s(i).isDigit || (s(i) == '.' && !sawDot))) {
-      if (s(i).isDigit) { sawDigit = true; end = i + 1 }
+    while (i < s.length && (dig(s(i)) || (s(i) == '.' && !sawDot))) {
+      if (dig(s(i))) { sawDigit = true; end = i + 1 }
       else sawDot = true
       i += 1
     }
@@ -75,7 +91,7 @@ object MySqlCoerce {
       var j = i + 1
       if (j < s.length && (s(j) == '+' || s(j) == '-')) j += 1
       val expStart = j
-      while (j < s.length && s(j).isDigit) j += 1
+      while (j < s.length && dig(s(j))) j += 1
       if (j > expStart) end = j
     }
     s.substring(0, end).toDouble

@@ -61,14 +61,11 @@ object Sketches {
 
     override def reduce(b: Array[Long], key: String): Array[Long] = {
       if (key != null) {
-        val bytes = key.getBytes("UTF-8")
-        val h1 = hash64(bytes, 0x9e3779b97f4a7c15L)
-        val h2 = hash64(bytes, 0xc2b2ae3d27d4eb4fL)
+        val (h1, h2) = cmHashes(key.getBytes("UTF-8"))
         b(2) += 1
         var i = 0
         while (i < depth) {
-          val j = java.lang.Math.floorMod(h1 + i.toLong * h2, width.toLong)
-          b(3 + i * width + j.toInt) += 1
+          b(3 + i * width + cmIndex(h1, h2, i, width)) += 1
           i += 1
         }
       }
@@ -90,6 +87,18 @@ object Sketches {
       ExpressionEncoder[Array[Long]]()
   }
 
+  /** The ONE row-index contract the CM build (reduce) and the point
+    * query ([[cmEstimate]]) must share byte-for-byte: two seeded
+    * 64-bit hashes combined h1 + i*h2 (standard double hashing),
+    * floorMod'd into the row. Previously duplicated at both sites —
+    * a seed or formula edit in one place would silently degrade every
+    * estimate to a min over unrelated counters.
+    */
+  private def cmHashes(bytes: Array[Byte]): (Long, Long) =
+    (hash64(bytes, 0x9e3779b97f4a7c15L), hash64(bytes, 0xc2b2ae3d27d4eb4fL))
+  private def cmIndex(h1: Long, h2: Long, i: Int, width: Int): Int =
+    java.lang.Math.floorMod(h1 + i.toLong * h2, width.toLong).toInt
+
   /** Point-frequency estimate from a collected sketch: min over the d
     * counters the key hashes to (`cmsketch.go:63-66` QueryBytes). Always
     * ≥ the true count; overshoot is bounded by colliding mass / width.
@@ -97,14 +106,11 @@ object Sketches {
   def cmEstimate(sketch: Array[Long], key: String): Long = {
     val depth = sketch(0).toInt
     val width = sketch(1).toInt
-    val bytes = key.getBytes("UTF-8")
-    val h1 = hash64(bytes, 0x9e3779b97f4a7c15L)
-    val h2 = hash64(bytes, 0xc2b2ae3d27d4eb4fL)
+    val (h1, h2) = cmHashes(key.getBytes("UTF-8"))
     var est = Long.MaxValue
     var i = 0
     while (i < depth) {
-      val j = java.lang.Math.floorMod(h1 + i.toLong * h2, width.toLong)
-      est = math.min(est, sketch(3 + i * width + j.toInt))
+      est = math.min(est, sketch(3 + i * width + cmIndex(h1, h2, i, width)))
       i += 1
     }
     est

@@ -478,6 +478,16 @@ object Dedup extends QueryModule {
         val sh = cappedShingles(raw).persist(StorageLevel.MEMORY_AND_DISK)
         sh.count() // pipeline breaker (see dedup_minhash_lsh note)
         raw.unpersist(blocking = false)
+        // round(jac, 4) is the KNOWN double-rounding class ExactNum
+        // .cents closed for money (Spark shortest-repr HALF_UP vs
+        // DuckDB scaled-binary), deliberately ACCEPTED here and at
+        // every round(x, 4) similarity output: it fires only when a
+        // quotient lands within ~1 ULP of a 4-dp half-point (~1e-12
+        // per value against these counts), both sides would need the
+        // identical c/(na+nb-c) inputs anyway, and converting the
+        // family to integer basis points would churn every jaccard/
+        // cos_sim consumer at a frozen surface. MySqlSemanticsSpec's
+        // cents test documents the mechanism.
         countJaccard(sh)
           .filter(col("jac") >= 0.8)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
@@ -591,6 +601,13 @@ object Dedup extends QueryModule {
       (s, d) => {
         val toks = tokens(Tables.load(s, d, "documents"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // deliberately NO eager count() breaker here, unlike the
+        // heavier multi-consumer persists in this module: measured at
+        // sf0.1 the extra materialization job costs ~0.3 s while the
+        // unbroken plan fills the cache on first touch without
+        // duplicated tokenize (1.33 s isolated without vs 1.71 s with
+        // — the quality_buckets persist lesson: measure, don't assume
+        // the convention transfers)
         val train = ngramHashes(toks, 8)
         val eval8 = evalNgramHashesFromTokens(toks)
         val overlap = train.join(eval8, "h")

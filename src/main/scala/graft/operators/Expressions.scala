@@ -141,7 +141,7 @@ object Expressions extends QueryModule {
           MySqlCoerce.toDouble(col("s2")).as("v2"),
           MySqlCoerce.toLong(col("s1")).as("v1_int"))
       },
-      Some("""WITH src AS (
+      Some(s"""WITH src AS (
                 SELECT p_partkey,
                        CAST(p_size AS VARCHAR) || '.' ||
                        CAST(p_partkey % 10 AS VARCHAR) || 'e1x' AS s1,
@@ -150,19 +150,19 @@ object Expressions extends QueryModule {
               ex AS (
                 SELECT p_partkey,
                        regexp_extract(s1,
-                         '^[ \t]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)', 1) AS r1,
+                         '${MySqlCoerce.NumPrefix}', 1) AS r1,
                        regexp_extract(s2,
-                         '^[ \t]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)', 1) AS r2
+                         '${MySqlCoerce.NumPrefix}', 1) AS r2
                 FROM src)
               SELECT p_partkey,
                      CASE WHEN r1 = '' THEN 0.0 ELSE CAST(r1 AS DOUBLE) END AS v1,
                      CASE WHEN r2 = '' THEN 0.0 ELSE CAST(r2 AS DOUBLE) END AS v2,
-                     -- TRUNC pins truncate-toward-zero: DuckDB's bare
-                     -- CAST(DOUBLE AS BIGINT) rounds to nearest while the
-                     -- Spark side (MySqlCoerce.toLong, MySQL semantics)
-                     -- truncates — masked today only because the planted
-                     -- prefix N.De1 is always exactly integral
-                     CAST(TRUNC(CASE WHEN r1 = '' THEN 0.0 ELSE CAST(r1 AS DOUBLE) END) AS BIGINT) AS v1_int
+                     -- round, not TRUNC: integer context rounds half
+                     -- away from zero per the reference's
+                     -- floatStrToIntStr (MySqlCoerce.toLong), and at
+                     -- integer scale DuckDB's round equals Spark's
+                     -- bit-for-bit (the ExactNum.cents argument)
+                     CAST(round(CASE WHEN r1 = '' THEN 0.0 ELSE CAST(r1 AS DOUBLE) END) AS BIGINT) AS v1_int
               FROM ex"""))
   )
 }

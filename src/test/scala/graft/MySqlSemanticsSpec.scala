@@ -102,16 +102,19 @@ class MySqlSemanticsSpec extends SparkSuite {
     assert(sparkVals.toSeq == headline.map(_._2))
   }
 
-  test("integer-context coercion saturates at the bigint range like MySQL") {
+  test("integer-context coercion rounds away from zero, saturates at bigint") {
     import spark.implicits._
     // MySQL clamps to LLONG_MAX/LLONG_MIN with a warning
     // (types/convert.go); an ANSI cast would instead abort the whole
-    // query with CAST_OVERFLOW on one huge prefix
-    val vals = Seq("1e300", "-1e300", "9223372036854775807x", "42.9", "-7")
-      .toDF("s")
+    // query with CAST_OVERFLOW on one huge prefix. Fractional prefixes
+    // round HALF AWAY FROM ZERO per the reference's floatStrToIntStr →
+    // roundIntStr ('42.9' → 43, '-1.5' → -2) — truncation was a silent
+    // divergence from that documented rule.
+    val vals = Seq("1e300", "-1e300", "9223372036854775807x", "42.9",
+      "42.4", "1.5", "-1.5", "-7").toDF("s")
       .select(MySqlCoerce.toLong(col("s"))).collect().map(_.getLong(0))
     assert(vals.toSeq == Seq(Long.MaxValue, Long.MinValue,
-      Long.MaxValue, 42L, -7L), vals.mkString(","))
+      Long.MaxValue, 43L, 42L, 2L, -2L, -7L), vals.mkString(","))
   }
 
   test("replaceInto helper: scratch columns uniquified, ties last-row-wins") {

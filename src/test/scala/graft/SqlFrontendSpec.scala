@@ -458,6 +458,7 @@ class SqlFrontendSpec extends SparkSuite {
   }
 
   test("non-strict sql_mode coerces truncated strings with warning 1265") {
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
     gs.execute("USE sqlfe")
     gs.execute("DROP TABLE IF EXISTS co")
     gs.execute("CREATE TABLE co (id BIGINT PRIMARY KEY, score DOUBLE)")
@@ -896,6 +897,29 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("REPLACE INTO er VALUES (2, 'a@x.com')")
     assert(gs.query("SELECT id, em FROM er") == Seq("2 a@x.com"))
     gs.execute("DROP TABLE er")
+  }
+
+  test("non-strict integral coercion rounds + saturates, never ANSI-aborts") {
+    // toDouble + a bare ANSI cast aborted the whole statement with
+    // CAST_OVERFLOW on a huge prefix ('1e300' into BIGINT,
+    // '5000000000' into INT) where MySQL clamps with warning 1265;
+    // fractional prefixes round half away from zero (the reference's
+    // floatStrToIntStr), clamped to the TARGET type's range
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS coi")
+    gs.execute("CREATE TABLE coi (id BIGINT PRIMARY KEY, n BIGINT, m INT)")
+    gs.execute("SET sql_mode = ''")
+    try {
+      gs.execute("""INSERT INTO coi VALUES
+        (1, '1e300x', '5000000000abc'), (2, '42.9', '-42.9'),
+        (3, '-1e300', '-5000000000')""")
+      assert(gs.query("SELECT id, n, m FROM coi ORDER BY id") == Seq(
+        s"1 ${Long.MaxValue} ${Int.MaxValue}",
+        "2 43 -43",
+        s"3 ${Long.MinValue} ${Int.MinValue}"))
+    } finally gs.execute("SET sql_mode = 'STRICT_TRANS_TABLES'")
+    gs.execute("DROP TABLE coi")
   }
 
   test("unmanaged tables honor declared unique indexes on INSERT") {
