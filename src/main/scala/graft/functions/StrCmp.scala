@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MySQL STRCMP(a, b) → -1 / 0 / 1 (NULL if either side is NULL), as a
@@ -21,6 +22,19 @@ case class StrCmp(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "strcmp"
+
+  // covers the raw SQL `strcmp(...)` path at ANALYSIS time (Spark 4
+  // hides AbstractDataType/inputTypes from third-party expressions, so
+  // without this a long operand passed analysis and died mid-task as a
+  // ClassCastException) — the same guard its sibling expressions
+  // DotProduct/Fingerprint carry
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == StringType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val c = l.asInstanceOf[UTF8String].compareTo(r.asInstanceOf[UTF8String])

@@ -71,13 +71,21 @@ object Components extends QueryModule {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25,
       driverEdgeLimit: Long = defaultDriverEdgeLimit): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // ids normalized to BIGINT at entry: the fast path reads endpoints
+    // with getLong while the distributed loop would coerce int columns
+    // through SQL — without the cast the adaptive cutover changed
+    // CORRECTNESS (ClassCastException) for int-typed ids, not just
+    // strategy. e is released in the finally: a mid-round job failure
+    // used to leak its persisted blocks past the per-query clearCache.
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices.select(col("v").cast("long").as("v"))
+    try {
     // e is persisted, so this count doubles as the pipeline breaker the
     // loop's first join needed anyway.
     if (e.count() <= driverEdgeLimit) {
       val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-      e.unpersist(blocking = false)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -99,7 +107,7 @@ object Components extends QueryModule {
       // same row-set contract as the loop (vertices ∪ endpoints), same
       // materialized-result contract (localCheckpoint: callers may
       // unpersist upstream inputs right after)
-      return vertices.select(col("v"))
+      return verts
         .union(compDf.select(col("v")))
         .distinct()
         .join(broadcast(compDf), Seq("v"), "left")
@@ -116,7 +124,7 @@ object Components extends QueryModule {
     // INCREASE when new rows appear). Seeding the union keeps the row
     // set fixed across rounds, so callers may pass a vertex relation
     // that under-covers the edges without corrupting convergence.
-    var labels = vertices.select(col("v"))
+    var labels = verts
       .union(e.select(col("src").as("v")))
       .union(e.select(col("dst").as("v")))
       .distinct()
@@ -143,11 +151,11 @@ object Components extends QueryModule {
       // pointer jumping: follow the label's own label. Sound because
       // labels only decrease and stay within the component (every
       // component value is itself a vertex, so the inner join is total).
-      val next = propagated.as("x")
-        .join(propagated.as("p"), col("x.component") === col("p.v"))
-        .select(col("x.v").as("v"), col("p.component").as("component"))
-        .localCheckpoint() // eager: materializes + truncates the plan
-      propagated.unpersist(blocking = false)
+      val next = try propagated.as("x")
+          .join(propagated.as("p"), col("x.component") === col("p.v"))
+          .select(col("x.v").as("v"), col("p.component").as("component"))
+          .localCheckpoint() // eager: materializes + truncates the plan
+        finally propagated.unpersist(blocking = false)
       val nextSum = labelSum(next)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[ccround] $rounds%d ${(System.nanoTime() - rt0) / 1e9}%.2f s")
@@ -167,11 +175,11 @@ object Components extends QueryModule {
       cur = nextSum
       rounds += 1
     }
-    e.unpersist(blocking = false)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds")
     labels
+    } finally e.unpersist(blocking = false)
   }
 
   /** Corpus with chain structure: each document plus a 90%-prefix copy
@@ -223,19 +231,34 @@ object Components extends QueryModule {
     val sh = Dedup.cappedShingles(raw).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count() // pipeline breaker (see dedup_minhash_lsh note)
     raw.unpersist(blocking = false)
-    val edges = Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = edgesFromShingles(sh)
     (corpus, sh, edges)
   }
 
-  /** The dedup_components edge relation over (doc_id, t) token rows
-    * (spec crosscheck hook).
+  /** The ONE near-dup edge definition (Jaccard >= 0.8 over capped
+    * shingles, projected to src/dst) shared by the staged production
+    * path and the spec crosscheck hook — two hand-written copies could
+    * silently drift on the threshold or projection and the crosscheck
+    * would compare a DIFFERENT edge relation than production.
     */
-  private[graft] def jaccardEdges(corpusToks: DataFrame): DataFrame =
-    Dedup.countJaccard(
-        Dedup.cappedShingles(Dedup.shinglesFromTokens(corpusToks)))
-      .filter(col("jac") >= 0.8)
+  private def edgesFromShingles(sh: DataFrame): DataFrame =
+    Dedup.countJaccard(sh).filter(col("jac") >= 0.8)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+
+  /** The dedup_components edge relation over (doc_id, t) token rows
+    * (spec crosscheck hook). Mirrors stagedCorpusEdges' persist
+    * choreography: cappedShingles scans its input twice (the frame +
+    * the df census), so the raw shingle build is persisted for the
+    * duration and the capped result checkpointed before release.
+    */
+  private[graft] def jaccardEdges(corpusToks: DataFrame): DataFrame = {
+    val raw = Dedup.shinglesFromTokens(corpusToks)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      raw.count()
+      edgesFromShingles(Dedup.cappedShingles(raw).localCheckpoint())
+    } finally raw.unpersist(blocking = false)
+  }
 
   override val queries: Seq[Q] = Seq(
 

@@ -180,5 +180,11 @@ class MySqlSemanticsSpec extends SparkSuite {
       assert(e.getMessage != null && e.getMessage.contains("argument"),
         s"$sql -> ${e.getMessage}")
     }
+    // and wrong TYPES fail at ANALYSIS, not as a mid-task
+    // ClassCastException (checkInputDataTypes — the DotProduct guard,
+    // now on strcmp too)
+    val t = intercept[Exception](spark.sql("SELECT strcmp(1, 'x')").collect())
+    assert(t.getMessage != null &&
+      t.getMessage.toLowerCase.contains("string"), t.getMessage)
   }
 }

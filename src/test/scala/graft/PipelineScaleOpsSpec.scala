@@ -32,6 +32,22 @@ class PipelineScaleOpsSpec extends SparkSuite {
     assert(fast.contains(7L) && fast(8L) == 7L)
   }
 
+  test("connectedComponents: int-typed ids take BOTH paths identically") {
+    // ids are normalized to BIGINT at entry: the fast path reads
+    // endpoints with getLong, so int-typed columns used to crash it
+    // with ClassCastException while the distributed loop coerced them —
+    // the adaptive cutover changed correctness, not just strategy
+    val vs = Seq(1, 2, 3, 9).toDF("v")
+    val es = Seq((2, 1), (2, 3), (7, 8)).toDF("src", "dst")
+    def run(limit: Long) = Components.connectedComponents(vs, es,
+        driverEdgeLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(Components.defaultDriverEdgeLimit)
+    val loop = run(0L)
+    assert(fast == loop)
+    assert(fast(3L) == 1L && fast(8L) == 7L && fast(9L) == 9L)
+  }
+
   test("connectedComponents: cutover boundary (driverEdgeLimit ±1) is path-invariant") {
     val vs = Seq(1L, 2L, 3L, 4L, 5L, 9L)
     val es = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (7L, 8L))
