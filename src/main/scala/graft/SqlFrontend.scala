@@ -200,15 +200,30 @@ final class GraftSession(val spark: SparkSession) {
     * smaller than the base table) — or the given fallback state inside a
     * transaction, where snapshots lag until COMMIT.
     */
+  /** The ONE unique-index selection for a table reference — shared by
+    * the INSERT probe, REPLACE displacement, and EXPLAIN REPLACE, which
+    * had grown three slightly different hand-written predicates (the
+    * case-sensitivity fix this round had to be applied to each).
+    * `exclude` drops the PK key set (REPLACE handles it separately);
+    * `target` additionally requires the index columns to exist in the
+    * given frame's schema.
+    */
+  private def uniqueIndexesFor(ref: String,
+      exclude: Option[Seq[String]] = None,
+      target: Option[DataFrame] = None): Seq[((String, String), IndexMeta)] =
+    indexes.collect {
+      case e @ ((tb, _), m) if tb == metaKey(ref) &&
+        m.tableRef.equalsIgnoreCase(ref) && m.unique &&
+        !exclude.contains(m.cols) &&
+        target.forall(t => m.cols.forall(t.columns.contains)) => e
+    }.toSeq
+
   private def checkUniqueIndexes(ref: String, incoming: DataFrame,
       txnState: Option[DataFrame]): Unit =
-    indexes.foreach {
-      case ((tb, name), m) if tb == metaKey(ref) &&
-          m.tableRef.equalsIgnoreCase(ref) && m.unique =>
-        val cur = txnState.map(_.select(m.cols.map(col): _*))
-          .getOrElse(readSnapshot(m))
-        checkUniqueKeys(m.cols, name, cur, incoming)
-      case _ => ()
+    uniqueIndexesFor(ref).foreach { case ((_, name), m) =>
+      val cur = txnState.map(_.select(m.cols.map(col): _*))
+        .getOrElse(readSnapshot(m))
+      checkUniqueKeys(m.cols, name, cur, incoming)
     }
 
   /** Bucket id of a row: hash of the key columns mod bucket count. */
@@ -434,9 +449,24 @@ final class GraftSession(val spark: SparkSession) {
           // unmanaged tables still honor declared unique indexes (the
           // managed path and REPLACE displacement both do): skipping
           // the probe here accepted the duplicate AND rebuilt the
-          // snapshot around it, so ADMIN CHECK reported OK afterwards
-          checkUniqueIndexes(ref, incoming, None)
-          incoming.write.mode("append").insertInto(ref)
+          // snapshot around it, so ADMIN CHECK reported OK afterwards.
+          // A SELECT source is pinned ONCE (the managed path's staging
+          // rule): probing the unpinned plan and then re-evaluating it
+          // for the append let a non-deterministic source pass the
+          // check with different rows than got written.
+          if (source.toUpperCase.startsWith("VALUES")) {
+            checkUniqueIndexes(ref, incoming, None)
+            incoming.write.mode("append").insertInto(ref)
+          } else {
+            val stage = Files.createTempDirectory("graft-uins").toString
+            try {
+              incoming.write.mode("overwrite").parquet(stage)
+              val pinned = readStage(stage, incoming.schema)
+              checkUniqueIndexes(ref, pinned, None)
+              pinned.write.mode("append").insertInto(ref)
+            } finally GraftSession.deleteRecursively(
+              java.nio.file.Paths.get(stage))
+          }
           refreshIndexes(ref)
         }
         ok()
@@ -614,12 +644,8 @@ final class GraftSession(val spark: SparkSession) {
           // rule is unchanged: no PK means REPLACE inserts (MySQL: no
           // unique key, no displacement).
           val pkKeys = replaceKeysFor(ref)
-          val uniqCols = indexes.collect {
-            case ((tb, _), m) if tb == metaKey(ref) &&
-              m.tableRef.equalsIgnoreCase(ref) && m.unique &&
-              !pkKeys.contains(m.cols) &&
-              m.cols.forall(target.columns.contains) => m.cols
-          }.toSeq
+          val uniqCols =
+            uniqueIndexesFor(ref, pkKeys, Some(target)).map(_._2.cols)
           // displacement probes use the FULL pre-dedup batch, survivors
           // only merge in — exactly the execution path's contract (a
           // dropped batch row's keys still displaced table rows)
@@ -901,6 +927,12 @@ final class GraftSession(val spark: SparkSession) {
           s"unknown column '$c' in index $n (a column named after a " +
             "reserved word must be backquoted)"))
       }
+      // the PRIMARY KEY clause gets the same pre-create validation
+      // (MySQL 1072): a PK on a non-column used to create the table and
+      // then die in bucketCol on the first INSERT
+      primaryKeys.getOrElse(mkey, Nil).foreach(c =>
+        require(cols.exists(_._1.equalsIgnoreCase(c)),
+          s"unknown column '$c' in PRIMARY KEY"))
       // `__gb` is the managed layout's PHYSICAL bucket partition column
       // (baked into every snapshot and partition directory), the one
       // scratch name that CANNOT be uniquified per-statement — reject it
@@ -1968,8 +2000,25 @@ final class GraftSession(val spark: SparkSession) {
                 case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
                 case _ => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
               }
-              least(greatest(functions.MySqlCoerce.toLong(col(f.name)),
-                lit(mn)), lit(mx)).cast(f.dataType)
+              val l = functions.MySqlCoerce.toLong(col(f.name))
+              // NULL guarded EXPLICITLY: greatest()/least() SKIP null
+              // arguments rather than propagate them, so an unguarded
+              // clamp turned a NULL string into the type's MIN value
+              when(l.isNull, lit(null))
+                .otherwise(least(greatest(l, lit(mn)), lit(mx)))
+                .cast(f.dataType)
+            case dt: DecimalType =>
+              // BIGINT UNSIGNED maps to DECIMAL(20,0) — without this
+              // case a huge prefix still ANSI-aborted. try_cast + the
+              // signed bound saturates exactly at the decimal's range
+              // (the unsigned zero floor is not tracked past the type
+              // mapping; the abort class is what this closes)
+              val d = functions.MySqlCoerce.toDouble(col(f.name))
+              val bound = BigDecimal("9" * (dt.precision - dt.scale) +
+                (if (dt.scale > 0) "." + "9" * dt.scale else ""))
+              when(d.isNull, lit(null).cast(dt)).otherwise(
+                coalesce(d.try_cast(dt),
+                  when(d > 0, lit(bound)).otherwise(lit(-bound)).cast(dt)))
             case _ =>
               functions.MySqlCoerce.toDouble(col(f.name)).cast(f.dataType)
           })
@@ -2133,15 +2182,8 @@ final class GraftSession(val spark: SparkSession) {
       }
     val pkKeys = replaceKeysFor(ref)
     val keyCols = pkKeys.getOrElse(Nil)
-    // tableRef compare is case-INsensitive (like Spark resolution and
-    // tb's metaKey): a statement spelling the table in different case
-    // used to silently skip every unique-index check here and in
-    // checkUniqueIndexes
-    val uniqIdx = indexes.collect {
-      case ((tb, _), m) if tb == base && m.tableRef.equalsIgnoreCase(ref) &&
-        m.unique && m.cols != keyCols &&
-        m.cols.forall(target.columns.contains) => m
-    }.toSeq
+    val uniqIdx =
+      uniqueIndexesFor(ref, Some(keyCols), Some(target)).map(_._2)
     val uniqCols = uniqIdx.map(_.cols)
     if (!txnActive && isManaged(ref)) {
       val incB = withBucket(ref, incoming)
@@ -2601,6 +2643,10 @@ object GraftSession {
         out += ' '
       } else { out += c; i += 1 }
     }
+    // an unterminated /*! version comment must fail like the ordinary
+    // unterminated-comment branch above (MySQL 1064), not silently run
+    // the statement with the dangling opener stripped
+    require(verDepth == 0, s"unterminated comment in: $sql")
     out.toString
   }
 

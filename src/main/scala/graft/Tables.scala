@@ -59,24 +59,38 @@ object Tables {
     * The probe result is JVM-global but the conf is PER SESSION, so the
     * conf decision cannot ride the cache: a cache HIT for a nanos dir
     * in a fresh session must still establish the conf, and probing a
-    * non-nanos dir must not unset it while an earlier nanos dir's
-    * frames are still lazy (specs DO mix fixture dirs in one session).
-    * So every call (re-)asserts the conf for the PASSED session:
-    * set when this dir is nanos (idempotent, cheap), unset only when NO
-    * probed dir is nanos — the conservative policy that keeps every
-    * lazily-pending nanos frame readable.
+    * non-nanos dir must not unset it while THIS session's earlier
+    * nanos frames are still lazy (specs DO mix fixture dirs in one
+    * session). Every call (re-)asserts the conf for the PASSED
+    * session: set when this dir is nanos (idempotent, cheap), unset
+    * only when this SESSION has never resolved a nanos dir
+    * ([[sessionNanos]]) — consulting the global cache instead would
+    * force the conf onto unrelated sessions in the same JVM.
     */
   private[graft] val tsLongCache =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Sessions that have RESOLVED a nanos dir, weakly held: the probe
+    * RESULT is a file property and caches JVM-globally, but the conf
+    * decision is PER SESSION — consulting the global cache forced the
+    * legacy conf onto sessions that never touched a nanos fixture,
+    * silently mapping THEIR nanos columns to bare longs. Only a session
+    * with a live nanos resolution keeps the conf set.
+    */
+  private[graft] val sessionNanos: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
   def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
     val isLong = tsLongCache.getOrElseUpdate(dir, {
       import org.apache.spark.sql.types._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       load(spark, dir, "events").schema("ts").dataType == LongType
     })
-    if (isLong || tsLongCache.values.exists(identity))
+    if (isLong) {
+      sessionNanos.add(spark)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    else spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    } else if (!sessionNanos.contains(spark))
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     isLong
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MySQL STRCMP(a, b) → -1 / 0 / 1 (NULL if either side is NULL), as a
@@ -29,7 +29,11 @@ case class StrCmp(left: Expression, right: Expression)
   // ClassCastException) — the same guard its sibling expressions
   // DotProduct/Fingerprint carry
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == StringType)
+    // NullType accepted: strcmp(NULL, 'x') is valid MySQL (result
+    // NULL, via the nullSafeEval short-circuit) — rejecting the NULL
+    // literal at analysis would regress a legal call form
+    val ok = Seq(left, right).forall(e =>
+      e.dataType == StringType || e.dataType == NullType)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (string, string), got " +

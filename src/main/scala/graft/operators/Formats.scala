@@ -39,7 +39,23 @@ object Formats extends QueryModule {
         // fixture-keyed dir was a cross-process race.
         val key = java.util.UUID
           .nameUUIDFromBytes(d.getBytes("UTF-8")).toString.take(8)
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+        // sweep scratch dirs left by DEAD processes: the PID suffix
+        // fixed the cross-JVM overwrite race but on its own would
+        // accumulate one CSV+JSON copy per past JVM forever (crashed
+        // runs never clean up after themselves; a live one might still
+        // be lazily reading its dir, so only dead PIDs are swept)
+        Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.startsWith("graft_fmt_"))
+          .foreach { f =>
+            f.getName.split("_p").lastOption
+              .flatMap(_.toLongOption).foreach { pid =>
+                if (pid != ProcessHandle.current().pid() &&
+                    !ProcessHandle.of(pid).isPresent)
+                  graft.GraftSession.deleteRecursively(f.toPath)
+              }
+          }
+        val dir = new java.io.File(tmp,
           s"graft_fmt_${key}_p${ProcessHandle.current().pid()}")
           .getAbsolutePath
         li.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")

@@ -223,7 +223,12 @@ object EventsStream {
   def asofMatches(events: DataFrame): Dataset[AsofMatch] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("event_id"), col("ts"),
+    // ts IS NOT NULL mirrors the batch join_asof policy (a
+    // timestamp-less event cannot be time-ordered) — and without it a
+    // NULL ts crashes the non-nullable AsofEv.ts_us encoder, the same
+    // class as the value-field fix and the sessionCounts guard
+    events.where(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
         unix_micros(col("ts")).as("ts_us"), col("value"), col("is_p"))
       .withWatermark("ts", "10 minutes")
       .as[AsofEv]

@@ -244,29 +244,38 @@ class EmptyInputSpec extends SparkSuite
     val saved = Tables.tsLongCache.readOnlySnapshot().toMap
     val nanosDir = "/simulated/nanos/fixture"
     try {
-      // a previously-probed nanos dir sits in the global cache: probing
-      // a NON-nanos dir must keep the conf set (that dir's frames may
-      // still be lazy in this session)
+      // a cache HIT on a nanos dir must establish the conf for THIS
+      // session even though the probe body never runs (the
+      // fresh-session-in-a-warm-JVM case)
       Tables.tsLongCache.put(nanosDir, true)
-      assert(!Tables.eventsTsIsLong(spark, sf))
-      assert(spark.conf.getOption(conf).contains("true"),
-        "non-nanos probe unset the conf under a live nanos dir")
-      // a cache HIT on the nanos dir must establish the conf even
-      // though the probe body never runs (the fresh-session case)
       spark.conf.unset(conf)
       assert(Tables.eventsTsIsLong(spark, nanosDir))
       assert(spark.conf.getOption(conf).contains("true"),
         "cache hit failed to establish the conf for this session")
-      // with no nanos dir cached anywhere, a non-nanos call unsets it
-      // (back to the registered default "false" — getOption never
-      // returns None for a conf with a default)
-      Tables.tsLongCache.remove(nanosDir)
+      // probing a NON-nanos dir must keep the conf set while THIS
+      // session's nanos frames may still be lazy
+      assert(!Tables.eventsTsIsLong(spark, sf))
+      assert(spark.conf.getOption(conf).contains("true"),
+        "non-nanos probe unset the conf under this session's nanos use")
+      // but a DIFFERENT session in the same JVM that never touched a
+      // nanos dir must NOT inherit the conf — the global cache is a
+      // file-property cache, not a conf policy (a forced conf would
+      // silently map that session's own nanos columns to bare longs)
+      val other = spark.newSession()
+      assert(!Tables.eventsTsIsLong(other, sf))
+      assert(other.conf.get(conf) == "false",
+        "unrelated session inherited the nanos conf from the cache")
+      // and once this session's nanos resolution is forgotten, a
+      // non-nanos call unsets (to the registered default "false" —
+      // getOption never returns None for a conf with a default)
+      Tables.sessionNanos.remove(spark)
       assert(!Tables.eventsTsIsLong(spark, sf))
       assert(spark.conf.get(conf) == "false",
         "conf left enabled with no nanos fixture to justify it")
     } finally {
       Tables.tsLongCache.clear()
       Tables.tsLongCache ++= saved
+      Tables.sessionNanos.remove(spark)
       spark.conf.unset(conf)
     }
   }
