@@ -111,7 +111,7 @@ object Bench {
   private[graft] def renderFullRecord(results: Seq[(String, Double)],
       sched: String, sfDir: String,
       mids: Seq[(Int, Double, Double)] = Seq.empty,
-      hits: Seq[(String, Double, Double, Double)] = Seq.empty): String = {
+      hits: Seq[(String, Double, Double, Double, Long)] = Seq.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
@@ -120,9 +120,9 @@ object Bench {
   /** Outlier-probe readings for the FILE record: one object per
     * triggered [[renderSchedHit]] line. */
   private[graft] def hitsJson(
-      hits: Seq[(String, Double, Double, Double)]): String =
-    hits.map { case (n, r, p50, max) =>
-      s"""{"q":"$n","r":${fmt1(r)},"p50":${fmt(p50)},"max":${fmt(max)}}"""
+      hits: Seq[(String, Double, Double, Double, Long)]): String =
+    hits.map { case (n, r, p50, max, gc) =>
+      s"""{"q":"$n","r":${fmt1(r)},"p50":${fmt(p50)},"max":${fmt(max)},"gc":$gc}"""
     }.mkString("\"sched_hit\":[", ",", "]")
 
   /** One-decimal ratio formatting (locale-pinned, same reason as fmt). */
@@ -134,12 +134,16 @@ object Bench {
     * carrying a FRESH fixed-shape probe reading — if the probe is also
     * inflated the outlier self-adjudicates as host, if healthy the
     * outlier is presumptively code and worth an isolated re-run. `r` is
-    * the observed/committed ratio. ~55 bytes; streams between the
-    * per-query lines, never inside the end-of-suite block.
+    * the observed/committed ratio; `gc` is the stop-the-world collector
+    * time (ms) that landed inside the query's own timed window (r13
+    * verdict item 1) — the third adjudication axis: healthy probe +
+    * high gc = in-JVM pressure the host probe cannot see, both healthy
+    * = presumptive code. ~65 bytes; streams between the per-query
+    * lines, never inside the end-of-suite block.
     */
   private[graft] def renderSchedHit(name: String, ratio: Double,
-      p50: Double, max: Double): String =
-    s"""{"sched_hit":${fmt(p50)},"max":${fmt(max)},"q":"$name","r":${fmt1(ratio)}}"""
+      p50: Double, max: Double, gcMs: Long): String =
+    s"""{"sched_hit":${fmt(p50)},"max":${fmt(max)},"q":"$name","r":${fmt1(ratio)},"gc":$gcMs}"""
 
   /** End-of-suite probe-context line (r12 verdict item 1): the streamed
     * `sched_mid`/`sched_hit` lines for the first ~80 queries never
@@ -152,18 +156,24 @@ object Bench {
     *     inflated entry at its position;
     *   - `hn`: the TRUE count of triggered outlier probes;
     *   - `hits`: the worst `maxHits` of them by ratio as
-    *     `[name, ratio, probe_p50]` triples — p50 healthy ⇒ presumptive
-    *     code, inflated ⇒ host. Capped (hn records what the cap hides)
-    *     so a pathological run cannot eat the tail: ~60 bytes healthy,
-    *     ~260 worst-case at the cap — inside BenchFormatSpec's budget.
+    *     `[name, ratio, probe_p50, gc_ms]` quadruples. The probe p50
+    *     sees the HOST (inflated ⇒ scheduler storm); gc_ms sees the JVM
+    *     (the collector time inside that query's own timed window —
+    *     r13's decontaminate hit carried a healthy 0.021 probe and
+    *     would still have been old-gen churn, the case the p50 alone
+    *     misreads as code). Healthy probe + high gc ⇒ JVM pressure,
+    *     both healthy ⇒ presumptive code worth an isolated re-run.
+    *     Capped (hn records what the cap hides) so a pathological run
+    *     cannot eat the tail: ~60 bytes healthy, ~300 worst-case at the
+    *     cap — inside BenchFormatSpec's budget.
     */
   private[graft] def renderProbeContext(
       mids: Seq[(Int, Double, Double)],
-      hits: Seq[(String, Double, Double, Double)],
+      hits: Seq[(String, Double, Double, Double, Long)],
       maxHits: Int = 6): String = {
     val sm = mids.map(m => fmt(m._2)).mkString("[", ",", "]")
-    val hs = hits.sortBy(-_._2).take(maxHits).map { case (n, r, p50, _) =>
-      s"""["$n",${fmt1(r)},${fmt(p50)}]"""
+    val hs = hits.sortBy(-_._2).take(maxHits).map { case (n, r, p50, _, gc) =>
+      s"""["$n",${fmt1(r)},${fmt(p50)},$gc]"""
     }.mkString("[", ",", "]")
     s"""{"sm":$sm,"hn":${hits.size},"hits":$hs}"""
   }
@@ -210,7 +220,23 @@ object Bench {
     // stderr through materialize()'s own handler.
     spark.sparkContext.setLogLevel("ERROR")
 
-    def materialize(name: String): Double = {
+    // Cumulative stop-the-world GC time across all collectors, for the
+    // per-query gc_ms delta below (r13 verdict item 1): the host-
+    // scheduling probe cannot see IN-PROCESS pressure — r13's one
+    // sched_hit (decontaminate 1.7x) fired with a HEALTHY probe because
+    // the slowdown was old-gen churn inside this JVM, the exact effect
+    // r9 profiled at 4.8 s mid-suite vs 1.5 s isolated. getCollectionTime
+    // is "approximate accumulated elapsed ms" and may return -1 when
+    // undefined — clamped to 0 so one exotic collector cannot poison the
+    // sum.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
+    def materialize(name: String): (Double, Long) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -218,6 +244,10 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // gc_ms = collector time that landed INSIDE the timed window —
+      // read before the untimed inter-query System.gc() below, which
+      // must not be charged to the query it follows.
+      val gcMs = gcMillis() - g0
       // Queries persist shared subtrees; freeing them here keeps one
       // query's cache from squeezing the next one's execution memory
       // over a full-suite run (the bucketed-index tables are on disk and
@@ -229,7 +259,7 @@ object Bench {
       // isolated with identical plans. Collecting OUTSIDE the timed
       // window measures each query's steady-state work.
       System.gc()
-      sec
+      (sec, gcMs)
     }
 
     // Fixed-shape scheduler-health probe (see scaladoc): median + max of
@@ -309,7 +339,7 @@ object Bench {
     // is noise, not a storm), and each false fire costs a ~0.2 s probe
     // plus a tail line. A real storm inflates by whole seconds and
     // always clears both gates.
-    val hits = Seq.newBuilder[(String, Double, Double, Double)]
+    val hits = Seq.newBuilder[(String, Double, Double, Double, Long)]
     // Arm the outlier trigger only in the comparator's own regime: a
     // cpus=4 debug run or a different SF exceeds 1.5x on most heavy
     // queries for legitimate reasons and would spray ~100 spurious
@@ -317,13 +347,13 @@ object Bench {
     val refArmed = sfDir.endsWith(BenchRef.sfDirSuffix) &&
       cpus == BenchRef.cpus
     val results = names.zipWithIndex.map { case (n, i) =>
-      val sec = materialize(n)
+      val (sec, gcMs) = materialize(n)
       println(s"""{"q":"$n","sec":${fmt(sec)}}""")
       (if (refArmed) BenchRef.committed.get(n) else None).foreach { ref =>
         if (sec > ref * 1.5 && sec - ref > 0.2) {
           val (p50, max) = schedProbe()
-          hits += ((n, sec / ref, p50, max))
-          println(renderSchedHit(n, sec / ref, p50, max))
+          hits += ((n, sec / ref, p50, max, gcMs))
+          println(renderSchedHit(n, sec / ref, p50, max, gcMs))
         }
       }
       if ((i + 1) % MidEvery == 0 && i + 1 < names.size) {

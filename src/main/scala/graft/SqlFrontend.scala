@@ -79,6 +79,22 @@ final class GraftSession(val spark: SparkSession) {
   private val columnDefaults = mutable.Map.empty[String, Map[String, String]]
   /** table → AUTO_INCREMENT column. */
   private val autoIncCols = mutable.Map.empty[String, String]
+  /** table → (column → unsigned ceiling): columns declared UNSIGNED keep
+    * only their WIDENED signed Spark type past the type mapping
+    * (SURVEY §1.4, [[applyUnsigned]]), so the non-strict coercion clamp
+    * needs the original MySQL range recorded separately — BIGINT
+    * UNSIGNED must saturate at 2⁶⁴-1 with a 0 floor (reference
+    * `types/convert.go` unsigned clamp), not at the widened
+    * DECIMAL(20,0)'s ±(10²⁰-1). Only integral origins are recorded:
+    * FLOAT/DOUBLE/DECIMAL UNSIGNED keep their own range in MySQL's
+    * clamp too (only the sign floor differs, a documented non-goal).
+    */
+  private val unsignedCols = mutable.Map.empty[String, Map[String, BigDecimal]]
+  /** Count of pinned INSERT…SELECT stagings (test hook: SqlFrontendSpec
+    * asserts a no-unique-index INSERT…SELECT performs a single write —
+    * the staged dir is deleted in a finally, so the spec cannot observe
+    * it after the fact). */
+  private[graft] var stagedInsertWrites: Long = 0L
 
   /** Explicit-transaction state: qualified table ref → overlay DataFrame
     * (the table's next logical state). While a transaction is open, each
@@ -339,8 +355,9 @@ final class GraftSession(val spark: SparkSession) {
         // session metadata by key prefix so a later re-created db.table
         // cannot inherit a dead table's PK/defaults/indexes
         val prefix = clean(db).toLowerCase + "."
-        Seq(primaryKeys, columnDefaults, autoIncCols).foreach(m =>
-          m.keys.filter(_.startsWith(prefix)).toSeq.foreach(m.remove))
+        Seq(primaryKeys, columnDefaults, autoIncCols, unsignedCols)
+          .foreach(m =>
+            m.keys.filter(_.startsWith(prefix)).toSeq.foreach(m.remove))
         indexes.keys.filter(_._1.startsWith(prefix)).toSeq
           .foreach(indexes.remove)
         if (existed) recordDdl("drop schema", clean(db), "")
@@ -454,11 +471,19 @@ final class GraftSession(val spark: SparkSession) {
           // rule): probing the unpinned plan and then re-evaluating it
           // for the append let a non-deterministic source pass the
           // check with different rows than got written.
-          if (source.toUpperCase.startsWith("VALUES")) {
+          if (source.toUpperCase.startsWith("VALUES") ||
+              uniqueIndexesFor(ref).isEmpty) {
+            // No staging without a probe (r13 verdict item 2): the pin
+            // exists only so the unique-index probe and the append see
+            // the same rows of a possibly non-deterministic SELECT —
+            // with no unique index there is no probe, and the stage is
+            // pure 2x write amplification on the statement path. The
+            // single evaluation below cannot diverge from itself.
             checkUniqueIndexes(ref, incoming, None)
             incoming.write.mode("append").insertInto(ref)
           } else {
             val stage = Files.createTempDirectory("graft-uins").toString
+            stagedInsertWrites += 1 // test hook: see SqlFrontendSpec
             try {
               incoming.write.mode("overwrite").parquet(stage)
               val pinned = readStage(stage, incoming.schema)
@@ -866,12 +891,14 @@ final class GraftSession(val spark: SparkSession) {
     val priorPk = primaryKeys.get(mkey)
     val priorDefaults = columnDefaults.get(mkey)
     val priorAuto = autoIncCols.get(mkey)
+    val priorUnsigned = unsignedCols.get(mkey)
     def restoreMeta(): Unit = {
       def put[V](m: mutable.Map[String, V], v: Option[V]): Unit =
         v match { case Some(x) => m(mkey) = x case None => m.remove(mkey) }
       put(primaryKeys, priorPk)
       put(columnDefaults, priorDefaults)
       put(autoIncCols, priorAuto)
+      put(unsignedCols, priorUnsigned)
     }
     // start the walk from a CLEAN slate for this key: a previous
     // same-named table's entries (recordColumnExtras MERGES defaults)
@@ -880,6 +907,7 @@ final class GraftSession(val spark: SparkSession) {
     primaryKeys.remove(mkey)
     columnDefaults.remove(mkey)
     autoIncCols.remove(mkey)
+    unsignedCols.remove(mkey)
     try {
       defs.foreach { d =>
         val du = d.toUpperCase
@@ -896,7 +924,7 @@ final class GraftSession(val spark: SparkSession) {
           deferredIdx += ((name, du.startsWith("UNIQUE"), cols0))
         } else d match {
           case ColumnDefRe(name, tpe, extras) =>
-            val notNull = recordColumnExtras(mkey, clean(name), extras)
+            val notNull = recordColumnExtras(mkey, clean(name), tpe, extras)
             val sparkType = applyUnsigned(mysqlToSparkType(tpe), extras)
             // NOT NULL without DEFAULT fills the type's zero value when
             // an INSERT omits the column — the reference's zero-datum
@@ -984,17 +1012,42 @@ final class GraftSession(val spark: SparkSession) {
       case other => other // FLOAT/DOUBLE/DECIMAL UNSIGNED keep their range
     }
 
+  /** MySQL unsigned ceiling of an INTEGRAL declared type (the `tpe`
+    * text of the column def, pre-mapping — the widened Spark type can
+    * no longer distinguish MEDIUMINT UNSIGNED from INT). None for
+    * non-integral types: their UNSIGNED keeps its own magnitude range.
+    */
+  private def unsignedCeiling(tpe: String): Option[BigDecimal] =
+    tpe.trim.takeWhile(c => c != '(' && !c.isWhitespace).toUpperCase match {
+      case "TINYINT" => Some(BigDecimal(255))
+      case "SMALLINT" => Some(BigDecimal(65535))
+      case "MEDIUMINT" => Some(BigDecimal(16777215))
+      case "INT" | "INTEGER" => Some(BigDecimal(4294967295L))
+      case "BIGINT" => Some(BigDecimal("18446744073709551615"))
+      case _ => None
+    }
+
   /** Record PRIMARY KEY / AUTO_INCREMENT / DEFAULT metadata from a column
     * definition's trailing clauses, scanning with quoted text masked so a
     * COMMENT containing the keywords cannot trigger them. Returns the
     * " NOT NULL" suffix to carry into the Spark DDL.
     */
   private def recordColumnExtras(table: String, name: String,
-      extras: String): String = {
+      tpe: String, extras: String): String = {
     val masked = maskQuoted(extras)
     val mu = masked.toUpperCase
     if (mu.contains("PRIMARY KEY")) primaryKeys(table) = Seq(name)
     if (mu.contains("AUTO_INCREMENT")) autoIncCols(table) = name
+    // SET-or-CLEAR, not merge: MODIFY/CHANGE routes back through here
+    // with the NEW definition, and a column retyped signed must drop its
+    // unsigned ceiling (the new definition replaces the old one — the
+    // same rule the DEFAULT/AUTO_INCREMENT handling applies)
+    val um = unsignedCols.getOrElse(table, Map.empty)
+    unsignedCeiling(tpe).filter(_ =>
+      UnsignedRe.findFirstIn(masked).isDefined) match {
+      case Some(ceil) => unsignedCols(table) = um + (name -> ceil)
+      case None => if (um.contains(name)) unsignedCols(table) = um - name
+    }
     DefaultRe.findFirstMatchIn(masked).foreach { m =>
       columnDefaults(table) = columnDefaults.getOrElse(table, Map.empty) +
         (name -> extras.substring(m.start(1), m.end(1)))
@@ -1073,6 +1126,7 @@ final class GraftSession(val spark: SparkSession) {
       primaryKeys.remove(base)
       columnDefaults.remove(base)
       autoIncCols.remove(base)
+      unsignedCols.remove(base)
     }
     (found, isTemp)
   }
@@ -1095,7 +1149,7 @@ final class GraftSession(val spark: SparkSession) {
       val snap = metaSnapshot(base)
       val parsed = try splitTopLevel(body, ',').map {
         case ColumnDefRe(name, tpe, extras) =>
-          val notNull = recordColumnExtras(base, clean(name), extras).nonEmpty
+          val notNull = recordColumnExtras(base, clean(name), tpe, extras).nonEmpty
           // MySQL fills a new NOT NULL column (no DEFAULT) with the
           // type's zero value on existing AND future rows
           // (ddl_test.go:68 TestAddNotNullColumnNoDefault)
@@ -1194,6 +1248,7 @@ final class GraftSession(val spark: SparkSession) {
       }
       columnDefaults.get(base).foreach(m => columnDefaults(base) = m - actual)
       if (autoIncCols.get(base).contains(actual)) autoIncCols.remove(base)
+      unsignedCols.get(base).foreach(m => unsignedCols(base) = m - actual)
       indexes.filter(_._1._1 == base).foreach { case (k, m) =>
         val left = m.cols.filterNot(_ == actual)
         if (left.isEmpty) indexes.remove(k)
@@ -1250,7 +1305,8 @@ final class GraftSession(val spark: SparkSession) {
         // the NEW definition governs: stale attributes of the old one go
         columnDefaults.get(base).foreach(m => columnDefaults(base) = m - actual)
         if (autoIncCols.get(base).contains(actual)) autoIncCols.remove(base)
-        recordColumnExtras(base, newName, extras)
+        unsignedCols.get(base).foreach(m => unsignedCols(base) = m - actual)
+        recordColumnExtras(base, newName, tpe, extras)
         if (newName != actual) {
           primaryKeys.get(base).foreach(pk => primaryKeys(base) =
             pk.map(k => if (k == actual) newName else k))
@@ -1614,11 +1670,12 @@ final class GraftSession(val spark: SparkSession) {
     * can still fail (the createTable discipline, shared).
     */
   private type MetaSnap = (Option[Seq[String]], Option[Map[String, String]],
-    Option[String], Seq[((String, String), IndexMeta)])
+    Option[String], Seq[((String, String), IndexMeta)],
+    Option[Map[String, BigDecimal]])
 
   private def metaSnapshot(key: String): MetaSnap =
     (primaryKeys.get(key), columnDefaults.get(key), autoIncCols.get(key),
-      indexes.filter(_._1._1 == key).toSeq)
+      indexes.filter(_._1._1 == key).toSeq, unsignedCols.get(key))
 
   private def restoreMetaSnapshot(key: String, s: MetaSnap): Unit = {
     def put[V](m: mutable.Map[String, V], v: Option[V]): Unit =
@@ -1626,6 +1683,7 @@ final class GraftSession(val spark: SparkSession) {
     put(primaryKeys, s._1)
     put(columnDefaults, s._2)
     put(autoIncCols, s._3)
+    put(unsignedCols, s._5)
     indexes.keys.filter(_._1 == key).toSeq.foreach(indexes.remove)
     s._4.foreach { case (k, v) => indexes(k) = v }
   }
@@ -1955,6 +2013,7 @@ final class GraftSession(val spark: SparkSession) {
       else spark.sql(substituteVars(source)).toDF(names: _*)
     val defaults = tableBase.flatMap(columnDefaults.get).getOrElse(Map.empty)
     val autoInc = tableBase.flatMap(autoIncCols.get)
+    val unsignedOf = tableBase.flatMap(unsignedCols.get).getOrElse(Map.empty)
     // Non-strict sql_mode: string→number coercion takes the longest
     // numeric prefix with a truncation warning instead of the strict
     // ANSI-cast error (reference `types/convert.go` StrToFloat +
@@ -1991,10 +2050,34 @@ final class GraftSession(val spark: SparkSession) {
           // toDouble + a bare ANSI cast aborted the whole statement
           // with CAST_OVERFLOW on a '1e300' (or '5000000000' into INT)
           // prefix, where MySQL clamps with warning 1265
-          df.withColumn(f.name, f.dataType match {
-            case LongType =>
+          df.withColumn(f.name, (f.dataType, unsignedOf.get(f.name)) match {
+            case (dt: DecimalType, Some(ceil)) =>
+              // BIGINT UNSIGNED (widened to DECIMAL(20,0)): clamp to
+              // the reference's unsigned range [0, 2⁶⁴-1], not the
+              // decimal's own ±(10²⁰-1) (`types/convert.go` clamps to
+              // MaxUint64 with a warning, 0 floor for negatives). The
+              // ceiling 2⁶⁴-1 rounds UP to 2⁶⁴ as a double, so the >=
+              // guard is the correct boundary, and every double below
+              // it is an exact integer < 2⁶⁴ that try_casts inside the
+              // 20-digit range (the coalesce is a belt only).
+              val d = functions.MySqlCoerce.toDouble(col(f.name))
+              val top = lit(ceil.underlying).cast(dt)
+              when(d.isNull, lit(null).cast(dt))
+                .when(d < 0, lit(0).cast(dt))
+                .when(d >= lit(ceil.toDouble), top)
+                .otherwise(coalesce(d.try_cast(dt), top))
+            case (dt, Some(ceil)) if dt == LongType || dt == IntegerType ||
+                dt == ShortType || dt == ByteType =>
+              // smaller unsigned origins (INT/MEDIUMINT/SMALLINT/
+              // TINYINT UNSIGNED) live in a widened signed type whose
+              // range strictly contains [0, ceil]: one long-space clamp
+              val l = functions.MySqlCoerce.toLong(col(f.name))
+              when(l.isNull, lit(null))
+                .otherwise(least(greatest(l, lit(0L)), lit(ceil.toLong)))
+                .cast(dt)
+            case (LongType, _) =>
               functions.MySqlCoerce.toLong(col(f.name))
-            case IntegerType | ShortType | ByteType =>
+            case (IntegerType | ShortType | ByteType, _) =>
               val (mn, mx) = f.dataType match {
                 case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
                 case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
@@ -2007,12 +2090,10 @@ final class GraftSession(val spark: SparkSession) {
               when(l.isNull, lit(null))
                 .otherwise(least(greatest(l, lit(mn)), lit(mx)))
                 .cast(f.dataType)
-            case dt: DecimalType =>
-              // BIGINT UNSIGNED maps to DECIMAL(20,0) — without this
-              // case a huge prefix still ANSI-aborted. try_cast + the
-              // signed bound saturates exactly at the decimal's range
-              // (the unsigned zero floor is not tracked past the type
-              // mapping; the abort class is what this closes)
+            case (dt: DecimalType, _) =>
+              // SIGNED decimal targets — without this case a huge
+              // prefix still ANSI-aborted. try_cast + the signed bound
+              // saturates exactly at the decimal's own digit range.
               val d = functions.MySqlCoerce.toDouble(col(f.name))
               val bound = BigDecimal("9" * (dt.precision - dt.scale) +
                 (if (dt.scale > 0) "." + "9" * dt.scale else ""))

@@ -80,19 +80,28 @@ object Tables {
     java.util.Collections.synchronizedSet(
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
-  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
-    val isLong = tsLongCache.getOrElseUpdate(dir, {
-      import org.apache.spark.sql.types._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      load(spark, dir, "events").schema("ts").dataType == LongType
-    })
-    if (isLong) {
-      sessionNanos.add(spark)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    } else if (!sessionNanos.contains(spark))
-      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    isLong
-  }
+  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean =
+    // One lock around probe + conf decision: the add/set and
+    // contains/unset pairs must be atomic against each other — a
+    // concurrent non-nanos probe on the same session could otherwise
+    // check sessionNanos before a nanos probe's add, then unset the
+    // conf after that probe's set, leaving a nanos session without the
+    // conf (and the same interleaving could flip the conf mid-footer-
+    // read and poison the JVM-global cache). Coarse by design: the
+    // probe is schema-only and cached per dir, so contention is nil.
+    sessionNanos.synchronized {
+      val isLong = tsLongCache.getOrElseUpdate(dir, {
+        import org.apache.spark.sql.types._
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(spark, dir, "events").schema("ts").dataType == LongType
+      })
+      if (isLong) {
+        sessionNanos.add(spark)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      } else if (!sessionNanos.contains(spark))
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      isLong
+    }
 
   /** The shared ts normalization: nanos-long → truncated micros
     * timestamp; timestamp[us] (loaded NTZ) → session-UTC timestamp. */

@@ -44,16 +44,24 @@ object Formats extends QueryModule {
         // fixed the cross-JVM overwrite race but on its own would
         // accumulate one CSV+JSON copy per past JVM forever (crashed
         // runs never clean up after themselves; a live one might still
-        // be lazily reading its dir, so only dead PIDs are swept)
+        // be lazily reading its dir, so only dead PIDs are swept).
+        // Legacy suffix-less `graft_fmt_<key>` dirs (the pre-PID naming)
+        // parse to no PID and can have no live owner — this code never
+        // writes that name again — so they are always swept. An age
+        // cutoff backstops PID reuse: a recycled PID reads as "alive"
+        // and would otherwise keep a dead run's copy forever, but no
+        // bench/verify JVM lives anywhere near this long.
+        val sweepAgeMs = 12L * 3600 * 1000
         Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(_.getName.startsWith("graft_fmt_"))
           .foreach { f =>
-            f.getName.split("_p").lastOption
-              .flatMap(_.toLongOption).foreach { pid =>
-                if (pid != ProcessHandle.current().pid() &&
-                    !ProcessHandle.of(pid).isPresent)
-                  graft.GraftSession.deleteRecursively(f.toPath)
-              }
+            val pid = f.getName.split("_p").lastOption.flatMap(_.toLongOption)
+            val mine = pid.contains(ProcessHandle.current().pid())
+            val ownerDead = pid.forall(p => !ProcessHandle.of(p).isPresent)
+            val stale =
+              System.currentTimeMillis() - f.lastModified() > sweepAgeMs
+            if (!mine && (ownerDead || stale))
+              graft.GraftSession.deleteRecursively(f.toPath)
           }
         val dir = new java.io.File(tmp,
           s"graft_fmt_${key}_p${ProcessHandle.current().pid()}")

@@ -1,0 +1,187 @@
+package graft
+
+import graft.functions.MySqlCoerce
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-test of the whole non-strict string→number coercion surface
+  * (r13 verdict item 3): the r13 saturation work (half-away-from-zero
+  * integer context, per-type clamps, DECIMAL try_cast bounds, the
+  * unsigned 2⁶⁴-1 / 0 clamp added this round) was built point-by-point
+  * from review findings — this spec pins it WHOLESALE, the SURVEY §5
+  * vec-vs-row differential idea applied to the write path.
+  *
+  * Shape: ~250 seeded adversarial strings (type-boundary magnitudes ±
+  * fractions, numeric prefixes, whitespace/sign/exponent junk, NULLs)
+  * are driven through ONE real non-strict `INSERT … VALUES` statement
+  * into a table declaring every integral + decimal target — signed and
+  * unsigned — so the REAL `buildIncoming` path runs, not a re-assembled
+  * column expression. Every stored cell is then compared against an
+  * independent JVM-side model built on [[MySqlCoerce.prefixDouble]]
+  * (the hand-rolled scanner already differentially pinned against the
+  * production regex in MySqlSemanticsSpec) plus explicit
+  * BigDecimal/clamp arithmetic mirroring the reference's
+  * `types/convert.go` rules. Engine-vs-engine agreement for the shared
+  * toDouble/toLong kernels is carried by the `expr_coercion` DuckDB
+  * oracle in the driver gate; this spec extends the pin to the INSERT
+  * targets the oracle cannot reach (DuckDB has no MySQL coercion).
+  */
+class CoercionPropertySpec extends SparkSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(14L))
+
+  // ---- independent model -------------------------------------------------
+
+  private val U64 = BigDecimal("18446744073709551615")
+
+  /** Mirror of MySqlCoerce.toLong: prefix double, saturate at the long
+    * range (the >= boundary comment there), else round HALF_UP at scale
+    * 0 — which for the sign-symmetric setScale is half AWAY FROM ZERO —
+    * then the double→long cast (the production path casts round()'s
+    * DOUBLE result, so the model goes through doubleValue too).
+    */
+  private def longModel(d: Double): Long =
+    if (d >= Long.MaxValue.toDouble) Long.MaxValue
+    else if (d <= Long.MinValue.toDouble) Long.MinValue
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Spark's double→DECIMAL(p,s) cast: shortest-repr BigDecimal,
+    * HALF_UP to the target scale, None when the result exceeds the
+    * precision (what try_cast turns into NULL).
+    */
+  private def castDec(d: Double, p: Int, s: Int): Option[BigDecimal] = {
+    val v = BigDecimal.valueOf(d).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val bound = (BigDecimal(10).pow(p) - 1) / BigDecimal(10).pow(s)
+    if (v.abs > bound) None else Some(v)
+  }
+
+  private def signedClamp(d: Double, mn: Long, mx: Long): Long =
+    math.min(math.max(longModel(d), mn), mx)
+
+  private def unsignedClamp(d: Double, ceil: Long): Long =
+    math.min(math.max(longModel(d), 0L), ceil)
+
+  /** BIGINT UNSIGNED: 0 floor, 2⁶⁴-1 ceiling (2⁶⁴-1 rounds UP to 2⁶⁴ as
+    * a double, so >= is the boundary — same rationale as production). */
+  private def u64Model(d: Double): BigDecimal =
+    if (d < 0) BigDecimal(0)
+    else if (d >= U64.toDouble) U64
+    else castDec(d, 20, 0).getOrElse(U64)
+
+  private def signedDecModel(d: Double, p: Int, s: Int): BigDecimal = {
+    val bound = (BigDecimal(10).pow(p) - 1) / BigDecimal(10).pow(s)
+    castDec(d, p, s).getOrElse(if (d > 0) bound else -bound)
+  }
+
+  // ---- generators --------------------------------------------------------
+
+  /** Every type boundary the clamps care about, exact and ±1. */
+  private val boundaries = Gen.oneOf(
+    "0", "127", "128", "-128", "-129", "255", "256", "32767", "32768",
+    "-32768", "-32769", "65535", "65536", "16777215", "16777216",
+    "2147483647", "2147483648", "-2147483648", "-2147483649",
+    "4294967295", "4294967296", "9223372036854775807",
+    "9223372036854775808", "-9223372036854775808", "-9223372036854775809",
+    "18446744073709551615", "18446744073709551616",
+    "99999999999999999999", "1e19", "2e19", "1e300", "-1e300", "5e-1")
+
+  private val boundaryish: Gen[String] = for {
+    ws <- Gen.oneOf("", " ", "\t")
+    b <- boundaries
+    frac <- Gen.oneOf("", ".5", ".49", ".51", ".4", ".9")
+    junk <- Gen.oneOf("", "x", "abc", " 7", "e")
+  } yield s"$ws$b$frac$junk"
+
+  private val numericish: Gen[String] = for {
+    ws <- Gen.oneOf("", " ", "\t ")
+    sign <- Gen.oneOf("", "+", "-")
+    intPart <- Gen.oneOf(Gen.const(""), Gen.chooseNum(0, 99999).map(_.toString))
+    frac <- Gen.oneOf(Gen.const(""), Gen.chooseNum(0, 999).map("." + _))
+    exp <- Gen.oneOf("", "e2", "E-3", "e+18", "e", "eX")
+    junk <- Gen.oneOf("", "abc", "x1", " 5", "-", ".")
+  } yield s"$ws$sign$intPart$frac$exp$junk"
+
+  private val weird = Gen.oneOf(
+    "", "abc", "--1", "++2", "break", "12a34", ".e3", "1.2.3", ". 5", "e9")
+
+  /** None renders as a SQL NULL — the coercion must propagate it, not
+    * clamp it (the greatest/least skip-null regression class). */
+  private val cell: Gen[Option[String]] = Gen.frequency(
+    (4, boundaryish.map(Some(_))),
+    (4, numericish.map(Some(_))),
+    (1, weird.map(Some(_))),
+    (1, Gen.const(None)))
+
+  // ---- the property ------------------------------------------------------
+
+  test("non-strict INSERT coercion: every integral+decimal target " +
+    "matches the convert.go model on ~250 seeded adversarial strings") {
+    val gs = new GraftSession(spark)
+    val strs = samples(cell, 250)
+    // all generated characters are SQL-literal-safe by construction
+    assert(strs.flatten.forall(_.forall(c =>
+      c.isLetterOrDigit || " \t+-.".contains(c))), "unsafe generator output")
+    gs.execute("CREATE DATABASE IF NOT EXISTS coprop")
+    gs.execute("USE coprop")
+    gs.execute("DROP TABLE IF EXISTS cop")
+    gs.execute("""CREATE TABLE cop (id INT PRIMARY KEY,
+      t TINYINT, s SMALLINT, i INT, b BIGINT,
+      tu TINYINT UNSIGNED, su SMALLINT UNSIGNED, iu INT UNSIGNED,
+      bu BIGINT UNSIGNED, dc DECIMAL(8,2), d0 DECIMAL(20,0),
+      db DOUBLE, fl FLOAT)""")
+    gs.execute("SET sql_mode = ''")
+    try {
+      val rows = strs.zipWithIndex.map { case (so, id) =>
+        val v = so.map(s => s"'$s'").getOrElse("NULL")
+        s"($id, ${Seq.fill(12)(v).mkString(", ")})"
+      }
+      gs.execute(s"INSERT INTO cop VALUES ${rows.mkString(",\n")}")
+      val got = spark.table("coprop.cop")
+        .select("id", "t", "s", "i", "b", "tu", "su", "iu", "bu",
+          "dc", "d0", "db", "fl")
+        .collect().map(r => r.getInt(0) -> r).toMap
+      assert(got.size == strs.size)
+      strs.zipWithIndex.foreach { case (so, id) =>
+        val r = got(id)
+        so match {
+          case None =>
+            (1 to 12).foreach(i => assert(r.isNullAt(i),
+              s"NULL row $id col $i must stay NULL"))
+          case Some(s) =>
+            val d = MySqlCoerce.prefixDouble(s)
+            def ctx(c: String, got: Any, want: Any) =
+              s"row $id '$s' -> $c: got=$got want=$want (d=$d)"
+            assert(r.getByte(1).toLong == signedClamp(d, -128, 127),
+              ctx("t", r.getByte(1), signedClamp(d, -128, 127)))
+            assert(r.getShort(2).toLong == signedClamp(d, -32768, 32767),
+              ctx("s", r.getShort(2), signedClamp(d, -32768, 32767)))
+            assert(r.getInt(3).toLong ==
+              signedClamp(d, Int.MinValue, Int.MaxValue),
+              ctx("i", r.getInt(3), signedClamp(d, Int.MinValue, Int.MaxValue)))
+            assert(r.getLong(4) == longModel(d),
+              ctx("b", r.getLong(4), longModel(d)))
+            assert(r.getShort(5).toLong == unsignedClamp(d, 255L),
+              ctx("tu", r.getShort(5), unsignedClamp(d, 255L)))
+            assert(r.getInt(6).toLong == unsignedClamp(d, 65535L),
+              ctx("su", r.getInt(6), unsignedClamp(d, 65535L)))
+            assert(r.getLong(7) == unsignedClamp(d, 4294967295L),
+              ctx("iu", r.getLong(7), unsignedClamp(d, 4294967295L)))
+            assert(BigDecimal(r.getDecimal(8)) == u64Model(d),
+              ctx("bu", r.getDecimal(8), u64Model(d)))
+            assert(BigDecimal(r.getDecimal(9)) == signedDecModel(d, 8, 2),
+              ctx("dc", r.getDecimal(9), signedDecModel(d, 8, 2)))
+            assert(BigDecimal(r.getDecimal(10)) == signedDecModel(d, 20, 0),
+              ctx("d0", r.getDecimal(10), signedDecModel(d, 20, 0)))
+            assert(r.getDouble(11) == d, ctx("db", r.getDouble(11), d))
+            assert(r.getFloat(12) == d.toFloat,
+              ctx("fl", r.getFloat(12), d.toFloat))
+        }
+      }
+    } finally {
+      gs.execute("SET sql_mode = 'STRICT_TRANS_TABLES'")
+      gs.execute("DROP TABLE IF EXISTS cop")
+    }
+  }
+}
