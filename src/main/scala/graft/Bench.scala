@@ -111,10 +111,18 @@ object Bench {
   private[graft] def renderFullRecord(results: Seq[(String, Double)],
       sched: String, sfDir: String,
       mids: Seq[(Int, Double, Double)] = Seq.empty,
-      hits: Seq[(String, Double, Double, Double, Long)] = Seq.empty): String = {
+      hits: Seq[(String, Double, Double, Double, Long)] = Seq.empty,
+      gcs: Seq[(String, Long)] = Seq.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
+    // per-query gc_ms goes to the FILE record only (no tail budget
+    // there): the in-tail probe context carries gc for the capped worst
+    // HITS, but adjudicating a 1.3x mover that never crossed the 1.5x
+    // hit gate needs the same signal — this map makes every mover in a
+    // committed BENCH_LOCAL record gc-adjudicable after the fact.
+    val gj = gcs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("\"gc_ms\":{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,$gj,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
   }
 
   /** Outlier-probe readings for the FILE record: one object per
@@ -346,8 +354,10 @@ object Bench {
     // probes and tail lines into the artifact.
     val refArmed = sfDir.endsWith(BenchRef.sfDirSuffix) &&
       cpus == BenchRef.cpus
+    val gcs = Seq.newBuilder[(String, Long)]
     val results = names.zipWithIndex.map { case (n, i) =>
       val (sec, gcMs) = materialize(n)
+      gcs += ((n, gcMs))
       println(s"""{"q":"$n","sec":${fmt(sec)}}""")
       (if (refArmed) BenchRef.committed.get(n) else None).foreach { ref =>
         if (sec > ref * 1.5 && sec - ref > 0.2) {
@@ -366,7 +376,7 @@ object Bench {
     val (postP50, postMax) = schedProbe()
     val sched = schedJson(preP50, preMax, postP50, postMax)
     val line = renderFullRecord(results, sched, sfDir, mids.result(),
-      hits.result())
+      hits.result(), gcs.result())
     // The ~1.9 KB NAMED per-query map line goes to the FILE ONLY: in r9
     // it consumed most of the driver's bounded stdout tail and pushed 23
     // of the 107 short per-query lines out of the window. The positional

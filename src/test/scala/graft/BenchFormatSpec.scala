@@ -216,7 +216,15 @@ class BenchFormatSpec extends AnyFunSuite {
       """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412}]""")
     // no hits → an empty but still-parseable array in the file record
     val line = Bench.renderFullRecord(results, sched, "/d")
-    assertFragments(line, Seq("\"sched_hit\":[]"))
+    assertFragments(line, Seq("\"sched_hit\":[]", "\"gc_ms\":{}"))
+    // the per-query gc map makes sub-hit movers adjudicable from a
+    // committed record; it must follow the queries map so the
+    // comparator-pin parser's first-} scan still isolates queries
+    val withGc = Bench.renderFullRecord(results, sched, "/d",
+      gcs = results.map { case (n, _) => n -> 17L })
+    assertFragments(withGc, results.map { case (n, _) => s"""\"$n\":17""" })
+    assert(withGc.indexOf("\"gc_ms\":{") > withGc.indexOf("\"queries\":{"))
+    assert(withGc.indexOf("\"gc_ms\":{") < withGc.indexOf("\"sched\":{"))
   }
 
   test("the committed comparator matches its source artifact's values") {

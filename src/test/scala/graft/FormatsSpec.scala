@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Formats
+
+/** The CSV/JSON round-trip's scratch-dir hygiene (ADVICE r13): the
+  * per-(fixture, PID) naming bounds the /tmp footprint to one copy per
+  * live JVM, and the sweep at query start must reclaim everything no
+  * live process can still be lazily reading — dead-PID dirs, legacy
+  * suffix-less dirs from the pre-PID naming (which parse to no PID and
+  * were previously never swept), and, past an age cutoff, dirs whose
+  * PID was recycled by an unrelated live process.
+  */
+class FormatsSpec extends SparkSuite {
+
+  test("scratch sweep reclaims dead-PID and legacy dirs, keeps live ones") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def mk(name: String): java.io.File = {
+      val d = new java.io.File(tmp, name)
+      assert(d.mkdir() || d.isDirectory, s"could not create $d")
+      new java.io.File(d, "marker").createNewFile()
+      d
+    }
+    // a REAL dead PID: a process we started and reaped ourselves
+    val reaped = new ProcessBuilder("true").start()
+    reaped.waitFor()
+    val deadPid = reaped.pid()
+    val legacy = mk("graft_fmt_0abc1234") // pre-PID naming, no live owner
+    val dead = mk(s"graft_fmt_0abc1234_p$deadPid")
+    // PID 1 is always alive and is not us: a FRESH dir owned by a live
+    // foreign process must survive (the age backstop only reclaims it
+    // after 12h, which this test cannot and should not wait for)
+    val liveForeign = mk("graft_fmt_0abc1234_p1")
+    try {
+      val q = Formats.queries.find(_.name == "source_formats").get
+      q.fn(spark, sf).collect()
+      assert(!legacy.exists(), "legacy suffix-less dir must be swept")
+      assert(!dead.exists(), "dead-PID dir must be swept")
+      assert(liveForeign.exists(), "fresh live-foreign-PID dir must survive")
+      // and this JVM's own dir is present and readable (the query's
+      // result frame just lazily read from it)
+      val key = java.util.UUID
+        .nameUUIDFromBytes(sf.getBytes("UTF-8")).toString.take(8)
+      val own = new java.io.File(tmp,
+        s"graft_fmt_${key}_p${ProcessHandle.current().pid()}")
+      assert(own.isDirectory, "own scratch dir must exist after the run")
+    } finally Seq(legacy, dead, liveForeign).foreach(d =>
+      GraftSession.deleteRecursively(d.toPath))
+  }
+}
