@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -79,17 +79,19 @@ final class GraftSession(val spark: SparkSession) {
   private val columnDefaults = mutable.Map.empty[String, Map[String, String]]
   /** table → AUTO_INCREMENT column. */
   private val autoIncCols = mutable.Map.empty[String, String]
-  /** table → (column → unsigned ceiling): columns declared UNSIGNED keep
-    * only their WIDENED signed Spark type past the type mapping
-    * (SURVEY §1.4, [[applyUnsigned]]), so the non-strict coercion clamp
-    * needs the original MySQL range recorded separately — BIGINT
-    * UNSIGNED must saturate at 2⁶⁴-1 with a 0 floor (reference
-    * `types/convert.go` unsigned clamp), not at the widened
-    * DECIMAL(20,0)'s ±(10²⁰-1). Only integral origins are recorded:
-    * FLOAT/DOUBLE/DECIMAL UNSIGNED keep their own range in MySQL's
-    * clamp too (only the sign floor differs, a documented non-goal).
+  /** table → (column → (floor, ceiling)): integral columns whose MySQL
+    * range is NARROWER than their mapped Spark type's — every UNSIGNED
+    * integral (the mapping widens, SURVEY §1.4 [[applyUnsigned]]) and
+    * signed MEDIUMINT (mapped to INT). The non-strict out-of-range
+    * clamp needs the declared range recorded separately: BIGINT
+    * UNSIGNED must saturate at [0, 2⁶⁴-1] (reference `types/convert.go`
+    * unsigned clamp), not at the widened DECIMAL(20,0)'s ±(10²⁰-1).
+    * Only integral origins are recorded: FLOAT/DOUBLE/DECIMAL UNSIGNED
+    * keep their own magnitude range in MySQL's clamp too (only the
+    * sign floor differs, a documented non-goal).
     */
-  private val unsignedCols = mutable.Map.empty[String, Map[String, BigDecimal]]
+  private val rangeCols =
+    mutable.Map.empty[String, Map[String, (BigDecimal, BigDecimal)]]
   /** Count of pinned INSERT…SELECT stagings (test hook: SqlFrontendSpec
     * asserts a no-unique-index INSERT…SELECT performs a single write —
     * the staged dir is deleted in a finally, so the spec cannot observe
@@ -355,7 +357,7 @@ final class GraftSession(val spark: SparkSession) {
         // session metadata by key prefix so a later re-created db.table
         // cannot inherit a dead table's PK/defaults/indexes
         val prefix = clean(db).toLowerCase + "."
-        Seq(primaryKeys, columnDefaults, autoIncCols, unsignedCols)
+        Seq(primaryKeys, columnDefaults, autoIncCols, rangeCols)
           .foreach(m =>
             m.keys.filter(_.startsWith(prefix)).toSeq.foreach(m.remove))
         indexes.keys.filter(_._1.startsWith(prefix)).toSeq
@@ -891,14 +893,14 @@ final class GraftSession(val spark: SparkSession) {
     val priorPk = primaryKeys.get(mkey)
     val priorDefaults = columnDefaults.get(mkey)
     val priorAuto = autoIncCols.get(mkey)
-    val priorUnsigned = unsignedCols.get(mkey)
+    val priorRange = rangeCols.get(mkey)
     def restoreMeta(): Unit = {
       def put[V](m: mutable.Map[String, V], v: Option[V]): Unit =
         v match { case Some(x) => m(mkey) = x case None => m.remove(mkey) }
       put(primaryKeys, priorPk)
       put(columnDefaults, priorDefaults)
       put(autoIncCols, priorAuto)
-      put(unsignedCols, priorUnsigned)
+      put(rangeCols, priorRange)
     }
     // start the walk from a CLEAN slate for this key: a previous
     // same-named table's entries (recordColumnExtras MERGES defaults)
@@ -907,7 +909,7 @@ final class GraftSession(val spark: SparkSession) {
     primaryKeys.remove(mkey)
     columnDefaults.remove(mkey)
     autoIncCols.remove(mkey)
-    unsignedCols.remove(mkey)
+    rangeCols.remove(mkey)
     try {
       defs.foreach { d =>
         val du = d.toUpperCase
@@ -1012,20 +1014,28 @@ final class GraftSession(val spark: SparkSession) {
       case other => other // FLOAT/DOUBLE/DECIMAL UNSIGNED keep their range
     }
 
-  /** MySQL unsigned ceiling of an INTEGRAL declared type (the `tpe`
-    * text of the column def, pre-mapping — the widened Spark type can
-    * no longer distinguish MEDIUMINT UNSIGNED from INT). None for
-    * non-integral types: their UNSIGNED keeps its own magnitude range.
+  /** The MySQL range of an INTEGRAL declared type (the `tpe` text of
+    * the column def, PRE-mapping — the widened Spark type can no
+    * longer distinguish MEDIUMINT UNSIGNED from INT) whenever that
+    * range is narrower than the mapped Spark type's own. None for
+    * exact mappings and non-integral types: their UNSIGNED keeps its
+    * own magnitude range.
     */
-  private def unsignedCeiling(tpe: String): Option[BigDecimal] =
+  private def declaredRange(tpe: String,
+      unsigned: Boolean): Option[(BigDecimal, BigDecimal)] = {
+    val zero = BigDecimal(0)
     tpe.trim.takeWhile(c => c != '(' && !c.isWhitespace).toUpperCase match {
-      case "TINYINT" => Some(BigDecimal(255))
-      case "SMALLINT" => Some(BigDecimal(65535))
-      case "MEDIUMINT" => Some(BigDecimal(16777215))
-      case "INT" | "INTEGER" => Some(BigDecimal(4294967295L))
-      case "BIGINT" => Some(BigDecimal("18446744073709551615"))
+      case "TINYINT" if unsigned => Some((zero, BigDecimal(255)))
+      case "SMALLINT" if unsigned => Some((zero, BigDecimal(65535)))
+      case "MEDIUMINT" if unsigned => Some((zero, BigDecimal(16777215)))
+      case "MEDIUMINT" => Some((BigDecimal(-8388608), BigDecimal(8388607)))
+      case "INT" | "INTEGER" if unsigned =>
+        Some((zero, BigDecimal(4294967295L)))
+      case "BIGINT" if unsigned =>
+        Some((zero, BigDecimal("18446744073709551615")))
       case _ => None
     }
+  }
 
   /** Record PRIMARY KEY / AUTO_INCREMENT / DEFAULT metadata from a column
     * definition's trailing clauses, scanning with quoted text masked so a
@@ -1039,14 +1049,14 @@ final class GraftSession(val spark: SparkSession) {
     if (mu.contains("PRIMARY KEY")) primaryKeys(table) = Seq(name)
     if (mu.contains("AUTO_INCREMENT")) autoIncCols(table) = name
     // SET-or-CLEAR, not merge: MODIFY/CHANGE routes back through here
-    // with the NEW definition, and a column retyped signed must drop its
-    // unsigned ceiling (the new definition replaces the old one — the
-    // same rule the DEFAULT/AUTO_INCREMENT handling applies)
-    val um = unsignedCols.getOrElse(table, Map.empty)
-    unsignedCeiling(tpe).filter(_ =>
-      UnsignedRe.findFirstIn(masked).isDefined) match {
-      case Some(ceil) => unsignedCols(table) = um + (name -> ceil)
-      case None => if (um.contains(name)) unsignedCols(table) = um - name
+    // with the NEW definition, and a column retyped to an exact-mapping
+    // type must drop its recorded range (the new definition replaces
+    // the old one — the same rule the DEFAULT/AUTO_INCREMENT handling
+    // applies)
+    val rm = rangeCols.getOrElse(table, Map.empty)
+    declaredRange(tpe, UnsignedRe.findFirstIn(masked).isDefined) match {
+      case Some(r) => rangeCols(table) = rm + (name -> r)
+      case None => if (rm.contains(name)) rangeCols(table) = rm - name
     }
     DefaultRe.findFirstMatchIn(masked).foreach { m =>
       columnDefaults(table) = columnDefaults.getOrElse(table, Map.empty) +
@@ -1126,7 +1136,7 @@ final class GraftSession(val spark: SparkSession) {
       primaryKeys.remove(base)
       columnDefaults.remove(base)
       autoIncCols.remove(base)
-      unsignedCols.remove(base)
+      rangeCols.remove(base)
     }
     (found, isTemp)
   }
@@ -1248,7 +1258,7 @@ final class GraftSession(val spark: SparkSession) {
       }
       columnDefaults.get(base).foreach(m => columnDefaults(base) = m - actual)
       if (autoIncCols.get(base).contains(actual)) autoIncCols.remove(base)
-      unsignedCols.get(base).foreach(m => unsignedCols(base) = m - actual)
+      rangeCols.get(base).foreach(m => rangeCols(base) = m - actual)
       indexes.filter(_._1._1 == base).foreach { case (k, m) =>
         val left = m.cols.filterNot(_ == actual)
         if (left.isEmpty) indexes.remove(k)
@@ -1305,7 +1315,7 @@ final class GraftSession(val spark: SparkSession) {
         // the NEW definition governs: stale attributes of the old one go
         columnDefaults.get(base).foreach(m => columnDefaults(base) = m - actual)
         if (autoIncCols.get(base).contains(actual)) autoIncCols.remove(base)
-        unsignedCols.get(base).foreach(m => unsignedCols(base) = m - actual)
+        rangeCols.get(base).foreach(m => rangeCols(base) = m - actual)
         recordColumnExtras(base, newName, tpe, extras)
         if (newName != actual) {
           primaryKeys.get(base).foreach(pk => primaryKeys(base) =
@@ -1671,11 +1681,11 @@ final class GraftSession(val spark: SparkSession) {
     */
   private type MetaSnap = (Option[Seq[String]], Option[Map[String, String]],
     Option[String], Seq[((String, String), IndexMeta)],
-    Option[Map[String, BigDecimal]])
+    Option[Map[String, (BigDecimal, BigDecimal)]])
 
   private def metaSnapshot(key: String): MetaSnap =
     (primaryKeys.get(key), columnDefaults.get(key), autoIncCols.get(key),
-      indexes.filter(_._1._1 == key).toSeq, unsignedCols.get(key))
+      indexes.filter(_._1._1 == key).toSeq, rangeCols.get(key))
 
   private def restoreMetaSnapshot(key: String, s: MetaSnap): Unit = {
     def put[V](m: mutable.Map[String, V], v: Option[V]): Unit =
@@ -1683,7 +1693,7 @@ final class GraftSession(val spark: SparkSession) {
     put(primaryKeys, s._1)
     put(columnDefaults, s._2)
     put(autoIncCols, s._3)
-    put(unsignedCols, s._5)
+    put(rangeCols, s._5)
     indexes.keys.filter(_._1 == key).toSeq.foreach(indexes.remove)
     s._4.foreach { case (k, v) => indexes(k) = v }
   }
@@ -2013,7 +2023,7 @@ final class GraftSession(val spark: SparkSession) {
       else spark.sql(substituteVars(source)).toDF(names: _*)
     val defaults = tableBase.flatMap(columnDefaults.get).getOrElse(Map.empty)
     val autoInc = tableBase.flatMap(autoIncCols.get)
-    val unsignedOf = tableBase.flatMap(unsignedCols.get).getOrElse(Map.empty)
+    val rangeOf = tableBase.flatMap(rangeCols.get).getOrElse(Map.empty)
     // Non-strict sql_mode: string→number coercion takes the longest
     // numeric prefix with a truncation warning instead of the strict
     // ANSI-cast error (reference `types/convert.go` StrToFloat +
@@ -2046,67 +2056,103 @@ final class GraftSession(val spark: SparkSession) {
       } else if (provided) {
         if (coerced.contains(f.name))
           // integral targets go through the saturating integer-context
-          // coercion, clamped to the TARGET type's range like MySQL —
+          // coercion, clamped to the DECLARED type's range like MySQL —
           // toDouble + a bare ANSI cast aborted the whole statement
           // with CAST_OVERFLOW on a '1e300' (or '5000000000' into INT)
           // prefix, where MySQL clamps with warning 1265
-          df.withColumn(f.name, (f.dataType, unsignedOf.get(f.name)) match {
-            case (dt: DecimalType, Some(ceil)) =>
-              // BIGINT UNSIGNED (widened to DECIMAL(20,0)): clamp to
-              // the reference's unsigned range [0, 2⁶⁴-1], not the
-              // decimal's own ±(10²⁰-1) (`types/convert.go` clamps to
-              // MaxUint64 with a warning, 0 floor for negatives). The
-              // ceiling 2⁶⁴-1 rounds UP to 2⁶⁴ as a double, so the >=
-              // guard is the correct boundary, and every double below
-              // it is an exact integer < 2⁶⁴ that try_casts inside the
-              // 20-digit range (the coalesce is a belt only).
-              val d = functions.MySqlCoerce.toDouble(col(f.name))
-              val top = lit(ceil.underlying).cast(dt)
-              when(d.isNull, lit(null).cast(dt))
-                .when(d < 0, lit(0).cast(dt))
-                .when(d >= lit(ceil.toDouble), top)
-                .otherwise(coalesce(d.try_cast(dt), top))
-            case (dt, Some(ceil)) if dt == LongType || dt == IntegerType ||
-                dt == ShortType || dt == ByteType =>
-              // smaller unsigned origins (INT/MEDIUMINT/SMALLINT/
-              // TINYINT UNSIGNED) live in a widened signed type whose
-              // range strictly contains [0, ceil]: one long-space clamp
-              val l = functions.MySqlCoerce.toLong(col(f.name))
-              when(l.isNull, lit(null))
-                .otherwise(least(greatest(l, lit(0L)), lit(ceil.toLong)))
-                .cast(dt)
-            case (LongType, _) =>
-              functions.MySqlCoerce.toLong(col(f.name))
-            case (IntegerType | ShortType | ByteType, _) =>
-              val (mn, mx) = f.dataType match {
-                case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
-                case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
-                case _ => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
-              }
-              val l = functions.MySqlCoerce.toLong(col(f.name))
-              // NULL guarded EXPLICITLY: greatest()/least() SKIP null
-              // arguments rather than propagate them, so an unguarded
-              // clamp turned a NULL string into the type's MIN value
-              when(l.isNull, lit(null))
-                .otherwise(least(greatest(l, lit(mn)), lit(mx)))
-                .cast(f.dataType)
-            case (dt: DecimalType, _) =>
-              // SIGNED decimal targets — without this case a huge
-              // prefix still ANSI-aborted. try_cast + the signed bound
-              // saturates exactly at the decimal's own digit range.
-              val d = functions.MySqlCoerce.toDouble(col(f.name))
-              val bound = BigDecimal("9" * (dt.precision - dt.scale) +
-                (if (dt.scale > 0) "." + "9" * dt.scale else ""))
-              when(d.isNull, lit(null).cast(dt)).otherwise(
-                coalesce(d.try_cast(dt),
-                  when(d > 0, lit(bound)).otherwise(lit(-bound)).cast(dt)))
-            case _ =>
-              functions.MySqlCoerce.toDouble(col(f.name)).cast(f.dataType)
-          })
+          df.withColumn(f.name,
+            coerceString(col(f.name), f.dataType, rangeOf.get(f.name)))
+        else if (!strict && rangeOf.contains(f.name) &&
+            numeric(raw.schema(f.name).dataType))
+          // NUMERIC source into a range-narrowed column: MySQL's
+          // non-strict out-of-range clamp (warning 1264) applies to
+          // numeric values too, not only coerced strings — without
+          // this branch `VALUES (-5)` stored -5 in a BIGINT UNSIGNED
+          // column while `VALUES ('-5')` stored 0
+          df.withColumn(f.name,
+            clampNumeric(col(f.name), f.dataType, rangeOf(f.name)))
         else df.withColumn(f.name, col(f.name).cast(f.dataType))
       } else df.withColumn(f.name,
         expr(defaults.getOrElse(f.name, "NULL")).cast(f.dataType))
     }.select(target.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Non-strict string→number coercion for one INSERT column: numeric
+    * prefix, integer-context rounding, saturation at the DECLARED
+    * type's range — `range` overrides the Spark storage type's own
+    * bounds for the UNSIGNED/MEDIUMINT origins [[rangeCols]] records.
+    */
+  private def coerceString(c: Column, dt: DataType,
+      range: Option[(BigDecimal, BigDecimal)]): Column = (dt, range) match {
+    case (dt2: DecimalType, Some((floor, ceil))) =>
+      // BIGINT UNSIGNED (widened to DECIMAL(20,0)): clamp to the
+      // reference's unsigned range [0, 2⁶⁴-1], not the decimal's own
+      // ±(10²⁰-1) (`types/convert.go` clamps to MaxUint64 with a
+      // warning, 0 floor for negatives). The ceiling 2⁶⁴-1 rounds UP
+      // to 2⁶⁴ as a double, so the >= guard is the correct boundary,
+      // and every double below it is an exact integer < 2⁶⁴ that
+      // try_casts inside the 20-digit range (the coalesce is a belt).
+      val d = functions.MySqlCoerce.toDouble(c)
+      val top = lit(ceil.underlying).cast(dt2)
+      when(d.isNull, lit(null).cast(dt2))
+        .when(d < lit(floor.toDouble), lit(floor.underlying).cast(dt2))
+        .when(d >= lit(ceil.toDouble), top)
+        .otherwise(coalesce(d.try_cast(dt2), top))
+    case (LongType, None) => functions.MySqlCoerce.toLong(c)
+    case (dt2, rOpt) if dt2 == LongType || dt2 == IntegerType ||
+        dt2 == ShortType || dt2 == ByteType =>
+      // ONE long-space clamp covers every narrower-than-long integral
+      // target, signed and range-narrowed alike — the widened storage
+      // type's range strictly contains the declared range, so the
+      // bounds are just different constants
+      val (mn, mx) = rOpt.map(r => (r._1.toLong, r._2.toLong))
+        .getOrElse(dt2 match {
+          case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+          case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+          case _ => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+        })
+      val l = functions.MySqlCoerce.toLong(c)
+      // NULL guarded EXPLICITLY: greatest()/least() SKIP null
+      // arguments rather than propagate them, so an unguarded
+      // clamp turned a NULL string into the type's MIN value
+      when(l.isNull, lit(null))
+        .otherwise(least(greatest(l, lit(mn)), lit(mx)))
+        .cast(dt2)
+    case (dt2: DecimalType, None) =>
+      // SIGNED decimal targets — without this case a huge prefix
+      // still ANSI-aborted. try_cast + the signed bound saturates
+      // exactly at the decimal's own digit range.
+      val d = functions.MySqlCoerce.toDouble(c)
+      val bound = BigDecimal("9" * (dt2.precision - dt2.scale) +
+        (if (dt2.scale > 0) "." + "9" * dt2.scale else ""))
+      when(d.isNull, lit(null).cast(dt2)).otherwise(
+        coalesce(d.try_cast(dt2),
+          when(d > 0, lit(bound)).otherwise(lit(-bound)).cast(dt2)))
+    case _ => functions.MySqlCoerce.toDouble(c).cast(dt)
+  }
+
+  /** Non-strict out-of-range clamp for a NUMERIC source feeding a
+    * range-narrowed column (MySQL warning 1264). In-range values are
+    * preserved exactly: the DECIMAL path never round-trips through
+    * double (a long near 2⁶³ has no exact double repr), and the
+    * long-space path only serves ceilings ≤ 2³²-1, far inside double's
+    * exact-integer range.
+    */
+  private def clampNumeric(c0: Column, dt: DataType,
+      range: (BigDecimal, BigDecimal)): Column = {
+    val (floor, ceil) = range
+    dt match {
+      case d2: DecimalType =>
+        val top = lit(ceil.underlying).cast(d2)
+        when(c0.isNull, lit(null).cast(d2))
+          .when(c0 < lit(floor.underlying), lit(floor.underlying).cast(d2))
+          .otherwise(least(coalesce(c0.try_cast(d2), top), top))
+      case _ =>
+        val l = functions.MySqlCoerce.longFromDouble(c0.cast("double"))
+        when(c0.isNull, lit(null))
+          .otherwise(least(greatest(l, lit(floor.toLong)), lit(ceil.toLong)))
+          .cast(dt)
+    }
   }
 
   /** See [[GraftSession.freshName]] — forwarded so the many class-local

@@ -49,12 +49,18 @@ object MySqlCoerce {
     * at that magnitude are exact integers, so round() cannot escape
     * the range); Long.MinValue is a power of two and exact.
     */
-  def toLong(c: Column): Column = {
-    val d = toDouble(c)
+  def toLong(c: Column): Column = longFromDouble(toDouble(c))
+
+  /** The integer-context step alone (round half away from zero,
+    * saturate at the bigint range) for callers whose input is already
+    * numeric — the non-strict clamp applies to numeric sources too, and
+    * routing them through the string scanner would lose precision on
+    * large longs (their shortest double repr is not exact).
+    */
+  private[graft] def longFromDouble(d: Column): Column =
     when(d >= lit(Long.MaxValue.toDouble), lit(Long.MaxValue))
       .when(d <= lit(Long.MinValue.toDouble), lit(Long.MinValue))
       .otherwise(round(d).cast("bigint"))
-  }
 
   /** MySQL true division (`arithmeticDivide`,
     * `expression/builtin_arithmetic.go:471`): always real-valued, NULL on

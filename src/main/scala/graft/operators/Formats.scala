@@ -44,23 +44,29 @@ object Formats extends QueryModule {
         // fixed the cross-JVM overwrite race but on its own would
         // accumulate one CSV+JSON copy per past JVM forever (crashed
         // runs never clean up after themselves; a live one might still
-        // be lazily reading its dir, so only dead PIDs are swept).
+        // be lazily reading its dir, so only dead owners are swept).
         // Legacy suffix-less `graft_fmt_<key>` dirs (the pre-PID naming)
         // parse to no PID and can have no live owner — this code never
-        // writes that name again — so they are always swept. An age
-        // cutoff backstops PID reuse: a recycled PID reads as "alive"
-        // and would otherwise keep a dead run's copy forever, but no
-        // bench/verify JVM lives anywhere near this long.
-        val sweepAgeMs = 12L * 3600 * 1000
+        // writes that name again — so they are always swept. PID reuse
+        // is detected EXACTLY, not by age: the owner JVM writes its dir
+        // strictly after it starts, so a live process whose start
+        // instant is LATER than the dir's mtime cannot be the writer —
+        // the PID was recycled and the copy is dead. (An age cutoff was
+        // tried first and rejected in review: it would sweep a >12h
+        // LIVE session's dir out from under its lazy readers.)
         Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(_.getName.startsWith("graft_fmt_"))
           .foreach { f =>
+            import scala.jdk.OptionConverters._
             val pid = f.getName.split("_p").lastOption.flatMap(_.toLongOption)
             val mine = pid.contains(ProcessHandle.current().pid())
-            val ownerDead = pid.forall(p => !ProcessHandle.of(p).isPresent)
-            val stale =
-              System.currentTimeMillis() - f.lastModified() > sweepAgeMs
-            if (!mine && (ownerDead || stale))
+            val ownerDead = pid.forall(p =>
+              ProcessHandle.of(p).toScala match {
+                case None => true // no live process with that PID
+                case Some(h) => h.info.startInstant.toScala
+                  .exists(_.toEpochMilli > f.lastModified())
+              })
+            if (!mine && ownerDead)
               graft.GraftSession.deleteRecursively(f.toPath)
           }
         val dir = new java.io.File(tmp,

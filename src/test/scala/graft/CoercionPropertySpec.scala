@@ -80,7 +80,8 @@ class CoercionPropertySpec extends SparkSuite {
   /** Every type boundary the clamps care about, exact and ±1. */
   private val boundaries = Gen.oneOf(
     "0", "127", "128", "-128", "-129", "255", "256", "32767", "32768",
-    "-32768", "-32769", "65535", "65536", "16777215", "16777216",
+    "-32768", "-32769", "65535", "65536", "8388607", "8388608",
+    "-8388608", "-8388609", "16777215", "16777216",
     "2147483647", "2147483648", "-2147483648", "-2147483649",
     "4294967295", "4294967296", "9223372036854775807",
     "9223372036854775808", "-9223372036854775808", "-9223372036854775809",
@@ -127,27 +128,28 @@ class CoercionPropertySpec extends SparkSuite {
     gs.execute("USE coprop")
     gs.execute("DROP TABLE IF EXISTS cop")
     gs.execute("""CREATE TABLE cop (id INT PRIMARY KEY,
-      t TINYINT, s SMALLINT, i INT, b BIGINT,
-      tu TINYINT UNSIGNED, su SMALLINT UNSIGNED, iu INT UNSIGNED,
+      t TINYINT, s SMALLINT, m MEDIUMINT, i INT, b BIGINT,
+      tu TINYINT UNSIGNED, su SMALLINT UNSIGNED,
+      mu MEDIUMINT UNSIGNED, iu INT UNSIGNED,
       bu BIGINT UNSIGNED, dc DECIMAL(8,2), d0 DECIMAL(20,0),
       db DOUBLE, fl FLOAT)""")
     gs.execute("SET sql_mode = ''")
     try {
       val rows = strs.zipWithIndex.map { case (so, id) =>
         val v = so.map(s => s"'$s'").getOrElse("NULL")
-        s"($id, ${Seq.fill(12)(v).mkString(", ")})"
+        s"($id, ${Seq.fill(14)(v).mkString(", ")})"
       }
       gs.execute(s"INSERT INTO cop VALUES ${rows.mkString(",\n")}")
       val got = spark.table("coprop.cop")
-        .select("id", "t", "s", "i", "b", "tu", "su", "iu", "bu",
-          "dc", "d0", "db", "fl")
+        .select("id", "t", "s", "m", "i", "b", "tu", "su", "mu", "iu",
+          "bu", "dc", "d0", "db", "fl")
         .collect().map(r => r.getInt(0) -> r).toMap
       assert(got.size == strs.size)
       strs.zipWithIndex.foreach { case (so, id) =>
         val r = got(id)
         so match {
           case None =>
-            (1 to 12).foreach(i => assert(r.isNullAt(i),
+            (1 to 14).foreach(i => assert(r.isNullAt(i),
               s"NULL row $id col $i must stay NULL"))
           case Some(s) =>
             val d = MySqlCoerce.prefixDouble(s)
@@ -157,31 +159,121 @@ class CoercionPropertySpec extends SparkSuite {
               ctx("t", r.getByte(1), signedClamp(d, -128, 127)))
             assert(r.getShort(2).toLong == signedClamp(d, -32768, 32767),
               ctx("s", r.getShort(2), signedClamp(d, -32768, 32767)))
-            assert(r.getInt(3).toLong ==
+            // signed MEDIUMINT: its own ±2²³ range, not the widened INT's
+            assert(r.getInt(3).toLong == signedClamp(d, -8388608, 8388607),
+              ctx("m", r.getInt(3), signedClamp(d, -8388608, 8388607)))
+            assert(r.getInt(4).toLong ==
               signedClamp(d, Int.MinValue, Int.MaxValue),
-              ctx("i", r.getInt(3), signedClamp(d, Int.MinValue, Int.MaxValue)))
-            assert(r.getLong(4) == longModel(d),
-              ctx("b", r.getLong(4), longModel(d)))
-            assert(r.getShort(5).toLong == unsignedClamp(d, 255L),
-              ctx("tu", r.getShort(5), unsignedClamp(d, 255L)))
-            assert(r.getInt(6).toLong == unsignedClamp(d, 65535L),
-              ctx("su", r.getInt(6), unsignedClamp(d, 65535L)))
-            assert(r.getLong(7) == unsignedClamp(d, 4294967295L),
-              ctx("iu", r.getLong(7), unsignedClamp(d, 4294967295L)))
-            assert(BigDecimal(r.getDecimal(8)) == u64Model(d),
-              ctx("bu", r.getDecimal(8), u64Model(d)))
-            assert(BigDecimal(r.getDecimal(9)) == signedDecModel(d, 8, 2),
-              ctx("dc", r.getDecimal(9), signedDecModel(d, 8, 2)))
-            assert(BigDecimal(r.getDecimal(10)) == signedDecModel(d, 20, 0),
-              ctx("d0", r.getDecimal(10), signedDecModel(d, 20, 0)))
-            assert(r.getDouble(11) == d, ctx("db", r.getDouble(11), d))
-            assert(r.getFloat(12) == d.toFloat,
-              ctx("fl", r.getFloat(12), d.toFloat))
+              ctx("i", r.getInt(4), signedClamp(d, Int.MinValue, Int.MaxValue)))
+            assert(r.getLong(5) == longModel(d),
+              ctx("b", r.getLong(5), longModel(d)))
+            assert(r.getShort(6).toLong == unsignedClamp(d, 255L),
+              ctx("tu", r.getShort(6), unsignedClamp(d, 255L)))
+            assert(r.getInt(7).toLong == unsignedClamp(d, 65535L),
+              ctx("su", r.getInt(7), unsignedClamp(d, 65535L)))
+            assert(r.getLong(8) == unsignedClamp(d, 16777215L),
+              ctx("mu", r.getLong(8), unsignedClamp(d, 16777215L)))
+            assert(r.getLong(9) == unsignedClamp(d, 4294967295L),
+              ctx("iu", r.getLong(9), unsignedClamp(d, 4294967295L)))
+            assert(BigDecimal(r.getDecimal(10)) == u64Model(d),
+              ctx("bu", r.getDecimal(10), u64Model(d)))
+            assert(BigDecimal(r.getDecimal(11)) == signedDecModel(d, 8, 2),
+              ctx("dc", r.getDecimal(11), signedDecModel(d, 8, 2)))
+            assert(BigDecimal(r.getDecimal(12)) == signedDecModel(d, 20, 0),
+              ctx("d0", r.getDecimal(12), signedDecModel(d, 20, 0)))
+            assert(r.getDouble(13) == d, ctx("db", r.getDouble(13), d))
+            assert(r.getFloat(14) == d.toFloat,
+              ctx("fl", r.getFloat(14), d.toFloat))
         }
       }
     } finally {
       gs.execute("SET sql_mode = 'STRICT_TRANS_TABLES'")
       gs.execute("DROP TABLE IF EXISTS cop")
+    }
+  }
+
+  // ---- numeric sources ----------------------------------------------------
+
+  /** The clampNumeric branch (review finding this round): MySQL's
+    * non-strict out-of-range clamp applies to NUMERIC values too, so
+    * `VALUES (-5)` and `VALUES ('-5')` must store the same 0 in a
+    * BIGINT UNSIGNED column. Long sources must survive EXACTLY at u64
+    * scale (no double round-trip); double sources follow the same
+    * rounding kernel as the string path.
+    */
+  test("non-strict INSERT clamps unquoted numeric sources at the " +
+    "declared range, preserving in-range values exactly") {
+    val gs = new GraftSession(spark)
+    gs.execute("CREATE DATABASE IF NOT EXISTS coprop")
+    gs.execute("USE coprop")
+    gs.execute("DROP TABLE IF EXISTS copn")
+    gs.execute("""CREATE TABLE copn (id INT PRIMARY KEY,
+      m MEDIUMINT, mu MEDIUMINT UNSIGNED, iu INT UNSIGNED,
+      bu BIGINT UNSIGNED)""")
+    gs.execute("SET sql_mode = ''")
+    try {
+      // batch A: LONG-typed literals (one per row; same value every col)
+      val longs = samples(Gen.frequency(
+        (3, Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+        (2, Gen.chooseNum(-20000000L, 20000000L)),
+        (1, Gen.oneOf(0L, 255L, 256L, 8388607L, 8388608L, -8388609L,
+          16777216L, 4294967295L, 4294967296L, Long.MaxValue,
+          Long.MinValue))), 120).distinct
+      gs.execute("INSERT INTO copn VALUES " + longs.zipWithIndex.map {
+        case (v, i) => s"($i, $v, $v, $v, $v)" }.mkString(","))
+      // batch B: DOUBLE-typed literals (the D suffix pins the type so
+      // VALUES cannot silently unify the column to DECIMAL)
+      val doubles = samples(Gen.frequency(
+        (3, Gen.chooseNum(-1e19, 1e19)),
+        (2, Gen.chooseNum(-50000.0, 50000.0)),
+        (1, Gen.oneOf(0.5, -0.5, 2.5, -2.5, 1e300, -1e300,
+          4294967295.5, 1.8446744073709552e19, 16777215.5))), 120)
+        .distinct.filter(d => !d.isNaN && !d.isInfinite)
+      val base = 100000
+      gs.execute("INSERT INTO copn VALUES " + doubles.zipWithIndex.map {
+        case (v, i) =>
+          s"(${base + i}, ${v}D, ${v}D, ${v}D, ${v}D)" }.mkString(","))
+      val got = spark.table("coprop.copn")
+        .select("id", "m", "mu", "iu", "bu")
+        .collect().map(r => r.getInt(0) -> r).toMap
+      longs.zipWithIndex.foreach { case (v, i) =>
+        val r = got(i)
+        def ctx(c: String, g: Any, w: Any) = s"long $v -> $c: got=$g want=$w"
+        // long→double cast then the shared rounding kernel (exact for
+        // every in-range value of these ceilings)
+        val d = v.toDouble
+        assert(r.getInt(1).toLong == signedClamp(d, -8388608, 8388607),
+          ctx("m", r.getInt(1), signedClamp(d, -8388608, 8388607)))
+        assert(r.getLong(2) == unsignedClamp(d, 16777215L),
+          ctx("mu", r.getLong(2), unsignedClamp(d, 16777215L)))
+        assert(r.getLong(3) == unsignedClamp(d, 4294967295L),
+          ctx("iu", r.getLong(3), unsignedClamp(d, 4294967295L)))
+        // u64 decimal target: EXACT long in, exact decimal out (a long
+        // can never exceed 2⁶⁴-1, only the 0 floor can fire)
+        val wantBu = if (v < 0) BigDecimal(0) else BigDecimal(v)
+        assert(BigDecimal(r.getDecimal(4)) == wantBu,
+          ctx("bu", r.getDecimal(4), wantBu))
+      }
+      doubles.zipWithIndex.foreach { case (v, i) =>
+        val r = got(base + i)
+        def ctx(c: String, g: Any, w: Any) = s"double $v -> $c: got=$g want=$w"
+        assert(r.getInt(1).toLong == signedClamp(v, -8388608, 8388607),
+          ctx("m", r.getInt(1), signedClamp(v, -8388608, 8388607)))
+        assert(r.getLong(2) == unsignedClamp(v, 16777215L),
+          ctx("mu", r.getLong(2), unsignedClamp(v, 16777215L)))
+        assert(r.getLong(3) == unsignedClamp(v, 4294967295L),
+          ctx("iu", r.getLong(3), unsignedClamp(v, 4294967295L)))
+        // u64 decimal target: try_cast rounding (HALF_UP at scale 0),
+        // ceiling at u64, floor at 0
+        val wantBu =
+          if (v < 0) BigDecimal(0)
+          else castDec(v, 20, 0).map(_.min(U64)).getOrElse(U64)
+        assert(BigDecimal(r.getDecimal(4)) == wantBu,
+          ctx("bu", r.getDecimal(4), wantBu))
+      }
+    } finally {
+      gs.execute("SET sql_mode = 'STRICT_TRANS_TABLES'")
+      gs.execute("DROP TABLE IF EXISTS copn")
     }
   }
 }

@@ -7,8 +7,9 @@ import graft.operators.Formats
   * live JVM, and the sweep at query start must reclaim everything no
   * live process can still be lazily reading — dead-PID dirs, legacy
   * suffix-less dirs from the pre-PID naming (which parse to no PID and
-  * were previously never swept), and, past an age cutoff, dirs whose
-  * PID was recycled by an unrelated live process.
+  * were previously never swept), and dirs whose PID was recycled (the
+  * live process's start instant post-dates the dir, so it cannot be
+  * the writer).
   */
 class FormatsSpec extends SparkSuite {
 
@@ -26,16 +27,28 @@ class FormatsSpec extends SparkSuite {
     val deadPid = reaped.pid()
     val legacy = mk("graft_fmt_0abc1234") // pre-PID naming, no live owner
     val dead = mk(s"graft_fmt_0abc1234_p$deadPid")
-    // PID 1 is always alive and is not us: a FRESH dir owned by a live
-    // foreign process must survive (the age backstop only reclaims it
-    // after 12h, which this test cannot and should not wait for)
+    // PID 1 is always alive, started at boot, and is not us (this JVM
+    // forked from sbt): a dir owned by a live foreign process whose
+    // start PRE-dates the dir must survive — it may still be lazily
+    // read. A dir OLDER than its pid's process is the recycled-PID
+    // case and must be swept.
     val liveForeign = mk("graft_fmt_0abc1234_p1")
+    liveForeign.setLastModified(System.currentTimeMillis())
+    val p1Start = ProcessHandle.of(1L).get.info.startInstant
+    val recycled: Option[java.io.File] =
+      if (p1Start.isPresent && p1Start.get.toEpochMilli > 2000) {
+        val d = mk("graft_fmt_0abc9999_p1")
+        d.setLastModified(p1Start.get.toEpochMilli - 2000)
+        Some(d)
+      } else None // epoch-start pid 1: cannot plant an older mtime
     try {
       val q = Formats.queries.find(_.name == "source_formats").get
       q.fn(spark, sf).collect()
       assert(!legacy.exists(), "legacy suffix-less dir must be swept")
       assert(!dead.exists(), "dead-PID dir must be swept")
       assert(liveForeign.exists(), "fresh live-foreign-PID dir must survive")
+      recycled.foreach(d => assert(!d.exists(),
+        "dir older than its pid's process start must be swept (recycled PID)"))
       // and this JVM's own dir is present and readable (the query's
       // result frame just lazily read from it)
       val key = java.util.UUID
@@ -43,7 +56,7 @@ class FormatsSpec extends SparkSuite {
       val own = new java.io.File(tmp,
         s"graft_fmt_${key}_p${ProcessHandle.current().pid()}")
       assert(own.isDirectory, "own scratch dir must exist after the run")
-    } finally Seq(legacy, dead, liveForeign).foreach(d =>
+    } finally (Seq(legacy, dead, liveForeign) ++ recycled).foreach(d =>
       GraftSession.deleteRecursively(d.toPath))
   }
 }
