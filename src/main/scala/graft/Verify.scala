@@ -18,23 +18,19 @@ object Verify {
     // Optional name filter for local iteration; unset = all, as the
     // driver runs it.
     val names = SparkEntry.selectNames(sys.env.get("SPARK_GRAFT_ONLY"))
-    names.map(n => n -> SparkEntry.queries(n)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    val qs = SparkEntry.queries // the map is rebuilt per call — hoist it
+    names.foreach { name =>
+      // NonFatal ONLY: per-query isolation must not swallow an OOM or
+      // linkage error and keep dumping parquet from a JVM in an
+      // undefined state — the driver would hash-compare those dumps as
+      // if healthy. Fatal errors abort the whole run loudly instead.
+      try qs(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any output from a previous dump so a failure is never
         // masked by stale results when outDir is reused
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          // walk() holds directory handles until closed — abandoning
-          // the stream leaked a descriptor per failed query
-          val walk = Files.walk(dir)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
-          finally walk.close()
-        }
+        GraftSession.deleteRecursively(Paths.get(s"$outDir/$name"))
       }
       // free per-query persisted subtrees (same hygiene as Bench)
       spark.catalog.clearCache()
@@ -42,15 +38,10 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // One escape policy for both driver-parsed artifacts: Bench.jstr
+    // (its uXXXX control-char form vs readable two-char escapes is
+    // cosmetic; both are valid JSON).
+    def q(s: String): String = "\"" + Bench.jstr(s) + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

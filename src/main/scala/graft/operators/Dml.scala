@@ -42,23 +42,30 @@ object Dml extends QueryModule {
     // ordering by priority alone left duplicate-key incoming rows tied
     // and the survivor nondeterministic per run. Scope: the
     // monotonically_increasing_id ordering equals STATEMENT row order
-    // only for a deterministic, non-shuffled incoming plan — i.e. the
-    // REPLACE ... VALUES batches the SQL frontend feeds this (and the
-    // spec pins). For a REPLACE ... SELECT whose plan shuffles, "later
-    // row" degrades to partition-index order: still deterministic per
-    // plan, but callers that need statement order from such a source
-    // must supply their own ordering column.
+    // only for a deterministic, non-shuffled incoming plan — i.e.
+    // literal VALUES-shaped batches. (The SQL frontend no longer routes
+    // REPLACE through this helper — it builds the write from its own
+    // displacement primitives, SqlFrontend replaceInto — so the
+    // remaining callers are the dml_replace query and the specs, both
+    // single-stage deterministic inputs; a new caller feeding a
+    // shuffled SELECT must supply its own ordering column.)
     val taken = (base.columns ++ incoming.columns).toSet
     val pri = graft.GraftSession.freshName(taken, "__pri")
     val seq = graft.GraftSession.freshName(taken + pri, "__seq")
     val rn = graft.GraftSession.freshName(taken + pri + seq, "__rn")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(pri).desc, col(seq).desc)
+    // MySQL REPLACE displacement is a UNIQUE-KEY collision, and NULLs
+    // never collide on a unique key: a row with any NULL key column
+    // passes through untouched on both sides. Without this guard the
+    // window grouped all NULL-key rows into one partition and kept only
+    // the newest — silent row loss vs the reference's replace.go.
+    val nullKey = keys.map(col(_).isNull).reduce(_ || _)
     base.withColumn(pri, lit(1)).withColumn(seq, lit(0L))
       .unionByName(incoming.withColumn(pri, lit(2))
         .withColumn(seq, monotonically_increasing_id()))
       .withColumn(rn, row_number().over(w))
-      .where(col(rn) === 1)
+      .where(col(rn) === 1 || nullKey)
       .drop(pri, seq, rn)
   }
 

@@ -48,9 +48,11 @@ object Indexing extends QueryModule {
     */
   def bucketedCopy(s: SparkSession, d: String, table: String, key: String,
       buckets: Int = 8): String = synchronized {
+    // first 8 chars of a canonical UUID are pure hex (the first dash
+    // sits at index 8), so the key is exactly 32 bits of fixture-path
+    // hash — no dash-stripping needed
     val dirKey = java.util.UUID
       .nameUUIDFromBytes(d.getBytes("UTF-8")).toString.take(8)
-      .replace("-", "")
     val name = s"$db.${table}_by_${key}_$dirKey"
     val cur = (s.sparkContext.applicationId, d)
     if (!built.get(name).contains(cur) || !s.catalog.tableExists(name)) {

@@ -21,16 +21,19 @@ object SqlSurface extends QueryModule {
     new GraftSession(s)
   }
 
-  /** One scratch database for the DML/DDL lifecycle queries. */
-  private def scratch(gs: GraftSession): Unit = {
-    gs.execute("CREATE DATABASE IF NOT EXISTS graft_sql")
-    gs.execute("USE graft_sql")
-  }
-
-  private def backToDefault(gs: GraftSession, df: DataFrame): DataFrame = {
-    gs.execute("USE default")
-    df
-  }
+  /** One scratch database for the DML/DDL lifecycle queries. The
+    * current-database switch is restored in a FINALLY: a statement
+    * failure mid-lifecycle otherwise parked the SHARED session on
+    * graft_sql for every later query in the same Verify/Bench run —
+    * nothing downstream resolves an unqualified catalog object today,
+    * but that invariant held only by accident of query ordering.
+    */
+  private def withScratch(gs: GraftSession)(body: => DataFrame): DataFrame =
+    try {
+      gs.execute("CREATE DATABASE IF NOT EXISTS graft_sql")
+      gs.execute("USE graft_sql")
+      body
+    } finally gs.execute("USE default")
 
   override val queries: Seq[Q] = Seq(
 
@@ -117,25 +120,26 @@ object SqlSurface extends QueryModule {
     Q("sql_dml_lifecycle",
       (s, d) => {
         val gs = session(s, d)
-        scratch(gs)
-        gs.execute("DROP TABLE IF EXISTS cust")
-        gs.execute(
-          """CREATE TABLE cust (
-               c_custkey BIGINT NOT NULL PRIMARY KEY,
-               c_name VARCHAR(64),
-               c_acctbal DOUBLE)""")
-        gs.execute(
-          """INSERT INTO cust
-             SELECT c_custkey, c_name, c_acctbal FROM customer
-             WHERE c_custkey <= 200""")
-        gs.execute(
-          """REPLACE INTO cust
-             SELECT c_custkey, c_name, c_acctbal + 1000 FROM customer
-             WHERE c_custkey <= 50""")
-        gs.execute("DELETE FROM cust WHERE c_custkey % 10 = 0")
-        backToDefault(gs, gs.execute(
-          """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
-             FROM graft_sql.cust"""))
+        withScratch(gs) {
+          gs.execute("DROP TABLE IF EXISTS cust")
+          gs.execute(
+            """CREATE TABLE cust (
+                 c_custkey BIGINT NOT NULL PRIMARY KEY,
+                 c_name VARCHAR(64),
+                 c_acctbal DOUBLE)""")
+          gs.execute(
+            """INSERT INTO cust
+               SELECT c_custkey, c_name, c_acctbal FROM customer
+               WHERE c_custkey <= 200""")
+          gs.execute(
+            """REPLACE INTO cust
+               SELECT c_custkey, c_name, c_acctbal + 1000 FROM customer
+               WHERE c_custkey <= 50""")
+          gs.execute("DELETE FROM cust WHERE c_custkey % 10 = 0")
+          gs.execute(
+            """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+               FROM graft_sql.cust""")
+        }
       },
       Some("""SELECT c_custkey, c_name,
                      round(c_acctbal +
@@ -158,19 +162,20 @@ object SqlSurface extends QueryModule {
     Q("sql_txn",
       (s, d) => {
         val gs = session(s, d)
-        scratch(gs)
-        gs.execute("DROP TABLE IF EXISTS txn_t")
-        gs.execute(
-          "CREATE TABLE txn_t (n_nationkey BIGINT PRIMARY KEY, n_name VARCHAR(32))")
-        gs.execute("INSERT INTO txn_t SELECT n_nationkey, n_name FROM nation")
-        gs.executeAll(
-          """BEGIN;
-             DELETE FROM txn_t WHERE n_nationkey % 2 = 0;
-             INSERT INTO txn_t VALUES (100, 'ATLANTIS');
-             COMMIT""")
-        gs.executeAll("BEGIN; INSERT INTO txn_t VALUES (200, 'MU'); ROLLBACK")
-        backToDefault(gs, gs.execute(
-          "SELECT n_nationkey, n_name FROM graft_sql.txn_t"))
+        withScratch(gs) {
+          gs.execute("DROP TABLE IF EXISTS txn_t")
+          gs.execute(
+            "CREATE TABLE txn_t (n_nationkey BIGINT PRIMARY KEY, n_name VARCHAR(32))")
+          gs.execute("INSERT INTO txn_t SELECT n_nationkey, n_name FROM nation")
+          gs.executeAll(
+            """BEGIN;
+               DELETE FROM txn_t WHERE n_nationkey % 2 = 0;
+               INSERT INTO txn_t VALUES (100, 'ATLANTIS');
+               COMMIT""")
+          gs.executeAll("BEGIN; INSERT INTO txn_t VALUES (200, 'MU'); ROLLBACK")
+          gs.execute(
+            "SELECT n_nationkey, n_name FROM graft_sql.txn_t")
+        }
       },
       Some("""SELECT n_nationkey, n_name FROM nation
               WHERE n_nationkey % 2 <> 0
@@ -183,23 +188,24 @@ object SqlSurface extends QueryModule {
     Q("sql_ddl_alter",
       (s, d) => {
         val gs = session(s, d)
-        scratch(gs)
-        gs.execute("DROP TABLE IF EXISTS alt")
-        gs.execute(
-          """CREATE TABLE alt (id BIGINT PRIMARY KEY, v VARCHAR(32),
-               junk INT, region_id INT)""")
-        gs.execute(
-          """INSERT INTO alt
-             SELECT n_nationkey, n_name, 0, CAST(n_regionkey AS INT)
-             FROM nation""")
-        gs.execute("ALTER TABLE alt ADD COLUMN score DOUBLE DEFAULT 1.5")
-        gs.execute("ALTER TABLE alt MODIFY COLUMN region_id BIGINT")
-        gs.execute("ALTER TABLE alt CHANGE COLUMN v nation_name VARCHAR(64)")
-        gs.execute("ALTER TABLE alt DROP COLUMN junk")
-        gs.execute("INSERT INTO alt VALUES (100, 'ATLANTIS', 5, 2.5)")
-        backToDefault(gs, gs.execute(
-          """SELECT id, nation_name, region_id, round(score, 2) AS score
-             FROM graft_sql.alt"""))
+        withScratch(gs) {
+          gs.execute("DROP TABLE IF EXISTS alt")
+          gs.execute(
+            """CREATE TABLE alt (id BIGINT PRIMARY KEY, v VARCHAR(32),
+                 junk INT, region_id INT)""")
+          gs.execute(
+            """INSERT INTO alt
+               SELECT n_nationkey, n_name, 0, CAST(n_regionkey AS INT)
+               FROM nation""")
+          gs.execute("ALTER TABLE alt ADD COLUMN score DOUBLE DEFAULT 1.5")
+          gs.execute("ALTER TABLE alt MODIFY COLUMN region_id BIGINT")
+          gs.execute("ALTER TABLE alt CHANGE COLUMN v nation_name VARCHAR(64)")
+          gs.execute("ALTER TABLE alt DROP COLUMN junk")
+          gs.execute("INSERT INTO alt VALUES (100, 'ATLANTIS', 5, 2.5)")
+          gs.execute(
+            """SELECT id, nation_name, region_id, round(score, 2) AS score
+               FROM graft_sql.alt""")
+        }
       },
       Some("""SELECT n_nationkey AS id, n_name AS nation_name,
                      CAST(n_regionkey AS BIGINT) AS region_id,
@@ -216,23 +222,24 @@ object SqlSurface extends QueryModule {
     Q("sql_compact",
       (s, d) => {
         val gs = session(s, d)
-        scratch(gs)
-        gs.execute("DROP TABLE IF EXISTS cmp")
-        gs.execute(
-          "CREATE TABLE cmp (o_orderkey BIGINT PRIMARY KEY, o_totalprice DOUBLE)")
-        gs.execute(
-          """INSERT INTO cmp SELECT o_orderkey, o_totalprice FROM orders
-             WHERE o_orderkey <= 400""")
-        gs.execute(
-          """INSERT INTO cmp SELECT o_orderkey, o_totalprice FROM orders
-             WHERE o_orderkey > 400 AND o_orderkey <= 800""")
-        gs.execute(
-          """INSERT INTO cmp SELECT o_orderkey, o_totalprice FROM orders
-             WHERE o_orderkey > 800 AND o_orderkey <= 1200""")
-        gs.execute("ADMIN COMPACT TABLE cmp")
-        backToDefault(gs, gs.execute(
-          """SELECT o_orderkey, round(o_totalprice, 2) AS price
-             FROM graft_sql.cmp"""))
+        withScratch(gs) {
+          gs.execute("DROP TABLE IF EXISTS cmp")
+          gs.execute(
+            "CREATE TABLE cmp (o_orderkey BIGINT PRIMARY KEY, o_totalprice DOUBLE)")
+          gs.execute(
+            """INSERT INTO cmp SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderkey <= 400""")
+          gs.execute(
+            """INSERT INTO cmp SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderkey > 400 AND o_orderkey <= 800""")
+          gs.execute(
+            """INSERT INTO cmp SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderkey > 800 AND o_orderkey <= 1200""")
+          gs.execute("ADMIN COMPACT TABLE cmp")
+          gs.execute(
+            """SELECT o_orderkey, round(o_totalprice, 2) AS price
+               FROM graft_sql.cmp""")
+        }
       },
       Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
               FROM orders WHERE o_orderkey <= 1200""")),
@@ -284,14 +291,15 @@ object SqlSurface extends QueryModule {
     Q("sql_admin_check",
       (s, d) => {
         val gs = session(s, d)
-        scratch(gs)
-        gs.execute("DROP TABLE IF EXISTS act")
-        gs.execute(
-          "CREATE TABLE act (n_nationkey BIGINT PRIMARY KEY, n_name VARCHAR(32))")
-        gs.execute(
-          "INSERT INTO act SELECT n_nationkey, n_name FROM nation")
-        gs.execute("CREATE INDEX nidx ON act (n_name)")
-        backToDefault(gs, gs.execute("ADMIN CHECK TABLE act"))
+        withScratch(gs) {
+          gs.execute("DROP TABLE IF EXISTS act")
+          gs.execute(
+            "CREATE TABLE act (n_nationkey BIGINT PRIMARY KEY, n_name VARCHAR(32))")
+          gs.execute(
+            "INSERT INTO act SELECT n_nationkey, n_name FROM nation")
+          gs.execute("CREATE INDEX nidx ON act (n_name)")
+          gs.execute("ADMIN CHECK TABLE act")
+        }
       },
       Some("""SELECT * FROM (VALUES ('act', 'nidx', 'OK'))
               t(table_name, index_name, status)"""))

@@ -132,6 +132,22 @@ class MySqlSemanticsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, "b", 9L), (2L, "c", 10L)), out.mkString(","))
   }
 
+  test("replaceInto: NULL unique-key values never collide (replace.go)") {
+    import spark.implicits._
+    // MySQL REPLACE displacement is a unique-key collision and NULLs
+    // never conflict on a unique key: two base NULL-key rows plus one
+    // incoming NULL-key row must ALL survive — the unguarded window
+    // grouped them into one partition and kept only the newest.
+    val base = Seq((Some(1L), "a"), (None, "n1"), (None, "n2"))
+      .toDF("k", "v")
+    val inc = Seq((Some(1L), "A"), (None, "n3")).toDF("k", "v")
+    val out = graft.operators.Dml.replaceInto(base, inc, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1))).toSet
+    assert(out == Set((1L, "A"), (-1L, "n1"), (-1L, "n2"), (-1L, "n3")),
+      out.mkString(","))
+  }
+
   test("cents is scaled-binary exact on full-precision doubles") {
     import graft.functions.ExactNum
     import spark.implicits._
