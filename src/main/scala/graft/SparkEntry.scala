@@ -33,7 +33,16 @@ object SparkEntry {
     operators.CorpusOps,
     operators.Formats)
 
-  private lazy val all: Seq[Q] = modules.flatMap(_.queries)
+  private lazy val all: Seq[Q] = {
+    val qs = modules.flatMap(_.queries)
+    // fail fast on a name collision: queries.toMap would silently keep
+    // the last entry while selectNames listed the name twice, so Bench
+    // and Verify would run the SHADOWING query twice under one name and
+    // the hash gate would never notice
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -55,8 +64,13 @@ object SparkEntry {
       case Some(v) =>
         val only = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
         val unknown = only -- names.toSet
-        require(unknown.isEmpty && only.nonEmpty,
-          s"SPARK_GRAFT_ONLY matches no queries: '$v'")
+        require(only.nonEmpty, s"SPARK_GRAFT_ONLY selects no queries: '$v'")
+        // name the offending entries: a one-typo filter among valid
+        // names used to claim the WHOLE filter matched nothing
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY has unknown quer${
+            if (unknown.size == 1) "y" else "ies"}: ${
+            unknown.toSeq.sorted.mkString(", ")}")
         names.filter(only)
     }
   }

@@ -37,7 +37,11 @@ object Stats {
     val old = spark.conf.getOption(key)
     try {
       spark.conf.set(key, "true")
-      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+      // ONE statement: the FOR ALL COLUMNS pass computes and persists
+      // the table-level sizeInBytes/rowCount along with the column
+      // stats (AnalyzeColumnCommand), so a preceding bare COMPUTE
+      // STATISTICS was a second full-table scan whose results were
+      // immediately superseded
       spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
     } finally old match {
       case Some(v) => spark.conf.set(key, v)
@@ -50,16 +54,21 @@ object Stats {
     * is only populated when CBO is enabled on the session.
     */
   def rowCount(spark: SparkSession, table: String): Option[BigInt] = {
-    // last two parts name the (db, table) in the session catalog — a
-    // catalog-qualified 3-part name previously fell through whole into
-    // TableIdentifier and threw; unknown/temp names return None (the
-    // documented contract), not an exception
-    val parts = table.split('.')
+    // parse with the SQL parser, not split('.'): a backtick-quoted part
+    // containing a dot (`my.table`) split naively into garbage (db
+    // "`my") and silently reported None — indistinguishable from
+    // never-analyzed. Last two parts name the (db, table) in the
+    // session catalog (a catalog-qualified 3-part name previously fell
+    // through whole into TableIdentifier and threw); unknown/temp/
+    // unparseable names return None (the documented contract).
+    val parts = scala.util.Try(
+      spark.sessionState.sqlParser.parseMultipartIdentifier(table))
+      .getOrElse(Seq(table))
     val ident =
       if (parts.length >= 2)
         org.apache.spark.sql.catalyst.TableIdentifier(
           parts(parts.length - 1), Some(parts(parts.length - 2)))
-      else org.apache.spark.sql.catalyst.TableIdentifier(table)
+      else org.apache.spark.sql.catalyst.TableIdentifier(parts.head)
     scala.util.Try(spark.sessionState.catalog.getTableMetadata(ident))
       .toOption.flatMap(_.stats).flatMap(_.rowCount)
   }

@@ -93,7 +93,21 @@ object Tables {
       val isLong = tsLongCache.getOrElseUpdate(dir, {
         import org.apache.spark.sql.types._
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        load(spark, dir, "events").schema("ts").dataType == LongType
+        // restore on a FAILED probe (missing dir, corrupt footer, no ts
+        // column): nothing gets cached and the flow below never runs,
+        // so without this the enabled conf leaked session-wide and
+        // silently mapped OTHER tables' nanos columns to bare longs.
+        // (While a probe is in flight the session necessarily carries
+        // the conf for the footer read — the lock serializes probes,
+        // but a concurrent NON-probe read on another thread of the same
+        // session can observe that window; accepted, the drivers here
+        // probe before any events read and sessions are per-driver.)
+        try load(spark, dir, "events").schema("ts").dataType == LongType
+        catch { case e: Throwable =>
+          if (!sessionNanos.contains(spark))
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          throw e
+        }
       })
       if (isLong) {
         sessionNanos.add(spark)

@@ -47,6 +47,27 @@ class ReferenceParitySpec extends SparkSuite {
     // (builtin_arithmetic.go:471 arithmeticDivide real/int/mod paths)
     assert(gs.query("select 1 / 0, 1 div 0, 1 % 0, 7 div 2, 7 % 3") ==
       Seq("<nil> <nil> <nil> 3 1"))
+    // ... including inside CTE bodies and subquery expressions, which a
+    // children-only plan walk missed (cteRelations are innerChildren;
+    // a subquery's plan is not an expression child) — these used to
+    // abort with ANSI DIVIDE_BY_ZERO (r14 review finding)
+    assert(gs.query("WITH z AS (SELECT 1/0 AS x) SELECT x FROM z") ==
+      Seq("<nil>"))
+    assert(gs.query("select (select 1/0), (select 2 % 0)") ==
+      Seq("<nil> <nil>"))
+    assert(gs.query(
+      "select case when 5 in (select 10/0) then 'y' else 'n' end") ==
+      Seq("n"))
+    // KNOWING delta, pinned (see MySqlDivision scaladoc): the rewrite
+    // is Spark's own try_divide replacement, whose TryEval catches the
+    // division's whole subtree — an ANSI overflow inside an OPERAND of
+    // a division masks to NULL (MySQL errors); the DataFrame path's
+    // MySqlCoerce.div (try_divide) behaves identically, so the two
+    // entry paths agree. Outside a division, ANSI overflow still raises.
+    assert(gs.query(s"select (${Long.MaxValue} + 1) / 1") == Seq("<nil>"))
+    val ovf = intercept[Exception](gs.query(
+      s"select ${Long.MaxValue} + 1"))
+    assert(ovf.getMessage.toLowerCase.contains("overflow"), ovf.getMessage)
     // IN and ROW comparison (rowFunctionClass)
     assert(gs.query("select 2 in (1, 2, 3), 5 in (1, 2, 3)") ==
       Seq("true false"))
