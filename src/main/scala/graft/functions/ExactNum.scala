@@ -2,34 +2,52 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Oracle-stable numeric aggregation.
   *
   * Summing doubles is order-dependent; Spark's partition-parallel sums and
   * DuckDB's single-threaded sums would disagree in the low bits, which a
-  * hash-compare would flag. Fix: round each row to 4 decimals via a
-  * DecimalType cast (exact), sum decimals (exact, any order), then convert
-  * back to double. Both engines produce bit-identical doubles.
-  *
-  * Averages don't need this: the relative error of a double mean is ~n·ε,
-  * far below the 4-decimal rounding granularity at our row counts, so
-  * `round(avg(x), 4)` is stable.
+  * hash-compare would flag. Fix: quantize each row to EXACT integer 1e-4
+  * units by the [[cents]] dyadic argument (round(x·10⁴) is the same IEEE
+  * product and the same half-point decision in both engines — at integer
+  * scale every half is dyadic, so Spark's shortest-repr HALF_UP and
+  * DuckDB's binary half-away agree), sum the longs (exact, any order),
+  * and divide once by 10⁴ (one IEEE op on the same exact integer in both
+  * engines). A DECIMAL(30,4) per-row CAST was used before, but the cast
+  * itself is the round(x,2) divergence class at 4 dp: Spark HALF_UPs the
+  * shortest decimal repr while DuckDB rounds the scaled binary value
+  * (probed: 6328.11865 → 6328.1187 vs 6328.1186), so one full-precision
+  * fixture value away from flipping the hash gate. Averages shared the
+  * class via `round(avg(x), 4)` — they now divide the same exact unit
+  * sum by the same count (two IEEE ops, same operands both engines).
   */
 object ExactNum {
-  private val Dec = DecimalType(30, 4)
 
-  /** Order-independent sum of a double expression, rounded to 4 dp. */
+  /** Per-row exact 1e-4 units of a (nullable) double — see [[cents]]. */
+  private def units4(c: Column): Column = round(c * 10000).cast("long")
+  private def oracleUnits4(expr: String): String =
+    s"CAST(round(($expr) * 10000) AS BIGINT)"
+
+  /** Order-independent, engine-exact sum of a double expression at 1e-4
+    * granularity. */
   def exactSum(c: Column): Column =
-    round(sum(c.cast(Dec)).cast("double"), 4)
+    sum(units4(c)).cast("double") / 10000.0
 
-  /** DuckDB SQL mirroring [[exactSum]]. */
+  /** DuckDB SQL mirroring [[exactSum]] (sum(BIGINT) is HUGEINT there —
+    * still the exact integer the double conversion sees). */
   def oracleSum(expr: String): String =
-    s"round(CAST(sum(CAST(($expr) AS DECIMAL(30,4))) AS DOUBLE), 4)"
+    s"(CAST(sum(${oracleUnits4(expr)}) AS DOUBLE) / 10000.0)"
 
-  def avg4(c: Column): Column = round(avg(c), 4)
+  /** Engine-exact mean at 1e-4 input granularity: the exact unit sum
+    * divided by the non-null count, then descaled — deterministic to
+    * the last bit in both engines (the old `round(avg(x), 4)` rounded
+    * an order-independent mean, but the final round itself was the
+    * shortest-repr-vs-binary divergence class on half-ending means). */
+  def avg4(c: Column): Column =
+    sum(units4(c)).cast("double") / count(c) / 10000.0
 
-  def oracleAvg(expr: String): String = s"round(avg($expr), 4)"
+  def oracleAvg(expr: String): String =
+    s"(CAST(sum(${oracleUnits4(expr)}) AS DOUBLE) / count($expr) / 10000.0)"
 
   /** Exact integer cents of a (nullable) double money value.
     *

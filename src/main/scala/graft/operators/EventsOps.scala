@@ -36,13 +36,24 @@ object EventsOps extends QueryModule {
                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""")),
 
     // Semi-structured extraction: JSON props column.
+    // Degenerate-props lockstep (r14 review finding): DuckDB's
+    // json_extract_string hard-ERRORS on malformed/empty JSON where
+    // Spark's get_json_object returns NULL (oracle aborts, Spark
+    // green), and a non-integer '$.k' makes DuckDB's BIGINT cast round
+    // where Spark's ANSI cast throws (Spark aborts, oracle green).
+    // Both sides now parse through double-with-round — NULL on
+    // malformed, half-away rounding on fractions (integer-scale dyadic
+    // halves, the ExactNum.cents argument) — so any future fixture
+    // degrades identically in both engines.
     Q("events_json_extract",
       (s, d) => Tables.loadEvents(s, d)
-        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10)
-          .as("k_mod"))
+        .groupBy((round(get_json_object(col("props"), "$.k")
+          .try_cast("double")).cast("long") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n")),
-      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
-                       AS k_mod,
+      Some("""SELECT CAST(round(TRY_CAST(
+                       CASE WHEN json_valid(props)
+                            THEN json_extract_string(props, '$.k') END
+                       AS DOUBLE)) AS BIGINT) % 10 AS k_mod,
                      count(*) AS n
               FROM events GROUP BY 1""")),
 
