@@ -242,10 +242,15 @@ object Bench {
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
 
+    // hoisted: SparkEntry.queries is a def that rebuilds the full map —
+    // calling it inside the timed window charged the rebuild to every
+    // query (microseconds, but the same pattern Verify hoists)
+    val queryFns = SparkEntry.queries
+
     def materialize(name: String): (Double, Long) = {
       val g0 = gcMillis()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try queryFns(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -2062,15 +2062,20 @@ final class GraftSession(val spark: SparkSession) {
           // prefix, where MySQL clamps with warning 1265
           df.withColumn(f.name,
             coerceString(col(f.name), f.dataType, rangeOf.get(f.name)))
-        else if (!strict && rangeOf.contains(f.name) &&
-            numeric(raw.schema(f.name).dataType))
-          // NUMERIC source into a range-narrowed column: MySQL's
+        else if (!strict && numeric(raw.schema(f.name).dataType) &&
+            clampableTarget(f.dataType))
+          // NUMERIC source into an integral/decimal column: MySQL's
           // non-strict out-of-range clamp (warning 1264) applies to
           // numeric values too, not only coerced strings — without
           // this branch `VALUES (-5)` stored -5 in a BIGINT UNSIGNED
-          // column while `VALUES ('-5')` stored 0
+          // column while `VALUES ('-5')` stored 0, and
+          // `VALUES (5000000000)` into INT ANSI-aborted where MySQL
+          // stores 2147483647. Range-narrowed columns use their
+          // declared bounds; plain targets their own type's.
           df.withColumn(f.name,
-            clampNumeric(col(f.name), f.dataType, rangeOf(f.name)))
+            clampNumeric(col(f.name), f.dataType,
+              rangeOf.getOrElse(f.name, sparkTypeRange(f.dataType)),
+              integralSource = integral(raw.schema(f.name).dataType)))
         else df.withColumn(f.name, col(f.name).cast(f.dataType))
       } else df.withColumn(f.name,
         expr(defaults.getOrElse(f.name, "NULL")).cast(f.dataType))
@@ -2109,7 +2114,12 @@ final class GraftSession(val spark: SparkSession) {
         .getOrElse(dt2 match {
           case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
           case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
-          case _ => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+          case ByteType => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+          // LongType reaches this clause only WITH a declared range
+          // (the (LongType, None) case above intercepts the bare one);
+          // full-long bounds keep a future case reorder from silently
+          // clamping BIGINTs to byte range
+          case _ => (Long.MinValue, Long.MaxValue)
         })
       val l = functions.MySqlCoerce.toLong(c)
       // NULL guarded EXPLICITLY: greatest()/least() SKIP null
@@ -2131,15 +2141,40 @@ final class GraftSession(val spark: SparkSession) {
     case _ => functions.MySqlCoerce.toDouble(c).cast(dt)
   }
 
-  /** Non-strict out-of-range clamp for a NUMERIC source feeding a
-    * range-narrowed column (MySQL warning 1264). In-range values are
+  /** The targets the non-strict numeric clamp serves. */
+  private def clampableTarget(dt: DataType): Boolean =
+    integral(dt) || dt.isInstanceOf[DecimalType]
+
+  private def integral(dt: DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
+  /** A Spark integral/decimal type's own range, for targets with no
+    * recorded declared range. */
+  private def sparkTypeRange(dt: DataType): (BigDecimal, BigDecimal) =
+    dt match {
+      case d: DecimalType =>
+        val bound = BigDecimal("9" * (d.precision - d.scale) +
+          (if (d.scale > 0) "." + "9" * d.scale else ""))
+        (-bound, bound)
+      case LongType => (BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
+      case IntegerType => (BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue))
+      case ShortType =>
+        (BigDecimal(Short.MinValue.toInt), BigDecimal(Short.MaxValue.toInt))
+      case other =>
+        (BigDecimal(Byte.MinValue.toInt), BigDecimal(Byte.MaxValue.toInt))
+    }
+
+  /** Non-strict out-of-range clamp for a NUMERIC source feeding an
+    * integral/decimal column (MySQL warning 1264). In-range values are
     * preserved exactly: the DECIMAL path never round-trips through
-    * double (a long near 2⁶³ has no exact double repr), and the
-    * long-space path only serves ceilings ≤ 2³²-1, far inside double's
-    * exact-integer range.
+    * double (a long near 2⁶³ has no exact double repr), and integral
+    * sources feeding integral targets clamp in LONG space directly —
+    * routing them through the fractional double path would corrupt
+    * in-range values above 2⁵³ (9223372036854775806 rounds to 2⁶³ as a
+    * double and would come back as MaxValue).
     */
   private def clampNumeric(c0: Column, dt: DataType,
-      range: (BigDecimal, BigDecimal)): Column = {
+      range: (BigDecimal, BigDecimal), integralSource: Boolean): Column = {
     val (floor, ceil) = range
     dt match {
       case d2: DecimalType =>
@@ -2148,7 +2183,9 @@ final class GraftSession(val spark: SparkSession) {
           .when(c0 < lit(floor.underlying), lit(floor.underlying).cast(d2))
           .otherwise(least(coalesce(c0.try_cast(d2), top), top))
       case _ =>
-        val l = functions.MySqlCoerce.longFromDouble(c0.cast("double"))
+        val l =
+          if (integralSource) c0.cast("bigint") // exact, full long range
+          else functions.MySqlCoerce.longFromDouble(c0.cast("double"))
         when(c0.isNull, lit(null))
           .otherwise(least(greatest(l, lit(floor.toLong)), lit(ceil.toLong)))
           .cast(dt)

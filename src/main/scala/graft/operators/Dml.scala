@@ -126,6 +126,12 @@ object Dml extends QueryModule {
                           SELECT c_custkey, c_name, c_nationkey,
                                  c_acctbal + 1000, 'REPLACED', 2 FROM customer
                           WHERE c_custkey % 10 = 0))
-              WHERE __rn = 1"""))
+              -- NULL keys never collide (the helper's nullKey
+              -- passthrough): SQL PARTITION BY groups NULLs together,
+              -- so without this the oracle would keep ONE NULL-key row
+              -- where the engine keeps all — fixture custkey is
+              -- non-null today, mirrored so a future one degrades
+              -- identically
+              WHERE __rn = 1 OR c_custkey IS NULL"""))
   )
 }

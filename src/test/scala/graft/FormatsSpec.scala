@@ -36,7 +36,10 @@ class FormatsSpec extends SparkSuite {
     liveForeign.setLastModified(System.currentTimeMillis())
     val p1Start = ProcessHandle.of(1L).get.info.startInstant
     val recycled: Option[java.io.File] =
-      if (p1Start.isPresent && p1Start.get.toEpochMilli > 2000) {
+      // skip when this JVM IS pid 1 (dockerized CI): mine short-circuits
+      // the sweep and the planted dir would legitimately survive
+      if (ProcessHandle.current().pid() != 1L &&
+          p1Start.isPresent && p1Start.get.toEpochMilli > 2000) {
         val d = mk("graft_fmt_0abc9999_p1")
         d.setLastModified(p1Start.get.toEpochMilli - 2000)
         Some(d)

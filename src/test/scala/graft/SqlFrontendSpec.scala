@@ -914,10 +914,21 @@ class SqlFrontendSpec extends SparkSuite {
       gs.execute("""INSERT INTO coi VALUES
         (1, '1e300x', '5000000000abc'), (2, '42.9', '-42.9'),
         (3, '-1e300', '-5000000000')""")
+      // UNQUOTED numeric sources clamp too (r14 review): these used to
+      // ANSI-abort (CAST_OVERFLOW) where MySQL stores the bound with
+      // warning 1264
+      gs.execute(
+        "INSERT INTO coi VALUES (4, 1e300, 5000000000), (5, -1e300, -5000000000)")
+      // and in-range LONG values above 2^53 survive EXACTLY — the
+      // integral-source clamp works in long space, never through double
+      gs.execute("INSERT INTO coi VALUES (6, 9223372036854775806, 3)")
       assert(gs.query("SELECT id, n, m FROM coi ORDER BY id") == Seq(
         s"1 ${Long.MaxValue} ${Int.MaxValue}",
         "2 43 -43",
-        s"3 ${Long.MinValue} ${Int.MinValue}"))
+        s"3 ${Long.MinValue} ${Int.MinValue}",
+        s"4 ${Long.MaxValue} ${Int.MaxValue}",
+        s"5 ${Long.MinValue} ${Int.MinValue}",
+        s"6 ${Long.MaxValue - 1} 3"))
     } finally gs.execute("SET sql_mode = 'STRICT_TRANS_TABLES'")
     gs.execute("DROP TABLE coi")
   }
