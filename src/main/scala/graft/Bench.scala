@@ -105,14 +105,22 @@ object Bench {
     * escaping needed); seconds are locale-pinned. BenchFormatSpec pins
     * both renderings as parseable JSON with the expected keys. */
   private[graft] def renderTotalOnly(results: Seq[(String, Double)],
-      sched: String, sfDir: String): String =
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","n":${results.size},$sched,"sf":"${jstr(sfDir)}"}"""
+      sched: String, sfDir: String, fails: Int = 0,
+      armed: Boolean = true): String =
+    // fails: a query that dies mid-run used to record its
+    // time-until-failure as a legitimate result with no marker
+    // anywhere in the tail (stderr is not captured) — a committed
+    // record of such a run would poison the BenchRef comparator.
+    // armed: "zero sched_hit firings" was indistinguishable from
+    // "trigger never armed" (e.g. a trailing slash on SF_DIR).
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","n":${results.size},"fails":$fails,"armed":$armed,$sched,"sf":"${jstr(sfDir)}"}"""
 
   private[graft] def renderFullRecord(results: Seq[(String, Double)],
       sched: String, sfDir: String,
       mids: Seq[(Int, Double, Double)] = Seq.empty,
       hits: Seq[(String, Double, Double, Double, Long)] = Seq.empty,
-      gcs: Seq[(String, Long)] = Seq.empty): String = {
+      gcs: Seq[(String, Long)] = Seq.empty, fails: Int = 0,
+      armed: Boolean = true): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query gc_ms goes to the FILE record only (no tail budget
@@ -122,7 +130,7 @@ object Bench {
     // committed BENCH_LOCAL record gc-adjudicable after the fact.
     val gj = gcs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("\"gc_ms\":{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,$gj,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,"queries":$qs,$gj,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
   }
 
   /** Outlier-probe readings for the FILE record: one object per
@@ -247,12 +255,20 @@ object Bench {
     // query (microseconds, but the same pattern Verify hoists)
     val queryFns = SparkEntry.queries
 
+    // queries that died mid-run (see renderTotalOnly's fails doc)
+    var failCount = 0
+    var lastFailed = false
     def materialize(name: String): (Double, Long) = {
       val g0 = gcMillis()
       val t0 = System.nanoTime()
+      lastFailed = false
+      // NonFatal ONLY (the Verify rule): an OOM must abort the suite
+      // loudly, not keep timing queries on a JVM in an undefined state
       try queryFns(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        failCount += 1
+        lastFailed = true
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -362,7 +378,10 @@ object Bench {
     val results = names.zipWithIndex.map { case (n, i) =>
       val (sec, gcMs) = materialize(n)
       gcs += ((n, gcMs))
-      println(s"""{"q":"$n","sec":${fmt(sec)}}""")
+      // a failed query's streamed line carries the marker so the
+      // time-until-failure can never read as a legitimate (fast) result
+      println(s"""{"q":"$n","sec":${fmt(sec)}${
+        if (lastFailed) ",\"fail\":1" else ""}}""")
       (if (refArmed) BenchRef.committed.get(n) else None).foreach { ref =>
         if (sec > ref * 1.5 && sec - ref > 0.2) {
           val (p50, max) = schedProbe()
@@ -379,8 +398,13 @@ object Bench {
     }
     val (postP50, postMax) = schedProbe()
     val sched = schedJson(preP50, preMax, postP50, postMax)
-    val line = renderFullRecord(results, sched, sfDir, mids.result(),
-      hits.result(), gcs.result())
+    // materialize the builders ONCE: the Builder contract declares
+    // contents undefined after result(), and both the file record and
+    // the probe-context line consume them
+    val midsV = mids.result()
+    val hitsV = hits.result()
+    val line = renderFullRecord(results, sched, sfDir, midsV,
+      hitsV, gcs.result(), failCount, refArmed)
     // The ~1.9 KB NAMED per-query map line goes to the FILE ONLY: in r9
     // it consumed most of the driver's bounded stdout tail and pushed 23
     // of the 107 short per-query lines out of the window. The positional
@@ -393,8 +417,8 @@ object Bench {
     // queries, so early-suite outliers could not self-adjudicate from
     // the artifact — this line replays every mid probe and the worst
     // triggered hits compactly next to the total.
-    println(renderProbeContext(mids.result(), hits.result()))
-    val totalOnly = renderTotalOnly(results, sched, sfDir)
+    println(renderProbeContext(midsV, hitsV))
+    val totalOnly = renderTotalOnly(results, sched, sfDir, failCount, refArmed)
     println(totalOnly)
     try {
       val outFile = new java.io.File(benchOut)

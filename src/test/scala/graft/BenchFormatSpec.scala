@@ -26,6 +26,12 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("total-only line: keys, rounding, and count") {
     val line = Bench.renderTotalOnly(results, sched, "/data/sf0.1")
+    // fails/armed (r14): a mid-run query failure and a disarmed outlier
+    // trigger must both be visible from the tail's last line alone
+    assertFragments(line, Seq("\"fails\":0", "\"armed\":true"))
+    assertFragments(
+      Bench.renderTotalOnly(results, sched, "/d", fails = 2, armed = false),
+      Seq("\"fails\":2", "\"armed\":false"))
     assertFragments(line, Seq(
       "\"metric\":\"total\"",
       // 1.2345 + 0.0 + 12.3449 = 13.5794 → %.3f half-up

@@ -14,11 +14,20 @@ import json, os, sys, glob, hashlib
 import duckdb
 import pandas as pd
 
+if len(sys.argv) < 3:
+    sys.exit(f"usage: {sys.argv[0]} <verify_out_dir> <sf_dir> [query ...]")
 a, b = sys.argv[1], sys.argv[2]
 if os.path.exists(f"{a}/lineitem.parquet"):
     sf_dir, out_dir = a, b
 else:
     out_dir, sf_dir = a, b
+# fail loudly on a typo'd path instead of an opaque DuckDB IO traceback
+# at view-creation time (the order heuristic above would otherwise
+# silently misassign both)
+if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+    sys.exit(f"sf dir not found (no lineitem.parquet): {sf_dir}")
+if not os.path.exists(f"{out_dir}/oracle_sql.json"):
+    sys.exit(f"verify out dir not found (no oracle_sql.json): {out_dir}")
 only = set(sys.argv[3:])
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -36,9 +45,13 @@ def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            # type-tagged rendering: a bare "<NULL>" sentinel collided
+            # with a genuine string value "<NULL>", so a real
+            # NULL-vs-string divergence hashed as OK. "S:"/"N:" prefixes
+            # keep NULL distinct from every possible string.
             df[c] = df[c].map(
-                lambda v: "<NULL>" if v is None or
-                (isinstance(v, float) and v != v) else str(v))
+                lambda v: "N:" if v is None or
+                (isinstance(v, float) and v != v) else "S:" + str(v))
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
