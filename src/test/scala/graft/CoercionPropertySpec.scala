@@ -209,7 +209,7 @@ class CoercionPropertySpec extends SparkSuite {
     gs.execute("DROP TABLE IF EXISTS copn")
     gs.execute("""CREATE TABLE copn (id INT PRIMARY KEY,
       m MEDIUMINT, mu MEDIUMINT UNSIGNED, iu INT UNSIGNED,
-      bu BIGINT UNSIGNED)""")
+      bu BIGINT UNSIGNED, i INT, b BIGINT)""")
     gs.execute("SET sql_mode = ''")
     try {
       // batch A: LONG-typed literals (one per row; same value every col)
@@ -220,7 +220,7 @@ class CoercionPropertySpec extends SparkSuite {
           16777216L, 4294967295L, 4294967296L, Long.MaxValue,
           Long.MinValue))), 120).distinct
       gs.execute("INSERT INTO copn VALUES " + longs.zipWithIndex.map {
-        case (v, i) => s"($i, $v, $v, $v, $v)" }.mkString(","))
+        case (v, i) => s"($i, $v, $v, $v, $v, $v, $v)" }.mkString(","))
       // batch B: DOUBLE-typed literals (the D suffix pins the type so
       // VALUES cannot silently unify the column to DECIMAL)
       val doubles = samples(Gen.frequency(
@@ -232,9 +232,9 @@ class CoercionPropertySpec extends SparkSuite {
       val base = 100000
       gs.execute("INSERT INTO copn VALUES " + doubles.zipWithIndex.map {
         case (v, i) =>
-          s"(${base + i}, ${v}D, ${v}D, ${v}D, ${v}D)" }.mkString(","))
+          s"(${base + i}, ${v}D, ${v}D, ${v}D, ${v}D, ${v}D, ${v}D)" }.mkString(","))
       val got = spark.table("coprop.copn")
-        .select("id", "m", "mu", "iu", "bu")
+        .select("id", "m", "mu", "iu", "bu", "i", "b")
         .collect().map(r => r.getInt(0) -> r).toMap
       longs.zipWithIndex.foreach { case (v, i) =>
         val r = got(i)
@@ -253,6 +253,12 @@ class CoercionPropertySpec extends SparkSuite {
         val wantBu = if (v < 0) BigDecimal(0) else BigDecimal(v)
         assert(BigDecimal(r.getDecimal(4)) == wantBu,
           ctx("bu", r.getDecimal(4), wantBu))
+        // PLAIN signed targets (clamped since the r14 own-diff review):
+        // the integral-source long-space path is exact — b is identity
+        assert(r.getInt(5).toLong ==
+          math.min(math.max(v, Int.MinValue.toLong), Int.MaxValue.toLong),
+          ctx("i", r.getInt(5), v))
+        assert(r.getLong(6) == v, ctx("b", r.getLong(6), v))
       }
       doubles.zipWithIndex.foreach { case (v, i) =>
         val r = got(base + i)
@@ -270,6 +276,10 @@ class CoercionPropertySpec extends SparkSuite {
           else castDec(v, 20, 0).map(_.min(U64)).getOrElse(U64)
         assert(BigDecimal(r.getDecimal(4)) == wantBu,
           ctx("bu", r.getDecimal(4), wantBu))
+        assert(r.getInt(5).toLong ==
+          signedClamp(v, Int.MinValue, Int.MaxValue),
+          ctx("i", r.getInt(5), signedClamp(v, Int.MinValue, Int.MaxValue)))
+        assert(r.getLong(6) == longModel(v), ctx("b", r.getLong(6), longModel(v)))
       }
     } finally {
       gs.execute("SET sql_mode = 'STRICT_TRANS_TABLES'")
