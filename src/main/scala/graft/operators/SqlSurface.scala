@@ -28,7 +28,7 @@ object SqlSurface extends QueryModule {
     * nothing downstream resolves an unqualified catalog object today,
     * but that invariant held only by accident of query ordering.
     */
-  private def withScratch(gs: GraftSession)(body: => DataFrame): DataFrame =
+  private[graft] def withScratch(gs: GraftSession)(body: => DataFrame): DataFrame =
     try {
       gs.execute("CREATE DATABASE IF NOT EXISTS graft_sql")
       gs.execute("USE graft_sql")

@@ -1013,6 +1013,19 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("DROP TABLE unsg")
   }
 
+  test("withScratch restores the current database when the body throws") {
+    // a mid-lifecycle statement failure used to park the SHARED session
+    // on graft_sql for every later query in the run (r14 review)
+    gs.execute("USE default")
+    intercept[IllegalArgumentException](
+      graft.operators.SqlSurface.withScratch(gs) {
+        assert(spark.catalog.currentDatabase == "graft_sql")
+        throw new IllegalArgumentException("boom")
+      })
+    assert(spark.catalog.currentDatabase == "default",
+      "scratch database leaked past a failed lifecycle body")
+  }
+
   test("MySQL /*! version comments execute their body") {
     // the reference lexer treats /*!NNNNN body */ as executable
     // (parser/lexer.go:45 specialComment); passing the markers through
