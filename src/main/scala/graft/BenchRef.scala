@@ -2,9 +2,10 @@ package graft
 
 /** Committed per-query reference timings for the outlier-triggered
   * scheduler probe (r11 verdict item 2): the same-tree local comparator
-  * BENCH_LOCAL_r14.json (sf0.1, CPUS=32, zero sched_hit firings;
-  * mildly-slow dispatch regime, pre/post p50 0.025/0.023, mid p50s
-  * 0.020-0.033 — see BASELINE.md r14 notes). Bench compares each timed
+  * BENCH_LOCAL_r14.json (sf0.1, CPUS=32, zero sched_hit firings,
+  * HEALTHY regime — pre/post p50 0.023/0.021, mid p50s 0.016-0.029,
+  * armed:true/fails:0 recorded in the artifact itself; see BASELINE.md
+  * r14 notes). Bench compares each timed
   * query against this map and, on a
   * >1.5x reading, immediately runs the fixed-shape sched probe and
   * streams a `{"sched_hit":...}` line — so a sub-window host storm is
@@ -34,111 +35,111 @@ object BenchRef {
   val cpus = "32"
 
   val committed: Map[String, Double] = Map(
-    "agg_distinct" -> 0.293,
-    "agg_empty_input" -> 0.262,
-    "agg_firstrow" -> 0.628,
-    "agg_global" -> 0.577,
-    "agg_group" -> 0.915,
-    "ann_cosine_topk" -> 0.705,
-    "ann_ivf" -> 4.083,
-    "ann_lsh_bucketed" -> 0.968,
+    "agg_distinct" -> 0.244,
+    "agg_empty_input" -> 0.225,
+    "agg_firstrow" -> 0.491,
+    "agg_global" -> 0.535,
+    "agg_group" -> 0.726,
+    "ann_cosine_topk" -> 0.572,
+    "ann_ivf" -> 3.712,
+    "ann_lsh_bucketed" -> 1.241,
     "bpe_encode" -> 1.702,
-    "bpe_train" -> 0.803,
-    "catalog_tables" -> 0.998,
-    "chunk_overlap" -> 0.437,
-    "decontaminate" -> 1.653,
-    "dedup_cdc" -> 1.526,
-    "dedup_components" -> 7.843,
-    "dedup_delta" -> 5.051,
-    "dedup_embedding" -> 1.622,
-    "dedup_exact" -> 0.409,
-    "dedup_minhash_lsh" -> 5.812,
-    "dedup_ngram_jaccard" -> 3.414,
-    "dedup_passage" -> 1.305,
-    "dedup_semantic" -> 3.224,
-    "dedup_simhash" -> 2.657,
-    "dedup_substring" -> 3.313,
-    "dml_delete" -> 0.196,
-    "dml_insert_select" -> 0.347,
-    "dml_replace" -> 0.482,
-    "emb_cosine_pairs" -> 0.746,
-    "emb_quantize" -> 0.355,
-    "events_attribution" -> 0.594,
-    "events_funnel" -> 1.115,
-    "events_json_extract" -> 0.789,
-    "events_rollup" -> 0.664,
-    "events_sessionize" -> 0.771,
-    "events_window_agg" -> 0.623,
-    "expr_arith" -> 0.233,
-    "expr_coercion" -> 0.369,
-    "expr_compare" -> 0.148,
-    "expr_control" -> 0.203,
-    "expr_logic" -> 0.196,
-    "expr_predicates" -> 0.247,
-    "expr_string" -> 0.144,
-    "filter_selection" -> 0.230,
-    "join_asof" -> 0.596,
-    "join_cross" -> 0.362,
-    "join_full_outer" -> 0.619,
-    "join_inner" -> 0.397,
-    "join_left_outer" -> 0.463,
-    "join_merge" -> 0.768,
-    "join_multiway" -> 1.171,
-    "join_range_bucketed" -> 0.943,
-    "join_right_outer" -> 0.363,
-    "join_semi_anti" -> 0.633,
-    "join_skew_salted" -> 1.034,
-    "knn_label" -> 1.019,
-    "limit_offset" -> 0.186,
-    "lm_bigram_score" -> 2.520,
-    "mix_budget" -> 0.402,
-    "multimodal_features" -> 0.940,
-    "multimodal_meta" -> 0.625,
-    "ngram_novelty" -> 1.588,
-    "orders_cube" -> 0.516,
-    "pack_sequences" -> 1.050,
-    "pipeline_corpus" -> 7.735,
-    "pipeline_curation" -> 2.928,
-    "pmi_collocations" -> 2.128,
-    "projection_exprs" -> 0.184,
-    "quality_buckets" -> 0.657,
-    "quality_classifier" -> 0.582,
-    "sample_hash" -> 0.261,
-    "sample_stratified" -> 0.504,
-    "sample_weighted" -> 0.217,
-    "scan_bucketed_join" -> 0.539,
-    "scan_dual" -> 0.077,
-    "scan_pruned" -> 0.214,
-    "set_ops" -> 0.837,
-    "shuffle_shard" -> 0.284,
-    "sort_multi" -> 0.517,
-    "source_formats" -> 1.126,
-    "source_overlap" -> 0.954,
-    "sql_admin_check" -> 2.274,
-    "sql_admin_show_ddl" -> 2.167,
-    "sql_compact" -> 3.325,
-    "sql_ddl_alter" -> 3.534,
-    "sql_dml_lifecycle" -> 3.046,
-    "sql_dual_vars" -> 0.743,
-    "sql_roundtrip" -> 1.065,
-    "sql_session_vars" -> 0.719,
-    "sql_show_variables" -> 0.745,
-    "sql_subquery" -> 1.004,
-    "sql_txn" -> 1.974,
-    "stats_cm_freq" -> 0.715,
-    "stats_fm_ndv" -> 0.573,
-    "stats_histogram" -> 1.616,
-    "stats_topk" -> 0.424,
-    "text_entropy" -> 1.459,
-    "text_fingerprint" -> 0.221,
-    "text_langid" -> 0.470,
-    "text_pii_scrub" -> 0.602,
-    "text_quality" -> 0.444,
-    "text_rank" -> 2.025,
-    "text_repetition" -> 1.014,
-    "text_tfidf" -> 1.413,
-    "text_token_count" -> 0.296,
-    "topn" -> 0.267,
-    "vocab_topk" -> 0.745,
-    "window_funcs" -> 1.074)
+    "bpe_train" -> 0.662,
+    "catalog_tables" -> 0.949,
+    "chunk_overlap" -> 0.532,
+    "decontaminate" -> 1.612,
+    "dedup_cdc" -> 1.356,
+    "dedup_components" -> 6.452,
+    "dedup_delta" -> 4.606,
+    "dedup_embedding" -> 1.724,
+    "dedup_exact" -> 0.369,
+    "dedup_minhash_lsh" -> 4.889,
+    "dedup_ngram_jaccard" -> 3.271,
+    "dedup_passage" -> 1.273,
+    "dedup_semantic" -> 3.125,
+    "dedup_simhash" -> 2.557,
+    "dedup_substring" -> 3.375,
+    "dml_delete" -> 0.174,
+    "dml_insert_select" -> 0.237,
+    "dml_replace" -> 0.452,
+    "emb_cosine_pairs" -> 0.720,
+    "emb_quantize" -> 0.340,
+    "events_attribution" -> 0.563,
+    "events_funnel" -> 1.076,
+    "events_json_extract" -> 0.792,
+    "events_rollup" -> 0.667,
+    "events_sessionize" -> 0.761,
+    "events_window_agg" -> 0.448,
+    "expr_arith" -> 0.221,
+    "expr_coercion" -> 0.373,
+    "expr_compare" -> 0.156,
+    "expr_control" -> 0.207,
+    "expr_logic" -> 0.183,
+    "expr_predicates" -> 0.141,
+    "expr_string" -> 0.149,
+    "filter_selection" -> 0.215,
+    "join_asof" -> 0.472,
+    "join_cross" -> 0.261,
+    "join_full_outer" -> 0.369,
+    "join_inner" -> 0.413,
+    "join_left_outer" -> 0.364,
+    "join_merge" -> 0.566,
+    "join_multiway" -> 0.918,
+    "join_range_bucketed" -> 0.716,
+    "join_right_outer" -> 0.306,
+    "join_semi_anti" -> 0.477,
+    "join_skew_salted" -> 0.739,
+    "knn_label" -> 0.809,
+    "limit_offset" -> 0.197,
+    "lm_bigram_score" -> 2.160,
+    "mix_budget" -> 0.387,
+    "multimodal_features" -> 0.960,
+    "multimodal_meta" -> 0.828,
+    "ngram_novelty" -> 1.540,
+    "orders_cube" -> 0.607,
+    "pack_sequences" -> 1.185,
+    "pipeline_corpus" -> 7.306,
+    "pipeline_curation" -> 2.634,
+    "pmi_collocations" -> 1.891,
+    "projection_exprs" -> 0.154,
+    "quality_buckets" -> 0.933,
+    "quality_classifier" -> 0.684,
+    "sample_hash" -> 0.180,
+    "sample_stratified" -> 0.372,
+    "sample_weighted" -> 0.197,
+    "scan_bucketed_join" -> 0.468,
+    "scan_dual" -> 0.057,
+    "scan_pruned" -> 0.232,
+    "set_ops" -> 0.715,
+    "shuffle_shard" -> 0.409,
+    "sort_multi" -> 0.390,
+    "source_formats" -> 1.069,
+    "source_overlap" -> 0.994,
+    "sql_admin_check" -> 2.064,
+    "sql_admin_show_ddl" -> 1.700,
+    "sql_compact" -> 3.178,
+    "sql_ddl_alter" -> 3.261,
+    "sql_dml_lifecycle" -> 2.423,
+    "sql_dual_vars" -> 0.618,
+    "sql_roundtrip" -> 0.939,
+    "sql_session_vars" -> 0.651,
+    "sql_show_variables" -> 0.669,
+    "sql_subquery" -> 0.819,
+    "sql_txn" -> 1.803,
+    "stats_cm_freq" -> 0.512,
+    "stats_fm_ndv" -> 0.488,
+    "stats_histogram" -> 1.275,
+    "stats_topk" -> 0.379,
+    "text_entropy" -> 1.391,
+    "text_fingerprint" -> 0.147,
+    "text_langid" -> 0.393,
+    "text_pii_scrub" -> 0.631,
+    "text_quality" -> 0.425,
+    "text_rank" -> 1.926,
+    "text_repetition" -> 0.809,
+    "text_tfidf" -> 1.548,
+    "text_token_count" -> 0.314,
+    "topn" -> 0.255,
+    "vocab_topk" -> 0.612,
+    "window_funcs" -> 0.954)
 }
