@@ -2076,6 +2076,17 @@ final class GraftSession(val spark: SparkSession) {
             clampNumeric(col(f.name), f.dataType,
               rangeOf.getOrElse(f.name, sparkTypeRange(f.dataType)),
               integralSource = integral(raw.schema(f.name).dataType)))
+        else if (strict && rangeOf.contains(f.name))
+          // STRICT sql_mode + a range-narrowed column (UNSIGNED /
+          // MEDIUMINT, widened in storage): the plain cast below only
+          // errors at the STORAGE type's bounds, so VALUES (-1) into
+          // INT UNSIGNED or 9000000 into MEDIUMINT stored silently
+          // where MySQL's strict convert.go raises 1264. Enforce the
+          // DECLARED range with an in-plan raise_error — distributed,
+          // single-pass, no extra scan for INSERT…SELECT sources.
+          df.withColumn(f.name,
+            strictRangeCheck(col(f.name), f.dataType,
+              rangeOf(f.name), f.name))
         else df.withColumn(f.name, col(f.name).cast(f.dataType))
       } else df.withColumn(f.name,
         expr(defaults.getOrElse(f.name, "NULL")).cast(f.dataType))
@@ -2139,6 +2150,23 @@ final class GraftSession(val spark: SparkSession) {
         coalesce(d.try_cast(dt2),
           when(d > 0, lit(bound)).otherwise(lit(-bound)).cast(dt2)))
     case _ => functions.MySqlCoerce.toDouble(c).cast(dt)
+  }
+
+  /** STRICT-mode declared-range enforcement (MySQL error 1264, the
+    * strict twin of [[clampNumeric]]'s warning clamp): cast first (so a
+    * malformed string still fails with the usual ANSI cast error), then
+    * abort on any value outside the DECLARED bounds. The raise_error
+    * branch types as NULL and widens to the target type, so the plan
+    * shape matches the plain-cast path until a bad row executes.
+    */
+  private def strictRangeCheck(c0: Column, dt: DataType,
+      range: (BigDecimal, BigDecimal), colName: String): Column = {
+    val v = c0.cast(dt)
+    when(v.isNotNull && (v < lit(range._1.underlying) ||
+        v > lit(range._2.underlying)),
+      raise_error(lit(
+        s"Out of range value for column '$colName' (1264, strict mode)")))
+      .otherwise(v)
   }
 
   /** The targets the non-strict numeric clamp serves. */

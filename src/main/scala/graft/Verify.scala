@@ -5,7 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query...]")
+    val (sfDir, outDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.semanticPins(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -14,9 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional name filter for local iteration; unset = all, as the
-    // driver runs it.
-    val names = SparkEntry.selectNames(sys.env.get("SPARK_GRAFT_ONLY"))
+    // Optional name filter for local iteration — trailing args or the
+    // SPARK_GRAFT_ONLY env var; neither = all, as the driver runs it
+    // (the driver always invokes with exactly two args).
+    val argFilter =
+      if (args.length > 2) Some(args.drop(2).mkString(",")) else None
+    val names =
+      SparkEntry.selectNames(argFilter.orElse(sys.env.get("SPARK_GRAFT_ONLY")))
     val qs = SparkEntry.queries // the map is rebuilt per call — hoist it
     names.foreach { name =>
       // NonFatal ONLY: per-query isolation must not swallow an OOM or

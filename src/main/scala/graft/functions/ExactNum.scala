@@ -23,7 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object ExactNum {
 
-  /** Per-row exact 1e-4 units of a (nullable) double — see [[cents]]. */
+  /** Per-row exact 1e-4 units of a (nullable) double — see [[cents]].
+    *
+    * Magnitude ceiling: the long cast aborts under ANSI once
+    * |x·10⁴| > 2⁶³ (|x| > ~9.2e14), where the old DECIMAL(30,4) path
+    * carried magnitudes to 1e26. The loss is deliberate and LOCKSTEP:
+    * DuckDB's `CAST(round(x*10000) AS BIGINT)` twin aborts at the same
+    * bound, so a too-large fixture value fails BOTH engines loudly
+    * (a clear CAST_OVERFLOW mid-suite) rather than forking the hash.
+    * Real inputs here are money/measure values ≤ 1e7. */
   private def units4(c: Column): Column = round(c * 10000).cast("long")
   private def oracleUnits4(expr: String): String =
     s"CAST(round(($expr) * 10000) AS BIGINT)"

@@ -60,11 +60,25 @@ object Formats extends QueryModule {
             import scala.jdk.OptionConverters._
             val pid = f.getName.split("_p").lastOption.flatMap(_.toLongOption)
             val mine = pid.contains(ProcessHandle.current().pid())
+            // start-vs-mtime compares two clock sources (boot-relative
+            // /proc start vs filesystem mtime): require the start to be
+            // CLEARLY later before declaring the PID recycled, so a few
+            // seconds of skew can't sweep a live owner's dir
+            val skewMs = 60000L
             val ownerDead = pid.forall(p =>
               ProcessHandle.of(p).toScala match {
                 case None => true // no live process with that PID
-                case Some(h) => h.info.startInstant.toScala
-                  .exists(_.toEpochMilli > f.lastModified())
+                case Some(h) => h.info.startInstant.toScala match {
+                  case Some(st) => st.toEpochMilli > f.lastModified() + skewMs
+                  case None =>
+                    // restricted /proc visibility: ownership unknowable
+                    // exactly — fall back to a generous age cutoff so
+                    // recycled-PID garbage can't accumulate FOREVER on
+                    // such hosts, while any live session's dir (touched
+                    // by its own run) stays untouched for days
+                    f.lastModified() <
+                      System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+                }
               })
             if (!mine && ownerDead)
               graft.GraftSession.deleteRecursively(f.toPath)

@@ -35,15 +35,27 @@ class FormatsSpec extends SparkSuite {
     val liveForeign = mk("graft_fmt_0abc1234_p1")
     liveForeign.setLastModified(System.currentTimeMillis())
     val p1Start = ProcessHandle.of(1L).get.info.startInstant
+    // skip when this JVM IS pid 1 (dockerized CI): mine short-circuits
+    // the sweep and the planted dirs would legitimately survive
+    val canPlantP1 = ProcessHandle.current().pid() != 1L &&
+      p1Start.isPresent && p1Start.get.toEpochMilli > 200000
     val recycled: Option[java.io.File] =
-      // skip when this JVM IS pid 1 (dockerized CI): mine short-circuits
-      // the sweep and the planted dir would legitimately survive
-      if (ProcessHandle.current().pid() != 1L &&
-          p1Start.isPresent && p1Start.get.toEpochMilli > 2000) {
+      if (canPlantP1) {
+        // CLEARLY older than the process start (beyond the 60 s clock-
+        // skew margin): the recycled-PID case, must be swept
         val d = mk("graft_fmt_0abc9999_p1")
-        d.setLastModified(p1Start.get.toEpochMilli - 2000)
+        d.setLastModified(p1Start.get.toEpochMilli - 120000)
         Some(d)
       } else None // epoch-start pid 1: cannot plant an older mtime
+    val withinSkew: Option[java.io.File] =
+      if (canPlantP1) {
+        // only SLIGHTLY older than the start (inside the margin): two
+        // clock sources a couple of seconds apart must NOT read as a
+        // recycled PID — the dir survives
+        val d = mk("graft_fmt_0abc8888_p1")
+        d.setLastModified(p1Start.get.toEpochMilli - 2000)
+        Some(d)
+      } else None
     try {
       val q = Formats.queries.find(_.name == "source_formats").get
       q.fn(spark, sf).collect()
@@ -52,6 +64,8 @@ class FormatsSpec extends SparkSuite {
       assert(liveForeign.exists(), "fresh live-foreign-PID dir must survive")
       recycled.foreach(d => assert(!d.exists(),
         "dir older than its pid's process start must be swept (recycled PID)"))
+      withinSkew.foreach(d => assert(d.exists(),
+        "dir within the clock-skew margin of its pid's start must survive"))
       // and this JVM's own dir is present and readable (the query's
       // result frame just lazily read from it)
       val key = java.util.UUID
@@ -59,7 +73,8 @@ class FormatsSpec extends SparkSuite {
       val own = new java.io.File(tmp,
         s"graft_fmt_${key}_p${ProcessHandle.current().pid()}")
       assert(own.isDirectory, "own scratch dir must exist after the run")
-    } finally (Seq(legacy, dead, liveForeign) ++ recycled).foreach(d =>
+    } finally (Seq(legacy, dead, liveForeign) ++ recycled ++ withinSkew)
+      .foreach(d =>
       GraftSession.deleteRecursively(d.toPath))
   }
 }

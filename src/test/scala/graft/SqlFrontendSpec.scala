@@ -1013,6 +1013,47 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("DROP TABLE unsg")
   }
 
+  test("STRICT sql_mode rejects out-of-declared-range values (1264)") {
+    // ADVICE r14: declaredRange was only enforced by the NON-strict
+    // clamp — under STRICT mode an in-storage-range but
+    // out-of-declared-range value (VALUES (-1) into INT UNSIGNED,
+    // 9000000 into MEDIUMINT) stored silently via the plain cast where
+    // MySQL's strict convert.go errors with 1264.
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS strg")
+    gs.execute(
+      "CREATE TABLE strg (id BIGINT PRIMARY KEY, iu INT UNSIGNED, m MEDIUMINT)")
+    // boundary values insert cleanly (strict check must not false-fire)
+    gs.execute("INSERT INTO strg VALUES (1, 4294967295, 8388607)")
+    gs.execute("INSERT INTO strg VALUES (2, 0, -8388608)")
+    assert(gs.query("SELECT iu, m FROM strg WHERE id = 1") ==
+      Seq("4294967295 8388607"))
+    val e1 = intercept[Exception](
+      gs.execute("INSERT INTO strg VALUES (3, -1, 0)"))
+    assert(chain(e1).contains("Out of range"), chain(e1))
+    val e2 = intercept[Exception](
+      gs.execute("INSERT INTO strg VALUES (4, 0, 9000000)"))
+    assert(chain(e2).contains("Out of range"), chain(e2))
+    // INSERT…SELECT sources hit the same in-plan check
+    val e3 = intercept[Exception](
+      gs.execute("INSERT INTO strg SELECT 5, 4294967296, 0"))
+    assert(chain(e3).contains("Out of range"), chain(e3))
+    // rejected statements left nothing behind
+    assert(gs.query("SELECT count(*) AS n FROM strg") == Seq("2"))
+    // the same values CLAMP with a warning in non-strict mode
+    gs.execute("SET sql_mode = ''")
+    try {
+      gs.execute("INSERT INTO strg VALUES (6, -1, 9000000)")
+      assert(gs.query("SELECT iu, m FROM strg WHERE id = 6") ==
+        Seq("0 8388607"))
+    } finally gs.execute("SET sql_mode = 'STRICT_TRANS_TABLES'")
+    gs.execute("DROP TABLE strg")
+  }
+
   test("withScratch restores the current database when the body throws") {
     // a mid-lifecycle statement failure used to park the SHARED session
     // on graft_sql for every later query in the run (r14 review)
