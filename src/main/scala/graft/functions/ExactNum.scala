@@ -57,6 +57,25 @@ object ExactNum {
   def oracleAvg(expr: String): String =
     s"(CAST(sum(${oracleUnits4(expr)}) AS DOUBLE) / count($expr) / 10000.0)"
 
+  /** Engine-exact 4-dp rounding of a double that STAYS a double (same
+    * consumer schema as the old `round(x, 4)`): scale to integer (one
+    * IEEE product, bit-identical both engines), round at integer scale
+    * (every half is dyadic, so Spark's shortest-repr HALF_UP and
+    * DuckDB's binary half-away agree — the [[cents]] argument), then
+    * ONE IEEE division of the same exact integer by the same constant.
+    * This closes the ~1e-12 accepted residual the similarity outputs
+    * (jaccard, cos_sim, ratio scores) carried when a quotient landed
+    * within a ULP of a 4-dp half-point — `round(x, 4)` rounded the
+    * shortest decimal repr in Spark but the scaled binary in DuckDB.
+    * Valid for |x| < ~9e11 (integer scale exact below 2⁵³); similarity
+    * and ratio outputs live in [-1, 1e7]. NULL in → NULL out.
+    */
+  def round4(c: Column): Column = round(c * 10000) / 10000.0
+
+  /** DuckDB SQL mirroring [[round4]] (round(DOUBLE) stays DOUBLE). */
+  def oracleRound4(expr: String): String =
+    s"(round(($expr) * 10000) / 10000.0)"
+
   /** Exact integer cents of a (nullable) double money value.
     *
     * `round(x, 2)` on a double is engine-divergent for full-precision

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.ExactNum
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -70,7 +71,7 @@ object Dedup extends QueryModule {
                      ON a.s = b.s AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
         SELECT doc_a, doc_b,
-               round(c / (sa.n + sb.n - c), 4) AS jaccard
+               ${ExactNum.oracleRound4("c / (sa.n + sb.n - c)")} AS jaccard
         FROM common
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
@@ -478,19 +479,16 @@ object Dedup extends QueryModule {
         val sh = cappedShingles(raw).persist(StorageLevel.MEMORY_AND_DISK)
         sh.count() // pipeline breaker (see dedup_minhash_lsh note)
         raw.unpersist(blocking = false)
-        // round(jac, 4) is the KNOWN double-rounding class ExactNum
-        // .cents closed for money (Spark shortest-repr HALF_UP vs
-        // DuckDB scaled-binary), deliberately ACCEPTED here and at
-        // every round(x, 4) similarity output: it fires only when a
-        // quotient lands within ~1 ULP of a 4-dp half-point (~1e-12
-        // per value against these counts), both sides would need the
-        // identical c/(na+nb-c) inputs anyway, and converting the
-        // family to integer basis points would churn every jaccard/
-        // cos_sim consumer at a frozen surface. MySqlSemanticsSpec's
-        // cents test documents the mechanism.
+        // ExactNum.round4, not round(jac, 4): the similarity outputs
+        // carried the same shortest-repr-vs-scaled-binary rounding
+        // divergence cents closed for money; the dyadic integer-scale
+        // form closes it here too while the output stays a DOUBLE for
+        // consumers (r14 verdict item 2 — the class is CLOSED now,
+        // not accepted).
         countJaccard(sh)
           .filter(col("jac") >= 0.8)
-          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+          .select(col("doc_a"), col("doc_b"),
+            ExactNum.round4(col("jac")).as("jaccard"))
       },
       Some(invertedIndexOracle(0.8))),
 
@@ -535,7 +533,8 @@ object Dedup extends QueryModule {
         buckets.unpersist(false) // only the cand computation needed it
         candidateJaccard(cand, sh)
           .filter(col("jac") >= 0.7)
-          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+          .select(col("doc_a"), col("doc_b"),
+            ExactNum.round4(col("jac")).as("jaccard"))
       },
       Some(invertedIndexOracle(0.7))),
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import graft.functions.{MySqlCoerce, StrCmp}
+import graft.functions.{ExactNum, MySqlCoerce, StrCmp}
 import org.apache.spark.sql.functions._
 
 /** Scalar-expression parity — SURVEY.md §2.8: the reference's complete
@@ -23,13 +23,13 @@ object Expressions extends QueryModule {
         (col("p_size") - 2).as("sub_i"),
         (col("p_size") * 3).as("mul_i"),
         (col("p_size") / 4).as("div_ii"),
-        round(col("p_retailprice") / col("p_size"), 4).as("div_r"),
+        ExactNum.round4(col("p_retailprice") / col("p_size")).as("div_r"),
         (col("p_partkey") / nullif(col("p_size") - col("p_size"), lit(0)))
           .as("div_by_zero"),
         (-col("p_size")).as("neg")),
       Some("""SELECT p_partkey, p_size + 1 AS add_i, p_size - 2 AS sub_i,
                      p_size * 3 AS mul_i, p_size / 4 AS div_ii,
-                     round(p_retailprice / p_size, 4) AS div_r,
+                     (round((p_retailprice / p_size) * 10000) / 10000.0) AS div_r,
                      p_partkey / nullif(p_size - p_size, 0) AS div_by_zero,
                      -p_size AS neg
               FROM part""")),

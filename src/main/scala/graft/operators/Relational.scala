@@ -44,9 +44,10 @@ object Relational extends QueryModule {
         col("p_partkey"),
         (col("p_size") + 1).as("size_plus"),
         (-col("p_size")).as("size_neg"),
-        round(col("p_retailprice") * 2.0, 4).as("price_x2")),
+        round4(col("p_retailprice") * 2.0).as("price_x2")),
       Some("""SELECT p_partkey, p_size + 1 AS size_plus, -p_size AS size_neg,
-                     round(p_retailprice * 2.0, 4) AS price_x2 FROM part""")),
+                     (round((p_retailprice * 2.0) * 10000) / 10000.0)
+                       AS price_x2 FROM part""")),
 
     // Selection with a CNF/DNF mix (`executor/executor.go:346`).
     Q("filter_selection",

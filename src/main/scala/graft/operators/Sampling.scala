@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.ExactNum
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -179,18 +180,18 @@ object Sampling extends QueryModule {
           .withColumn("weight_pm", wpm)
           .withColumn("target_tokens",
             expr(s"($budget * weight_pm) div 1000"))
-          .withColumn("rate", round(
-            least(lit(1.0), col("target_tokens") / col("n_tokens")), 4))
-          .withColumn("epochs", round(
-            col("target_tokens") / col("n_tokens"), 4))
+          .withColumn("rate", ExactNum.round4(
+            least(lit(1.0), col("target_tokens") / col("n_tokens"))))
+          .withColumn("epochs", ExactNum.round4(
+            col("target_tokens") / col("n_tokens")))
       },
       Some("""SELECT source, n_docs, n_tokens, weight_pm,
                      (1000000 * weight_pm) // 1000 AS target_tokens,
-                     round(least(1.0,
-                       ((1000000 * weight_pm) // 1000) / n_tokens), 4)
-                       AS rate,
-                     round(((1000000 * weight_pm) // 1000) / n_tokens, 4)
-                       AS epochs
+                     (round((least(1.0,
+                       ((1000000 * weight_pm) // 1000) / n_tokens))
+                       * 10000) / 10000.0) AS rate,
+                     (round((((1000000 * weight_pm) // 1000) / n_tokens)
+                       * 10000) / 10000.0) AS epochs
               FROM (SELECT source, count(*) AS n_docs,
                       CAST(sum(len(regexp_extract_all(text, '\S+')))
                         AS BIGINT) AS n_tokens,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.ExactNum
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -333,7 +334,7 @@ object Similarity extends QueryModule {
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY sim DESC, vec_id) AS rk
                FROM sc)
-        SELECT q_id, vec_id AS neighbor_id, round(sim, 4) AS cos_sim
+        SELECT q_id, vec_id AS neighbor_id, (round((sim) * 10000) / 10000.0) AS cos_sim
         FROM rk WHERE rk <= 3"""
   }
 
@@ -437,7 +438,7 @@ object Similarity extends QueryModule {
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY sim DESC, vec_id) AS rk
                FROM sc)
-        SELECT q_id, vec_id AS neighbor_id, round(sim, 4) AS cos_sim
+        SELECT q_id, vec_id AS neighbor_id, (round((sim) * 10000) / 10000.0) AS cos_sim
         FROM rk WHERE rk <= 3"""
   }
 
@@ -459,7 +460,7 @@ object Similarity extends QueryModule {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"))
+        ExactNum.round4(col("sim")).as("cos_sim"))
   }
 
   /** The knn_label body at an explicit bit count (see [[lshTopK]]). */
@@ -512,7 +513,7 @@ object Similarity extends QueryModule {
           .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
-          .select(col("vec_id"), round(col("sim"), 4).as("cos_sim"))
+          .select(col("vec_id"), ExactNum.round4(col("sim")).as("cos_sim"))
       },
       Some(s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                          FROM embeddings
@@ -521,7 +522,7 @@ object Similarity extends QueryModule {
                             ${cosSql("CAST(embedding AS DOUBLE[])", "qv")} AS sim
                           FROM embeddings, q
                           WHERE vec_id != 0 AND embedding IS NOT NULL)
-              SELECT vec_id, round(sim, 4) AS cos_sim FROM sc
+              SELECT vec_id, (round((sim) * 10000) / 10000.0) AS cos_sim FROM sc
               ORDER BY sim DESC, vec_id LIMIT 10""")),
 
     // Embedding-cosine near-duplicate pairs (exact, bounded subset):
@@ -534,7 +535,7 @@ object Similarity extends QueryModule {
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             cosine(col("a.v"), col("b.v")).as("sim"))
           .filter(col("sim") >= 0.3)
-          .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
+          .select(col("vec_a"), col("vec_b"), ExactNum.round4(col("sim")).as("cos_sim"))
       },
       Some(s"""WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                            FROM embeddings
@@ -542,7 +543,7 @@ object Similarity extends QueryModule {
                    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                            ${cosSql("a.v", "b.v")} AS sim
                          FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
-              SELECT vec_a, vec_b, round(sim, 4) AS cos_sim FROM p
+              SELECT vec_a, vec_b, (round((sim) * 10000) / 10000.0) AS cos_sim FROM p
               WHERE sim >= 0.3""")),
 
     // Scale path: sign-LSH bucketed ANN. The bit count adapts to the
@@ -622,7 +623,7 @@ object Similarity extends QueryModule {
           .select(col("vec_a"), col("vec_b"),
             cosine(col("x.v"), col("y.v")).as("sim"))
           .filter(col("sim") >= 0.9)
-          .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
+          .select(col("vec_a"), col("vec_b"), ExactNum.round4(col("sim")).as("cos_sim"))
       },
       Some(s"""WITH corpus AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -633,7 +634,7 @@ object Similarity extends QueryModule {
               p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                       ${cosSql("a.v", "b.v")} AS sim
                     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-              SELECT vec_a, vec_b, round(sim, 4) AS cos_sim FROM p
+              SELECT vec_a, vec_b, (round((sim) * 10000) / 10000.0) AS cos_sim FROM p
               WHERE sim >= 0.9""")),
 
     // IVF ANN — the second scale path next to sign-LSH: deterministic
@@ -667,7 +668,7 @@ object Similarity extends QueryModule {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            round(col("sim"), 4).as("cos_sim"))
+            ExactNum.round4(col("sim")).as("cos_sim"))
       },
       Some(ivfOracle)),
 
@@ -699,7 +700,7 @@ object Similarity extends QueryModule {
           .withColumn("maxabs", aggregate(col("v"), lit(0.0),
             (acc, x) => greatest(acc, abs(x))))
           .select(col("vec_id"),
-            round(sqrt(dot(col("v"), col("v"))), 4).as("l2_norm"),
+            ExactNum.round4(sqrt(dot(col("v"), col("v")))).as("l2_norm"),
             concat_ws(",", transform(col("v"), q8(_))).as("q8"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -709,7 +710,7 @@ object Similarity extends QueryModule {
                              'max') AS maxabs
                          FROM e)
               SELECT vec_id,
-                     round(sqrt(list_dot_product(v, v)), 4) AS l2_norm,
+                     (round((sqrt(list_dot_product(v, v))) * 10000) / 10000.0) AS l2_norm,
                      array_to_string(list_transform(v, x ->
                        CAST(CASE WHEN maxabs = 0 THEN 0
                             ELSE CAST(round(x * 127.0 / maxabs) AS BIGINT)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.ExactNum
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -70,7 +71,7 @@ object TextOps extends QueryModule {
       .orderBy(col("score").desc, col("term"))
     tf.join(df, "term").crossJoin(nDocs)
       .select(col("doc_id"), col("term"),
-        round(col("tf") * col("n") / col("df"), 4).as("score"))
+        ExactNum.round4(col("tf") * col("n") / col("df")).as("score"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
@@ -108,23 +109,24 @@ object TextOps extends QueryModule {
         Tables.load(s, d, "documents").select(
           col("doc_id"),
           nTok.as("n_tokens"),
-          round(meanTok, 4).as("mean_tok_len"),
-          round(stops / nullif(nTok, lit(0)), 4).as("stop_ratio"),
-          round(regexp_count(txt, lit("[0-9]"))
-            / nullif(length(txt), lit(0)), 4).as("digit_ratio"),
+          ExactNum.round4(meanTok).as("mean_tok_len"),
+          ExactNum.round4(stops / nullif(nTok, lit(0))).as("stop_ratio"),
+          ExactNum.round4(regexp_count(txt, lit("[0-9]"))
+            / nullif(length(txt), lit(0))).as("digit_ratio"),
           qualityKeep(txt).as("keep"))
       },
       Some("""SELECT doc_id,
                      len(regexp_extract_all(text, '\S+')) AS n_tokens,
-                     round(length(regexp_replace(text, '\s', '', 'g'))
-                           / nullif(len(regexp_extract_all(text, '\S+')), 0),
-                           4) AS mean_tok_len,
-                     round(len(regexp_extract_all(lower(text),
+                     (round((length(regexp_replace(text, '\s', '', 'g'))
+                           / nullif(len(regexp_extract_all(text, '\S+')), 0))
+                           * 10000) / 10000.0) AS mean_tok_len,
+                     (round((len(regexp_extract_all(lower(text),
                                '\b(the|a|of|to|and|in|is)\b'))
-                           / nullif(len(regexp_extract_all(text, '\S+')), 0),
-                           4) AS stop_ratio,
-                     round(len(regexp_extract_all(text, '[0-9]'))
-                           / nullif(length(text), 0), 4) AS digit_ratio,
+                           / nullif(len(regexp_extract_all(text, '\S+')), 0))
+                           * 10000) / 10000.0) AS stop_ratio,
+                     (round((len(regexp_extract_all(text, '[0-9]'))
+                           / nullif(length(text), 0)) * 10000) / 10000.0)
+                       AS digit_ratio,
                      (len(regexp_extract_all(text, '\S+')) >= 20
                       AND length(regexp_replace(text, '\s', '', 'g'))
                           / nullif(len(regexp_extract_all(text, '\S+')), 0)
@@ -289,11 +291,11 @@ object TextOps extends QueryModule {
           .withColumn("ws", expr(runStats("t")))
           .withColumn("bs", expr(runStats("bg")))
           .select(col("doc_id"),
-            round(lit(1) - col("ws.nd") / size(col("t")).cast("long"), 4)
+            ExactNum.round4(lit(1) - col("ws.nd") / size(col("t")).cast("long"))
               .as("dup_word_ratio"),
-            round(col("ws.top") / size(col("t")).cast("long"), 4)
+            ExactNum.round4(col("ws.top") / size(col("t")).cast("long"))
               .as("top_word_ratio"),
-            round(col("bs.top") / (size(col("t")).cast("long") - 1), 4)
+            ExactNum.round4(col("bs.top") / (size(col("t")).cast("long") - 1))
               .as("top_bigram_ratio"))
       },
       Some("""WITH w AS (
@@ -316,9 +318,9 @@ object TextOps extends QueryModule {
               bs AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2
                      FROM bc GROUP BY doc_id)
               SELECT ws.doc_id,
-                     round(1 - n_distinct / n, 4) AS dup_word_ratio,
-                     round(top / n, 4) AS top_word_ratio,
-                     round(top2 / n2, 4) AS top_bigram_ratio
+                     (round((1 - n_distinct / n) * 10000) / 10000.0) AS dup_word_ratio,
+                     (round((top / n) * 10000) / 10000.0) AS top_word_ratio,
+                     (round((top2 / n2) * 10000) / 10000.0) AS top_bigram_ratio
               FROM ws JOIN bs ON ws.doc_id = bs.doc_id""")),
 
     // TF-IDF-style term weighting: tf × (N / df), top-3 terms per doc.
@@ -344,7 +346,7 @@ object TextOps extends QueryModule {
                      FROM terms GROUP BY doc_id, term),
               df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
               scored AS (SELECT doc_id, tf.term,
-                           round(tf * n_docs / df, 4) AS score
+                           (round((tf * n_docs / df) * 10000) / 10000.0) AS score
                          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
               ranked AS (SELECT doc_id, term, score,
                            row_number() OVER (PARTITION BY doc_id

@@ -51,7 +51,8 @@ class DedupSpec extends SparkSuite {
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
+        graft.functions.ExactNum.round4(
+          col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= 0.7)
     assert(lsh.exceptAll(exactAll).isEmpty && exactAll.exceptAll(lsh).isEmpty,
       "LSH result diverges from exact all-pairs result — drop the oracle")

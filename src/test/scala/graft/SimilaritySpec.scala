@@ -32,8 +32,8 @@ class SimilaritySpec extends SparkSuite {
       .join(e.as("qa"), col("q_id") === col("qa.vec_id"))
       .join(e.as("qb"), col("neighbor_id") === col("qb.vec_id"))
       .select(col("cos_sim"),
-        round(dotExpr("qa.v", "qb.v")
-          / (sqrt(dotExpr("qa.v", "qa.v")) * sqrt(dotExpr("qb.v", "qb.v"))), 4)
+        graft.functions.ExactNum.round4(dotExpr("qa.v", "qb.v")
+          / (sqrt(dotExpr("qa.v", "qa.v")) * sqrt(dotExpr("qb.v", "qb.v"))))
           .as("exact"))
     assert(joined.filter(col("cos_sim") =!= col("exact")).count() == 0)
     // per-query at most 3 neighbours
