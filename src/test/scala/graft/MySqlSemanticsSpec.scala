@@ -185,6 +185,75 @@ class MySqlSemanticsSpec extends SparkSuite {
     assert(n(0).isNullAt(0) && n(1).getLong(0) == 125L)
   }
 
+  test("division TRY rewrite reaches every nesting shape (property)") {
+    // r14 verdict item 5: the CTE/subquery escapes were found by hand —
+    // this generator composes division sites through randomized
+    // CTE / scalar-subquery / EXISTS / LATERAL / set-op / aggregate
+    // nestings so the NEXT innerChildren-shaped escape fails a spec
+    // instead of aborting a fixture query. Two assertions per case:
+    // NULL-not-abort (the nested query executes), and agreement with
+    // the FLAT rewrite path on the same operands (nesting must never
+    // change the value). The flat `/` path is additionally pinned to
+    // the DataFrame twin (MySqlCoerce.div) so both entry paths agree.
+    import graft.plans.MySqlDivision
+    def run(sql: String): Any =
+      try MySqlDivision.sql(spark, sql).collect()(0).get(0)
+      catch { case e: Exception =>
+        fail(s"aborted (rewrite escape?): $sql\n  -> ${e.getMessage}") }
+    // value-preserving wrappers over a one-row, one-column (v) query
+    val wrappers: Seq[(String, String => String)] = Seq(
+      "cte" -> (q => s"WITH t AS ($q) SELECT v FROM t"),
+      "cte2" -> (q =>
+        s"WITH t AS ($q), u AS (SELECT v FROM t) SELECT v FROM u"),
+      "scalar" -> (q => s"SELECT (SELECT v FROM ($q) AS s) AS v"),
+      "union" -> (q =>
+        s"SELECT DISTINCT v FROM (($q) UNION ALL ($q)) AS un"),
+      "lateral" -> (q =>
+        s"SELECT l.v AS v FROM (SELECT 1 AS one) AS o, LATERAL ($q) AS l"),
+      "exists" -> (q => s"""SELECT CASE WHEN EXISTS (
+          SELECT 1 FROM ($q) AS z WHERE z.v IS NOT NULL)
+        THEN (SELECT v FROM ($q) AS s2) ELSE NULL END AS v"""),
+      "agg" -> (q => s"SELECT max(v) AS v FROM ($q) AS ag"))
+    val ops = Seq("/", "DIV", "%")
+    val operand = Gen.frequency(
+      (3, Gen.chooseNum(-1000000L, 1000000L)),
+      (1, Gen.oneOf(Long.MaxValue / 2, Long.MinValue / 2, 0L)))
+    val divisor = Gen.frequency((2, Gen.const(0L)),
+      (3, Gen.chooseNum(-9L, 9L)))
+    // literal core (constant-folding path) and VALUES core (column path)
+    def cores(op: String, a: Long, b: Long): Seq[String] = Seq(
+      s"SELECT CAST($a AS BIGINT) $op CAST($b AS BIGINT) AS v",
+      s"SELECT a $op b AS v FROM (VALUES (CAST($a AS BIGINT), " +
+        s"CAST($b AS BIGINT))) AS vt(a, b)")
+    val stacks: Seq[Seq[Int]] =
+      // every wrapper alone, then 30 random depth-2..3 stacks
+      wrappers.indices.map(Seq(_)) ++
+        samples(Gen.chooseNum(2, 3).flatMap(n =>
+          Gen.listOfN(n, Gen.chooseNum(0, wrappers.size - 1))), 30)
+    val cases = samples(Gen.zip(operand, divisor), stacks.size * ops.size)
+    var i = 0
+    for (stack <- stacks; op <- ops) {
+      val (a, b) = cases(i); i += 1
+      for (core <- cores(op, a, b)) {
+        val flat = run(core)
+        if (b == 0L) assert(flat == null, s"$a $op 0 must be NULL: $core")
+        val nested = stack.foldLeft(core)((q, w) => wrappers(w)._2(q))
+        val got = run(nested)
+        assert(got == flat,
+          s"nesting ${stack.map(wrappers(_)._1).mkString("+")} changed " +
+            s"$a $op $b: flat=$flat nested=$got\n$nested")
+      }
+      if (op == "/") {
+        // flat SQL path == DataFrame path on the same operands
+        import spark.implicits._
+        val df = Seq((a, b)).toDF("a", "b")
+          .select(MySqlCoerce.div(col("a"), col("b"))).collect()(0).get(0)
+        assert(df == run(cores(op, a, b).head),
+          s"DataFrame vs SQL division disagree on $a / $b")
+      }
+    }
+  }
+
   test("custom SQL functions reject wrong arity at analysis") {
     graft.functions.StrCmp.register(spark)
     graft.functions.Fingerprint.register(spark)
