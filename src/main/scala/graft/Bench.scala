@@ -118,27 +118,31 @@ object Bench {
   private[graft] def renderFullRecord(results: Seq[(String, Double)],
       sched: String, sfDir: String,
       mids: Seq[(Int, Double, Double)] = Seq.empty,
-      hits: Seq[(String, Double, Double, Double, Long)] = Seq.empty,
-      gcs: Seq[(String, Long)] = Seq.empty, fails: Int = 0,
+      hits: Seq[(String, Double, Double, Double, Long, Long)] = Seq.empty,
+      gcs: Seq[(String, Long)] = Seq.empty,
+      ios: Seq[(String, Long)] = Seq.empty, fails: Int = 0,
       armed: Boolean = true): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // per-query gc_ms goes to the FILE record only (no tail budget
-    // there): the in-tail probe context carries gc for the capped worst
-    // HITS, but adjudicating a 1.3x mover that never crossed the 1.5x
-    // hit gate needs the same signal — this map makes every mover in a
-    // committed BENCH_LOCAL record gc-adjudicable after the fact.
+    // per-query gc_ms and io_mb go to the FILE record only (no tail
+    // budget there): the in-tail probe context carries both for the
+    // capped worst HITS, but adjudicating a 1.3x mover that never
+    // crossed the 1.5x hit gate needs the same signals — these maps
+    // make every mover in a committed BENCH_LOCAL record adjudicable
+    // after the fact on all three non-host axes.
     val gj = gcs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("\"gc_ms\":{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,"queries":$qs,$gj,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
+    val ij = ios.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("\"io_mb\":{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,"queries":$qs,$gj,$ij,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
   }
 
   /** Outlier-probe readings for the FILE record: one object per
     * triggered [[renderSchedHit]] line. */
   private[graft] def hitsJson(
-      hits: Seq[(String, Double, Double, Double, Long)]): String =
-    hits.map { case (n, r, p50, max, gc) =>
-      s"""{"q":"$n","r":${fmt1(r)},"p50":${fmt(p50)},"max":${fmt(max)},"gc":$gc}"""
+      hits: Seq[(String, Double, Double, Double, Long, Long)]): String =
+    hits.map { case (n, r, p50, max, gc, io) =>
+      s"""{"q":"$n","r":${fmt1(r)},"p50":${fmt(p50)},"max":${fmt(max)},"gc":$gc,"io":$io}"""
     }.mkString("\"sched_hit\":[", ",", "]")
 
   /** One-decimal ratio formatting (locale-pinned, same reason as fmt). */
@@ -153,13 +157,17 @@ object Bench {
     * the observed/committed ratio; `gc` is the stop-the-world collector
     * time (ms) that landed inside the query's own timed window (r13
     * verdict item 1) — the third adjudication axis: healthy probe +
-    * high gc = in-JVM pressure the host probe cannot see, both healthy
-    * = presumptive code. ~65 bytes; streams between the per-query
-    * lines, never inside the end-of-suite block.
+    * high gc = in-JVM pressure the host probe cannot see. `io` is the
+    * storage-layer read delta (MB) inside the same window (r14 verdict
+    * item 1) — the fourth axis: healthy probe + healthy gc + inflated
+    * io vs the comparator's io_mb map = page-cache/shuffle-dir I/O
+    * pressure, all three healthy = presumptive code. ~72 bytes;
+    * streams between the per-query lines, never inside the
+    * end-of-suite block.
     */
   private[graft] def renderSchedHit(name: String, ratio: Double,
-      p50: Double, max: Double, gcMs: Long): String =
-    s"""{"sched_hit":${fmt(p50)},"max":${fmt(max)},"q":"$name","r":${fmt1(ratio)},"gc":$gcMs}"""
+      p50: Double, max: Double, gcMs: Long, ioMb: Long): String =
+    s"""{"sched_hit":${fmt(p50)},"max":${fmt(max)},"q":"$name","r":${fmt1(ratio)},"gc":$gcMs,"io":$ioMb}"""
 
   /** End-of-suite probe-context line (r12 verdict item 1): the streamed
     * `sched_mid`/`sched_hit` lines for the first ~80 queries never
@@ -172,24 +180,30 @@ object Bench {
     *     inflated entry at its position;
     *   - `hn`: the TRUE count of triggered outlier probes;
     *   - `hits`: the worst `maxHits` of them by ratio as
-    *     `[name, ratio, probe_p50, gc_ms]` quadruples. The probe p50
-    *     sees the HOST (inflated ⇒ scheduler storm); gc_ms sees the JVM
-    *     (the collector time inside that query's own timed window —
+    *     `[name, ratio, probe_p50, gc_ms, io_mb]` quintuples. The probe
+    *     p50 sees the HOST (inflated ⇒ scheduler storm); gc_ms sees the
+    *     JVM (the collector time inside that query's own timed window —
     *     r13's decontaminate hit carried a healthy 0.021 probe and
     *     would still have been old-gen churn, the case the p50 alone
-    *     misreads as code). Healthy probe + high gc ⇒ JVM pressure,
-    *     both healthy ⇒ presumptive code worth an isolated re-run.
-    *     Capped (hn records what the cap hides) so a pathological run
-    *     cannot eat the tail: ~60 bytes healthy, ~300 worst-case at the
-    *     cap — inside BenchFormatSpec's budget.
+    *     misreads as code); io_mb sees the STORAGE layer (r14's
+    *     dedup_minhash_lsh hit was healthy on BOTH other axes on
+    *     untouched code — the remaining pressure class is a cold page
+    *     cache / contended shuffle dir re-reading bytes the comparator
+    *     run got for free). Healthy probe + high gc ⇒ JVM pressure;
+    *     both healthy + inflated io vs the comparator's io_mb map ⇒
+    *     I/O pressure; all healthy ⇒ presumptive code worth an
+    *     isolated re-run. Capped (hn records what the cap hides) so a
+    *     pathological run cannot eat the tail: ~60 bytes healthy,
+    *     ~340 worst-case at the cap — inside BenchFormatSpec's budget.
     */
   private[graft] def renderProbeContext(
       mids: Seq[(Int, Double, Double)],
-      hits: Seq[(String, Double, Double, Double, Long)],
+      hits: Seq[(String, Double, Double, Double, Long, Long)],
       maxHits: Int = 6): String = {
     val sm = mids.map(m => fmt(m._2)).mkString("[", ",", "]")
-    val hs = hits.sortBy(-_._2).take(maxHits).map { case (n, r, p50, _, gc) =>
-      s"""["$n",${fmt1(r)},${fmt(p50)},$gc]"""
+    val hs = hits.sortBy(-_._2).take(maxHits).map {
+      case (n, r, p50, _, gc, io) =>
+        s"""["$n",${fmt1(r)},${fmt(p50)},$gc,$io]"""
     }.mkString("[", ",", "]")
     s"""{"sm":$sm,"hn":${hits.size},"hits":$hs}"""
   }
@@ -250,6 +264,28 @@ object Bench {
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
 
+    // Cumulative bytes this process actually fetched from the storage
+    // layer (post page cache), for the per-query io_mb delta — the
+    // FOURTH adjudication axis (r14 verdict item 1): the r14
+    // dedup_minhash_lsh hit carried a healthy probe p50 AND healthy
+    // gc_ms, leaving "presumptive code" on code that was byte-identical
+    // to the prior round — the one pressure class neither axis sees is
+    // I/O (a cold page cache or contended shuffle dir makes the SAME
+    // plan re-read gigabytes it normally gets for free). An inflated
+    // io_mb against the committed comparator's map says exactly that.
+    // -1 = /proc/self/io unavailable (non-Linux or restricted), kept
+    // distinct from a genuine 0 so "no reads" never means "no signal".
+    def ioReadBytes(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/io")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("read_bytes:") => l.split(":")(1).trim.toLong
+        }.getOrElse(-1L)
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    def ioDelta(before: Long, after: Long): Long =
+      if (before < 0 || after < 0) -1L else (after - before) / 1000000L
+
     // hoisted: SparkEntry.queries is a def that rebuilds the full map —
     // calling it inside the timed window charged the rebuild to every
     // query (microseconds, but the same pattern Verify hoists)
@@ -258,8 +294,9 @@ object Bench {
     // queries that died mid-run (see renderTotalOnly's fails doc)
     var failCount = 0
     var lastFailed = false
-    def materialize(name: String): (Double, Long) = {
+    def materialize(name: String): (Double, Long, Long) = {
       val g0 = gcMillis()
+      val io0 = ioReadBytes()
       val t0 = System.nanoTime()
       lastFailed = false
       // NonFatal ONLY (the Verify rule): an OOM must abort the suite
@@ -272,10 +309,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // gc_ms = collector time that landed INSIDE the timed window —
-      // read before the untimed inter-query System.gc() below, which
-      // must not be charged to the query it follows.
+      // gc_ms / io_mb = collector time and storage-layer reads that
+      // landed INSIDE the timed window — read before the untimed
+      // inter-query System.gc() below, which must not be charged to
+      // the query it follows.
       val gcMs = gcMillis() - g0
+      val ioMb = ioDelta(io0, ioReadBytes())
       // Queries persist shared subtrees; freeing them here keeps one
       // query's cache from squeezing the next one's execution memory
       // over a full-suite run (the bucketed-index tables are on disk and
@@ -287,7 +326,7 @@ object Bench {
       // isolated with identical plans. Collecting OUTSIDE the timed
       // window measures each query's steady-state work.
       System.gc()
-      (sec, gcMs)
+      (sec, gcMs, ioMb)
     }
 
     // Fixed-shape scheduler-health probe (see scaladoc): median + max of
@@ -367,7 +406,7 @@ object Bench {
     // is noise, not a storm), and each false fire costs a ~0.2 s probe
     // plus a tail line. A real storm inflates by whole seconds and
     // always clears both gates.
-    val hits = Seq.newBuilder[(String, Double, Double, Double, Long)]
+    val hits = Seq.newBuilder[(String, Double, Double, Double, Long, Long)]
     // Arm the outlier trigger only in the comparator's own regime: a
     // cpus=4 debug run or a different SF exceeds 1.5x on most heavy
     // queries for legitimate reasons and would spray ~100 spurious
@@ -375,9 +414,11 @@ object Bench {
     val refArmed = sfDir.endsWith(BenchRef.sfDirSuffix) &&
       cpus == BenchRef.cpus
     val gcs = Seq.newBuilder[(String, Long)]
+    val ios = Seq.newBuilder[(String, Long)]
     val results = names.zipWithIndex.map { case (n, i) =>
-      val (sec, gcMs) = materialize(n)
+      val (sec, gcMs, ioMb) = materialize(n)
       gcs += ((n, gcMs))
+      ios += ((n, ioMb))
       // a failed query's streamed line carries the marker so the
       // time-until-failure can never read as a legitimate (fast) result
       println(s"""{"q":"$n","sec":${fmt(sec)}${
@@ -385,8 +426,8 @@ object Bench {
       (if (refArmed) BenchRef.committed.get(n) else None).foreach { ref =>
         if (sec > ref * 1.5 && sec - ref > 0.2) {
           val (p50, max) = schedProbe()
-          hits += ((n, sec / ref, p50, max, gcMs))
-          println(renderSchedHit(n, sec / ref, p50, max, gcMs))
+          hits += ((n, sec / ref, p50, max, gcMs, ioMb))
+          println(renderSchedHit(n, sec / ref, p50, max, gcMs, ioMb))
         }
       }
       if ((i + 1) % MidEvery == 0 && i + 1 < names.size) {
@@ -404,7 +445,7 @@ object Bench {
     val midsV = mids.result()
     val hitsV = hits.result()
     val line = renderFullRecord(results, sched, sfDir, midsV,
-      hitsV, gcs.result(), failCount, refArmed)
+      hitsV, gcs.result(), ios.result(), failCount, refArmed)
     // The ~1.9 KB NAMED per-query map line goes to the FILE ONLY: in r9
     // it consumed most of the driver's bounded stdout tail and pushed 23
     // of the 107 short per-query lines out of the window. The positional

@@ -94,25 +94,29 @@ class BenchFormatSpec extends AnyFunSuite {
     // healthy probe p50, but 1843 ms of collector time inside a 2.5 s
     // query window says JVM pressure, not code
     val hits = Seq(
-      ("decontaminate", 2.25, 0.022, 0.05, 1843L),
-      ("ngram_novelty", 1.58, 0.018, 0.04, 12L),
-      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L))
+      ("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L),
+      ("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L),
+      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L))
     val line = Bench.renderProbeContext(mids, hits)
     // sm carries every mid probe p50 in cadence order — a storm window
     // is visible at its position (the 1.234 third entry here)
     assertFragments(line, Seq(
       "\"sm\":[0.014,0.015,1.234]", "\"hn\":3",
       // hits sorted worst-first by ratio
-      """["decontaminate",2.3,0.022,1843],["ngram_novelty",1.6,0.018,12],["dedup_minhash_lsh",1.6,0.020,7]"""))
+      // io_mb is the fifth entry (r14 verdict item 1): the
+      // dedup_minhash_lsh shape here is the real r14 ambiguity —
+      // healthy probe, healthy gc, but 5 GB of storage-layer reads
+      // inside the window says I/O pressure, not code
+      """["decontaminate",2.3,0.022,1843,41],["ngram_novelty",1.6,0.018,12,3],["dedup_minhash_lsh",1.6,0.020,7,5123]"""))
     // the cap keeps a pathological run from eating the tail; hn still
     // records the TRUE count so the cap is never a silent truncation
     val many = (1 to 20).map(i => (s"query_with_a_long_name_$i",
-      1.5 + i / 10.0, 0.02, 0.05, 999L))
+      1.5 + i / 10.0, 0.02, 0.05, 999L, 9999L))
     val capped = Bench.renderProbeContext(mids, many)
     assert(capped.contains("\"hn\":20"), capped)
     assert(capped.count(_ == '[') == 1 + 1 + 6, // sm + hits array + 6 entries
       s"hit cap not applied: $capped")
-    assert(capped.length < 400, s"capped probe line too long: ${capped.length}")
+    assert(capped.length < 440, s"capped probe line too long: ${capped.length}")
     // healthy run: empty hits, still parseable
     assertFragments(Bench.renderProbeContext(mids, Nil),
       Seq("\"hn\":0", "\"hits\":[]"))
@@ -139,8 +143,11 @@ class BenchFormatSpec extends AnyFunSuite {
     val longest = rs.map(_._1).sortBy(-_.length)
     val worstMids = (1 to 7).map(i => (i * 15, 12.345, 99.999))
     // worst-case gc_ms: a 6-digit value (a 100+ s suite could in theory
-    // accumulate that much collector time inside one pathological query)
-    val worstHits = longest.take(8).map(n => (n, 12.3, 12.345, 99.999, 999999L))
+    // accumulate that much collector time inside one pathological
+    // query); worst-case io_mb: 5 digits = 100 GB read inside one
+    // query window, beyond any plausible sf0.1 run
+    val worstHits = longest.take(8).map(n =>
+      (n, 12.3, 12.345, 99.999, 999999L, 99999L))
     val block = Bench.renderQvLines(rs).map(_ + "\n").mkString +
       Bench.renderProbeContext(worstMids, worstHits) + "\n" +
       Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1") + "\n"
@@ -163,13 +170,13 @@ class BenchFormatSpec extends AnyFunSuite {
     // outlier hits (the r12 scenario — all fired in the cut head)
     val mids = Seq.newBuilder[(Int, Double, Double)]
     val hits = Seq(
-      ("decontaminate", 2.25, 0.022, 0.05, 1843L),
-      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L),
-      ("ngram_novelty", 1.58, 0.018, 0.04, 12L))
+      ("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L),
+      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L),
+      ("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L))
     rs.zipWithIndex.foreach { case ((n, v), i) =>
       stdout ++= s"""{"q":"$n","sec":${Bench.fmt(v)}}""" + "\n"
-      hits.find(_._1 == n).foreach { case (hn, r, p, m, g) =>
-        stdout ++= Bench.renderSchedHit(hn, r, p, m, g) + "\n" }
+      hits.find(_._1 == n).foreach { case (hn, r, p, m, g, io) =>
+        stdout ++= Bench.renderSchedHit(hn, r, p, m, g, io) + "\n" }
       if ((i + 1) % 15 == 0 && i + 1 < rs.size) {
         mids += ((i + 1, 0.016, 0.053))
         stdout ++= s"""{"sched_mid":0.016,"max":0.053,"after":${i + 1}}""" + "\n"
@@ -214,15 +221,17 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("sched_hit: streamed line and file array shapes") {
-    val streamed = Bench.renderSchedHit("stats_topk", 2.7341, 0.018, 0.051, 412L)
+    val streamed =
+      Bench.renderSchedHit("stats_topk", 2.7341, 0.018, 0.051, 412L, 73L)
     assertFragments(streamed, Seq("\"sched_hit\":0.018", "\"max\":0.051",
-      "\"q\":\"stats_topk\"", "\"r\":2.7", "\"gc\":412"))
-    assert(streamed.length < 90, streamed)
-    assert(Bench.hitsJson(Seq(("stats_topk", 2.7341, 0.018, 0.051, 412L))) ==
-      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412}]""")
-    // no hits → an empty but still-parseable array in the file record
+      "\"q\":\"stats_topk\"", "\"r\":2.7", "\"gc\":412", "\"io\":73"))
+    assert(streamed.length < 95, streamed)
+    assert(Bench.hitsJson(Seq(("stats_topk", 2.7341, 0.018, 0.051, 412L, 73L))) ==
+      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73}]""")
+    // no hits → empty but still-parseable structures in the file record
     val line = Bench.renderFullRecord(results, sched, "/d")
-    assertFragments(line, Seq("\"sched_hit\":[]", "\"gc_ms\":{}"))
+    assertFragments(line, Seq("\"sched_hit\":[]", "\"gc_ms\":{}",
+      "\"io_mb\":{}"))
     // the per-query gc map makes sub-hit movers adjudicable from a
     // committed record; it must follow the queries map so the
     // comparator-pin parser's first-} scan still isolates queries
@@ -231,6 +240,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assertFragments(withGc, results.map { case (n, _) => s"""\"$n\":17""" })
     assert(withGc.indexOf("\"gc_ms\":{") > withGc.indexOf("\"queries\":{"))
     assert(withGc.indexOf("\"gc_ms\":{") < withGc.indexOf("\"sched\":{"))
+    // io_mb (r14): same contract as gc_ms, after the queries map
+    val withIo = Bench.renderFullRecord(results, sched, "/d",
+      ios = results.map { case (n, _) => n -> 234L })
+    assertFragments(withIo, results.map { case (n, _) => s"""\"$n\":234""" })
+    assert(withIo.indexOf("\"io_mb\":{") > withIo.indexOf("\"queries\":{"))
+    assert(withIo.indexOf("\"io_mb\":{") < withIo.indexOf("\"sched\":{"))
   }
 
   test("the committed comparator matches its source artifact's values") {

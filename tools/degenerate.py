@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""Degenerate-fixture pre-flight: mutate a scratch copy of an sf dir
+through the documented divergence classes, then run the REAL gate
+(graft.Verify + tools/compare.py) over the mutated copy.
+
+This institutionalizes the r13/r14 ad-hoc probes (BASELINE.md
+"Degenerate-fixture probes"): the classes that historically forked the
+cross-engine hash — or silently dropped queries from the gate (the r8
+events.ts regeneration incident) — are planted on EVERY run, so a
+fixture regeneration or a new rounding/NULL-handling divergence fails
+one command instead of a round.
+
+Planted classes (all deterministic — same input dir, same mutation):
+  events.props   malformed / empty / fractional-$.k / bare-string /
+                 NULL JSON (events_json_extract lockstep: DuckDB
+                 json_extract_string hard-errors on malformed JSON)
+  events.value   91 planted full-precision HALF-ENDING doubles (the
+                 round/cast divergence class ExactNum closed) plus a
+                 NULL sweep (~1/7 of rows; count(expr) twins must
+                 ignore NULLs symmetrically)
+  customer       two NULL-custkey rows (REPLACE displacement: NULL
+                 unique keys never displace, executor/replace.go)
+  documents      one 20000-token doc whose mean_tok_len is EXACTLY
+                 2.00005 (a 4-dp half — the ExactNum.round4 witness),
+                 and a prefix-overlap doc pair whose 3-gram Jaccard is
+                 EXACTLY 18001/20000 = 0.90005 (the same half class on
+                 the similarity outputs, planted above the 0.9 banding
+                 recall knee so MinHash/LSH candidate recall is
+                 deterministic-certain)
+
+Usage:
+  python3 tools/degenerate.py [sf_dir] [work_dir] [query ...]
+    sf_dir   source fixture dir   (default /root/testdata/sf0.001)
+    work_dir scratch dir, WIPED   (default /tmp/degen_<sfname>)
+    query... optional scope for Verify+compare (default: full suite)
+
+Driver-side python only (pyarrow/pandas/duckdb) — never part of the
+engine.
+"""
+import os
+import shutil
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def rewrite(path, fn):
+    """Read a parquet table, mutate via pandas, write back under the
+    ORIGINAL arrow schema (a silently widened/retyped column — the r8
+    events.ts incident — is exactly what this tool exists to catch, so
+    it must never introduce one itself)."""
+    orig = pq.read_table(path)
+    df = fn(orig.to_pandas())
+    pq.write_table(pa.Table.from_pandas(df, schema=orig.schema,
+                                        preserve_index=False), path)
+
+
+def mutate_events(df):
+    n = len(df)
+    assert n >= 20, "events fixture too small for the planted classes"
+    # --- props: the five JSON degeneracy shapes, on fixed positions ---
+    props = df["props"].copy()
+    shapes = ['{oops', '', '{"k": 2.5}', '"str"', None,
+              '[]', '{"k": null}', '{"k": "x"}']
+    for i, v in enumerate(shapes):
+        props.iloc[i * 2] = v
+    df["props"] = props
+    # --- value: 91 half-ending doubles + a NULL sweep ---
+    value = df["value"].astype("float64").copy()
+    planted = 0
+    for i in range(n):
+        if planted >= 91:
+            break
+        v = value.iloc[i]
+        if pd.notna(v):
+            # nearest double to the exact 4-dp half just above |v|:
+            # (2k+1)/20000 — the class the old round/cast forked on
+            k = int(abs(v) * 10000)
+            value.iloc[i] = (2 * k + 1) / 20000.0 * (1 if v >= 0 else -1)
+            planted += 1
+    assert planted == 91, f"only {planted} half-ending values planted"
+    nulled = 0
+    for i in range(n):
+        # deterministic ~1/7 sweep, skipping the half-ending plants
+        if i >= 91 and i % 7 == 3:
+            value.iloc[i] = float("nan")
+            nulled += 1
+    df["value"] = value
+    print(f"[degenerate] events: {len(shapes)} props shapes, "
+          f"{planted} half-ending values, {nulled} NULL values")
+    return df
+
+
+def mutate_customer(df):
+    # the key column must be NULLABLE pandas-side before the concat, or
+    # pandas silently promotes the mix to object/float
+    df = df.assign(c_custkey=df["c_custkey"].astype("Int64"))
+    two = df.iloc[:2].copy()
+    two["c_custkey"] = pd.array([pd.NA, pd.NA], dtype="Int64")
+    two["c_name"] = ["null-key-a", "null-key-b"]
+    out = pd.concat([df, two], ignore_index=True)
+    print("[degenerate] customer: +2 NULL-custkey rows")
+    return out
+
+
+def mutate_documents(df):
+    next_id = int(df["doc_id"].max()) + 1
+    lang = df["lang"].iloc[0]
+    source = df["source"].iloc[0]
+
+    # mean_tok_len == 40001/20000 == 2.00005 exactly: 19999 two-char
+    # tokens + one three-char token (lowercase — Dedup.corpus lowers)
+    mean_doc = " ".join(["aa"] * 19999 + ["aaa"])
+    # jaccard == 18001/20000 == 0.90005 exactly: doc A has 18502
+    # distinct tokens (18500 shingles); doc B = A's first 18003 tokens
+    # (18001 shared shingles) + 1500 fresh tokens (1502 fresh
+    # shingles): union = 18500 + 19501 - 18001 = 20000
+    a_toks = [f"q{i}x" for i in range(18502)]
+    j_toks = [f"j{i}x" for i in range(1500)]
+    doc_a = " ".join(a_toks)
+    doc_b = " ".join(a_toks[:18003] + j_toks)
+
+    rows = pd.DataFrame({
+        "doc_id": [next_id, next_id + 1, next_id + 2],
+        "text": [mean_doc, doc_a, doc_b],
+        "lang": [lang] * 3,
+        "source": [source] * 3,
+        "n_chars": [len(mean_doc), len(doc_a), len(doc_b)],
+    })
+    out = pd.concat([df, rows], ignore_index=True)
+    print(f"[degenerate] documents: +1 half-ending mean_tok_len doc, "
+          f"+2 jaccard=0.90005 pair docs (ids {next_id}..{next_id + 2})")
+    return out
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = (sys.argv[2] if len(sys.argv) > 2
+            else f"/tmp/degen_{os.path.basename(os.path.normpath(sf))}")
+    queries = sys.argv[3:]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(f"{sf}/lineitem.parquet"):
+        sys.exit(f"sf dir not found (no lineitem.parquet): {sf}")
+    assert os.path.abspath(work) not in (os.path.abspath(sf),), \
+        "work dir must differ from the source dir"
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    for t in TABLES:
+        shutil.copy(f"{sf}/{t}.parquet", f"{work}/{t}.parquet")
+    print(f"[degenerate] copied {sf} -> {work}")
+
+    rewrite(f"{work}/events.parquet", mutate_events)
+    rewrite(f"{work}/customer.parquet", mutate_customer)
+    rewrite(f"{work}/documents.parquet", mutate_documents)
+
+    out = f"{work}_out"
+    shutil.rmtree(out, ignore_errors=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get(
+        "SPARK_GRAFT_CPUS", "8"))
+    cmd = ["sbt", "-batch",
+           "runMain graft.Verify " + " ".join([work, out] + queries)]
+    print(f"[degenerate] {' '.join(cmd)}")
+    r = subprocess.run(cmd, cwd=repo, env=env)
+    if r.returncode != 0:
+        sys.exit(f"[degenerate] Verify failed (exit {r.returncode})")
+
+    cmd = [sys.executable, f"{repo}/tools/compare.py", out, work] + queries
+    print(f"[degenerate] {' '.join(cmd)}")
+    sys.exit(subprocess.run(cmd).returncode)
+
+
+if __name__ == "__main__":
+    main()
