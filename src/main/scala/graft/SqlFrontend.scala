@@ -1376,9 +1376,18 @@ final class GraftSession(val spark: SparkSession) {
   private def resolveColumnOpt(df: DataFrame, name: String): Option[String] =
     df.schema.fieldNames.find(_.equalsIgnoreCase(name))
 
-  /** Copy-based DDL: stage the transformed data, drop and recreate the
-    * physical table + view around the new schema, restore the data, and
-    * rebuild index snapshots.
+  /** Copy-based DDL via a single-write swap (r14 verdict item 4): build
+    * the NEW physical table under a hidden sibling name while the old
+    * table stays live as the read source (ONE write of the data — the
+    * previous stage-then-restore scheme wrote the full table twice per
+    * ALTER, doubling copy-DDL write amplification at scale), then swap
+    * with a catalog rename — a metadata + directory move, never a data
+    * copy, on the in-memory catalog and HDFS alike (probed: partitions
+    * list and accept appends correctly after the rename). Crash window:
+    * a failure between the old table's drop and the rename leaves only
+    * the fully-written new table — strictly smaller than the old
+    * scheme's drop-to-restore window, and a leftover `__ddlnew` table
+    * from a crashed run is swept at the next recreate of the same ref.
     */
   private def recreateManagedTable(ref: String, next: DataFrame,
       keysHint: Seq[String], pkHint: Boolean): Unit = {
@@ -1391,21 +1400,34 @@ final class GraftSession(val spark: SparkSession) {
       .filter(_.nonEmpty).getOrElse(Seq(next.columns.head))
     val nextGb = next.withColumn(GbCol,
       pmod(xxhash64(keys.map(col): _*), lit(nb)).cast("int"))
-    val stage = Files.createTempDirectory("graft-ddl").toString
-    nextGb.write.partitionBy(GbCol).mode("overwrite").parquet(stage)
+    // ends with PhysSuffix so the SHOW TABLES internal-table filter
+    // hides a crashed run's leftover exactly like the live phys table
+    val pp = phys.split('.')
+    val physNew = (pp.dropRight(1) :+
+      (pp.last.stripSuffix(PhysSuffix) + "__ddlnew" + PhysSuffix))
+      .mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $physNew")
+    dropStaleLocation(spark, physNew)
+    val colsDdl = next.schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"CREATE TABLE $physNew ($colsDdl, `$GbCol` INT) " +
+      s"USING parquet PARTITIONED BY ($GbCol) TBLPROPERTIES " +
+      s"('graft.keys'='${keys.mkString(",")}', 'graft.buckets'='$nb', " +
+      s"'graft.pk'='$pkFlag')")
+    // the ONE data write: reads the still-live old table, so a failure
+    // here leaves the original fully intact (the catch only sweeps the
+    // partial new table)
+    try nextGb.write.mode("append").insertInto(physNew)
+    catch { case e: Throwable =>
+      spark.sql(s"DROP TABLE IF EXISTS $physNew")
+      dropStaleLocation(spark, physNew)
+      throw e
+    }
     spark.sql(s"DROP VIEW IF EXISTS $ref")
     spark.sql(s"DROP TABLE IF EXISTS $phys")
     dropStaleLocation(spark, ref)
     dropStaleLocation(spark, phys)
-    val colsDdl = next.schema.fields
-      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    spark.sql(s"CREATE TABLE $phys ($colsDdl, `$GbCol` INT) USING parquet " +
-      s"PARTITIONED BY ($GbCol) TBLPROPERTIES " +
-      s"('graft.keys'='${keys.mkString(",")}', 'graft.buckets'='$nb', " +
-      s"'graft.pk'='$pkFlag')")
-    if (listBucketDirs(stage).nonEmpty)
-      spark.read.parquet(stage).select(physCols(ref).map(col): _*)
-        .write.mode("append").insertInto(phys)
+    spark.sql(s"ALTER TABLE $physNew RENAME TO $phys")
     createLogicalView(ref)
     refreshIndexes(ref)
   }
