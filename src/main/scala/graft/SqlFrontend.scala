@@ -880,6 +880,15 @@ final class GraftSession(val spark: SparkSession) {
         throw new IllegalArgumentException(s"cannot parse CREATE TABLE: $sql")
     }
     val table = unqualified(qualifiedName)
+    // reserved name suffixes (review r15): a user table ending in
+    // PhysSuffix collides with another table's physical backing table
+    // (CREATE dies mid-statement on the name clash), and one ending in
+    // __ddlnew IS the copy-DDL staging name — recreateManagedTable
+    // would silently DROP and refill it on the next ALTER of the base
+    // table. Reject both up front with a clear error.
+    Seq(PhysSuffix, "__ddlnew").foreach(sfx =>
+      require(!table.toLowerCase.endsWith(sfx),
+        s"table name suffix `$sfx` is reserved for managed storage"))
     val mkey = metaKey(qualifiedName)
     val ifNotExists = header.toUpperCase.contains("IF NOT EXISTS")
     val defs = splitTopLevel(sql.substring(open + 1, close), ',')
@@ -1419,8 +1428,12 @@ final class GraftSession(val spark: SparkSession) {
     // partial new table)
     try nextGb.write.mode("append").insertInto(physNew)
     catch { case e: Throwable =>
-      spark.sql(s"DROP TABLE IF EXISTS $physNew")
-      dropStaleLocation(spark, physNew)
+      // cleanup touches the same (possibly broken) storage — it must
+      // never REPLACE the root-cause exception, only annotate it
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $physNew")
+        dropStaleLocation(spark, physNew)
+      } catch { case c: Throwable => e.addSuppressed(c) }
       throw e
     }
     spark.sql(s"DROP VIEW IF EXISTS $ref")

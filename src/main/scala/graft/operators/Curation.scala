@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.ExactNum
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -49,9 +50,9 @@ object Curation extends QueryModule {
                      FROM terms GROUP BY doc_id, term),
               df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
               ranked AS (SELECT doc_id, tf.term,
-                           (round((tf * n_docs / df) * 10000) / 10000.0) AS score,
+                           ${ExactNum.oracleRound4("tf * n_docs / df")} AS score,
                            row_number() OVER (PARTITION BY doc_id
-                             ORDER BY (round((tf * n_docs / df) * 10000) / 10000.0) DESC,
+                             ORDER BY ${ExactNum.oracleRound4("tf * n_docs / df")} DESC,
                                tf.term) AS rk
                          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
               SELECT d.doc_id, d.n_copies, r.term AS top_term,

@@ -48,12 +48,15 @@ object Formats extends QueryModule {
         // Legacy suffix-less `graft_fmt_<key>` dirs (the pre-PID naming)
         // parse to no PID and can have no live owner — this code never
         // writes that name again — so they are always swept. PID reuse
-        // is detected EXACTLY, not by age: the owner JVM writes its dir
-        // strictly after it starts, so a live process whose start
-        // instant is LATER than the dir's mtime cannot be the writer —
-        // the PID was recycled and the copy is dead. (An age cutoff was
-        // tried first and rejected in review: it would sweep a >12h
-        // LIVE session's dir out from under its lazy readers.)
+        // is detected EXACTLY where the host allows it: the owner JVM
+        // (re-)touches its dir on every run, so a live process whose
+        // start instant is CLEARLY later than the dir's mtime (beyond
+        // the skew margin) cannot be the writer — the PID was recycled
+        // and the copy is dead. Only when /proc denies the start
+        // instant entirely does a generous 7-day age cutoff apply
+        // (ADVICE r14) — the per-run touch below keeps any session
+        // active within a week safe from it, vs. the unbounded
+        // accumulation the exact check alone allowed on such hosts.
         Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(_.getName.startsWith("graft_fmt_"))
           .foreach { f =>
@@ -88,6 +91,10 @@ object Formats extends QueryModule {
           .getAbsolutePath
         li.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
         li.write.mode("overwrite").json(s"$dir/json")
+        // refresh OUR liveness marker: the csv/json subdir writes don't
+        // reliably bump the top dir's mtime, and both the recycled-PID
+        // check and the restricted-/proc age cutoff read it
+        new java.io.File(dir).setLastModified(System.currentTimeMillis())
         val c = s.read.schema(li.schema).option("header", "true").csv(s"$dir/csv")
         val j = s.read.schema(li.schema).json(s"$dir/json")
         c.select(lit("csv").as("fmt"), col("l_returnflag"), col("l_quantity"))

@@ -334,7 +334,7 @@ object Similarity extends QueryModule {
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY sim DESC, vec_id) AS rk
                FROM sc)
-        SELECT q_id, vec_id AS neighbor_id, (round((sim) * 10000) / 10000.0) AS cos_sim
+        SELECT q_id, vec_id AS neighbor_id, ${ExactNum.oracleRound4("sim")} AS cos_sim
         FROM rk WHERE rk <= 3"""
   }
 
@@ -438,7 +438,7 @@ object Similarity extends QueryModule {
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY sim DESC, vec_id) AS rk
                FROM sc)
-        SELECT q_id, vec_id AS neighbor_id, (round((sim) * 10000) / 10000.0) AS cos_sim
+        SELECT q_id, vec_id AS neighbor_id, ${ExactNum.oracleRound4("sim")} AS cos_sim
         FROM rk WHERE rk <= 3"""
   }
 
@@ -522,7 +522,7 @@ object Similarity extends QueryModule {
                             ${cosSql("CAST(embedding AS DOUBLE[])", "qv")} AS sim
                           FROM embeddings, q
                           WHERE vec_id != 0 AND embedding IS NOT NULL)
-              SELECT vec_id, (round((sim) * 10000) / 10000.0) AS cos_sim FROM sc
+              SELECT vec_id, ${ExactNum.oracleRound4("sim")} AS cos_sim FROM sc
               ORDER BY sim DESC, vec_id LIMIT 10""")),
 
     // Embedding-cosine near-duplicate pairs (exact, bounded subset):
@@ -543,7 +543,7 @@ object Similarity extends QueryModule {
                    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                            ${cosSql("a.v", "b.v")} AS sim
                          FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
-              SELECT vec_a, vec_b, (round((sim) * 10000) / 10000.0) AS cos_sim FROM p
+              SELECT vec_a, vec_b, ${ExactNum.oracleRound4("sim")} AS cos_sim FROM p
               WHERE sim >= 0.3""")),
 
     // Scale path: sign-LSH bucketed ANN. The bit count adapts to the
@@ -634,7 +634,7 @@ object Similarity extends QueryModule {
               p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                       ${cosSql("a.v", "b.v")} AS sim
                     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-              SELECT vec_a, vec_b, (round((sim) * 10000) / 10000.0) AS cos_sim FROM p
+              SELECT vec_a, vec_b, ${ExactNum.oracleRound4("sim")} AS cos_sim FROM p
               WHERE sim >= 0.9""")),
 
     // IVF ANN — the second scale path next to sign-LSH: deterministic
@@ -703,14 +703,14 @@ object Similarity extends QueryModule {
             ExactNum.round4(sqrt(dot(col("v"), col("v")))).as("l2_norm"),
             concat_ws(",", transform(col("v"), q8(_))).as("q8"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                          FROM embeddings WHERE embedding IS NOT NULL),
                    m AS (SELECT vec_id, v,
                            list_aggregate(list_transform(v, x -> abs(x)),
                              'max') AS maxabs
                          FROM e)
               SELECT vec_id,
-                     (round((sqrt(list_dot_product(v, v))) * 10000) / 10000.0) AS l2_norm,
+                     ${ExactNum.oracleRound4("sqrt(list_dot_product(v, v))")} AS l2_norm,
                      array_to_string(list_transform(v, x ->
                        CAST(CASE WHEN maxabs = 0 THEN 0
                             ELSE CAST(round(x * 127.0 / maxabs) AS BIGINT)

@@ -13,6 +13,46 @@ class QueryInventorySpec extends SparkSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("no oracle uses scaled round() — the engine-divergent form") {
+    // r15: round(x, N>=3) on a computed double is the cross-engine
+    // divergence class ExactNum.round4 closed (Spark rounds the
+    // shortest decimal repr, DuckDB the scaled binary). The dyadic
+    // (round((x) * 10000) / 10000.0) form — ExactNum.oracleRound4 —
+    // replaced every site; this scan keeps the old form from sneaking
+    // back into ANY oracle. round(x, 2) on 2-dp-provenance money
+    // fixtures stays allowed (the 3rd decimal of such values is never
+    // near a half — a different, provably-safe class).
+    // balanced-paren scan, not a regex: the historical offender shape
+    // `round(c / (sa.n + sb.n - c), 4)` nests parens inside the call
+    def scaledRound(sql0: String): Boolean = {
+      val sql = sql0.toLowerCase
+      Iterator.iterate(sql.indexOf("round("))(i =>
+        sql.indexOf("round(", i + 1)).takeWhile(_ >= 0).exists { i =>
+        var depth = 0
+        var j = i + 5 // at the opening paren
+        while (j < sql.length && (depth != 0 || j == i + 5)) {
+          if (sql(j) == '(') depth += 1
+          else if (sql(j) == ')') depth -= 1
+          j += 1
+        }
+        // top-level arg list of THIS call ends with ", N" for N >= 3
+        ",\\s*[3-9]\\s*$".r
+          .findFirstIn(sql.substring(i + 6, j - 1)).isDefined
+      }
+    }
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) if scaledRound(sql) => name
+    }
+    assert(bad.isEmpty,
+      s"oracles using engine-divergent scaled round(): $bad — use " +
+        "ExactNum.oracleRound4 / the dyadic form instead")
+    // and the canonical helper text itself is pinned, so the Spark-side
+    // ExactNum.round4 and every hand-inlined oracle copy stay one
+    // greppable form
+    assert(graft.functions.ExactNum.oracleRound4("x") ==
+      "(round((x) * 10000) / 10000.0)")
+  }
+
   test("every query executes at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

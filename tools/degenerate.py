@@ -73,9 +73,9 @@ def mutate_events(df):
     df["props"] = props
     # --- value: 91 half-ending doubles + a NULL sweep ---
     value = df["value"].astype("float64").copy()
-    planted = 0
+    planted_at = []
     for i in range(n):
-        if planted >= 91:
+        if len(planted_at) >= 91:
             break
         v = value.iloc[i]
         if pd.notna(v):
@@ -83,12 +83,16 @@ def mutate_events(df):
             # (2k+1)/20000 — the class the old round/cast forked on
             k = int(abs(v) * 10000)
             value.iloc[i] = (2 * k + 1) / 20000.0 * (1 if v >= 0 else -1)
-            planted += 1
-    assert planted == 91, f"only {planted} half-ending values planted"
+            planted_at.append(i)
+    assert len(planted_at) == 91, \
+        f"only {len(planted_at)} half-ending values planted"
     nulled = 0
+    planted_set = set(planted_at)
     for i in range(n):
-        # deterministic ~1/7 sweep, skipping the half-ending plants
-        if i >= 91 and i % 7 == 3:
+        # deterministic ~1/7 sweep, skipping the ACTUAL plant positions
+        # (plants land on the first 91 NON-NULL rows, which need not be
+        # indices 0..90 if the source fixture carries early NULLs)
+        if i not in planted_set and i % 7 == 3:
             value.iloc[i] = float("nan")
             nulled += 1
     df["value"] = value
@@ -147,8 +151,11 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if not os.path.exists(f"{sf}/lineitem.parquet"):
         sys.exit(f"sf dir not found (no lineitem.parquet): {sf}")
-    assert os.path.abspath(work) not in (os.path.abspath(sf),), \
-        "work dir must differ from the source dir"
+    # the work dir is WIPED below — it must be disjoint from the source
+    # tree (equal, ancestor, or descendant would delete real fixtures)
+    sfr, wr = os.path.realpath(sf), os.path.realpath(work)
+    if wr == sfr or sfr.startswith(wr + os.sep) or wr.startswith(sfr + os.sep):
+        sys.exit(f"work dir {wr} overlaps the source dir {sfr}")
 
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
