@@ -51,6 +51,28 @@ class QueryInventorySpec extends SparkSuite {
     // greppable form
     assert(graft.functions.ExactNum.oracleRound4("x") ==
       "(round((x) * 10000) / 10000.0)")
+    // the oracles that cannot interpolate the helper (plain """ strings
+    // whose regex escapes would be mangled by an s-interpolator) carry
+    // hand-inlined copies — pin them to the canonical anchor: every
+    // `10000` in every oracle must sit inside the exact
+    // `* 10000) / 10000.0)` sequence, so a `/ 1000.0` typo or a
+    // mis-scaled copy fails here instead of forking a hash at the gate
+    // (a paren slip that PRESERVES the anchor still changes values and
+    // is caught by the gate + the degenerate half-ending witnesses)
+    val standalone10k = "(?<![0-9])10000(?![0-9])".r
+    // the three canonical 1e4 anchors (ExactNum.oracleRound4's full
+    // text, oracleUnits4's per-row cast, and the oracleSum/oracleAvg
+    // descale) plus the one non-scaling use (a % 10000 modulus in the
+    // pii fixture ids) are the ONLY sanctioned ways 10000 appears
+    val masked = Seq("* 10000) / 10000.0)", "* 10000) AS BIGINT)",
+      "/ 10000.0)", "% 10000")
+    val drifted = SparkEntry.oracleSql.collect {
+      case (name, sql) if standalone10k.findFirstIn(
+        masked.foldLeft(sql)(_.replace(_, ""))).isDefined => name
+    }
+    assert(drifted.isEmpty,
+      s"oracles with a non-canonical 1e4 scaling: $drifted — use the " +
+        "ExactNum.oracleRound4 text verbatim")
   }
 
   test("every query executes at sf0.001") {

@@ -97,7 +97,7 @@ def mutate_events(df):
             nulled += 1
     df["value"] = value
     print(f"[degenerate] events: {len(shapes)} props shapes, "
-          f"{planted} half-ending values, {nulled} NULL values")
+          f"{len(planted_at)} half-ending values, {nulled} NULL values")
     return df
 
 
@@ -151,11 +151,17 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if not os.path.exists(f"{sf}/lineitem.parquet"):
         sys.exit(f"sf dir not found (no lineitem.parquet): {sf}")
-    # the work dir is WIPED below — it must be disjoint from the source
-    # tree (equal, ancestor, or descendant would delete real fixtures)
-    sfr, wr = os.path.realpath(sf), os.path.realpath(work)
-    if wr == sfr or sfr.startswith(wr + os.sep) or wr.startswith(sfr + os.sep):
-        sys.exit(f"work dir {wr} overlaps the source dir {sfr}")
+    # the work dir AND the derived output dir are WIPED below — both
+    # must be disjoint from the source tree (equal, ancestor, or
+    # descendant would delete real fixtures; `<work>_out` can collide
+    # with a source dir on its own, e.g. reusing a prior run's output
+    # as the new source)
+    sfr = os.path.realpath(sf)
+    for label, d in (("work", work), ("output", work + "_out")):
+        dr = os.path.realpath(d)
+        if (dr == sfr or sfr.startswith(dr + os.sep)
+                or dr.startswith(sfr + os.sep)):
+            sys.exit(f"{label} dir {dr} overlaps the source dir {sfr}")
 
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
