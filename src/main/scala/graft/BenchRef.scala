@@ -2,10 +2,11 @@ package graft
 
 /** Committed per-query reference timings for the outlier-triggered
   * scheduler probe (r11 verdict item 2): the same-tree local comparator
-  * BENCH_LOCAL_r14.json (sf0.1, CPUS=32, zero sched_hit firings,
-  * HEALTHY regime — pre/post p50 0.023/0.021, mid p50s 0.016-0.029,
-  * armed:true/fails:0 recorded in the artifact itself; see BASELINE.md
-  * r14 notes). Bench compares each timed
+  * BENCH_LOCAL_r15.json (sf0.1, CPUS=32, the best certified window of
+  * five same-tree runs in an oscillating-host session — pre/post p50
+  * 0.025/0.021, mid p50s 0.014-0.030, two 1.5-1.6x hits with healthy
+  * probe/gc/io, armed:true/fails:0 in the artifact itself; see
+  * BASELINE.md r15 notes). Bench compares each timed
   * query against this map and, on a
   * >1.5x reading, immediately runs the fixed-shape sched probe and
   * streams a `{"sched_hit":...}` line — so a sub-window host storm is
@@ -17,14 +18,14 @@ package graft
   */
 object BenchRef {
   /** Provenance of the committed values. */
-  val source = "BENCH_LOCAL_r14.json (sf0.1, cpus=32)"
+  val source = "BENCH_LOCAL_r15.json (sf0.1, cpus=32)"
 
   /** The committed artifact file (repo root) these values were
     * transcribed from — BenchFormatSpec parses it and asserts the map
     * below matches value-for-value, so a re-recorded comparator or a
     * transcription typo cannot silently skew which queries trigger
     * sched_hit probes. Update together with [[source]] and the map. */
-  val sourceFile = "BENCH_LOCAL_r14.json"
+  val sourceFile = "BENCH_LOCAL_r15.json"
 
   /** The regime the comparator was recorded in. The outlier trigger
     * only arms when the running config MATCHES — a cpus=4 debug run or
@@ -35,111 +36,111 @@ object BenchRef {
   val cpus = "32"
 
   val committed: Map[String, Double] = Map(
-    "agg_distinct" -> 0.244,
-    "agg_empty_input" -> 0.225,
-    "agg_firstrow" -> 0.491,
-    "agg_global" -> 0.535,
-    "agg_group" -> 0.726,
-    "ann_cosine_topk" -> 0.572,
-    "ann_ivf" -> 3.712,
-    "ann_lsh_bucketed" -> 1.241,
-    "bpe_encode" -> 1.702,
-    "bpe_train" -> 0.662,
-    "catalog_tables" -> 0.949,
-    "chunk_overlap" -> 0.532,
-    "decontaminate" -> 1.612,
-    "dedup_cdc" -> 1.356,
-    "dedup_components" -> 6.452,
-    "dedup_delta" -> 4.606,
-    "dedup_embedding" -> 1.724,
-    "dedup_exact" -> 0.369,
-    "dedup_minhash_lsh" -> 4.889,
-    "dedup_ngram_jaccard" -> 3.271,
-    "dedup_passage" -> 1.273,
-    "dedup_semantic" -> 3.125,
-    "dedup_simhash" -> 2.557,
-    "dedup_substring" -> 3.375,
-    "dml_delete" -> 0.174,
-    "dml_insert_select" -> 0.237,
-    "dml_replace" -> 0.452,
-    "emb_cosine_pairs" -> 0.720,
-    "emb_quantize" -> 0.340,
-    "events_attribution" -> 0.563,
-    "events_funnel" -> 1.076,
-    "events_json_extract" -> 0.792,
-    "events_rollup" -> 0.667,
-    "events_sessionize" -> 0.761,
-    "events_window_agg" -> 0.448,
-    "expr_arith" -> 0.221,
-    "expr_coercion" -> 0.373,
-    "expr_compare" -> 0.156,
-    "expr_control" -> 0.207,
-    "expr_logic" -> 0.183,
-    "expr_predicates" -> 0.141,
-    "expr_string" -> 0.149,
-    "filter_selection" -> 0.215,
-    "join_asof" -> 0.472,
-    "join_cross" -> 0.261,
-    "join_full_outer" -> 0.369,
-    "join_inner" -> 0.413,
-    "join_left_outer" -> 0.364,
-    "join_merge" -> 0.566,
-    "join_multiway" -> 0.918,
-    "join_range_bucketed" -> 0.716,
-    "join_right_outer" -> 0.306,
-    "join_semi_anti" -> 0.477,
-    "join_skew_salted" -> 0.739,
-    "knn_label" -> 0.809,
-    "limit_offset" -> 0.197,
-    "lm_bigram_score" -> 2.160,
-    "mix_budget" -> 0.387,
-    "multimodal_features" -> 0.960,
-    "multimodal_meta" -> 0.828,
-    "ngram_novelty" -> 1.540,
-    "orders_cube" -> 0.607,
-    "pack_sequences" -> 1.185,
-    "pipeline_corpus" -> 7.306,
-    "pipeline_curation" -> 2.634,
-    "pmi_collocations" -> 1.891,
-    "projection_exprs" -> 0.154,
-    "quality_buckets" -> 0.933,
-    "quality_classifier" -> 0.684,
-    "sample_hash" -> 0.180,
-    "sample_stratified" -> 0.372,
-    "sample_weighted" -> 0.197,
-    "scan_bucketed_join" -> 0.468,
-    "scan_dual" -> 0.057,
-    "scan_pruned" -> 0.232,
-    "set_ops" -> 0.715,
-    "shuffle_shard" -> 0.409,
-    "sort_multi" -> 0.390,
-    "source_formats" -> 1.069,
-    "source_overlap" -> 0.994,
-    "sql_admin_check" -> 2.064,
-    "sql_admin_show_ddl" -> 1.700,
-    "sql_compact" -> 3.178,
-    "sql_ddl_alter" -> 3.261,
-    "sql_dml_lifecycle" -> 2.423,
-    "sql_dual_vars" -> 0.618,
-    "sql_roundtrip" -> 0.939,
-    "sql_session_vars" -> 0.651,
-    "sql_show_variables" -> 0.669,
-    "sql_subquery" -> 0.819,
-    "sql_txn" -> 1.803,
-    "stats_cm_freq" -> 0.512,
-    "stats_fm_ndv" -> 0.488,
-    "stats_histogram" -> 1.275,
-    "stats_topk" -> 0.379,
-    "text_entropy" -> 1.391,
-    "text_fingerprint" -> 0.147,
-    "text_langid" -> 0.393,
-    "text_pii_scrub" -> 0.631,
-    "text_quality" -> 0.425,
-    "text_rank" -> 1.926,
-    "text_repetition" -> 0.809,
-    "text_tfidf" -> 1.548,
-    "text_token_count" -> 0.314,
-    "topn" -> 0.255,
-    "vocab_topk" -> 0.612,
-    "window_funcs" -> 0.954)
+    "agg_distinct" -> 0.283,
+    "agg_empty_input" -> 0.214,
+    "agg_firstrow" -> 0.646,
+    "agg_global" -> 0.554,
+    "agg_group" -> 0.839,
+    "ann_cosine_topk" -> 0.707,
+    "ann_ivf" -> 3.491,
+    "ann_lsh_bucketed" -> 1.118,
+    "bpe_encode" -> 1.641,
+    "bpe_train" -> 0.659,
+    "catalog_tables" -> 0.911,
+    "chunk_overlap" -> 0.546,
+    "decontaminate" -> 1.586,
+    "dedup_cdc" -> 1.465,
+    "dedup_components" -> 6.439,
+    "dedup_delta" -> 4.743,
+    "dedup_embedding" -> 1.495,
+    "dedup_exact" -> 0.350,
+    "dedup_minhash_lsh" -> 5.475,
+    "dedup_ngram_jaccard" -> 3.344,
+    "dedup_passage" -> 1.400,
+    "dedup_semantic" -> 3.063,
+    "dedup_simhash" -> 2.436,
+    "dedup_substring" -> 3.669,
+    "dml_delete" -> 0.175,
+    "dml_insert_select" -> 0.240,
+    "dml_replace" -> 0.427,
+    "emb_cosine_pairs" -> 0.589,
+    "emb_quantize" -> 0.323,
+    "events_attribution" -> 0.514,
+    "events_funnel" -> 1.036,
+    "events_json_extract" -> 0.694,
+    "events_rollup" -> 0.606,
+    "events_sessionize" -> 0.718,
+    "events_window_agg" -> 0.610,
+    "expr_arith" -> 0.217,
+    "expr_coercion" -> 0.343,
+    "expr_compare" -> 0.193,
+    "expr_control" -> 0.189,
+    "expr_logic" -> 0.137,
+    "expr_predicates" -> 0.154,
+    "expr_string" -> 0.146,
+    "filter_selection" -> 0.193,
+    "join_asof" -> 0.549,
+    "join_cross" -> 0.340,
+    "join_full_outer" -> 0.557,
+    "join_inner" -> 0.419,
+    "join_left_outer" -> 0.476,
+    "join_merge" -> 0.738,
+    "join_multiway" -> 0.977,
+    "join_range_bucketed" -> 0.869,
+    "join_right_outer" -> 0.380,
+    "join_semi_anti" -> 0.720,
+    "join_skew_salted" -> 0.914,
+    "knn_label" -> 0.733,
+    "limit_offset" -> 0.172,
+    "lm_bigram_score" -> 2.098,
+    "mix_budget" -> 0.322,
+    "multimodal_features" -> 0.842,
+    "multimodal_meta" -> 0.510,
+    "ngram_novelty" -> 1.713,
+    "orders_cube" -> 0.447,
+    "pack_sequences" -> 1.054,
+    "pipeline_corpus" -> 8.103,
+    "pipeline_curation" -> 2.592,
+    "pmi_collocations" -> 2.332,
+    "projection_exprs" -> 0.151,
+    "quality_buckets" -> 0.886,
+    "quality_classifier" -> 0.610,
+    "sample_hash" -> 0.204,
+    "sample_stratified" -> 0.409,
+    "sample_weighted" -> 0.202,
+    "scan_bucketed_join" -> 0.564,
+    "scan_dual" -> 0.064,
+    "scan_pruned" -> 0.264,
+    "set_ops" -> 0.748,
+    "shuffle_shard" -> 0.405,
+    "sort_multi" -> 0.396,
+    "source_formats" -> 1.029,
+    "source_overlap" -> 1.065,
+    "sql_admin_check" -> 2.344,
+    "sql_admin_show_ddl" -> 1.843,
+    "sql_compact" -> 3.497,
+    "sql_ddl_alter" -> 3.139,
+    "sql_dml_lifecycle" -> 3.091,
+    "sql_dual_vars" -> 0.685,
+    "sql_roundtrip" -> 1.249,
+    "sql_session_vars" -> 0.630,
+    "sql_show_variables" -> 0.618,
+    "sql_subquery" -> 1.270,
+    "sql_txn" -> 2.386,
+    "stats_cm_freq" -> 0.537,
+    "stats_fm_ndv" -> 0.690,
+    "stats_histogram" -> 1.485,
+    "stats_topk" -> 0.471,
+    "text_entropy" -> 0.972,
+    "text_fingerprint" -> 0.154,
+    "text_langid" -> 0.369,
+    "text_pii_scrub" -> 0.494,
+    "text_quality" -> 0.431,
+    "text_rank" -> 2.239,
+    "text_repetition" -> 1.000,
+    "text_tfidf" -> 1.200,
+    "text_token_count" -> 0.294,
+    "topn" -> 0.280,
+    "vocab_topk" -> 0.662,
+    "window_funcs" -> 0.883)
 }
