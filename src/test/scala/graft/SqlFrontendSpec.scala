@@ -1042,6 +1042,14 @@ class SqlFrontendSpec extends SparkSuite {
     val e3 = intercept[Exception](
       gs.execute("INSERT INTO strg SELECT 5, 4294967296, 0"))
     assert(chain(e3).contains("Out of range"), chain(e3))
+    // REPLACE and the INSERT…SET form route through the same
+    // buildIncoming fill, so the strict check covers every DML entry
+    val e4 = intercept[Exception](
+      gs.execute("REPLACE INTO strg VALUES (7, 4294967296, 0)"))
+    assert(chain(e4).contains("Out of range"), chain(e4))
+    val e5 = intercept[Exception](
+      gs.execute("INSERT INTO strg SET id = 8, iu = 0, m = -9000000"))
+    assert(chain(e5).contains("Out of range"), chain(e5))
     // rejected statements left nothing behind
     assert(gs.query("SELECT count(*) AS n FROM strg") == Seq("2"))
     // the same values CLAMP with a warning in non-strict mode
