@@ -2,10 +2,9 @@ package graft
 
 /** Committed per-query reference timings for the outlier-triggered
   * scheduler probe (r11 verdict item 2): the same-tree local comparator
-  * BENCH_LOCAL_r15.json (sf0.1, CPUS=32, the best certified window of
-  * five same-tree runs in an oscillating-host session — pre/post p50
-  * 0.025/0.021, mid p50s 0.014-0.030, two 1.5-1.6x hits with healthy
-  * probe/gc/io, armed:true/fails:0 in the artifact itself; see
+  * BENCH_LOCAL_r15.json (sf0.1, CPUS=32, ZERO sched_hit firings,
+  * HEALTHY regime after an 18-min idle settle — mid p50s 0.015-0.029,
+  * post p50 0.023, armed:true/fails:0 in the artifact itself; see
   * BASELINE.md r15 notes). Bench compares each timed
   * query against this map and, on a
   * >1.5x reading, immediately runs the fixed-shape sched probe and
@@ -36,111 +35,111 @@ object BenchRef {
   val cpus = "32"
 
   val committed: Map[String, Double] = Map(
-    "agg_distinct" -> 0.283,
-    "agg_empty_input" -> 0.214,
-    "agg_firstrow" -> 0.646,
-    "agg_global" -> 0.554,
-    "agg_group" -> 0.839,
-    "ann_cosine_topk" -> 0.707,
-    "ann_ivf" -> 3.491,
-    "ann_lsh_bucketed" -> 1.118,
-    "bpe_encode" -> 1.641,
-    "bpe_train" -> 0.659,
-    "catalog_tables" -> 0.911,
-    "chunk_overlap" -> 0.546,
-    "decontaminate" -> 1.586,
-    "dedup_cdc" -> 1.465,
-    "dedup_components" -> 6.439,
-    "dedup_delta" -> 4.743,
-    "dedup_embedding" -> 1.495,
-    "dedup_exact" -> 0.350,
-    "dedup_minhash_lsh" -> 5.475,
-    "dedup_ngram_jaccard" -> 3.344,
-    "dedup_passage" -> 1.400,
-    "dedup_semantic" -> 3.063,
-    "dedup_simhash" -> 2.436,
-    "dedup_substring" -> 3.669,
-    "dml_delete" -> 0.175,
-    "dml_insert_select" -> 0.240,
-    "dml_replace" -> 0.427,
-    "emb_cosine_pairs" -> 0.589,
-    "emb_quantize" -> 0.323,
-    "events_attribution" -> 0.514,
-    "events_funnel" -> 1.036,
-    "events_json_extract" -> 0.694,
-    "events_rollup" -> 0.606,
-    "events_sessionize" -> 0.718,
-    "events_window_agg" -> 0.610,
-    "expr_arith" -> 0.217,
-    "expr_coercion" -> 0.343,
-    "expr_compare" -> 0.193,
-    "expr_control" -> 0.189,
-    "expr_logic" -> 0.137,
-    "expr_predicates" -> 0.154,
-    "expr_string" -> 0.146,
-    "filter_selection" -> 0.193,
-    "join_asof" -> 0.549,
-    "join_cross" -> 0.340,
-    "join_full_outer" -> 0.557,
-    "join_inner" -> 0.419,
-    "join_left_outer" -> 0.476,
-    "join_merge" -> 0.738,
-    "join_multiway" -> 0.977,
-    "join_range_bucketed" -> 0.869,
-    "join_right_outer" -> 0.380,
-    "join_semi_anti" -> 0.720,
-    "join_skew_salted" -> 0.914,
-    "knn_label" -> 0.733,
-    "limit_offset" -> 0.172,
-    "lm_bigram_score" -> 2.098,
-    "mix_budget" -> 0.322,
-    "multimodal_features" -> 0.842,
-    "multimodal_meta" -> 0.510,
-    "ngram_novelty" -> 1.713,
-    "orders_cube" -> 0.447,
-    "pack_sequences" -> 1.054,
-    "pipeline_corpus" -> 8.103,
-    "pipeline_curation" -> 2.592,
-    "pmi_collocations" -> 2.332,
-    "projection_exprs" -> 0.151,
-    "quality_buckets" -> 0.886,
-    "quality_classifier" -> 0.610,
-    "sample_hash" -> 0.204,
-    "sample_stratified" -> 0.409,
-    "sample_weighted" -> 0.202,
-    "scan_bucketed_join" -> 0.564,
-    "scan_dual" -> 0.064,
-    "scan_pruned" -> 0.264,
-    "set_ops" -> 0.748,
-    "shuffle_shard" -> 0.405,
+    "agg_distinct" -> 0.291,
+    "agg_empty_input" -> 0.290,
+    "agg_firstrow" -> 0.582,
+    "agg_global" -> 0.544,
+    "agg_group" -> 0.834,
+    "ann_cosine_topk" -> 0.656,
+    "ann_ivf" -> 3.665,
+    "ann_lsh_bucketed" -> 1.139,
+    "bpe_encode" -> 1.777,
+    "bpe_train" -> 0.674,
+    "catalog_tables" -> 0.942,
+    "chunk_overlap" -> 0.445,
+    "decontaminate" -> 1.499,
+    "dedup_cdc" -> 1.511,
+    "dedup_components" -> 7.161,
+    "dedup_delta" -> 4.631,
+    "dedup_embedding" -> 1.561,
+    "dedup_exact" -> 0.337,
+    "dedup_minhash_lsh" -> 5.630,
+    "dedup_ngram_jaccard" -> 3.158,
+    "dedup_passage" -> 1.253,
+    "dedup_semantic" -> 3.089,
+    "dedup_simhash" -> 2.298,
+    "dedup_substring" -> 3.226,
+    "dml_delete" -> 0.183,
+    "dml_insert_select" -> 0.315,
+    "dml_replace" -> 0.436,
+    "emb_cosine_pairs" -> 0.680,
+    "emb_quantize" -> 0.397,
+    "events_attribution" -> 0.569,
+    "events_funnel" -> 1.060,
+    "events_json_extract" -> 0.795,
+    "events_rollup" -> 0.758,
+    "events_sessionize" -> 0.816,
+    "events_window_agg" -> 0.560,
+    "expr_arith" -> 0.193,
+    "expr_coercion" -> 0.326,
+    "expr_compare" -> 0.197,
+    "expr_control" -> 0.147,
+    "expr_logic" -> 0.204,
+    "expr_predicates" -> 0.156,
+    "expr_string" -> 0.202,
+    "filter_selection" -> 0.152,
+    "join_asof" -> 0.625,
+    "join_cross" -> 0.266,
+    "join_full_outer" -> 0.420,
+    "join_inner" -> 0.439,
+    "join_left_outer" -> 0.356,
+    "join_merge" -> 0.559,
+    "join_multiway" -> 0.899,
+    "join_range_bucketed" -> 0.763,
+    "join_right_outer" -> 0.291,
+    "join_semi_anti" -> 0.592,
+    "join_skew_salted" -> 0.947,
+    "knn_label" -> 0.935,
+    "limit_offset" -> 0.181,
+    "lm_bigram_score" -> 2.177,
+    "mix_budget" -> 0.282,
+    "multimodal_features" -> 0.754,
+    "multimodal_meta" -> 0.598,
+    "ngram_novelty" -> 1.452,
+    "orders_cube" -> 0.460,
+    "pack_sequences" -> 0.836,
+    "pipeline_corpus" -> 6.716,
+    "pipeline_curation" -> 2.868,
+    "pmi_collocations" -> 1.816,
+    "projection_exprs" -> 0.149,
+    "quality_buckets" -> 0.847,
+    "quality_classifier" -> 0.672,
+    "sample_hash" -> 0.187,
+    "sample_stratified" -> 0.394,
+    "sample_weighted" -> 0.199,
+    "scan_bucketed_join" -> 0.429,
+    "scan_dual" -> 0.055,
+    "scan_pruned" -> 0.237,
+    "set_ops" -> 0.769,
+    "shuffle_shard" -> 0.395,
     "sort_multi" -> 0.396,
-    "source_formats" -> 1.029,
-    "source_overlap" -> 1.065,
-    "sql_admin_check" -> 2.344,
-    "sql_admin_show_ddl" -> 1.843,
-    "sql_compact" -> 3.497,
-    "sql_ddl_alter" -> 3.139,
-    "sql_dml_lifecycle" -> 3.091,
-    "sql_dual_vars" -> 0.685,
-    "sql_roundtrip" -> 1.249,
-    "sql_session_vars" -> 0.630,
-    "sql_show_variables" -> 0.618,
-    "sql_subquery" -> 1.270,
-    "sql_txn" -> 2.386,
-    "stats_cm_freq" -> 0.537,
-    "stats_fm_ndv" -> 0.690,
-    "stats_histogram" -> 1.485,
-    "stats_topk" -> 0.471,
-    "text_entropy" -> 0.972,
-    "text_fingerprint" -> 0.154,
-    "text_langid" -> 0.369,
-    "text_pii_scrub" -> 0.494,
-    "text_quality" -> 0.431,
-    "text_rank" -> 2.239,
-    "text_repetition" -> 1.000,
-    "text_tfidf" -> 1.200,
-    "text_token_count" -> 0.294,
-    "topn" -> 0.280,
-    "vocab_topk" -> 0.662,
-    "window_funcs" -> 0.883)
+    "source_formats" -> 0.754,
+    "source_overlap" -> 0.701,
+    "sql_admin_check" -> 2.180,
+    "sql_admin_show_ddl" -> 2.094,
+    "sql_compact" -> 2.860,
+    "sql_ddl_alter" -> 2.839,
+    "sql_dml_lifecycle" -> 2.778,
+    "sql_dual_vars" -> 0.695,
+    "sql_roundtrip" -> 1.014,
+    "sql_session_vars" -> 0.688,
+    "sql_show_variables" -> 0.761,
+    "sql_subquery" -> 0.918,
+    "sql_txn" -> 1.846,
+    "stats_cm_freq" -> 0.515,
+    "stats_fm_ndv" -> 0.558,
+    "stats_histogram" -> 1.295,
+    "stats_topk" -> 0.424,
+    "text_entropy" -> 1.007,
+    "text_fingerprint" -> 0.134,
+    "text_langid" -> 0.341,
+    "text_pii_scrub" -> 0.488,
+    "text_quality" -> 0.401,
+    "text_rank" -> 1.921,
+    "text_repetition" -> 1.030,
+    "text_tfidf" -> 1.334,
+    "text_token_count" -> 0.331,
+    "topn" -> 0.244,
+    "vocab_topk" -> 0.680,
+    "window_funcs" -> 1.044)
 }
