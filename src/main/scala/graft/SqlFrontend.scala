@@ -1392,7 +1392,11 @@ final class GraftSession(val spark: SparkSession) {
     * ALTER, doubling copy-DDL write amplification at scale), then swap
     * with a catalog rename — a metadata + directory move, never a data
     * copy, on the in-memory catalog and HDFS alike (probed: partitions
-    * list and accept appends correctly after the rename). Crash window:
+    * list and accept appends correctly after the rename). Object-store
+    * caveat: a managed-table rename on S3-like storage degrades to a
+    * server-side copy — still at worst the byte volume the OLD scheme
+    * always paid as its second write, so the swap never loses; on
+    * rename-capable filesystems it wins outright. Crash window:
     * a failure between the old table's drop and the rename leaves only
     * the fully-written new table — strictly smaller than the old
     * scheme's drop-to-restore window, and a leftover `__ddlnew` table
