@@ -1075,6 +1075,41 @@ class SqlFrontendSpec extends SparkSuite {
       "scratch database leaked past a failed lifecycle body")
   }
 
+  test("metacharacter-laden string literals survive the statement pipeline") {
+    // The front-end preprocesses statements OUTSIDE quotes (comment
+    // stripping, user-var substitution, version-comment unwrapping,
+    // ';' script splitting) — every one of those metacharacters must
+    // stay LITERAL inside a string. Sweep the cross-product through
+    // storage (INSERT -> SELECT read-back), session vars (SET @s ->
+    // read), and the script splitter (';' inside a literal), so a
+    // future preprocessing regex that forgets quote-awareness fails
+    // here instead of corrupting stored data.
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS meta_lit")
+    gs.execute(
+      "CREATE TABLE meta_lit (id BIGINT PRIMARY KEY, v VARCHAR(128))")
+    val payloads = Seq(
+      "-- not a comment", "# not a comment", "/* not dead */",
+      "/*!80000 not executable*/", "a;b;c", "@x and @@version stay",
+      "`backticks`", "mix -- ; /* @y */ #end", "trailing -- ",
+      "it''s quoted") // '' = MySQL-escaped single quote
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      gs.execute(s"INSERT INTO meta_lit VALUES ($i, '$p')")
+    }
+    val want = payloads.map(_.replace("''", "'"))
+    val got = gs.query("SELECT v FROM meta_lit ORDER BY id")
+    assert(got == want, s"stored literals corrupted:\n$got\nvs\n$want")
+    // session vars take the same substitution path
+    gs.execute("SET @s = '-- ; /* @t */ #'")
+    assert(gs.query("SELECT @s AS v") == Seq("-- ; /* @t */ #"))
+    // the script splitter must not split inside a literal
+    val rs = gs.executeAll(
+      "INSERT INTO meta_lit VALUES (100, 'x;y'); SELECT v FROM meta_lit WHERE id = 100")
+    assert(rs.size == 2 && rs.last.collect()(0).getString(0) == "x;y")
+    gs.execute("DROP TABLE meta_lit")
+  }
+
   test("MySQL /*! version comments execute their body") {
     // the reference lexer treats /*!NNNNN body */ as executable
     // (parser/lexer.go:45 specialComment); passing the markers through
