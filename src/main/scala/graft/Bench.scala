@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions.{col, sum}
   *     ([[BenchRef]]) triggers an immediate extra probe and a
   *     `{"sched_hit":...}` line, so a sub-window storm the fixed
   *     15-query probe cadence misses is still self-adjudicating (the
-  *     r11 stats_topk/text_entropy blind spot);
+  *     r11 stats_topk/text_entropy blind spot); after the suite, each
+  *     hit query is re-run once untimed and the re-read seconds (`rt`)
+  *     land in the file record and probe-context line, so a
+  *     healthy-axes hit self-adjudicates code-vs-window in-artifact
+  *     (r15 verdict item 1);
   *   - just before the total, the COMPLETE per-query vector streams as
   *     a positional block (r11 verdict item 1): a header
   *     `{"qn":N,"ord":"alpha","unit":"sec"}` then `{"qv":k,"t":[...]}`
@@ -118,7 +122,7 @@ object Bench {
   private[graft] def renderFullRecord(results: Seq[(String, Double)],
       sched: String, sfDir: String,
       mids: Seq[(Int, Double, Double)] = Seq.empty,
-      hits: Seq[(String, Double, Double, Double, Long, Long)] = Seq.empty,
+      hits: Seq[(String, Double, Double, Double, Long, Long, Double)] = Seq.empty,
       gcs: Seq[(String, Long)] = Seq.empty,
       ios: Seq[(String, Long)] = Seq.empty, fails: Int = 0,
       armed: Boolean = true): String = {
@@ -138,12 +142,22 @@ object Bench {
   }
 
   /** Outlier-probe readings for the FILE record: one object per
-    * triggered [[renderSchedHit]] line. */
+    * triggered [[renderSchedHit]] line, plus the post-suite re-run
+    * seconds (`rt`, see [[renderRetry]]). */
   private[graft] def hitsJson(
-      hits: Seq[(String, Double, Double, Double, Long, Long)]): String =
-    hits.map { case (n, r, p50, max, gc, io) =>
-      s"""{"q":"$n","r":${fmt1(r)},"p50":${fmt(p50)},"max":${fmt(max)},"gc":$gc,"io":$io}"""
+      hits: Seq[(String, Double, Double, Double, Long, Long, Double)]): String =
+    hits.map { case (n, r, p50, max, gc, io, rt) =>
+      s"""{"q":"$n","r":${fmt1(r)},"p50":${fmt(p50)},"max":${fmt(max)},"gc":$gc,"io":$io,"rt":${renderRetry(rt)}}"""
     }.mkString("\"sched_hit\":[", ",", "]")
+
+  /** Post-suite re-run seconds of a hit query (r15 verdict item 1):
+    * -1 = not re-run (beyond the retry cap), -2 = the re-run itself
+    * failed; otherwise the untimed-territory seconds. Rendered as a
+    * bare integer for the sentinels so they can never read as a
+    * legitimate (negative) duration.
+    */
+  private[graft] def renderRetry(rt: Double): String =
+    if (rt < 0) rt.toInt.toString else fmt(rt)
 
   /** One-decimal ratio formatting (locale-pinned, same reason as fmt). */
   private[graft] def fmt1(x: Double): String =
@@ -163,7 +177,9 @@ object Bench {
     * io vs the comparator's io_mb map = page-cache/shuffle-dir I/O
     * pressure, all three healthy = presumptive code. ~72 bytes;
     * streams between the per-query lines, never inside the
-    * end-of-suite block.
+    * end-of-suite block. The post-suite re-run (`rt`) is NOT here — at
+    * fire time it does not exist yet; it lands in the file record and
+    * the probe-context line.
     */
   private[graft] def renderSchedHit(name: String, ratio: Double,
       p50: Double, max: Double, gcMs: Long, ioMb: Long): String =
@@ -180,7 +196,8 @@ object Bench {
     *     inflated entry at its position;
     *   - `hn`: the TRUE count of triggered outlier probes;
     *   - `hits`: the worst `maxHits` of them by ratio as
-    *     `[name, ratio, probe_p50, gc_ms, io_mb]` quintuples. The probe
+    *     `[name, ratio, probe_p50, gc_ms, io_mb, retry_sec]` sextuples.
+    *     The probe
     *     p50 sees the HOST (inflated ⇒ scheduler storm); gc_ms sees the
     *     JVM (the collector time inside that query's own timed window —
     *     r13's decontaminate hit carried a healthy 0.021 probe and
@@ -191,19 +208,25 @@ object Bench {
     *     cache / contended shuffle dir re-reading bytes the comparator
     *     run got for free). Healthy probe + high gc ⇒ JVM pressure;
     *     both healthy + inflated io vs the comparator's io_mb map ⇒
-    *     I/O pressure; all healthy ⇒ presumptive code worth an
-    *     isolated re-run. Capped (hn records what the cap hides) so a
+    *     I/O pressure; all healthy ⇒ presumptive code, which the
+    *     SIXTH entry adjudicates in-artifact (r15 verdict item 1):
+    *     `retry_sec` is one post-suite UNTIMED re-run of the hit query
+    *     — r13/r14/r15 each burned a round-trip of manual isolated
+    *     re-runs on healthy-axes hits that turned out to be driver-box
+    *     query-local windows; a code cause reproduces its ratio here,
+    *     a window does not (-1 = beyond the retry cap, -2 = the
+    *     re-run failed). Capped (hn records what the cap hides) so a
     *     pathological run cannot eat the tail: ~60 bytes healthy,
-    *     ~340 worst-case at the cap — inside BenchFormatSpec's budget.
+    *     ~390 worst-case at the cap — inside BenchFormatSpec's budget.
     */
   private[graft] def renderProbeContext(
       mids: Seq[(Int, Double, Double)],
-      hits: Seq[(String, Double, Double, Double, Long, Long)],
+      hits: Seq[(String, Double, Double, Double, Long, Long, Double)],
       maxHits: Int = 6): String = {
     val sm = mids.map(m => fmt(m._2)).mkString("[", ",", "]")
     val hs = hits.sortBy(-_._2).take(maxHits).map {
-      case (n, r, p50, _, gc, io) =>
-        s"""["$n",${fmt1(r)},${fmt(p50)},$gc,$io]"""
+      case (n, r, p50, _, gc, io, rt) =>
+        s"""["$n",${fmt1(r)},${fmt(p50)},$gc,$io,${renderRetry(rt)}]"""
     }.mkString("[", ",", "]")
     s"""{"sm":$sm,"hn":${hits.size},"hits":$hs}"""
   }
@@ -406,7 +429,7 @@ object Bench {
     // is noise, not a storm), and each false fire costs a ~0.2 s probe
     // plus a tail line. A real storm inflates by whole seconds and
     // always clears both gates.
-    val hits = Seq.newBuilder[(String, Double, Double, Double, Long, Long)]
+    val hits = Seq.newBuilder[(String, Double, Double, Double, Long, Long, Double)]
     // Arm the outlier trigger only in the comparator's own regime: a
     // cpus=4 debug run or a different SF exceeds 1.5x on most heavy
     // queries for legitimate reasons and would spray ~100 spurious
@@ -426,7 +449,8 @@ object Bench {
       (if (refArmed) BenchRef.committed.get(n) else None).foreach { ref =>
         if (sec > ref * 1.5 && sec - ref > 0.2) {
           val (p50, max) = schedProbe()
-          hits += ((n, sec / ref, p50, max, gcMs, ioMb))
+          // rt = -1 placeholder; the post-suite re-run fills it below
+          hits += ((n, sec / ref, p50, max, gcMs, ioMb, -1.0))
           println(renderSchedHit(n, sec / ref, p50, max, gcMs, ioMb))
         }
       }
@@ -443,9 +467,29 @@ object Bench {
     // contents undefined after result(), and both the file record and
     // the probe-context line consume them
     val midsV = mids.result()
-    val hitsV = hits.result()
+    val hits0 = hits.result()
+    // In-artifact re-run signal (r15 verdict item 1): every sched_hit
+    // whose probe/gc/io axes all read healthy lands on "presumptive
+    // code" — but three rounds running (r13 decontaminate 1.7x, r14
+    // minhash 1.7x, r15 decontaminate 2.4x) the evidence showed a
+    // driver-box query-local window instead, each adjudicated with a
+    // round-trip of manual isolated re-runs. Re-run each hit query ONCE
+    // after the suite (untimed territory — the total and post probe are
+    // already recorded; seconds of cost, capped at the probe-context
+    // cap) and carry the re-read in the hit record: a code cause
+    // reproduces its ratio in-artifact, a window does not. The suite's
+    // fails count is snapshotted FIRST so a failing re-run (-2) can
+    // never poison the committed record's fails field.
+    val suiteFails = failCount
+    val retried = hits0.sortBy(-_._2).take(6).map { h =>
+      val (sec, _, _) = materialize(h._1)
+      System.err.println(s"[bench] retry ${h._1}: ${fmt(sec)}s" +
+        (if (lastFailed) " (failed)" else ""))
+      h._1 -> (if (lastFailed) -2.0 else sec)
+    }.toMap
+    val hitsV = hits0.map(h => h.copy(_7 = retried.getOrElse(h._1, -1.0)))
     val line = renderFullRecord(results, sched, sfDir, midsV,
-      hitsV, gcs.result(), ios.result(), failCount, refArmed)
+      hitsV, gcs.result(), ios.result(), suiteFails, refArmed)
     // The ~1.9 KB NAMED per-query map line goes to the FILE ONLY: in r9
     // it consumed most of the driver's bounded stdout tail and pushed 23
     // of the 107 short per-query lines out of the window. The positional
@@ -459,7 +503,7 @@ object Bench {
     // the artifact — this line replays every mid probe and the worst
     // triggered hits compactly next to the total.
     println(renderProbeContext(midsV, hitsV))
-    val totalOnly = renderTotalOnly(results, sched, sfDir, failCount, refArmed)
+    val totalOnly = renderTotalOnly(results, sched, sfDir, suiteFails, refArmed)
     println(totalOnly)
     try {
       val outFile = new java.io.File(benchOut)

@@ -94,9 +94,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // healthy probe p50, but 1843 ms of collector time inside a 2.5 s
     // query window says JVM pressure, not code
     val hits = Seq(
-      ("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L),
-      ("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L),
-      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L))
+      ("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 1.512),
+      ("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, -1.0),
+      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, -2.0))
     val line = Bench.renderProbeContext(mids, hits)
     // sm carries every mid probe p50 in cadence order — a storm window
     // is visible at its position (the 1.234 third entry here)
@@ -106,17 +106,21 @@ class BenchFormatSpec extends AnyFunSuite {
       // io_mb is the fifth entry (r14 verdict item 1): the
       // dedup_minhash_lsh shape here is the real r14 ambiguity —
       // healthy probe, healthy gc, but 5 GB of storage-layer reads
-      // inside the window says I/O pressure, not code
-      """["decontaminate",2.3,0.022,1843,41],["ngram_novelty",1.6,0.018,12,3],["dedup_minhash_lsh",1.6,0.020,7,5123]"""))
+      // inside the window says I/O pressure, not code.
+      // rt is the sixth (r15 verdict item 1): the decontaminate shape
+      // is the real r15 ambiguity — ALL axes healthy on untouched code;
+      // its 1.512 re-run at the committed 1.50 s says window, not code.
+      // Sentinels render as bare ints: -1 beyond the cap, -2 failed.
+      """["decontaminate",2.3,0.022,1843,41,1.512],["ngram_novelty",1.6,0.018,12,3,-1],["dedup_minhash_lsh",1.6,0.020,7,5123,-2]"""))
     // the cap keeps a pathological run from eating the tail; hn still
     // records the TRUE count so the cap is never a silent truncation
     val many = (1 to 20).map(i => (s"query_with_a_long_name_$i",
-      1.5 + i / 10.0, 0.02, 0.05, 999L, 9999L))
+      1.5 + i / 10.0, 0.02, 0.05, 999L, 9999L, 12.345))
     val capped = Bench.renderProbeContext(mids, many)
     assert(capped.contains("\"hn\":20"), capped)
     assert(capped.count(_ == '[') == 1 + 1 + 6, // sm + hits array + 6 entries
       s"hit cap not applied: $capped")
-    assert(capped.length < 440, s"capped probe line too long: ${capped.length}")
+    assert(capped.length < 490, s"capped probe line too long: ${capped.length}")
     // healthy run: empty hits, still parseable
     assertFragments(Bench.renderProbeContext(mids, Nil),
       Seq("\"hn\":0", "\"hits\":[]"))
@@ -145,9 +149,10 @@ class BenchFormatSpec extends AnyFunSuite {
     // worst-case gc_ms: a 6-digit value (a 100+ s suite could in theory
     // accumulate that much collector time inside one pathological
     // query); worst-case io_mb: 5 digits = 100 GB read inside one
-    // query window, beyond any plausible sf0.1 run
+    // query window, beyond any plausible sf0.1 run; worst-case rt:
+    // a 2-digit-seconds re-run (the heaviest queries run ~8 s)
     val worstHits = longest.take(8).map(n =>
-      (n, 12.3, 12.345, 99.999, 999999L, 99999L))
+      (n, 12.3, 12.345, 99.999, 999999L, 99999L, 99.999))
     val block = Bench.renderQvLines(rs).map(_ + "\n").mkString +
       Bench.renderProbeContext(worstMids, worstHits) + "\n" +
       Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1") + "\n"
@@ -170,12 +175,14 @@ class BenchFormatSpec extends AnyFunSuite {
     // outlier hits (the r12 scenario — all fired in the cut head)
     val mids = Seq.newBuilder[(Int, Double, Double)]
     val hits = Seq(
-      ("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L),
-      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L),
-      ("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L))
+      ("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 1.512),
+      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 5.601),
+      ("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 0.913))
     rs.zipWithIndex.foreach { case ((n, v), i) =>
       stdout ++= s"""{"q":"$n","sec":${Bench.fmt(v)}}""" + "\n"
-      hits.find(_._1 == n).foreach { case (hn, r, p, m, g, io) =>
+      // the streamed hit line fires BEFORE the post-suite re-run
+      // exists, so it carries no rt — only the probe-context line does
+      hits.find(_._1 == n).foreach { case (hn, r, p, m, g, io, _) =>
         stdout ++= Bench.renderSchedHit(hn, r, p, m, g, io) + "\n" }
       if ((i + 1) % 15 == 0 && i + 1 < rs.size) {
         mids += ((i + 1, 0.016, 0.053))
@@ -226,8 +233,13 @@ class BenchFormatSpec extends AnyFunSuite {
     assertFragments(streamed, Seq("\"sched_hit\":0.018", "\"max\":0.051",
       "\"q\":\"stats_topk\"", "\"r\":2.7", "\"gc\":412", "\"io\":73"))
     assert(streamed.length < 95, streamed)
-    assert(Bench.hitsJson(Seq(("stats_topk", 2.7341, 0.018, 0.051, 412L, 73L))) ==
-      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73}]""")
+    assert(Bench.hitsJson(Seq(("stats_topk", 2.7341, 0.018, 0.051, 412L, 73L, 1.207))) ==
+      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73,"rt":1.207}]""")
+    // retry sentinels render as bare ints, never as a fake duration
+    assert(Bench.hitsJson(Seq(("a", 1.6, 0.01, 0.02, 1L, 0L, -1.0)))
+      .contains("\"rt\":-1"))
+    assert(Bench.hitsJson(Seq(("a", 1.6, 0.01, 0.02, 1L, 0L, -2.0)))
+      .contains("\"rt\":-2"))
     // no hits → empty but still-parseable structures in the file record
     val line = Bench.renderFullRecord(results, sched, "/d")
     assertFragments(line, Seq("\"sched_hit\":[]", "\"gc_ms\":{}",
