@@ -41,6 +41,10 @@ final class GraftSession(val spark: SparkSession) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("strcmp")))
     functions.StrCmp.register(spark)
 
+  // finish any copy-DDL swap a crashed run left half-done — must run
+  // before the first statement can resolve (and miss) a stranded table
+  recoverOrphanSwaps()
+
   /** lower-cased user variable name -> rendered SQL literal. */
   private val userVars = mutable.LinkedHashMap.empty[String, String]
   private val sysVars = mutable.LinkedHashMap(defaultSysVars: _*)
@@ -886,7 +890,7 @@ final class GraftSession(val spark: SparkSession) {
     // __ddlnew IS the copy-DDL staging name — recreateManagedTable
     // would silently DROP and refill it on the next ALTER of the base
     // table. Reject both up front with a clear error.
-    Seq(PhysSuffix, "__ddlnew").foreach(sfx =>
+    Seq(PhysSuffix, DdlNewSuffix).foreach(sfx =>
       require(!table.toLowerCase.endsWith(sfx),
         s"table name suffix `$sfx` is reserved for managed storage"))
     val mkey = metaKey(qualifiedName)
@@ -1396,11 +1400,16 @@ final class GraftSession(val spark: SparkSession) {
     * caveat: a managed-table rename on S3-like storage degrades to a
     * server-side copy — still at worst the byte volume the OLD scheme
     * always paid as its second write, so the swap never loses; on
-    * rename-capable filesystems it wins outright. Crash window:
-    * a failure between the old table's drop and the rename leaves only
-    * the fully-written new table — strictly smaller than the old
-    * scheme's drop-to-restore window, and a leftover `__ddlnew` table
-    * from a crashed run is swept at the next recreate of the same ref.
+    * rename-capable filesystems it wins outright. Crash windows:
+    * a failure BEFORE the old table's drop leaves the original fully
+    * live plus a hidden `__ddlnew` leftover, swept at the next recreate
+    * of the same ref (the DROP IF EXISTS below); a failure BETWEEN the
+    * drop and the rename leaves only the fully-written new table under
+    * the hidden staging name — strictly smaller than the old scheme's
+    * drop-to-restore window, and [[recoverOrphanSwaps]] finishes that
+    * interrupted swap at the next session start (r15 ADVICE: the
+    * next-recreate sweep is unreachable there, since ALTER of the
+    * now-missing base table fails at resolution).
     */
   private def recreateManagedTable(ref: String, next: DataFrame,
       keysHint: Seq[String], pkHint: Boolean): Unit = {
@@ -1417,7 +1426,7 @@ final class GraftSession(val spark: SparkSession) {
     // hides a crashed run's leftover exactly like the live phys table
     val pp = phys.split('.')
     val physNew = (pp.dropRight(1) :+
-      (pp.last.stripSuffix(PhysSuffix) + "__ddlnew" + PhysSuffix))
+      (pp.last.stripSuffix(PhysSuffix) + DdlNewSuffix + PhysSuffix))
       .mkString(".")
     spark.sql(s"DROP TABLE IF EXISTS $physNew")
     dropStaleLocation(spark, physNew)
@@ -1447,6 +1456,37 @@ final class GraftSession(val spark: SparkSession) {
     spark.sql(s"ALTER TABLE $physNew RENAME TO $phys")
     createLogicalView(ref)
     refreshIndexes(ref)
+  }
+
+  /** Finish any copy-DDL swap a crashed run left half-done (r15 ADVICE):
+    * a `<t>__ddlnew__data` table whose `<t>__data` sibling is MISSING is
+    * exactly the post-drop crash window's leftover — fully-written data
+    * stranded under a name SHOW TABLES hides, with no base table left to
+    * ALTER (so the recreate-time sweep can never reach it). Complete the
+    * rename and re-expose the view, making the swap's one remaining
+    * window self-healing. A leftover whose sibling IS live is the
+    * pre-drop window's; it stays hidden and the next ALTER sweeps it.
+    * Runs once per session over one catalog listing — metadata-scale.
+    */
+  private def recoverOrphanSwaps(): Unit = {
+    val cat = spark.sessionState.catalog
+    val orphanSfx = (DdlNewSuffix + PhysSuffix).toLowerCase
+    cat.listDatabases().foreach { db =>
+      cat.listTables(db).foreach { ti =>
+        val n = ti.table
+        if (n.toLowerCase.endsWith(orphanSfx)) {
+          // catalog-sourced names are clean identifiers (createTable
+          // strips quoting before they ever reach the catalog), so the
+          // unquoted ref form the rest of the layout code uses is safe
+          val base = n.dropRight(orphanSfx.length)
+          if (!spark.catalog.tableExists(s"$db.$base$PhysSuffix")) {
+            spark.sql(
+              s"ALTER TABLE $db.$n RENAME TO $db.$base$PhysSuffix")
+            createLogicalView(s"$db.$base")
+          }
+        }
+      }
+    }
   }
 
   // ----------------------------------------------------------------- indexes
@@ -2805,6 +2845,13 @@ object GraftSession {
     * `<name>__data`, read through a logical view named `<name>`.
     */
   val PhysSuffix = "__data"
+
+  /** Copy-DDL staging infix: the single-write ALTER swap builds the new
+    * physical table under `<name>__ddlnew__data` before the catalog
+    * RENAME (see recreateManagedTable). Reserved as a user-table suffix
+    * alongside [[PhysSuffix]].
+    */
+  val DdlNewSuffix = "__ddlnew"
 
   /** The hidden bucket-partition column of managed tables. */
   val GbCol = "__gb"
