@@ -286,4 +286,97 @@ class CoercionPropertySpec extends SparkSuite {
       gs.execute("DROP TABLE IF EXISTS copn")
     }
   }
+
+  // ---- strict mode (r15 verdict item 3) ------------------------------------
+
+  /** The strict-mode 1264 twin of the clamps above, property-tested the
+    * same way: strictRangeCheck ships example-tested only (one boundary
+    * spec in SqlFrontendSpec), while its non-strict clamp twin has the
+    * full differential treatment — this drives every declared-range
+    * column (UNSIGNED ladders, signed MEDIUMINT, the DECIMAL(20,0)
+    * BIGINT UNSIGNED widening) through all four DML entry points with
+    * boundary and seeded-random values, split pass/raise by an
+    * independent model of the reference's strict `types/convert.go`.
+    */
+  test("STRICT-mode 1264 property: declared boundaries pass, ±1 and " +
+    "beyond raise, NULL passes, strings split by their coerced value") {
+    val gs = new GraftSession(spark)
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    gs.execute("CREATE DATABASE IF NOT EXISTS coprop")
+    gs.execute("USE coprop")
+    gs.execute("DROP TABLE IF EXISTS scop")
+    gs.execute("""CREATE TABLE scop (id INT PRIMARY KEY,
+      m MEDIUMINT, tu TINYINT UNSIGNED, su SMALLINT UNSIGNED,
+      mu MEDIUMINT UNSIGNED, iu INT UNSIGNED, bu BIGINT UNSIGNED)""")
+    // the premise the whole test rests on: strict IS the session default
+    assert(gs.query("SELECT @@sql_mode AS m").head.toUpperCase
+      .contains("STRICT"))
+    case class Col(name: String, mn: BigDecimal, mx: BigDecimal)
+    val cols = Seq(
+      Col("m", BigDecimal(-8388608), BigDecimal(8388607)),
+      Col("tu", BigDecimal(0), BigDecimal(255)),
+      Col("su", BigDecimal(0), BigDecimal(65535)),
+      Col("mu", BigDecimal(0), BigDecimal(16777215)),
+      Col("iu", BigDecimal(0), BigDecimal(4294967295L)),
+      Col("bu", BigDecimal(0), BigDecimal("18446744073709551615")))
+    // the four DML entry points all route through the same buildIncoming
+    // fill — cycled, so every case class exercises each of them
+    val entries: Seq[(String, Int, String) => String] = Seq(
+      (c, id, v) => s"INSERT INTO scop (id, $c) VALUES ($id, $v)",
+      (c, id, v) => s"INSERT INTO scop (id, $c) SELECT $id, $v",
+      (c, id, v) => s"REPLACE INTO scop (id, $c) VALUES ($id, $v)",
+      (c, id, v) => s"INSERT INTO scop SET id = $id, $c = $v")
+    var id = 0
+    var entry = 0
+    def next(c: String, v: String): String = {
+      id += 1; entry += 1
+      entries(entry % entries.size)(c, id, v)
+    }
+    def expectPass(c: Col, lit: String, want: Option[BigDecimal]): Unit = {
+      gs.execute(next(c.name, lit))
+      val got = spark.table("coprop.scop")
+        .where(s"id = $id").select(c.name).collect()(0)
+      want match {
+        case None => assert(got.isNullAt(0), s"${c.name} $lit: want NULL")
+        case Some(w) => assert(BigDecimal(got.get(0).toString) == w,
+          s"${c.name} $lit: got ${got.get(0)} want $w")
+      }
+    }
+    def expectRaise(c: Col, lit: String): Unit = {
+      val stmt = next(c.name, lit)
+      val e = intercept[Exception](gs.execute(stmt))
+      assert(chain(e).contains("Out of range"), s"$stmt -> ${chain(e)}")
+    }
+    try {
+      cols.foreach { c =>
+        // exact boundaries pass (the check must never false-fire)...
+        expectPass(c, c.mn.toString, Some(c.mn))
+        expectPass(c, c.mx.toString, Some(c.mx))
+        // ...NULL passes (the raise_error branch guards isNotNull)...
+        expectPass(c, "NULL", None)
+        // ...±1 raises 1264 (all values stay inside the WIDENED storage
+        // type's range, so the declared check is the only decider)
+        expectRaise(c, (c.mn - 1).toString)
+        expectRaise(c, (c.mx + 1).toString)
+        // string sources: strict casts FIRST, so a clean numeral splits
+        // by its coerced value — max passes, min-1 raises
+        expectPass(c, s"'${c.mx}'", Some(c.mx))
+        expectRaise(c, s"'${c.mn - 1}'")
+      }
+      // seeded random values folded around each range so roughly half
+      // land inside [mn, mx] (pass, stored exactly) and half in
+      // (mx, mx+span] (raise) — every draw within the storage type
+      val raw = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 12)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val span = c.mx - c.mn + 1
+        raw.slice(i * 2, i * 2 + 2).foreach { r =>
+          val v = c.mn + BigDecimal(r).abs % (span * 2)
+          if (v <= c.mx) expectPass(c, v.toString, Some(v))
+          else expectRaise(c, v.toString)
+        }
+      }
+    } finally gs.execute("DROP TABLE IF EXISTS scop")
+  }
 }
