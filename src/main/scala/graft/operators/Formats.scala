@@ -57,6 +57,15 @@ object Formats extends QueryModule {
         // (ADVICE r14) — the per-run touch below keeps any session
         // active within a week safe from it, vs. the unbounded
         // accumulation the exact check alone allowed on such hosts.
+        // liveness stamp of a scratch dir: its own mtime OR the explicit
+        // `.graft_live` marker's, whichever is later (ADVICE r15: on
+        // filesystems that reject setLastModified — some network/
+        // container mounts — the dir mtime never refreshes, and the
+        // 7-day cutoff below would sweep a LIVE long-running session's
+        // dir out from under its lazy readers; the touch fallback
+        // rewrites the marker instead, and a missing marker reads 0)
+        def liveStamp(f: java.io.File): Long = math.max(f.lastModified(),
+          new java.io.File(f, ".graft_live").lastModified())
         Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(_.getName.startsWith("graft_fmt_"))
           .foreach { f =>
@@ -72,14 +81,14 @@ object Formats extends QueryModule {
               ProcessHandle.of(p).toScala match {
                 case None => true // no live process with that PID
                 case Some(h) => h.info.startInstant.toScala match {
-                  case Some(st) => st.toEpochMilli > f.lastModified() + skewMs
+                  case Some(st) => st.toEpochMilli > liveStamp(f) + skewMs
                   case None =>
                     // restricted /proc visibility: ownership unknowable
                     // exactly — fall back to a generous age cutoff so
                     // recycled-PID garbage can't accumulate FOREVER on
                     // such hosts, while any live session's dir (touched
                     // by its own run) stays untouched for days
-                    f.lastModified() <
+                    liveStamp(f) <
                       System.currentTimeMillis() - 7L * 24 * 3600 * 1000
                 }
               })
@@ -93,8 +102,14 @@ object Formats extends QueryModule {
         li.write.mode("overwrite").json(s"$dir/json")
         // refresh OUR liveness marker: the csv/json subdir writes don't
         // reliably bump the top dir's mtime, and both the recycled-PID
-        // check and the restricted-/proc age cutoff read it
-        new java.io.File(dir).setLastModified(System.currentTimeMillis())
+        // check and the restricted-/proc age cutoff read it. When the
+        // filesystem rejects setLastModified (ADVICE r15: permissions,
+        // some network/container mounts silently return false), rewrite
+        // the `.graft_live` marker file instead — its own fresh mtime is
+        // what liveStamp() above consults alongside the dir's
+        if (!new java.io.File(dir).setLastModified(System.currentTimeMillis()))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, ".graft_live"), Array.empty[Byte])
         val c = s.read.schema(li.schema).option("header", "true").csv(s"$dir/csv")
         val j = s.read.schema(li.schema).json(s"$dir/json")
         c.select(lit("csv").as("fmt"), col("l_returnflag"), col("l_quantity"))

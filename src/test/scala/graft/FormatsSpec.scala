@@ -56,6 +56,17 @@ class FormatsSpec extends SparkSuite {
         d.setLastModified(p1Start.get.toEpochMilli - 2000)
         Some(d)
       } else None
+    val markerKept: Option[java.io.File] =
+      if (canPlantP1) {
+        // ADVICE r15: a stale dir mtime (recycled-PID-shaped) but a
+        // FRESH .graft_live marker inside — the fallback an owner on a
+        // setLastModified-rejecting filesystem leaves. liveStamp must
+        // read the marker's mtime and keep the dir.
+        val d = mk("graft_fmt_0abc7777_p1")
+        new java.io.File(d, ".graft_live").createNewFile() // mtime = now
+        d.setLastModified(p1Start.get.toEpochMilli - 120000)
+        Some(d)
+      } else None
     try {
       val q = Formats.queries.find(_.name == "source_formats").get
       q.fn(spark, sf).collect()
@@ -66,6 +77,8 @@ class FormatsSpec extends SparkSuite {
         "dir older than its pid's process start must be swept (recycled PID)"))
       withinSkew.foreach(d => assert(d.exists(),
         "dir within the clock-skew margin of its pid's start must survive"))
+      markerKept.foreach(d => assert(d.exists(),
+        "stale-mtime dir with a fresh .graft_live marker must survive"))
       // and this JVM's own dir is present and readable (the query's
       // result frame just lazily read from it)
       val key = java.util.UUID
@@ -73,8 +86,8 @@ class FormatsSpec extends SparkSuite {
       val own = new java.io.File(tmp,
         s"graft_fmt_${key}_p${ProcessHandle.current().pid()}")
       assert(own.isDirectory, "own scratch dir must exist after the run")
-    } finally (Seq(legacy, dead, liveForeign) ++ recycled ++ withinSkew)
-      .foreach(d =>
+    } finally (Seq(legacy, dead, liveForeign) ++ recycled ++ withinSkew ++
+      markerKept).foreach(d =>
       GraftSession.deleteRecursively(d.toPath))
   }
 }

@@ -24,7 +24,8 @@ class QueryInventorySpec extends SparkSuite {
     // near a half — a different, provably-safe class).
     // balanced-paren scan, not a regex: the historical offender shape
     // `round(c / (sa.n + sb.n - c), 4)` nests parens inside the call
-    def scaledRound(sql0: String): Boolean = {
+    def roundScale(sql0: String,
+        scaleRe: scala.util.matching.Regex): Boolean = {
       val sql = sql0.toLowerCase
       Iterator.iterate(sql.indexOf("round("))(i =>
         sql.indexOf("round(", i + 1)).takeWhile(_ >= 0).exists { i =>
@@ -35,17 +36,55 @@ class QueryInventorySpec extends SparkSuite {
           else if (sql(j) == ')') depth -= 1
           j += 1
         }
-        // top-level arg list of THIS call ends with ", N" for N >= 3
-        ",\\s*[3-9]\\s*$".r
-          .findFirstIn(sql.substring(i + 6, j - 1)).isDefined
+        scaleRe.findFirstIn(sql.substring(i + 6, j - 1)).isDefined
       }
     }
+    // top-level arg list of THIS call ends with ", N" for N >= 3 —
+    // multi-digit scales included (ADVICE r15: the single-digit class
+    // [3-9] let a hypothetical round(x, 10) slip past; any scale >= 10
+    // is the same engine-divergent class)
+    def scaledRound(sql: String): Boolean =
+      roundScale(sql, ",\\s*([3-9]|[1-9][0-9]+)\\s*$".r)
+    // scanner self-test: the shapes it exists to catch and to pass
+    assert(scaledRound("select round(x, 4) from t"))
+    assert(scaledRound("select round(c / (sa.n + sb.n - c), 10) from t"))
+    assert(scaledRound("select round(x,12) from t"))
+    assert(!scaledRound("select round(x, 2) from t"))
+    assert(!scaledRound("select (round((x) * 10000) / 10000.0) from t"))
     val bad = SparkEntry.oracleSql.collect {
       case (name, sql) if scaledRound(sql) => name
     }
     assert(bad.isEmpty,
       s"oracles using engine-divergent scaled round(): $bad — use " +
         "ExactNum.oracleRound4 / the dyadic form instead")
+    // round(x, 2) allowlist (ADVICE r15): scale-2 is sound ONLY by
+    // 2-dp provenance — the money fixture columns are generated at two
+    // decimals, so their doubles are never near a 3rd-decimal half.
+    // That argument does NOT transfer to arbitrary computed doubles, so
+    // instead of a blanket scale-2 exemption, every site is named: a
+    // NEW round(x, 2) must be consciously added here with the same
+    // provenance argument (or use ExactNum.cents / round4).
+    def round2(sql: String): Boolean = roundScale(sql, ",\\s*2\\s*$".r)
+    // audited r16: every site rounds a raw money fixture column
+    // (c_acctbal / o_totalprice / l_extendedprice, generated at 2 dp),
+    // an exact-DECIMAL(18,2) sum (sql_roundtrip/sql_compact — the same
+    // double reaches both engines), or dyadic literals (the ALTER
+    // lifecycle's 1.5/2.5 score)
+    val money2Allowed: Set[String] = Set(
+      "dml_insert_select", "dml_replace", "join_full_outer", "join_inner",
+      "join_semi_anti", "scan_bucketed_join", "sort_multi", "sql_compact",
+      "sql_dml_lifecycle", "sql_roundtrip", "sql_session_vars",
+      "sql_subquery", "topn")
+    val newScale2 = SparkEntry.oracleSql.collect {
+      case (name, sql) if round2(sql) && !money2Allowed(name) => name
+    }
+    assert(newScale2.isEmpty,
+      s"NEW round(x, 2) oracle sites: ${newScale2.toSeq.sorted} — prove " +
+        "2-dp provenance and add to the allowlist, or use ExactNum")
+    // and the allowlist cannot rot: every entry still uses scale-2
+    val stale = money2Allowed.filter(n =>
+      !SparkEntry.oracleSql.get(n).exists(round2))
+    assert(stale.isEmpty, s"allowlist entries without round(x, 2): $stale")
     // and the canonical helper text itself is pinned, so the Spark-side
     // ExactNum.round4 and every hand-inlined oracle copy stay one
     // greppable form
