@@ -34,9 +34,20 @@ Usage:
     work_dir scratch dir, WIPED   (default /tmp/degen_<sfname>)
     query... optional scope for Verify+compare (default: full suite)
 
+  python3 tools/degenerate.py --ceiling [sf_dir] [work_dir]
+    The units4 magnitude-ceiling witness (r15 verdict item 4), an
+    EXPECTED-FAILURE run kept behind a flag so the default pre-flight
+    stays green: plants one events.value row at 1e15 (> the ~9.2e14
+    ceiling where |x*10000| exceeds 2^63) and demonstrates the
+    ExactNum.scala scaladoc claim — BOTH engines abort LOUDLY on the
+    exact-sum queries (Spark's ANSI long cast, DuckDB's BIGINT cast)
+    rather than forking a hash. Exits 0 iff both engines aborted on
+    both affected queries (events_window_agg, events_rollup).
+
 Driver-side python only (pyarrow/pandas/duckdb) — never part of the
 engine.
 """
+import json
 import os
 import shutil
 import subprocess
@@ -143,11 +154,81 @@ def mutate_documents(df):
     return out
 
 
+CEILING_QUERIES = ["events_rollup", "events_window_agg"]
+
+
+def run_ceiling_witness(sf, work, repo):
+    """Expected-failure run: one |value| > 9.2e14 row must abort BOTH
+    engines loudly on the units4 exact-sum queries (the ExactNum
+    lockstep-ceiling claim), never fork a hash."""
+    def plant(df):
+        v = df["value"].astype("float64").copy()
+        assert pd.notna(v.iloc[0]) and pd.notna(df["ts"].iloc[0]), \
+            "row 0 must survive the queries' NULL filters"
+        v.iloc[0] = 1.0e15  # |x*10000| = 1e19 > 2^63 ~ 9.22e18
+        df["value"] = v
+        print("[degenerate] events: planted value=1e15 at row 0 "
+              "(above the ~9.2e14 units4 ceiling)")
+        return df
+    rewrite(f"{work}/events.parquet", plant)
+
+    out = f"{work}_out"
+    shutil.rmtree(out, ignore_errors=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get(
+        "SPARK_GRAFT_CPUS", "8"))
+    cmd = ["sbt", "-batch", "runMain graft.Verify " +
+           " ".join([work, out] + CEILING_QUERIES)]
+    print(f"[degenerate] {' '.join(cmd)}  (EXPECTING per-query failures)")
+    r = subprocess.run(cmd, cwd=repo, env=env,
+                       stderr=subprocess.PIPE, text=True)
+    sys.stderr.write(r.stderr)
+    bad = []
+    for q in CEILING_QUERIES:
+        if f"[verify] {q} failed:" not in r.stderr:
+            bad.append(f"Spark did NOT abort on {q}")
+        if os.path.exists(f"{out}/{q}"):
+            bad.append(f"Spark left output for {q} despite the plant")
+    if "overflow" not in r.stderr.lower():
+        bad.append("Spark failures do not mention an overflow/cast abort")
+
+    # the DuckDB twin: the SAME oracle SQL must abort too (oracle_sql
+    # .json is written after the per-query loop, failures notwithstanding)
+    import duckdb
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{work}/{t}.parquet')")
+    for q in CEILING_QUERIES:
+        try:
+            con.execute(oracles[q]).fetchall()
+            bad.append(f"DuckDB did NOT abort on {q}")
+        except Exception as e:
+            msg = str(e)
+            print(f"[degenerate] duckdb {q} aborted as expected: "
+                  f"{msg.splitlines()[0]}")
+            if not any(w in msg.lower()
+                       for w in ("conversion", "range", "cast")):
+                bad.append(f"DuckDB abort on {q} is not a cast/range "
+                           f"error: {msg.splitlines()[0]}")
+    if bad:
+        sys.exit("[degenerate] CEILING WITNESS FAILED:\n  " +
+                 "\n  ".join(bad))
+    print("[degenerate] ceiling witness OK: both engines aborted loudly "
+          f"on {CEILING_QUERIES} — no hash fork possible above the "
+          "units4 ceiling")
+
+
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    work = (sys.argv[2] if len(sys.argv) > 2
-            else f"/tmp/degen_{os.path.basename(os.path.normpath(sf))}")
-    queries = sys.argv[3:]
+    args = [a for a in sys.argv[1:] if a != "--ceiling"]
+    ceiling = len(args) != len(sys.argv) - 1
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    work = (args[1] if len(args) > 1
+            else f"/tmp/degen_{os.path.basename(os.path.normpath(sf))}" +
+                 ("_ceil" if ceiling else ""))
+    queries = args[2:]
+    if ceiling and queries:
+        sys.exit("--ceiling runs its own fixed query scope")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if not os.path.exists(f"{sf}/lineitem.parquet"):
         sys.exit(f"sf dir not found (no lineitem.parquet): {sf}")
@@ -168,6 +249,10 @@ def main():
     for t in TABLES:
         shutil.copy(f"{sf}/{t}.parquet", f"{work}/{t}.parquet")
     print(f"[degenerate] copied {sf} -> {work}")
+
+    if ceiling:
+        run_ceiling_witness(sf, work, repo)
+        return
 
     rewrite(f"{work}/events.parquet", mutate_events)
     rewrite(f"{work}/customer.parquet", mutate_customer)
