@@ -163,6 +163,13 @@ object Bench {
   private[graft] def fmt1(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
 
+  /** ONE cap for both the probe-context `hits` entries and the
+    * post-suite retry set: if they diverged, the context line's worst-N
+    * could carry rt=-1 "beyond the cap" entries while cheaper hits got
+    * re-run — the exact adjudication gap the retry exists to close.
+    */
+  private[graft] val MaxHits = 6
+
   /** Streamed outlier-probe line: emitted immediately after a timed
     * query reads >1.5x its committed comparator value ([[BenchRef]]),
     * carrying a FRESH fixed-shape probe reading — if the probe is also
@@ -222,7 +229,7 @@ object Bench {
   private[graft] def renderProbeContext(
       mids: Seq[(Int, Double, Double)],
       hits: Seq[(String, Double, Double, Double, Long, Long, Double)],
-      maxHits: Int = 6): String = {
+      maxHits: Int = MaxHits): String = {
     val sm = mids.map(m => fmt(m._2)).mkString("[", ",", "]")
     val hs = hits.sortBy(-_._2).take(maxHits).map {
       case (n, r, p50, _, gc, io, rt) =>
@@ -481,7 +488,7 @@ object Bench {
     // fails count is snapshotted FIRST so a failing re-run (-2) can
     // never poison the committed record's fails field.
     val suiteFails = failCount
-    val retried = hits0.sortBy(-_._2).take(6).map { h =>
+    val retried = hits0.sortBy(-_._2).take(MaxHits).map { h =>
       val (sec, _, _) = materialize(h._1)
       System.err.println(s"[bench] retry ${h._1}: ${fmt(sec)}s" +
         (if (lastFailed) " (failed)" else ""))

@@ -1472,18 +1472,34 @@ final class GraftSession(val spark: SparkSession) {
     val cat = spark.sessionState.catalog
     val orphanSfx = (DdlNewSuffix + PhysSuffix).toLowerCase
     cat.listDatabases().foreach { db =>
-      cat.listTables(db).foreach { ti =>
+      // database.isDefined filters out session temp views, which
+      // listTables folds into every database's listing — only catalog
+      // tables can be managed-layout state
+      cat.listTables(db).filter(_.database.isDefined).foreach { ti =>
         val n = ti.table
+        // catalog-sourced names are clean identifiers (createTable
+        // strips quoting before they ever reach the catalog), so the
+        // unquoted ref form the rest of the layout code uses is safe
         if (n.toLowerCase.endsWith(orphanSfx)) {
-          // catalog-sourced names are clean identifiers (createTable
-          // strips quoting before they ever reach the catalog), so the
-          // unquoted ref form the rest of the layout code uses is safe
           val base = n.dropRight(orphanSfx.length)
           if (!spark.catalog.tableExists(s"$db.$base$PhysSuffix")) {
             spark.sql(
               s"ALTER TABLE $db.$n RENAME TO $db.$base$PhysSuffix")
             createLogicalView(s"$db.$base")
           }
+        } else if (n.toLowerCase.endsWith(PhysSuffix)) {
+          // the ADJACENT half-done states (review r16): a live phys
+          // table whose logical view is missing — a crash between the
+          // swap's DROP VIEW and DROP TABLE, after its RENAME but
+          // before the view recreate, or between a CREATE TABLE's two
+          // steps. Recreating the view is idempotent and makes the
+          // data reachable again; for a crash mid-DROP TABLE (view
+          // already gone, phys not yet) this deliberately RESURRECTS
+          // the table — recoverable by re-issuing the DROP, where the
+          // alternative (guessing drop-intent) could discard data.
+          val base = n.dropRight(PhysSuffix.length)
+          if (!spark.catalog.tableExists(s"$db.$base"))
+            createLogicalView(s"$db.$base")
         }
       }
     }

@@ -884,6 +884,24 @@ class SqlFrontendSpec extends SparkSuite {
     gs2.execute("DROP TABLE orph")
   }
 
+  test("DDL swap: a live phys table whose view is missing regains its " +
+    "view at session start") {
+    // the ADJACENT half-done states (review r16): a crash between the
+    // swap's DROP VIEW and DROP TABLE (or after the RENAME, before the
+    // view recreate, or mid CREATE TABLE) leaves reachable data behind
+    // a missing view — session-start recovery recreates it
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS vless")
+    gs.execute("CREATE TABLE vless (id BIGINT PRIMARY KEY, v INT)")
+    gs.execute("INSERT INTO vless VALUES (1, 10)")
+    spark.sql("DROP VIEW sqlfe.vless") // the simulated crash point
+    val gs2 = new GraftSession(spark)
+    assert(gs2.query("SELECT id, v FROM sqlfe.vless") == Seq("1 10"),
+      "view must be recreated over the live phys table")
+    gs2.execute("DROP TABLE sqlfe.vless")
+  }
+
   test("backtick-quoted qualified names parse per part") {
     gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
     gs.execute("CREATE TABLE `sqlfe`.`bt` (id INT PRIMARY KEY, v INT)")
