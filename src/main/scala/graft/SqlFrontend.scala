@@ -1483,6 +1483,13 @@ final class GraftSession(val spark: SparkSession) {
         if (n.toLowerCase.endsWith(orphanSfx)) {
           val base = n.dropRight(orphanSfx.length)
           if (!spark.catalog.tableExists(s"$db.$base$PhysSuffix")) {
+            // mirror the production swap's pre-rename hygiene: a crash
+            // between the old table's DROP and its dropStaleLocation
+            // can leave the destination directory behind, which would
+            // fail the recovery rename exactly like the swap it
+            // finishes (review r16)
+            dropStaleLocation(spark, s"$db.$base")
+            dropStaleLocation(spark, s"$db.$base$PhysSuffix")
             spark.sql(
               s"ALTER TABLE $db.$n RENAME TO $db.$base$PhysSuffix")
             createLogicalView(s"$db.$base")
