@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions.{col, sum}
   *     15-query probe cadence misses is still self-adjudicating (the
   *     r11 stats_topk/text_entropy blind spot); after the suite, each
   *     hit query is re-run once untimed and the re-read seconds (`rt`)
-  *     land in the file record and probe-context line, so a
-  *     healthy-axes hit self-adjudicates code-vs-window in-artifact
-  *     (r15 verdict item 1);
+  *     land in the file record and probe-context line WITH their own
+  *     fresh probe p50 and collector ms (r16 verdict item 1: a window
+  *     that outlives the suite otherwise makes the re-read look like
+  *     code), so a healthy-axes hit self-adjudicates code-vs-window
+  *     in-artifact (r15 verdict item 1);
   *   - just before the total, the COMPLETE per-query vector streams as
   *     a positional block (r11 verdict item 1): a header
   *     `{"qn":N,"ord":"alpha","unit":"sec"}` then `{"qv":k,"t":[...]}`
@@ -122,42 +124,75 @@ object Bench {
   private[graft] def renderFullRecord(results: Seq[(String, Double)],
       sched: String, sfDir: String,
       mids: Seq[(Int, Double, Double)] = Seq.empty,
-      hits: Seq[(String, Double, Double, Double, Long, Long, Double)] = Seq.empty,
+      hits: Seq[Hit] = Seq.empty,
       gcs: Seq[(String, Long)] = Seq.empty,
-      ios: Seq[(String, Long)] = Seq.empty, fails: Int = 0,
+      ios: Seq[(String, Long)] = Seq.empty,
+      als: Seq[(String, Long)] = Seq.empty, fails: Int = 0,
       armed: Boolean = true): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // per-query gc_ms and io_mb go to the FILE record only (no tail
-    // budget there): the in-tail probe context carries both for the
-    // capped worst HITS, but adjudicating a 1.3x mover that never
-    // crossed the 1.5x hit gate needs the same signals — these maps
-    // make every mover in a committed BENCH_LOCAL record adjudicable
-    // after the fact on all three non-host axes.
+    // per-query gc_ms, io_mb, and alloc_mb go to the FILE record only
+    // (no tail budget there): the in-tail probe context carries them
+    // for the capped worst HITS, but adjudicating a 1.3x mover that
+    // never crossed the 1.5x hit gate needs the same signals — these
+    // maps make every mover in a committed BENCH_LOCAL record
+    // adjudicable after the fact on all four non-host axes.
     val gj = gcs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("\"gc_ms\":{", ",", "}")
     val ij = ios.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("\"io_mb\":{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,"queries":$qs,$gj,$ij,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
+    val aj = als.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("\"alloc_mb\":{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,"queries":$qs,$gj,$ij,$aj,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
   }
+
+  /** One triggered outlier probe with everything the in-artifact
+    * adjudication needs. Fire-time axes: `r` observed/committed ratio,
+    * `p50`/`max` the fresh host probe, `gc` collector ms inside the
+    * query's window, `io` storage-read MB inside it, `al` MB ALLOCATED
+    * inside it (r16 verdict item 3 — see main's allocBytes). Retry-time
+    * context (r16 verdict item 1): `rt` the post-suite re-run seconds,
+    * `rtP50` a FRESH host probe taken immediately before that re-run,
+    * `rtGc` the collector ms inside the re-run's own window — in
+    * BENCH_r16 the bare rt under-cleared 4 of 6 capped hits because
+    * the retry shares the suite's JVM and the degraded window
+    * persisted; an elevated rt whose own probe/gc context is ALSO
+    * inflated now self-adjudicates as window instead of reading as
+    * "code reproduces". Sentinels: rt -1 = beyond the retry cap
+    * (rtP50/rtGc are -1 too), rt -2 = the re-run failed (its context
+    * is still real — the probe ran and the collector was measured).
+    */
+  private[graft] final case class Hit(q: String, r: Double, p50: Double,
+      max: Double, gc: Long, io: Long, al: Long, rt: Double = -1.0,
+      rtP50: Double = -1.0, rtGc: Long = -1L)
 
   /** Outlier-probe readings for the FILE record: one object per
     * triggered [[renderSchedHit]] line, plus the post-suite re-run
-    * seconds (`rt`, see [[renderRetry]]). */
-  private[graft] def hitsJson(
-      hits: Seq[(String, Double, Double, Double, Long, Long, Double)]): String =
-    hits.map { case (n, r, p50, max, gc, io, rt) =>
-      s"""{"q":"$n","r":${fmt1(r)},"p50":${fmt(p50)},"max":${fmt(max)},"gc":$gc,"io":$io,"rt":${renderRetry(rt)}}"""
+    * seconds (`rt`, see [[renderRetry]]) and its context. */
+  private[graft] def hitsJson(hits: Seq[Hit]): String =
+    hits.map { h =>
+      s"""{"q":"${h.q}","r":${fmt1(h.r)},"p50":${fmt(h.p50)},"max":${fmt(h.max)},"gc":${h.gc},"io":${h.io},"al":${h.al},"rt":${renderRetry(h.rt)},"rt_p50":${renderRetry(h.rtP50)},"rt_gc":${h.rtGc}}"""
     }.mkString("\"sched_hit\":[", ",", "]")
 
   /** Post-suite re-run seconds of a hit query (r15 verdict item 1):
     * -1 = not re-run (beyond the retry cap), -2 = the re-run itself
     * failed; otherwise the untimed-territory seconds. Rendered as a
     * bare integer for the sentinels so they can never read as a
-    * legitimate (negative) duration.
+    * legitimate (negative) duration. Also renders the retry-context
+    * p50, whose only sentinel is -1 (context missing).
     */
   private[graft] def renderRetry(rt: Double): String =
     if (rt < 0) rt.toInt.toString else fmt(rt)
+
+  /** The probe-context retry entry: the bare -1 sentinel when the hit
+    * was never re-run, else `[rt, rt_p50, rt_gc]` — the re-run seconds
+    * WITH their own fresh host probe and collector reading, so an
+    * elevated rt carries the evidence to call itself window-or-code
+    * (r16 verdict item 1). rt = -2 (re-run failed) keeps its context.
+    */
+  private[graft] def renderRetryCtx(h: Hit): String =
+    if (h.rt == -1.0) "-1"
+    else s"[${renderRetry(h.rt)},${renderRetry(h.rtP50)},${h.rtGc}]"
 
   /** One-decimal ratio formatting (locale-pinned, same reason as fmt). */
   private[graft] def fmt1(x: Double): String =
@@ -182,15 +217,22 @@ object Bench {
     * storage-layer read delta (MB) inside the same window (r14 verdict
     * item 1) — the fourth axis: healthy probe + healthy gc + inflated
     * io vs the comparator's io_mb map = page-cache/shuffle-dir I/O
-    * pressure, all three healthy = presumptive code. ~72 bytes;
+    * pressure. `al` is the MB allocated inside the window (r16 verdict
+    * item 3) — the fifth axis, and the one that disambiguates gc: gc_ms
+    * is a TIME, so 10x the committed reading cannot say "collector ran
+    * slower" (host) vs "query allocated more" (code); alloc volume is
+    * host-independent for identical code+data, so inflated gc + flat
+    * alloc = host window, inflated both = a real allocation
+    * regression. All axes healthy = presumptive code. ~80 bytes;
     * streams between the per-query lines, never inside the
     * end-of-suite block. The post-suite re-run (`rt`) is NOT here — at
     * fire time it does not exist yet; it lands in the file record and
     * the probe-context line.
     */
   private[graft] def renderSchedHit(name: String, ratio: Double,
-      p50: Double, max: Double, gcMs: Long, ioMb: Long): String =
-    s"""{"sched_hit":${fmt(p50)},"max":${fmt(max)},"q":"$name","r":${fmt1(ratio)},"gc":$gcMs,"io":$ioMb}"""
+      p50: Double, max: Double, gcMs: Long, ioMb: Long,
+      alMb: Long): String =
+    s"""{"sched_hit":${fmt(p50)},"max":${fmt(max)},"q":"$name","r":${fmt1(ratio)},"gc":$gcMs,"io":$ioMb,"al":$alMb}"""
 
   /** End-of-suite probe-context line (r12 verdict item 1): the streamed
     * `sched_mid`/`sched_hit` lines for the first ~80 queries never
@@ -203,8 +245,8 @@ object Bench {
     *     inflated entry at its position;
     *   - `hn`: the TRUE count of triggered outlier probes;
     *   - `hits`: the worst `maxHits` of them by ratio as
-    *     `[name, ratio, probe_p50, gc_ms, io_mb, retry_sec]` sextuples.
-    *     The probe
+    *     `[name, ratio, probe_p50, gc_ms, io_mb, alloc_mb, retry]`
+    *     entries. The probe
     *     p50 sees the HOST (inflated ⇒ scheduler storm); gc_ms sees the
     *     JVM (the collector time inside that query's own timed window —
     *     r13's decontaminate hit carried a healthy 0.021 probe and
@@ -213,27 +255,35 @@ object Bench {
     *     dedup_minhash_lsh hit was healthy on BOTH other axes on
     *     untouched code — the remaining pressure class is a cold page
     *     cache / contended shuffle dir re-reading bytes the comparator
-    *     run got for free). Healthy probe + high gc ⇒ JVM pressure;
-    *     both healthy + inflated io vs the comparator's io_mb map ⇒
-    *     I/O pressure; all healthy ⇒ presumptive code, which the
-    *     SIXTH entry adjudicates in-artifact (r15 verdict item 1):
-    *     `retry_sec` is one post-suite UNTIMED re-run of the hit query
-    *     — r13/r14/r15 each burned a round-trip of manual isolated
-    *     re-runs on healthy-axes hits that turned out to be driver-box
-    *     query-local windows; a code cause reproduces its ratio here,
-    *     a window does not (-1 = beyond the retry cap, -2 = the
-    *     re-run failed). Capped (hn records what the cap hides) so a
-    *     pathological run cannot eat the tail: ~60 bytes healthy,
-    *     ~390 worst-case at the cap — inside BenchFormatSpec's budget.
+    *     run got for free); alloc_mb sees the ALLOCATION volume (r16
+    *     verdict item 3: the driver's minhash hit read gc 2,169 ms —
+    *     10x committed — with probe and io healthy, and gc TIME alone
+    *     could not say slower-collector-vs-bigger-allocation; volume
+    *     is host-independent, so inflated gc + flat alloc = host).
+    *     Healthy probe + high gc + high alloc ⇒ a real allocation
+    *     regression; all fire-time axes healthy ⇒ presumptive code,
+    *     which the LAST entry adjudicates in-artifact (r15 verdict
+    *     item 1, context r16 item 1): `retry` is -1 when the hit was
+    *     beyond the retry cap, else `[rt, rt_p50, rt_gc]` — one
+    *     post-suite UNTIMED re-run of the hit query (rt; -2 = the
+    *     re-run failed) with a FRESH host probe taken right before it
+    *     and the collector ms inside the re-run's own window. In
+    *     BENCH_r16 the bare rt under-cleared 4 of 6 capped hits: the
+    *     retry shares the suite's JVM, and when the degraded window
+    *     outlives the suite an elevated rt read as "code reproduces";
+    *     with its own context, elevated rt + inflated rt_p50/rt_gc
+    *     self-adjudicates as window in-artifact. Capped (hn records
+    *     what the cap hides) so a pathological run cannot eat the
+    *     tail: ~60 bytes healthy, ~640 worst-case at the cap — inside
+    *     BenchFormatSpec's budget.
     */
   private[graft] def renderProbeContext(
       mids: Seq[(Int, Double, Double)],
-      hits: Seq[(String, Double, Double, Double, Long, Long, Double)],
+      hits: Seq[Hit],
       maxHits: Int = MaxHits): String = {
     val sm = mids.map(m => fmt(m._2)).mkString("[", ",", "]")
-    val hs = hits.sortBy(-_._2).take(maxHits).map {
-      case (n, r, p50, _, gc, io, rt) =>
-        s"""["$n",${fmt1(r)},${fmt(p50)},$gc,$io,${renderRetry(rt)}]"""
+    val hs = hits.sortBy(-_.r).take(maxHits).map { h =>
+      s"""["${h.q}",${fmt1(h.r)},${fmt(h.p50)},${h.gc},${h.io},${h.al},${renderRetryCtx(h)}]"""
     }.mkString("[", ",", "]")
     s"""{"sm":$sm,"hn":${hits.size},"hits":$hs}"""
   }
@@ -316,6 +366,38 @@ object Bench {
     def ioDelta(before: Long, after: Long): Long =
       if (before < 0 || after < 0) -1L else (after - before) / 1000000L
 
+    // Bytes allocated across ALL live JVM threads, for the per-query
+    // alloc_mb delta — the FIFTH adjudication axis (r16 verdict item 3):
+    // gc_ms is a TIME, so the driver's minhash reading of 2,169 ms (10x
+    // committed, probe healthy, io 0) could not distinguish "the
+    // collector ran slower" (host memory pressure, the r9 class) from
+    // "the query allocated more" (a real code regression). Allocation
+    // VOLUME is host-independent for identical code+data+config, so an
+    // inflated gc_ms next to a committed-level alloc_mb self-adjudicates
+    // as host. Known approximations, bounded by design: a thread that
+    // EXITS inside the window takes its lifetime count with it (the
+    // delta clamps at 0) and a thread BORN inside it contributes its
+    // whole life — Spark's local-mode executor pool lives for the whole
+    // suite, so both effects are dispatch-thread noise, not data-plane
+    // volume. -1 = this JVM exposes no allocation counters (kept
+    // distinct from a genuine 0, same posture as io_mb).
+    val threadMx: Option[com.sun.management.ThreadMXBean] =
+      java.lang.management.ManagementFactory.getThreadMXBean match {
+        case t: com.sun.management.ThreadMXBean
+            if t.isThreadAllocatedMemorySupported =>
+          if (!t.isThreadAllocatedMemoryEnabled)
+            t.setThreadAllocatedMemoryEnabled(true)
+          Some(t)
+        case _ => None
+      }
+    def allocBytes(): Long = threadMx.fold(-1L) { t =>
+      // dead ids yield -1 entries; filter so they cannot shrink the sum
+      t.getThreadAllocatedBytes(t.getAllThreadIds).filter(_ > 0).sum
+    }
+    def allocDelta(before: Long, after: Long): Long =
+      if (before < 0 || after < 0) -1L
+      else math.max(0L, (after - before) / 1000000L)
+
     // hoisted: SparkEntry.queries is a def that rebuilds the full map —
     // calling it inside the timed window charged the rebuild to every
     // query (microseconds, but the same pattern Verify hoists)
@@ -324,9 +406,10 @@ object Bench {
     // queries that died mid-run (see renderTotalOnly's fails doc)
     var failCount = 0
     var lastFailed = false
-    def materialize(name: String): (Double, Long, Long) = {
+    def materialize(name: String): (Double, Long, Long, Long) = {
       val g0 = gcMillis()
       val io0 = ioReadBytes()
+      val al0 = allocBytes()
       val t0 = System.nanoTime()
       lastFailed = false
       // NonFatal ONLY (the Verify rule): an OOM must abort the suite
@@ -339,12 +422,13 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // gc_ms / io_mb = collector time and storage-layer reads that
-      // landed INSIDE the timed window — read before the untimed
-      // inter-query System.gc() below, which must not be charged to
-      // the query it follows.
+      // gc_ms / io_mb / alloc_mb = collector time, storage-layer reads,
+      // and thread-allocated bytes that landed INSIDE the timed
+      // window — read before the untimed inter-query System.gc() below,
+      // which must not be charged to the query it follows.
       val gcMs = gcMillis() - g0
       val ioMb = ioDelta(io0, ioReadBytes())
+      val alMb = allocDelta(al0, allocBytes())
       // Queries persist shared subtrees; freeing them here keeps one
       // query's cache from squeezing the next one's execution memory
       // over a full-suite run (the bucketed-index tables are on disk and
@@ -356,7 +440,7 @@ object Bench {
       // isolated with identical plans. Collecting OUTSIDE the timed
       // window measures each query's steady-state work.
       System.gc()
-      (sec, gcMs, ioMb)
+      (sec, gcMs, ioMb, alMb)
     }
 
     // Fixed-shape scheduler-health probe (see scaladoc): median + max of
@@ -436,7 +520,7 @@ object Bench {
     // is noise, not a storm), and each false fire costs a ~0.2 s probe
     // plus a tail line. A real storm inflates by whole seconds and
     // always clears both gates.
-    val hits = Seq.newBuilder[(String, Double, Double, Double, Long, Long, Double)]
+    val hits = Seq.newBuilder[Hit]
     // Arm the outlier trigger only in the comparator's own regime: a
     // cpus=4 debug run or a different SF exceeds 1.5x on most heavy
     // queries for legitimate reasons and would spray ~100 spurious
@@ -445,10 +529,12 @@ object Bench {
       cpus == BenchRef.cpus
     val gcs = Seq.newBuilder[(String, Long)]
     val ios = Seq.newBuilder[(String, Long)]
+    val als = Seq.newBuilder[(String, Long)]
     val results = names.zipWithIndex.map { case (n, i) =>
-      val (sec, gcMs, ioMb) = materialize(n)
+      val (sec, gcMs, ioMb, alMb) = materialize(n)
       gcs += ((n, gcMs))
       ios += ((n, ioMb))
+      als += ((n, alMb))
       // a failed query's streamed line carries the marker so the
       // time-until-failure can never read as a legitimate (fast) result
       println(s"""{"q":"$n","sec":${fmt(sec)}${
@@ -456,9 +542,10 @@ object Bench {
       (if (refArmed) BenchRef.committed.get(n) else None).foreach { ref =>
         if (sec > ref * 1.5 && sec - ref > 0.2) {
           val (p50, max) = schedProbe()
-          // rt = -1 placeholder; the post-suite re-run fills it below
-          hits += ((n, sec / ref, p50, max, gcMs, ioMb, -1.0))
-          println(renderSchedHit(n, sec / ref, p50, max, gcMs, ioMb))
+          // rt/rtP50/rtGc stay sentinels; the post-suite re-run below
+          // fills them for the capped worst hits
+          hits += Hit(n, sec / ref, p50, max, gcMs, ioMb, alMb)
+          println(renderSchedHit(n, sec / ref, p50, max, gcMs, ioMb, alMb))
         }
       }
       if ((i + 1) % MidEvery == 0 && i + 1 < names.size) {
@@ -488,15 +575,24 @@ object Bench {
     // fails count is snapshotted FIRST so a failing re-run (-2) can
     // never poison the committed record's fails field.
     val suiteFails = failCount
-    val retried = hits0.sortBy(-_._2).take(MaxHits).map { h =>
-      val (sec, _, _) = materialize(h._1)
-      System.err.println(s"[bench] retry ${h._1}: ${fmt(sec)}s" +
+    val retried = hits0.sortBy(-_.r).take(MaxHits).map { h =>
+      // retry-time context (r16 verdict item 1): a FRESH host probe
+      // immediately before the re-run, and the collector ms inside the
+      // re-run's own window — without them, a degraded window that
+      // outlives the suite makes an elevated rt read as "code
+      // reproduces" (BENCH_r16 under-cleared 4 of 6 capped hits)
+      val (rtP50, _) = schedProbe()
+      val (sec, rtGc, _, _) = materialize(h.q)
+      System.err.println(s"[bench] retry ${h.q}: ${fmt(sec)}s" +
+        s" (probe ${fmt(rtP50)}, gc ${rtGc}ms)" +
         (if (lastFailed) " (failed)" else ""))
-      h._1 -> (if (lastFailed) -2.0 else sec)
+      h.q -> ((if (lastFailed) -2.0 else sec, rtP50, rtGc))
     }.toMap
-    val hitsV = hits0.map(h => h.copy(_7 = retried.getOrElse(h._1, -1.0)))
+    val hitsV = hits0.map(h => retried.get(h.q).fold(h) {
+      case (rt, p, g) => h.copy(rt = rt, rtP50 = p, rtGc = g) })
     val line = renderFullRecord(results, sched, sfDir, midsV,
-      hitsV, gcs.result(), ios.result(), suiteFails, refArmed)
+      hitsV, gcs.result(), ios.result(), als.result(), suiteFails,
+      refArmed)
     // The ~1.9 KB NAMED per-query map line goes to the FILE ONLY: in r9
     // it consumed most of the driver's bounded stdout tail and pushed 23
     // of the 107 short per-query lines out of the window. The positional

@@ -41,10 +41,6 @@ final class GraftSession(val spark: SparkSession) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("strcmp")))
     functions.StrCmp.register(spark)
 
-  // finish any copy-DDL swap a crashed run left half-done — must run
-  // before the first statement can resolve (and miss) a stranded table
-  recoverOrphanSwaps()
-
   /** lower-cased user variable name -> rendered SQL literal. */
   private val userVars = mutable.LinkedHashMap.empty[String, String]
   private val sysVars = mutable.LinkedHashMap(defaultSysVars: _*)
@@ -57,6 +53,13 @@ final class GraftSession(val spark: SparkSession) {
     * cleared by every statement except SHOW WARNINGS/ERRORS.
     */
   private val warnings = mutable.Buffer.empty[(String, Int, String)]
+
+  // finish any copy-DDL swap a crashed run left half-done — must run
+  // before the first statement can resolve (and miss) a stranded table
+  // (and AFTER the warnings buffer above exists: each recovery records
+  // a SHOW WARNINGS note, r16 verdict item 4 — silent self-healing left
+  // the operator no way to learn a crash had happened)
+  recoverOrphanSwaps()
   /** ADMIN SHOW DDL [JOBS] backing log (reference
     * `planner/core/planbuilder.go:439-455`; output schemas
     * `planbuilder.go:505-531`; job-type strings
@@ -1467,10 +1470,29 @@ final class GraftSession(val spark: SparkSession) {
     * window self-healing. A leftover whose sibling IS live is the
     * pre-drop window's; it stays hidden and the next ALTER sweeps it.
     * Runs once per session over one catalog listing — metadata-scale.
+    *
+    * Each completed recovery records a SHOW WARNINGS note naming the
+    * table and the action (r16 verdict item 4: silent self-healing left
+    * the operator no way to learn a crash happened — the note survives
+    * until the session's first non-diagnostic statement, exactly the
+    * window where a post-crash operator checks). Each per-table
+    * recovery is error-contained (r16 ADVICE): one corrupted leftover
+    * (stray destination state, FS error, two sessions racing the same
+    * orphan) must degrade to a Warning, not make every new session
+    * unconstructible until manual catalog surgery.
     */
   private def recoverOrphanSwaps(): Unit = {
     val cat = spark.sessionState.catalog
     val orphanSfx = (DdlNewSuffix + PhysSuffix).toLowerCase
+    def contained(db: String, n: String)(body: => Unit): Unit =
+      try body catch { case scala.util.control.NonFatal(e) =>
+        // 1105 ER_UNKNOWN_ERROR: no MySQL code exists for recovery —
+        // the generic code with a named-orphan message keeps the
+        // failure diagnosable from SHOW WARNINGS alone
+        warn("Warning", 1105, s"crash recovery of `$db`.`$n` failed " +
+          s"(manual inspection needed): ${e.getMessage}")
+        System.err.println(s"[graft] crash recovery of $db.$n failed: $e")
+      }
     cat.listDatabases().foreach { db =>
       // database.isDefined filters out session temp views, which
       // listTables folds into every database's listing — only catalog
@@ -1482,18 +1504,21 @@ final class GraftSession(val spark: SparkSession) {
         // unquoted ref form the rest of the layout code uses is safe
         if (n.toLowerCase.endsWith(orphanSfx)) {
           val base = n.dropRight(orphanSfx.length)
-          if (!spark.catalog.tableExists(s"$db.$base$PhysSuffix")) {
-            // mirror the production swap's pre-rename hygiene: a crash
-            // between the old table's DROP and its dropStaleLocation
-            // can leave the destination directory behind, which would
-            // fail the recovery rename exactly like the swap it
-            // finishes (review r16)
-            dropStaleLocation(spark, s"$db.$base")
-            dropStaleLocation(spark, s"$db.$base$PhysSuffix")
-            spark.sql(
-              s"ALTER TABLE $db.$n RENAME TO $db.$base$PhysSuffix")
-            createLogicalView(s"$db.$base")
-          }
+          if (!spark.catalog.tableExists(s"$db.$base$PhysSuffix"))
+            contained(db, n) {
+              // mirror the production swap's pre-rename hygiene: a crash
+              // between the old table's DROP and its dropStaleLocation
+              // can leave the destination directory behind, which would
+              // fail the recovery rename exactly like the swap it
+              // finishes (review r16)
+              dropStaleLocation(spark, s"$db.$base")
+              dropStaleLocation(spark, s"$db.$base$PhysSuffix")
+              spark.sql(
+                s"ALTER TABLE $db.$n RENAME TO $db.$base$PhysSuffix")
+              createLogicalView(s"$db.$base")
+              warn("Note", 1105, s"table `$db`.`$base` recovered at " +
+                "session start: completed an interrupted DDL swap")
+            }
         } else if (n.toLowerCase.endsWith(PhysSuffix)) {
           // the ADJACENT half-done states (review r16): a live phys
           // table whose logical view is missing — a crash between the
@@ -1506,7 +1531,13 @@ final class GraftSession(val spark: SparkSession) {
           // alternative (guessing drop-intent) could discard data.
           val base = n.dropRight(PhysSuffix.length)
           if (!spark.catalog.tableExists(s"$db.$base"))
-            createLogicalView(s"$db.$base")
+            contained(db, n) {
+              createLogicalView(s"$db.$base")
+              warn("Note", 1105, s"table `$db`.`$base` recovered at " +
+                "session start: recreated its missing view (a crash " +
+                "mid-DROP TABLE resurrects the table; re-issue the " +
+                "DROP to finish it)")
+            }
         }
       }
     }

@@ -106,10 +106,17 @@ object Formats extends QueryModule {
         // filesystem rejects setLastModified (ADVICE r15: permissions,
         // some network/container mounts silently return false), rewrite
         // the `.graft_live` marker file instead — its own fresh mtime is
-        // what liveStamp() above consults alongside the dir's
+        // what liveStamp() above consults alongside the dir's. The
+        // marker write can itself throw on the same class of mount
+        // (ADVICE r16: read-only/quota-limited scratch) — a liveness
+        // refresh is best-effort bookkeeping and must degrade to the
+        // pre-refresh behavior, never fail the query it serves
         if (!new java.io.File(dir).setLastModified(System.currentTimeMillis()))
-          java.nio.file.Files.write(
+          try java.nio.file.Files.write(
             java.nio.file.Paths.get(dir, ".graft_live"), Array.empty[Byte])
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] liveness refresh of $dir failed: $e")
+          }
         val c = s.read.schema(li.schema).option("header", "true").csv(s"$dir/csv")
         val j = s.read.schema(li.schema).json(s"$dir/json")
         c.select(lit("csv").as("fmt"), col("l_returnflag"), col("l_quantity"))

@@ -94,9 +94,11 @@ class BenchFormatSpec extends AnyFunSuite {
     // healthy probe p50, but 1843 ms of collector time inside a 2.5 s
     // query window says JVM pressure, not code
     val hits = Seq(
-      ("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 1.512),
-      ("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, -1.0),
-      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, -2.0))
+      Bench.Hit("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 912L,
+        rt = 1.512, rtP50 = 0.024, rtGc = 210L),
+      Bench.Hit("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 77L),
+      Bench.Hit("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 2048L,
+        rt = -2.0, rtP50 = 0.019, rtGc = 3L))
     val line = Bench.renderProbeContext(mids, hits)
     // sm carries every mid probe p50 in cadence order — a storm window
     // is visible at its position (the 1.234 third entry here)
@@ -107,20 +109,28 @@ class BenchFormatSpec extends AnyFunSuite {
       // dedup_minhash_lsh shape here is the real r14 ambiguity —
       // healthy probe, healthy gc, but 5 GB of storage-layer reads
       // inside the window says I/O pressure, not code.
-      // rt is the sixth (r15 verdict item 1): the decontaminate shape
-      // is the real r15 ambiguity — ALL axes healthy on untouched code;
-      // its 1.512 re-run at the committed 1.50 s says window, not code.
-      // Sentinels render as bare ints: -1 beyond the cap, -2 failed.
-      """["decontaminate",2.3,0.022,1843,41,1.512],["ngram_novelty",1.6,0.018,12,3,-1],["dedup_minhash_lsh",1.6,0.020,7,5123,-2]"""))
+      // alloc_mb is the sixth (r16 verdict item 3): the decontaminate
+      // shape carries 912 MB allocated next to its 1843 ms of gc — if
+      // the committed alloc is also ~900 the gc is a slower COLLECTOR
+      // (host), if committed were ~90 the query allocated 10x (code).
+      // The retry entry is last (r15 item 1 + r16 item 1): -1 beyond
+      // the cap, else [rt, rt_p50, rt_gc] — decontaminate's 1.512 s
+      // re-run lands next to ITS OWN healthy 0.024 probe, so this
+      // "window, not code" call is in-artifact even when the window
+      // outlives the suite; a failed re-run keeps its context (-2 with
+      // the probe/gc that watched it fail).
+      """["decontaminate",2.3,0.022,1843,41,912,[1.512,0.024,210]],["ngram_novelty",1.6,0.018,12,3,77,-1],["dedup_minhash_lsh",1.6,0.020,7,5123,2048,[-2,0.019,3]]"""))
     // the cap keeps a pathological run from eating the tail; hn still
     // records the TRUE count so the cap is never a silent truncation
-    val many = (1 to 20).map(i => (s"query_with_a_long_name_$i",
-      1.5 + i / 10.0, 0.02, 0.05, 999L, 9999L, 12.345))
+    val many = (1 to 20).map(i => Bench.Hit(s"query_with_a_long_name_$i",
+      1.5 + i / 10.0, 0.02, 0.05, 999L, 9999L, 99999L,
+      rt = 12.345, rtP50 = 0.021, rtGc = 999L))
     val capped = Bench.renderProbeContext(mids, many)
     assert(capped.contains("\"hn\":20"), capped)
-    assert(capped.count(_ == '[') == 1 + 1 + 6, // sm + hits array + 6 entries
+    // sm + hits array + 6 entries + each entry's retry-context array
+    assert(capped.count(_ == '[') == 1 + 1 + 6 + 6,
       s"hit cap not applied: $capped")
-    assert(capped.length < 490, s"capped probe line too long: ${capped.length}")
+    assert(capped.length < 620, s"capped probe line too long: ${capped.length}")
     // healthy run: empty hits, still parseable
     assertFragments(Bench.renderProbeContext(mids, Nil),
       Seq("\"hn\":0", "\"hits\":[]"))
@@ -133,12 +143,14 @@ class BenchFormatSpec extends AnyFunSuite {
     // total line. Render the block for the real 107-query suite with
     // the committed comparator values (the realistic digit widths) plus
     // a WORST-CASE probe-context line (7 storm-inflated mids + the hit
-    // cap saturated with the longest query names) and assert the
-    // end-of-suite block leaves headroom: block + probes + total
-    // <= 1700 bytes, so ~300 bytes of streamed named lines survive to
-    // cross-check the positional order even when every probe fires at
-    // storm magnitudes. (A healthy run's probe line is ~60 bytes, not
-    // ~260, so the usual margin stays ~500.)
+    // cap saturated with the longest query names, every axis and the
+    // retry context at max digit width) and assert the end-of-suite
+    // block leaves headroom: block + probes + total <= 1850 bytes, so
+    // ~150 bytes (~5 named lines) survive to cross-check the
+    // positional order even when every probe fires at storm
+    // magnitudes. (A healthy run's probe line is ~60 bytes, not ~700,
+    // so the usual margin stays ~500; the realistic-shape e2e test
+    // below pins >= 10 named lines.)
     val rs = BenchRef.committed.toSeq.sortBy(_._1)
     assert(rs.size >= 100, "comparator map lost its suite")
     val sched = Bench.schedJson(0.02, 0.047, 0.013, 0.029)
@@ -149,14 +161,17 @@ class BenchFormatSpec extends AnyFunSuite {
     // worst-case gc_ms: a 6-digit value (a 100+ s suite could in theory
     // accumulate that much collector time inside one pathological
     // query); worst-case io_mb: 5 digits = 100 GB read inside one
-    // query window, beyond any plausible sf0.1 run; worst-case rt:
-    // a 2-digit-seconds re-run (the heaviest queries run ~8 s)
+    // query window, beyond any plausible sf0.1 run; worst-case
+    // alloc_mb: 6 digits = a terabyte allocated inside one window;
+    // worst-case retry: a 2-digit-seconds re-run (the heaviest queries
+    // run ~8 s) carrying a storm-inflated probe and 6-digit gc context
     val worstHits = longest.take(8).map(n =>
-      (n, 12.3, 12.345, 99.999, 999999L, 99999L, 99.999))
+      Bench.Hit(n, 12.3, 12.345, 99.999, 999999L, 99999L, 999999L,
+        rt = 99.999, rtP50 = 12.345, rtGc = 999999L))
     val block = Bench.renderQvLines(rs).map(_ + "\n").mkString +
       Bench.renderProbeContext(worstMids, worstHits) + "\n" +
       Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1") + "\n"
-    assert(block.length <= 1700,
+    assert(block.length <= 1850,
       s"end-of-suite block grew to ${block.length} bytes — the 2000-byte " +
         "tail would start losing the cross-check named lines")
   }
@@ -175,15 +190,19 @@ class BenchFormatSpec extends AnyFunSuite {
     // outlier hits (the r12 scenario — all fired in the cut head)
     val mids = Seq.newBuilder[(Int, Double, Double)]
     val hits = Seq(
-      ("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 1.512),
-      ("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 5.601),
-      ("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 0.913))
+      Bench.Hit("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 912L,
+        rt = 1.512, rtP50 = 0.024, rtGc = 210L),
+      Bench.Hit("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 2048L,
+        rt = 5.601, rtP50 = 0.021, rtGc = 188L),
+      Bench.Hit("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 77L,
+        rt = 0.913, rtP50 = 0.019, rtGc = 9L))
     rs.zipWithIndex.foreach { case ((n, v), i) =>
       stdout ++= s"""{"q":"$n","sec":${Bench.fmt(v)}}""" + "\n"
       // the streamed hit line fires BEFORE the post-suite re-run
       // exists, so it carries no rt — only the probe-context line does
-      hits.find(_._1 == n).foreach { case (hn, r, p, m, g, io, _) =>
-        stdout ++= Bench.renderSchedHit(hn, r, p, m, g, io) + "\n" }
+      hits.find(_.q == n).foreach { h =>
+        stdout ++= Bench.renderSchedHit(h.q, h.r, h.p50, h.max, h.gc,
+          h.io, h.al) + "\n" }
       if ((i + 1) % 15 == 0 && i + 1 < rs.size) {
         mids += ((i + 1, 0.016, 0.053))
         stdout ++= s"""{"sched_mid":0.016,"max":0.053,"after":${i + 1}}""" + "\n"
@@ -228,22 +247,31 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("sched_hit: streamed line and file array shapes") {
-    val streamed =
-      Bench.renderSchedHit("stats_topk", 2.7341, 0.018, 0.051, 412L, 73L)
+    val streamed = Bench.renderSchedHit("stats_topk", 2.7341, 0.018,
+      0.051, 412L, 73L, 512L)
     assertFragments(streamed, Seq("\"sched_hit\":0.018", "\"max\":0.051",
-      "\"q\":\"stats_topk\"", "\"r\":2.7", "\"gc\":412", "\"io\":73"))
-    assert(streamed.length < 95, streamed)
-    assert(Bench.hitsJson(Seq(("stats_topk", 2.7341, 0.018, 0.051, 412L, 73L, 1.207))) ==
-      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73,"rt":1.207}]""")
-    // retry sentinels render as bare ints, never as a fake duration
-    assert(Bench.hitsJson(Seq(("a", 1.6, 0.01, 0.02, 1L, 0L, -1.0)))
-      .contains("\"rt\":-1"))
-    assert(Bench.hitsJson(Seq(("a", 1.6, 0.01, 0.02, 1L, 0L, -2.0)))
-      .contains("\"rt\":-2"))
+      "\"q\":\"stats_topk\"", "\"r\":2.7", "\"gc\":412", "\"io\":73",
+      "\"al\":512"))
+    assert(streamed.length < 105, streamed)
+    assert(Bench.hitsJson(Seq(Bench.Hit("stats_topk", 2.7341, 0.018,
+      0.051, 412L, 73L, 512L, rt = 1.207, rtP50 = 0.02, rtGc = 31L))) ==
+      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73,"al":512,"rt":1.207,"rt_p50":0.020,"rt_gc":31}]""")
+    // retry sentinels render as bare ints, never as a fake duration;
+    // an un-retried hit has no context (-1 everywhere), a FAILED retry
+    // keeps its real probe/gc context next to the -2
+    val unretried =
+      Bench.hitsJson(Seq(Bench.Hit("a", 1.6, 0.01, 0.02, 1L, 0L, 9L)))
+    Seq("\"rt\":-1", "\"rt_p50\":-1", "\"rt_gc\":-1").foreach(f =>
+      assert(unretried.contains(f), s"missing `$f` in $unretried"))
+    val failedRetry =
+      Bench.hitsJson(Seq(Bench.Hit("a", 1.6, 0.01, 0.02, 1L, 0L, 9L,
+        rt = -2.0, rtP50 = 0.019, rtGc = 3L)))
+    Seq("\"rt\":-2", "\"rt_p50\":0.019", "\"rt_gc\":3").foreach(f =>
+      assert(failedRetry.contains(f), s"missing `$f` in $failedRetry"))
     // no hits → empty but still-parseable structures in the file record
     val line = Bench.renderFullRecord(results, sched, "/d")
     assertFragments(line, Seq("\"sched_hit\":[]", "\"gc_ms\":{}",
-      "\"io_mb\":{}"))
+      "\"io_mb\":{}", "\"alloc_mb\":{}"))
     // the per-query gc map makes sub-hit movers adjudicable from a
     // committed record; it must follow the queries map so the
     // comparator-pin parser's first-} scan still isolates queries
@@ -258,6 +286,13 @@ class BenchFormatSpec extends AnyFunSuite {
     assertFragments(withIo, results.map { case (n, _) => s"""\"$n\":234""" })
     assert(withIo.indexOf("\"io_mb\":{") > withIo.indexOf("\"queries\":{"))
     assert(withIo.indexOf("\"io_mb\":{") < withIo.indexOf("\"sched\":{"))
+    // alloc_mb (r16 verdict item 3): same contract again — the volume
+    // axis that disambiguates an inflated gc_ms after the fact
+    val withAl = Bench.renderFullRecord(results, sched, "/d",
+      als = results.map { case (n, _) => n -> 678L })
+    assertFragments(withAl, results.map { case (n, _) => s"""\"$n\":678""" })
+    assert(withAl.indexOf("\"alloc_mb\":{") > withAl.indexOf("\"queries\":{"))
+    assert(withAl.indexOf("\"alloc_mb\":{") < withAl.indexOf("\"sched\":{"))
   }
 
   test("the committed comparator matches its source artifact's values") {

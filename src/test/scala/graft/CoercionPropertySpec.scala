@@ -365,17 +365,20 @@ class CoercionPropertySpec extends SparkSuite {
         expectPass(c, s"'${c.mx}'", Some(c.mx))
         expectRaise(c, s"'${c.mn - 1}'")
       }
-      // seeded random values folded around each range so roughly half
-      // land inside [mn, mx] (pass, stored exactly) and half in
-      // (mx, mx+span] (raise) — every draw within the storage type
+      // seeded random values folded into each branch EXPLICITLY: the
+      // pass draw into [mn, mx], the raise draw into (mx, mx+span] —
+      // the previous mn + |r| % (span*2) fold could never produce an
+      // out-of-range value for the widest column (|r| <= 2⁶³-1 < bu's
+      // 1.8e19 span), so its raise branch silently went unexercised
+      // (ADVICE r16); the forced split exercises both on every column
       val raw = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 12)
       cols.zipWithIndex.foreach { case (c, i) =>
         val span = c.mx - c.mn + 1
-        raw.slice(i * 2, i * 2 + 2).foreach { r =>
-          val v = c.mn + BigDecimal(r).abs % (span * 2)
-          if (v <= c.mx) expectPass(c, v.toString, Some(v))
-          else expectRaise(c, v.toString)
-        }
+        val Seq(rPass, rRaise) = raw.slice(i * 2, i * 2 + 2)
+        val vPass = c.mn + BigDecimal(rPass).abs % span
+        expectPass(c, vPass.toString, Some(vPass))
+        val vRaise = c.mx + 1 + BigDecimal(rRaise).abs % span
+        expectRaise(c, vRaise.toString)
       }
     } finally gs.execute("DROP TABLE IF EXISTS scop")
   }

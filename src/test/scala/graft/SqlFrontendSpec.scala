@@ -873,8 +873,17 @@ class SqlFrontendSpec extends SparkSuite {
       "the stranded table must not surface mid-crash")
     // a NEW session completes the interrupted swap on construction
     val gs2 = new GraftSession(spark)
+    // the recovery is surfaced, not silent (r16 verdict item 4): the
+    // note sits in the diagnostics area until the first non-diagnostic
+    // statement — exactly the window a post-crash operator checks
+    val notes = gs2.query("SHOW WARNINGS")
+    assert(notes.exists(w => w.contains("`sqlfe`.`orph`") &&
+      w.contains("interrupted DDL swap")),
+      s"session-start recovery must record a SHOW WARNINGS note: $notes")
     assert(gs2.query("SELECT id, v FROM sqlfe.orph ORDER BY id") ==
       Seq("1 10", "2 20"), "recovered table must serve its full data")
+    // ...and the data statement above cleared it, like any statement
+    assert(!gs2.query("SHOW WARNINGS").exists(_.contains("recovered")))
     assert(spark.catalog.tableExists("sqlfe.orph__data"))
     assert(!spark.catalog.tableExists("sqlfe.orph__ddlnew__data"))
     // the recovered table is fully operational, not just readable
@@ -897,6 +906,14 @@ class SqlFrontendSpec extends SparkSuite {
     gs.execute("INSERT INTO vless VALUES (1, 10)")
     spark.sql("DROP VIEW sqlfe.vless") // the simulated crash point
     val gs2 = new GraftSession(spark)
+    // the resurrect tradeoff is OBSERVABLE (r16 verdict item 4): the
+    // note names the table and tells the operator how to finish an
+    // intended drop, so a crash mid-DROP TABLE is learnable from the
+    // session itself rather than inferred from the table's reappearance
+    val notes = gs2.query("SHOW WARNINGS")
+    assert(notes.exists(w => w.contains("`sqlfe`.`vless`") &&
+      w.contains("missing view") && w.contains("re-issue the DROP")),
+      s"view recovery must record a SHOW WARNINGS note: $notes")
     assert(gs2.query("SELECT id, v FROM sqlfe.vless") == Seq("1 10"),
       "view must be recreated over the live phys table")
     gs2.execute("DROP TABLE sqlfe.vless")

@@ -157,7 +157,7 @@ def mutate_documents(df):
 CEILING_QUERIES = ["events_rollup", "events_window_agg"]
 
 
-def run_ceiling_witness(sf, work, repo):
+def run_ceiling_witness(work, repo):
     """Expected-failure run: one |value| > 9.2e14 row must abort BOTH
     engines loudly on the units4 exact-sum queries (the ExactNum
     lockstep-ceiling claim), never fork a hash."""
@@ -182,6 +182,17 @@ def run_ceiling_witness(sf, work, repo):
     r = subprocess.run(cmd, cwd=repo, env=env,
                        stderr=subprocess.PIPE, text=True)
     sys.stderr.write(r.stderr)
+    # Verify exits 0 even when individual queries fail (per-query
+    # failures are `[verify] ... failed:` stderr lines) — a NONZERO exit
+    # means sbt never launched or the build broke, which must read as
+    # its own diagnostic, not a FileNotFoundError on the oracle dump
+    # below (ADVICE r16)
+    if r.returncode != 0:
+        sys.exit(f"[degenerate] Verify did not run (sbt exit "
+                 f"{r.returncode}) — the witness proves nothing")
+    if not os.path.exists(f"{out}/oracle_sql.json"):
+        sys.exit(f"[degenerate] Verify left no {out}/oracle_sql.json — "
+                 "the run aborted before the oracle dump; witness void")
     bad = []
     for q in CEILING_QUERIES:
         if f"[verify] {q} failed:" not in r.stderr:
@@ -251,7 +262,7 @@ def main():
     print(f"[degenerate] copied {sf} -> {work}")
 
     if ceiling:
-        run_ceiling_witness(sf, work, repo)
+        run_ceiling_witness(work, repo)
         return
 
     rewrite(f"{work}/events.parquet", mutate_events)
