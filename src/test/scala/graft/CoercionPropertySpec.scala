@@ -380,6 +380,23 @@ class CoercionPropertySpec extends SparkSuite {
         val vRaise = c.mx + 1 + BigDecimal(rRaise).abs % span
         expectRaise(c, vRaise.toString)
       }
+      // FRACTIONAL numeric sources round half away from zero BEFORE
+      // the range check (reference convert.go ConvertFloatToInt rounds
+      // first; caught live in r17 by the sql_dml_lifecycle cents gate:
+      // Spark's plain cast truncated 878620.9999… to 878620 where
+      // MySQL stores 878621). The D suffix pins a DOUBLE source, the
+      // CAST pins a positive-scale DECIMAL source.
+      val m = cols.head // MEDIUMINT, the gate's own shape
+      expectPass(m, "12.5D", Some(BigDecimal(13)))
+      expectPass(m, "-12.5D", Some(BigDecimal(-13)))
+      expectPass(m, "12.49D", Some(BigDecimal(12)))
+      expectPass(m, "CAST(12.5 AS DECIMAL(4,1))", Some(BigDecimal(13)))
+      // rounding interacts with the boundary: mx + 0.4 rounds DOWN to
+      // mx (pass), mx + 0.5 rounds UP past it (raise 1264)
+      expectPass(m, s"${m.mx}.4D", Some(m.mx))
+      expectRaise(m, s"${m.mx}.5D")
+      expectPass(m, s"${m.mn}.4D", Some(m.mn))
+      expectRaise(m, s"${m.mn}.6D")
     } finally gs.execute("DROP TABLE IF EXISTS scop")
   }
 }

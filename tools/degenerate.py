@@ -19,7 +19,15 @@ Planted classes (all deterministic — same input dir, same mutation):
                  NULL sweep (~1/7 of rows; count(expr) twins must
                  ignore NULLs symmetrically)
   customer       two NULL-custkey rows (REPLACE displacement: NULL
-                 unique keys never displace, executor/replace.go)
+                 unique keys never displace, executor/replace.go);
+                 three acctbal rewrites whose cents land EXACTLY on
+                 the MEDIUMINT declared boundaries (+-8388607/8)
+                 through sql_dml_lifecycle's strict INSERT and
+                 REPLACE entry points (r16 verdict item 5: the
+                 strict-1264 check's pass side and the half-away-
+                 from-zero double->int rounding under the
+                 cross-engine gate — the rounding divergence this
+                 plant class caught live on its first run)
   documents      one 20000-token doc whose mean_tok_len is EXACTLY
                  2.00005 (a 4-dp half — the ExactNum.round4 witness),
                  and a prefix-overlap doc pair whose 3-gram Jaccard is
@@ -41,8 +49,13 @@ Usage:
     ceiling where |x*10000| exceeds 2^63) and demonstrates the
     ExactNum.scala scaladoc claim — BOTH engines abort LOUDLY on the
     exact-sum queries (Spark's ANSI long cast, DuckDB's BIGINT cast)
-    rather than forking a hash. Exits 0 iff both engines aborted on
-    both affected queries (events_window_agg, events_rollup).
+    rather than forking a hash. Also plants one customer row whose
+    cents exceed the MEDIUMINT declared max: the strict-1264 raise
+    side of the boundary class above, Spark-only by design (the
+    declared range is MySQL metadata the oracle never declares — the
+    oracle running clean is itself asserted). Exits 0 iff both engines
+    aborted on both events queries AND Spark alone raised 1264 on
+    sql_dml_lifecycle.
 
 Driver-side python only (pyarrow/pandas/duckdb) — never part of the
 engine.
@@ -113,6 +126,32 @@ def mutate_events(df):
 
 
 def mutate_customer(df):
+    # --- declared-range boundary plants (r16 verdict item 5) ---
+    # sql_dml_lifecycle stores c_acctbal*100 into a MEDIUMINT cents
+    # column under STRICT sql_mode, so the strict-1264 check's PASS
+    # side and the round-half-away-from-zero double->int coercion run
+    # under the cross-engine hash gate. Three rows are rewritten so
+    # the coerced cents land EXACTLY on the declared boundaries:
+    #   max  8388607 via the INSERT entry point  (custkey 51..200)
+    #   min -8388608 via the INSERT entry point  (custkey 51..200)
+    #   max  8388607 via the REPLACE entry point (custkey <= 50 gets
+    #                 +1000 before the cents conversion)
+    # custkey % 10 != 0 keeps them alive past the lifecycle's DELETE.
+    # (The RAISE side cannot be green by definition; --ceiling plants
+    # it as an expected failure, and CoercionPropertySpec property-
+    # tests it in-process.)
+    bal = df["c_acctbal"].astype("float64").copy()
+    ins = df.index[(df["c_custkey"] >= 51) & (df["c_custkey"] <= 200)
+                   & (df["c_custkey"] % 10 != 0)][:2]
+    rep = df.index[(df["c_custkey"] >= 1) & (df["c_custkey"] <= 50)
+                   & (df["c_custkey"] % 10 != 0)][:1]
+    assert len(ins) == 2 and len(rep) == 1, \
+        "customer fixture too small for the boundary plants"
+    bal.loc[ins[0]] = 83886.07    # *100 -> rounds to  8388607
+    bal.loc[ins[1]] = -83886.08   # *100 -> rounds to -8388608
+    bal.loc[rep[0]] = 82886.07    # (+1000)*100 -> rounds to 8388607
+    df["c_acctbal"] = bal
+    # --- NULL unique keys (REPLACE displacement) ---
     # the key column must be NULLABLE pandas-side before the concat, or
     # pandas silently promotes the mix to object/float
     df = df.assign(c_custkey=df["c_custkey"].astype("Int64"))
@@ -120,7 +159,11 @@ def mutate_customer(df):
     two["c_custkey"] = pd.array([pd.NA, pd.NA], dtype="Int64")
     two["c_name"] = ["null-key-a", "null-key-b"]
     out = pd.concat([df, two], ignore_index=True)
-    print("[degenerate] customer: +2 NULL-custkey rows")
+    print("[degenerate] customer: +2 NULL-custkey rows, 3 MEDIUMINT-"
+          "boundary cents plants (custkeys "
+          f"{int(df['c_custkey'].loc[ins[0]])}/"
+          f"{int(df['c_custkey'].loc[ins[1]])} insert, "
+          f"{int(df['c_custkey'].loc[rep[0]])} replace)")
     return out
 
 
@@ -155,12 +198,21 @@ def mutate_documents(df):
 
 
 CEILING_QUERIES = ["events_rollup", "events_window_agg"]
+# the strict-1264 raise witness (r16 verdict item 5, the side the
+# default pre-flight cannot gate green): one customer row whose cents
+# exceed the MEDIUMINT declared max must abort sql_dml_lifecycle's
+# strict INSERT Spark-side. SPARK-ONLY by design: the declared range
+# is MySQL table metadata the DuckDB oracle never declares (its SELECT
+# computes the same cents into a plain INTEGER), so the oracle running
+# CLEAN on the same fixture is the expected shape, asserted below.
+RANGE_QUERY = "sql_dml_lifecycle"
 
 
 def run_ceiling_witness(work, repo):
     """Expected-failure run: one |value| > 9.2e14 row must abort BOTH
     engines loudly on the units4 exact-sum queries (the ExactNum
-    lockstep-ceiling claim), never fork a hash."""
+    lockstep-ceiling claim), never fork a hash; one out-of-declared-
+    range customer row must raise 1264 on the strict DML path."""
     def plant(df):
         v = df["value"].astype("float64").copy()
         assert pd.notna(v.iloc[0]) and pd.notna(df["ts"].iloc[0]), \
@@ -172,12 +224,25 @@ def run_ceiling_witness(work, repo):
         return df
     rewrite(f"{work}/events.parquet", plant)
 
+    def plant_range(df):
+        bal = df["c_acctbal"].astype("float64").copy()
+        at = df.index[(df["c_custkey"] >= 51) & (df["c_custkey"] <= 200)
+                      & (df["c_custkey"] % 10 != 0)][:1]
+        assert len(at) == 1, "no customer row reaches the lifecycle insert"
+        bal.loc[at[0]] = 90000.0  # cents 9000000 > MEDIUMINT max 8388607
+        df["c_acctbal"] = bal
+        print(f"[degenerate] customer: planted acctbal=90000 at custkey "
+              f"{int(df['c_custkey'].loc[at[0]])} (cents above the "
+              "MEDIUMINT declared max)")
+        return df
+    rewrite(f"{work}/customer.parquet", plant_range)
+
     out = f"{work}_out"
     shutil.rmtree(out, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get(
         "SPARK_GRAFT_CPUS", "8"))
     cmd = ["sbt", "-batch", "runMain graft.Verify " +
-           " ".join([work, out] + CEILING_QUERIES)]
+           " ".join([work, out] + CEILING_QUERIES + [RANGE_QUERY])]
     print(f"[degenerate] {' '.join(cmd)}  (EXPECTING per-query failures)")
     r = subprocess.run(cmd, cwd=repo, env=env,
                        stderr=subprocess.PIPE, text=True)
@@ -202,6 +267,16 @@ def run_ceiling_witness(work, repo):
     if "overflow" not in r.stderr.lower():
         bad.append("Spark failures do not mention an overflow/cast abort")
 
+    # the strict-1264 witness: the lifecycle's strict INSERT must have
+    # raised the declared-range error, leaving no output
+    if f"[verify] {RANGE_QUERY} failed:" not in r.stderr:
+        bad.append(f"Spark did NOT abort on {RANGE_QUERY}")
+    if "out of range" not in r.stderr.lower() or "1264" not in r.stderr:
+        bad.append(f"{RANGE_QUERY} abort is not the 1264 declared-range "
+                   "raise")
+    if os.path.exists(f"{out}/{RANGE_QUERY}"):
+        bad.append(f"Spark left output for {RANGE_QUERY} despite the plant")
+
     # the DuckDB twin: the SAME oracle SQL must abort too (oracle_sql
     # .json is written after the per-query loop, failures notwithstanding)
     import duckdb
@@ -222,12 +297,24 @@ def run_ceiling_witness(work, repo):
                        for w in ("conversion", "range", "cast")):
                 bad.append(f"DuckDB abort on {q} is not a cast/range "
                            f"error: {msg.splitlines()[0]}")
+    # the 1264 class has NO DuckDB twin abort (see RANGE_QUERY note):
+    # the oracle must run CLEAN on the planted fixture — if it ever
+    # starts aborting, the witness's asymmetry claim is stale
+    try:
+        rows = con.execute(oracles[RANGE_QUERY]).fetchall()
+        assert rows, f"{RANGE_QUERY} oracle returned no rows"
+        print(f"[degenerate] duckdb {RANGE_QUERY} ran clean as expected "
+              "(declared range is MySQL metadata the oracle never sees)")
+    except Exception as e:
+        bad.append(f"DuckDB unexpectedly aborted on {RANGE_QUERY}: "
+                   f"{str(e).splitlines()[0]}")
     if bad:
         sys.exit("[degenerate] CEILING WITNESS FAILED:\n  " +
                  "\n  ".join(bad))
     print("[degenerate] ceiling witness OK: both engines aborted loudly "
-          f"on {CEILING_QUERIES} — no hash fork possible above the "
-          "units4 ceiling")
+          f"on {CEILING_QUERIES}, Spark alone raised 1264 on "
+          f"{RANGE_QUERY} — no hash fork possible above the units4 "
+          "ceiling or outside a declared range")
 
 
 def main():
