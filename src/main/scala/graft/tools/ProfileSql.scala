@@ -58,19 +58,25 @@ object ProfileSql {
     ex("DROP TABLE floor_t") // metastore only
 
     println("== sql_dml_lifecycle body ==")
+    // mirrors the query's r17 shape (c_balc MEDIUMINT cents) so the
+    // profile measures the statements the suite actually times
     ex("DROP TABLE IF EXISTS cust")
     ex("""CREATE TABLE cust (
             c_custkey BIGINT NOT NULL PRIMARY KEY,
             c_name VARCHAR(64),
-            c_acctbal DOUBLE)""")
+            c_acctbal DOUBLE,
+            c_balc MEDIUMINT)""")
     ex("""INSERT INTO cust
-          SELECT c_custkey, c_name, c_acctbal FROM customer
+          SELECT c_custkey, c_name, c_acctbal, c_acctbal * 100
+          FROM customer
           WHERE c_custkey <= 200""")
     ex("""REPLACE INTO cust
-          SELECT c_custkey, c_name, c_acctbal + 1000 FROM customer
+          SELECT c_custkey, c_name, c_acctbal + 1000,
+                 (c_acctbal + 1000) * 100
+          FROM customer
           WHERE c_custkey <= 50""")
     ex("DELETE FROM cust WHERE c_custkey % 10 = 0")
-    ex("SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM graft_prof.cust")
+    ex("SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal, c_balc FROM graft_prof.cust")
 
     println("== sql_ddl_alter body ==")
     ex("DROP TABLE IF EXISTS alt")
