@@ -128,9 +128,16 @@ object Bench {
       gcs: Seq[(String, Long)] = Seq.empty,
       ios: Seq[(String, Long)] = Seq.empty,
       als: Seq[(String, Long)] = Seq.empty, fails: Int = 0,
-      armed: Boolean = true): String = {
+      armed: Boolean = true, cpus: String = ""): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // cpus makes the FILE record self-describe its regime: BenchRef's
+    // refArmed gate compares SPARK_GRAFT_CPUS to BenchRef.cpus, and the
+    // gen_benchref.py transcriber used to hardcode 32 into the emitted
+    // provenance — re-recording the comparator on a different core
+    // count would have silently disarmed (or mis-armed) every future
+    // run. Empty = omitted, so pre-r17 records stay parseable.
+    val cj = if (cpus.isEmpty) "" else s""""cpus":"${jstr(cpus)}","""
     // per-query gc_ms, io_mb, and alloc_mb go to the FILE record only
     // (no tail budget there): the in-tail probe context carries them
     // for the capped worst HITS, but adjudicating a 1.3x mover that
@@ -143,7 +150,7 @@ object Bench {
       .mkString("\"io_mb\":{", ",", "}")
     val aj = als.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("\"alloc_mb\":{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,"queries":$qs,$gj,$ij,$aj,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,$cj"queries":$qs,$gj,$ij,$aj,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
   }
 
   /** One triggered outlier probe with everything the in-artifact
@@ -592,7 +599,7 @@ object Bench {
       case (rt, p, g) => h.copy(rt = rt, rtP50 = p, rtGc = g) })
     val line = renderFullRecord(results, sched, sfDir, midsV,
       hitsV, gcs.result(), ios.result(), als.result(), suiteFails,
-      refArmed)
+      refArmed, cpus)
     // The ~1.9 KB NAMED per-query map line goes to the FILE ONLY: in r9
     // it consumed most of the driver's bounded stdout tail and pushed 23
     // of the 107 short per-query lines out of the window. The positional

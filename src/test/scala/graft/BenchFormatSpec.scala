@@ -293,6 +293,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assertFragments(withAl, results.map { case (n, _) => s"""\"$n\":678""" })
     assert(withAl.indexOf("\"alloc_mb\":{") > withAl.indexOf("\"queries\":{"))
     assert(withAl.indexOf("\"alloc_mb\":{") < withAl.indexOf("\"sched\":{"))
+    // cpus (r17): the file record self-describes its regime so the
+    // gen_benchref.py transcriber never has to guess the core count
+    // that refArmed will match. Scalar BEFORE the queries map (the
+    // pin parser's first-} scan is unaffected); omitted when empty so
+    // pre-r17 records keep their exact shape.
+    val withCpus = Bench.renderFullRecord(results, sched, "/d",
+      cpus = "32")
+    assert(withCpus.contains("\"cpus\":\"32\",\"queries\":{"), withCpus)
+    assert(!line.contains("\"cpus\""),
+      s"empty cpus must be omitted, not rendered: $line")
   }
 
   test("the committed comparator matches its source artifact's values") {

@@ -125,6 +125,18 @@ def mutate_events(df):
     return df
 
 
+def lifecycle_rows(df, lo, hi, n):
+    """Customer rows that reach sql_dml_lifecycle's write path (custkey
+    in [lo, hi] — [51, 200] lands in the INSERT entry point only,
+    [1, 50] in the REPLACE displacement) and survive its DELETE
+    (custkey % 10 != 0). The ONE definition shared by the pass-side
+    boundary plants and the --ceiling raise witness, so a change to
+    the lifecycle's WHERE bounds or DELETE modulus cannot leave one
+    copy planting rows the query never sees."""
+    return df.index[(df["c_custkey"] >= lo) & (df["c_custkey"] <= hi)
+                    & (df["c_custkey"] % 10 != 0)][:n]
+
+
 def mutate_customer(df):
     # --- declared-range boundary plants (r16 verdict item 5) ---
     # sql_dml_lifecycle stores c_acctbal*100 into a MEDIUMINT cents
@@ -141,10 +153,8 @@ def mutate_customer(df):
     # it as an expected failure, and CoercionPropertySpec property-
     # tests it in-process.)
     bal = df["c_acctbal"].astype("float64").copy()
-    ins = df.index[(df["c_custkey"] >= 51) & (df["c_custkey"] <= 200)
-                   & (df["c_custkey"] % 10 != 0)][:2]
-    rep = df.index[(df["c_custkey"] >= 1) & (df["c_custkey"] <= 50)
-                   & (df["c_custkey"] % 10 != 0)][:1]
+    ins = lifecycle_rows(df, 51, 200, 2)
+    rep = lifecycle_rows(df, 1, 50, 1)
     assert len(ins) == 2 and len(rep) == 1, \
         "customer fixture too small for the boundary plants"
     bal.loc[ins[0]] = 83886.07    # *100 -> rounds to  8388607
@@ -226,8 +236,7 @@ def run_ceiling_witness(work, repo):
 
     def plant_range(df):
         bal = df["c_acctbal"].astype("float64").copy()
-        at = df.index[(df["c_custkey"] >= 51) & (df["c_custkey"] <= 200)
-                      & (df["c_custkey"] % 10 != 0)][:1]
+        at = lifecycle_rows(df, 51, 200, 1)
         assert len(at) == 1, "no customer row reaches the lifecycle insert"
         bal.loc[at[0]] = 90000.0  # cents 9000000 > MEDIUMINT max 8388607
         df["c_acctbal"] = bal
@@ -300,14 +309,24 @@ def run_ceiling_witness(work, repo):
     # the 1264 class has NO DuckDB twin abort (see RANGE_QUERY note):
     # the oracle must run CLEAN on the planted fixture — if it ever
     # starts aborting, the witness's asymmetry claim is stale
+    rows = None
     try:
         rows = con.execute(oracles[RANGE_QUERY]).fetchall()
-        assert rows, f"{RANGE_QUERY} oracle returned no rows"
-        print(f"[degenerate] duckdb {RANGE_QUERY} ran clean as expected "
-              "(declared range is MySQL metadata the oracle never sees)")
     except Exception as e:
         bad.append(f"DuckDB unexpectedly aborted on {RANGE_QUERY}: "
                    f"{str(e).splitlines()[0]}")
+    # checked OUTSIDE the try: an empty result is a fixture problem
+    # (no row survived the lifecycle filters), not an engine abort —
+    # folding it into the except above would misdiagnose it as one
+    if rows is not None:
+        if rows:
+            print(f"[degenerate] duckdb {RANGE_QUERY} ran clean as "
+                  "expected (declared range is MySQL metadata the "
+                  "oracle never sees)")
+        else:
+            bad.append(f"{RANGE_QUERY} oracle returned no rows — the "
+                       "planted fixture never reached the lifecycle "
+                       "SELECT; fixture regression, not an abort")
     if bad:
         sys.exit("[degenerate] CEILING WITNESS FAILED:\n  " +
                  "\n  ".join(bad))

@@ -9,11 +9,18 @@ alpha order, the same order Bench renders) plus the `source`/`sourceFile`
 lines to update alongside, per BenchRef's own scaladoc contract.
 
 Usage:
-    python3 tools/gen_benchref.py BENCH_LOCAL_r17.json
+    python3 tools/gen_benchref.py BENCH_LOCAL_r17.json [cpus]
 
-Prints to stdout; paste over the `val committed` body (and the two
-provenance vals) in src/main/scala/graft/BenchRef.scala, then run
+Prints to stdout; paste over the `val committed` body (and the FOUR
+provenance vals: source, sourceFile, sfDirSuffix, cpus) in
+src/main/scala/graft/BenchRef.scala, then run
 `sbt testOnly graft.BenchFormatSpec` — the pin test is the receipt.
+
+The cpus regime comes from the record's own "cpus" field (written by
+Bench since r17); for an older record that lacks it, pass the core
+count the run used as the second argument. It matters: BenchRef.cpus
+gates refArmed, so a wrong value silently disarms (or mis-arms) the
+outlier trigger for every future run.
 
 Driver-side python only — never part of the engine.
 """
@@ -23,7 +30,7 @@ import sys
 
 
 def main():
-    if len(sys.argv) != 2:
+    if len(sys.argv) not in (2, 3):
         sys.exit(__doc__)
     path = sys.argv[1]
     src = open(path, encoding="utf-8").read()
@@ -46,13 +53,32 @@ def main():
     if [k for k, _ in pairs] != sorted(k for k, _ in pairs):
         sys.exit(f"{path}: queries not in alpha order — not a Bench-"
                  "rendered record")
-    # provenance lines: sf/cpus from the record are what refArmed matches
+    # provenance lines: sf/cpus are what refArmed matches — sf from the
+    # record; cpus from the record's own field (Bench writes it since
+    # r17) or, for older records, the explicit second argument. Never
+    # guessed: a wrong cpus silently disarms the outlier trigger.
     sf = re.search(r'"sf":"([^"]*)"', src)
     sfname = os.path.basename(sf.group(1)) if sf else "sf0.1"
+    cm = re.search(r'"cpus":"(\d+)"', src)
+    if cm:
+        cpus = cm.group(1)
+        if len(sys.argv) == 3 and sys.argv[2] != cpus:
+            sys.exit(f"{path}: record says cpus={cpus} but the argument "
+                     f"says {sys.argv[2]} — refusing to emit a comparator "
+                     "whose regime is in dispute")
+    elif len(sys.argv) == 3 and sys.argv[2].isdigit():
+        cpus = sys.argv[2]
+    else:
+        sys.exit(f"{path}: no \"cpus\" field in the record (pre-r17 "
+                 "format) — pass the run's core count as the second "
+                 "argument; refArmed matches it exactly")
     base = os.path.basename(path)
-    print(f'  val source = "{base} ({sfname}, cpus=32)"')
+    print(f'  val source = "{base} ({sfname}, cpus={cpus})"')
     print()
     print(f'  val sourceFile = "{base}"')
+    print()
+    print(f'  val sfDirSuffix = "{sfname}"')
+    print(f'  val cpus = "{cpus}"')
     print()
     print("  val committed: Map[String, Double] = Map(")
     body = ",\n".join(f'    "{k}" -> {v}' for k, v in pairs)
