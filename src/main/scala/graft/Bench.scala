@@ -165,20 +165,26 @@ object Bench {
     * the retry shares the suite's JVM and the degraded window
     * persisted; an elevated rt whose own probe/gc context is ALSO
     * inflated now self-adjudicates as window instead of reading as
-    * "code reproduces". Sentinels: rt -1 = beyond the retry cap
-    * (rtP50/rtGc are -1 too), rt -2 = the re-run failed (its context
-    * is still real — the probe ran and the collector was measured).
+    * "code reproduces". `rtAl` (r17 verdict item 3) is the MB allocated
+    * inside the re-run's own window — the one host-independent axis:
+    * an elevated rt with rtAl ≈ the committed alloc_mb is the box
+    * collecting/scheduling slower (window), rtAl inflated alongside is
+    * the same recompute/regression class the fire-time al axis reads.
+    * Sentinels: rt -1 = beyond the retry cap
+    * (rtP50/rtGc/rtAl are -1 too), rt -2 = the re-run failed (its
+    * context is still real — the probe ran and the collector was
+    * measured).
     */
   private[graft] final case class Hit(q: String, r: Double, p50: Double,
       max: Double, gc: Long, io: Long, al: Long, rt: Double = -1.0,
-      rtP50: Double = -1.0, rtGc: Long = -1L)
+      rtP50: Double = -1.0, rtGc: Long = -1L, rtAl: Long = -1L)
 
   /** Outlier-probe readings for the FILE record: one object per
     * triggered [[renderSchedHit]] line, plus the post-suite re-run
     * seconds (`rt`, see [[renderRetry]]) and its context. */
   private[graft] def hitsJson(hits: Seq[Hit]): String =
     hits.map { h =>
-      s"""{"q":"${h.q}","r":${fmt1(h.r)},"p50":${fmt(h.p50)},"max":${fmt(h.max)},"gc":${h.gc},"io":${h.io},"al":${h.al},"rt":${renderRetry(h.rt)},"rt_p50":${renderRetry(h.rtP50)},"rt_gc":${h.rtGc}}"""
+      s"""{"q":"${h.q}","r":${fmt1(h.r)},"p50":${fmt(h.p50)},"max":${fmt(h.max)},"gc":${h.gc},"io":${h.io},"al":${h.al},"rt":${renderRetry(h.rt)},"rt_p50":${renderRetry(h.rtP50)},"rt_gc":${h.rtGc},"rt_al":${h.rtAl}}"""
     }.mkString("\"sched_hit\":[", ",", "]")
 
   /** Post-suite re-run seconds of a hit query (r15 verdict item 1):
@@ -192,14 +198,17 @@ object Bench {
     if (rt < 0) rt.toInt.toString else fmt(rt)
 
   /** The probe-context retry entry: the bare -1 sentinel when the hit
-    * was never re-run, else `[rt, rt_p50, rt_gc]` — the re-run seconds
-    * WITH their own fresh host probe and collector reading, so an
-    * elevated rt carries the evidence to call itself window-or-code
-    * (r16 verdict item 1). rt = -2 (re-run failed) keeps its context.
+    * was never re-run, else `[rt, rt_p50, rt_gc, rt_al]` — the re-run
+    * seconds WITH their own fresh host probe, collector reading, and
+    * allocation volume, so an elevated rt carries the evidence to call
+    * itself window-or-code (r16 verdict item 1; rt_al r17 item 3 — the
+    * host-independent axis the retry previously lacked, the gap that
+    * left dedup_minhash_lsh's 2.7x healthy-context retry ambiguous).
+    * rt = -2 (re-run failed) keeps its context.
     */
   private[graft] def renderRetryCtx(h: Hit): String =
     if (h.rt == -1.0) "-1"
-    else s"[${renderRetry(h.rt)},${renderRetry(h.rtP50)},${h.rtGc}]"
+    else s"[${renderRetry(h.rt)},${renderRetry(h.rtP50)},${h.rtGc},${h.rtAl}]"
 
   /** One-decimal ratio formatting (locale-pinned, same reason as fmt). */
   private[graft] def fmt1(x: Double): String =
@@ -270,16 +279,21 @@ object Bench {
     *     Healthy probe + high gc + high alloc ⇒ a real allocation
     *     regression; all fire-time axes healthy ⇒ presumptive code,
     *     which the LAST entry adjudicates in-artifact (r15 verdict
-    *     item 1, context r16 item 1): `retry` is -1 when the hit was
-    *     beyond the retry cap, else `[rt, rt_p50, rt_gc]` — one
+    *     item 1, context r16 item 1, alloc r17 item 3): `retry` is -1
+    *     when the hit was beyond the retry cap, else
+    *     `[rt, rt_p50, rt_gc, rt_al]` — one
     *     post-suite UNTIMED re-run of the hit query (rt; -2 = the
-    *     re-run failed) with a FRESH host probe taken right before it
-    *     and the collector ms inside the re-run's own window. In
+    *     re-run failed) with a FRESH host probe taken right before it,
+    *     the collector ms, and the MB allocated inside the re-run's
+    *     own window. In
     *     BENCH_r16 the bare rt under-cleared 4 of 6 capped hits: the
     *     retry shares the suite's JVM, and when the degraded window
     *     outlives the suite an elevated rt read as "code reproduces";
     *     with its own context, elevated rt + inflated rt_p50/rt_gc
-    *     self-adjudicates as window in-artifact. Capped (hn records
+    *     self-adjudicates as window in-artifact — and rt_al is the
+    *     host-independent tiebreak for the healthy-context case
+    *     (committed-level rt_al = box sensitivity; inflated rt_al =
+    *     the recompute/regression class). Capped (hn records
     *     what the cap hides) so a pathological run cannot eat the
     *     tail: ~60 bytes healthy, ~640 worst-case at the cap — inside
     *     BenchFormatSpec's budget.
@@ -589,14 +603,14 @@ object Bench {
       // outlives the suite makes an elevated rt read as "code
       // reproduces" (BENCH_r16 under-cleared 4 of 6 capped hits)
       val (rtP50, _) = schedProbe()
-      val (sec, rtGc, _, _) = materialize(h.q)
+      val (sec, rtGc, _, rtAl) = materialize(h.q)
       System.err.println(s"[bench] retry ${h.q}: ${fmt(sec)}s" +
-        s" (probe ${fmt(rtP50)}, gc ${rtGc}ms)" +
+        s" (probe ${fmt(rtP50)}, gc ${rtGc}ms, al ${rtAl}MB)" +
         (if (lastFailed) " (failed)" else ""))
-      h.q -> ((if (lastFailed) -2.0 else sec, rtP50, rtGc))
+      h.q -> ((if (lastFailed) -2.0 else sec, rtP50, rtGc, rtAl))
     }.toMap
     val hitsV = hits0.map(h => retried.get(h.q).fold(h) {
-      case (rt, p, g) => h.copy(rt = rt, rtP50 = p, rtGc = g) })
+      case (rt, p, g, a) => h.copy(rt = rt, rtP50 = p, rtGc = g, rtAl = a) })
     val line = renderFullRecord(results, sched, sfDir, midsV,
       hitsV, gcs.result(), ios.result(), als.result(), suiteFails,
       refArmed, cpus)

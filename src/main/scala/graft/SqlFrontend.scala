@@ -2198,6 +2198,27 @@ final class GraftSession(val spark: SparkSession) {
       else raw.schema(n).dataType match {
         case DoubleType | FloatType => round(c.cast("double"))
         case d: DecimalType if d.scale > 0 => round(c)
+        case StringType =>
+          // STRICT-mode fractional STRING into an integral column
+          // (r17 residual, closed r18): MySQL parses the full numeric
+          // literal and rounds half away from zero — '12.5' stores 13
+          // (reference types/convert.go StrToInt: getValidIntPrefix
+          // keeps the fractional form, ConvertFloatToInt rounds) —
+          // where a bare ANSI string→int cast rejects it. Round ONLY
+          // the complete-literal fractional/exponent forms, in DECIMAL
+          // space (scale 18: exact integer part out to 10²⁰, past
+          // BIGINT UNSIGNED; MySQL itself detours through float64's
+          // ~16 digits); the rounded decimal renders back to an
+          // integer string so both branches stay StringType and the
+          // existing ANSI cast below does the exact parse. Integer-form
+          // strings keep the untouched exact path; malformed strings
+          // ('12.5abc') still abort in the ANSI cast, and '1e300'
+          // aborts in the decimal cast — MySQL's strict raise posture
+          // either way. Non-strict string sources never reach here
+          // (the coerceString branch owns them).
+          when(c.rlike(FullNumericRe) && c.rlike("[.eE]"),
+            round(c.cast(DecimalType(38, 18))).cast(StringType))
+            .otherwise(c)
         case _ => c
       }
     }

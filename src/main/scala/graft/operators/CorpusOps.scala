@@ -752,6 +752,11 @@ object CorpusOps extends QueryModule {
           .select(col("doc_id"),
             explode(expr(Dedup.ngramHashArrExpr(8))).as("h"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // eager breaker (r18): two consumers (census + join-back) of one
+        // persist in one action — same cache-fill race as decontaminate
+        // (r17 driver: alloc 2.9x committed), same fix (see the
+        // decontaminate comment in Dedup.scala for the adjudication)
+        g.count()
         val census = g.select(col("doc_id"), col("h")).distinct()
           .groupBy(col("h")).agg(count(lit(1)).as("nd"))
         g.join(census, Seq("h"))

@@ -600,13 +600,20 @@ object Dedup extends QueryModule {
       (s, d) => {
         val toks = tokens(Tables.load(s, d, "documents"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // deliberately NO eager count() breaker here, unlike the
-        // heavier multi-consumer persists in this module: measured at
-        // sf0.1 the extra materialization job costs ~0.3 s while the
-        // unbroken plan fills the cache on first touch without
-        // duplicated tokenize (1.33 s isolated without vs 1.71 s with
-        // — the quality_buckets persist lesson: measure, don't assume
-        // the convention transfers)
+        // Eager materialization breaker, restored in r18. This persist
+        // has THREE consumers in one action (train n-grams, eval
+        // n-grams, and the doc_id left-join spine); without the breaker
+        // concurrent branch tasks can race the cache fill and each
+        // recompute the corpus-scale tokenize+explode upstream — a
+        // scheduling-dependent duplication. The r13 local measurement
+        // that removed it (+0.38 s with the breaker at sf0.1) was
+        // outweighed by two consecutive driver rounds at >=6x committed
+        // (r16 9.36 s, r17 11.17 s vs 1.58 s) with 3.1x allocation on
+        // the host-independent axis and a reproducing healthy-context
+        // retry — the r17 verdict's five-axis rule adjudicated the
+        // race as code. At 100 TB the race duplicates a full corpus
+        // scan, so the one extra metadata-scale job is the right trade.
+        toks.count()
         val train = ngramHashes(toks, 8)
         val eval8 = evalNgramHashesFromTokens(toks)
         val overlap = train.join(eval8, "h")

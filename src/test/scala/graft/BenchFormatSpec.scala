@@ -95,10 +95,10 @@ class BenchFormatSpec extends AnyFunSuite {
     // query window says JVM pressure, not code
     val hits = Seq(
       Bench.Hit("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 912L,
-        rt = 1.512, rtP50 = 0.024, rtGc = 210L),
+        rt = 1.512, rtP50 = 0.024, rtGc = 210L, rtAl = 934L),
       Bench.Hit("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 77L),
       Bench.Hit("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 2048L,
-        rt = -2.0, rtP50 = 0.019, rtGc = 3L))
+        rt = -2.0, rtP50 = 0.019, rtGc = 3L, rtAl = 1988L))
     val line = Bench.renderProbeContext(mids, hits)
     // sm carries every mid probe p50 in cadence order — a storm window
     // is visible at its position (the 1.234 third entry here)
@@ -113,24 +113,27 @@ class BenchFormatSpec extends AnyFunSuite {
       // shape carries 912 MB allocated next to its 1843 ms of gc — if
       // the committed alloc is also ~900 the gc is a slower COLLECTOR
       // (host), if committed were ~90 the query allocated 10x (code).
-      // The retry entry is last (r15 item 1 + r16 item 1): -1 beyond
-      // the cap, else [rt, rt_p50, rt_gc] — decontaminate's 1.512 s
-      // re-run lands next to ITS OWN healthy 0.024 probe, so this
-      // "window, not code" call is in-artifact even when the window
-      // outlives the suite; a failed re-run keeps its context (-2 with
-      // the probe/gc that watched it fail).
-      """["decontaminate",2.3,0.022,1843,41,912,[1.512,0.024,210]],["ngram_novelty",1.6,0.018,12,3,77,-1],["dedup_minhash_lsh",1.6,0.020,7,5123,2048,[-2,0.019,3]]"""))
+      // The retry entry is last (r15 item 1 + r16 item 1 + r17 item 3):
+      // -1 beyond the cap, else [rt, rt_p50, rt_gc, rt_al] —
+      // decontaminate's 1.512 s re-run lands next to ITS OWN healthy
+      // 0.024 probe AND its 934 MB re-run allocation (≈ the 912 MB
+      // fire-time reading — the host-independent axis saying the re-run
+      // did the same work), so this "window, not code" call is
+      // in-artifact even when the window outlives the suite; a failed
+      // re-run keeps its context (-2 with the probe/gc/alloc that
+      // watched it fail).
+      """["decontaminate",2.3,0.022,1843,41,912,[1.512,0.024,210,934]],["ngram_novelty",1.6,0.018,12,3,77,-1],["dedup_minhash_lsh",1.6,0.020,7,5123,2048,[-2,0.019,3,1988]]"""))
     // the cap keeps a pathological run from eating the tail; hn still
     // records the TRUE count so the cap is never a silent truncation
     val many = (1 to 20).map(i => Bench.Hit(s"query_with_a_long_name_$i",
       1.5 + i / 10.0, 0.02, 0.05, 999L, 9999L, 99999L,
-      rt = 12.345, rtP50 = 0.021, rtGc = 999L))
+      rt = 12.345, rtP50 = 0.021, rtGc = 999L, rtAl = 99999L))
     val capped = Bench.renderProbeContext(mids, many)
     assert(capped.contains("\"hn\":20"), capped)
     // sm + hits array + 6 entries + each entry's retry-context array
     assert(capped.count(_ == '[') == 1 + 1 + 6 + 6,
       s"hit cap not applied: $capped")
-    assert(capped.length < 620, s"capped probe line too long: ${capped.length}")
+    assert(capped.length < 660, s"capped probe line too long: ${capped.length}")
     // healthy run: empty hits, still parseable
     assertFragments(Bench.renderProbeContext(mids, Nil),
       Seq("\"hn\":0", "\"hits\":[]"))
@@ -167,7 +170,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // run ~8 s) carrying a storm-inflated probe and 6-digit gc context
     val worstHits = longest.take(8).map(n =>
       Bench.Hit(n, 12.3, 12.345, 99.999, 999999L, 99999L, 999999L,
-        rt = 99.999, rtP50 = 12.345, rtGc = 999999L))
+        rt = 99.999, rtP50 = 12.345, rtGc = 999999L, rtAl = 999999L))
     val block = Bench.renderQvLines(rs).map(_ + "\n").mkString +
       Bench.renderProbeContext(worstMids, worstHits) + "\n" +
       Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1") + "\n"
@@ -191,11 +194,11 @@ class BenchFormatSpec extends AnyFunSuite {
     val mids = Seq.newBuilder[(Int, Double, Double)]
     val hits = Seq(
       Bench.Hit("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 912L,
-        rt = 1.512, rtP50 = 0.024, rtGc = 210L),
+        rt = 1.512, rtP50 = 0.024, rtGc = 210L, rtAl = 934L),
       Bench.Hit("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 2048L,
-        rt = 5.601, rtP50 = 0.021, rtGc = 188L),
+        rt = 5.601, rtP50 = 0.021, rtGc = 188L, rtAl = 2113L),
       Bench.Hit("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 77L,
-        rt = 0.913, rtP50 = 0.019, rtGc = 9L))
+        rt = 0.913, rtP50 = 0.019, rtGc = 9L, rtAl = 81L))
     rs.zipWithIndex.foreach { case ((n, v), i) =>
       stdout ++= s"""{"q":"$n","sec":${Bench.fmt(v)}}""" + "\n"
       // the streamed hit line fires BEFORE the post-suite re-run
@@ -254,20 +257,21 @@ class BenchFormatSpec extends AnyFunSuite {
       "\"al\":512"))
     assert(streamed.length < 105, streamed)
     assert(Bench.hitsJson(Seq(Bench.Hit("stats_topk", 2.7341, 0.018,
-      0.051, 412L, 73L, 512L, rt = 1.207, rtP50 = 0.02, rtGc = 31L))) ==
-      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73,"al":512,"rt":1.207,"rt_p50":0.020,"rt_gc":31}]""")
+      0.051, 412L, 73L, 512L, rt = 1.207, rtP50 = 0.02, rtGc = 31L,
+      rtAl = 498L))) ==
+      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73,"al":512,"rt":1.207,"rt_p50":0.020,"rt_gc":31,"rt_al":498}]""")
     // retry sentinels render as bare ints, never as a fake duration;
     // an un-retried hit has no context (-1 everywhere), a FAILED retry
-    // keeps its real probe/gc context next to the -2
+    // keeps its real probe/gc/alloc context next to the -2
     val unretried =
       Bench.hitsJson(Seq(Bench.Hit("a", 1.6, 0.01, 0.02, 1L, 0L, 9L)))
-    Seq("\"rt\":-1", "\"rt_p50\":-1", "\"rt_gc\":-1").foreach(f =>
-      assert(unretried.contains(f), s"missing `$f` in $unretried"))
+    Seq("\"rt\":-1", "\"rt_p50\":-1", "\"rt_gc\":-1", "\"rt_al\":-1")
+      .foreach(f => assert(unretried.contains(f), s"missing `$f` in $unretried"))
     val failedRetry =
       Bench.hitsJson(Seq(Bench.Hit("a", 1.6, 0.01, 0.02, 1L, 0L, 9L,
-        rt = -2.0, rtP50 = 0.019, rtGc = 3L)))
-    Seq("\"rt\":-2", "\"rt_p50\":0.019", "\"rt_gc\":3").foreach(f =>
-      assert(failedRetry.contains(f), s"missing `$f` in $failedRetry"))
+        rt = -2.0, rtP50 = 0.019, rtGc = 3L, rtAl = 11L)))
+    Seq("\"rt\":-2", "\"rt_p50\":0.019", "\"rt_gc\":3", "\"rt_al\":11")
+      .foreach(f => assert(failedRetry.contains(f), s"missing `$f` in $failedRetry"))
     // no hits → empty but still-parseable structures in the file record
     val line = Bench.renderFullRecord(results, sched, "/d")
     assertFragments(line, Seq("\"sched_hit\":[]", "\"gc_ms\":{}",
@@ -330,6 +334,31 @@ class BenchFormatSpec extends AnyFunSuite {
     }
     assert(diffs.isEmpty,
       s"BenchRef diverged from ${BenchRef.sourceFile}: ${diffs.take(5).mkString("; ")}")
+    // Regime provenance (r17 verdict item 4a + ADVICE): the values
+    // above are pinned, but a transcription slip in the REGIME fields
+    // (cpus / sf suffix) would mis-arm the outlier trigger — BenchRef
+    // would arm against a config the record was never measured in. Pin
+    // them against the generating record directly. The artifact's sf
+    // path must end in the committed suffix...
+    val sfIdx = src.indexOf("\"sf\":\"")
+    assert(sfIdx >= 0, s"${BenchRef.sourceFile} lost its sf field")
+    val sfVal = src.substring(sfIdx + "\"sf\":\"".length,
+      src.indexOf('"', sfIdx + "\"sf\":\"".length))
+    assert(sfVal.stripSuffix("/").endsWith(BenchRef.sfDirSuffix),
+      s"BenchRef.sfDirSuffix=${BenchRef.sfDirSuffix} but the artifact " +
+        s"was recorded at sf=$sfVal")
+    // ...and whenever the record self-describes its core count (the
+    // cpus field landed after the r17 record was written, so pre-r18
+    // records legitimately lack it — noted in BASELINE.md), it must
+    // match BenchRef.cpus. The next re-record is covered automatically.
+    val cpusIdx = src.indexOf("\"cpus\":\"")
+    if (cpusIdx >= 0) {
+      val cpusVal = src.substring(cpusIdx + "\"cpus\":\"".length,
+        src.indexOf('"', cpusIdx + "\"cpus\":\"".length))
+      assert(cpusVal == BenchRef.cpus,
+        s"BenchRef.cpus=${BenchRef.cpus} but the artifact records " +
+          s"cpus=$cpusVal — the transcription mis-arms the trigger")
+    }
   }
 
   test("the committed comparator covers the suite exactly") {

@@ -475,6 +475,37 @@ class SqlFrontendSpec extends SparkSuite {
       gs.execute("INSERT INTO co VALUES (3, 'junk2')"))
   }
 
+  test("strict mode rounds a fractional STRING into an integral column") {
+    // The r17-documented residual, closed in r18: MySQL STRICT parses a
+    // COMPLETE fractional numeric literal and rounds half away from
+    // zero into an integral column (types/convert.go StrToInt), where a
+    // bare ANSI string→int cast rejects it. Malformed strings and
+    // out-of-range values must still abort (the raise-vs-raise posture).
+    gs.execute("CREATE DATABASE IF NOT EXISTS sqlfe")
+    gs.execute("USE sqlfe")
+    gs.execute("DROP TABLE IF EXISTS sfs")
+    gs.execute("CREATE TABLE sfs (id BIGINT PRIMARY KEY, n INT, t TINYINT)")
+    gs.execute("INSERT INTO sfs VALUES (1, '12.5', '1'), (2, '-12.5', '2.4')," +
+      " (3, '12.4', '-2.5'), (4, '1.25e1', '0.5'), (5, '13.', '99.49')")
+    assert(gs.query("SELECT id, n, t FROM sfs ORDER BY id") ==
+      Seq("1 13 1", "2 -13 2", "3 12 -3", "4 13 1", "5 13 99"))
+    // integer-form strings keep the exact 64-bit path, no double detour
+    gs.execute("DROP TABLE IF EXISTS sfb")
+    gs.execute("CREATE TABLE sfb (id BIGINT PRIMARY KEY, b BIGINT)")
+    gs.execute("INSERT INTO sfb VALUES (1, '9223372036854775806')," +
+      " (2, '9223372036854775806.6')")
+    intercept[Exception]( // rounded '…807.6' overflows BIGINT → abort
+      gs.execute("INSERT INTO sfb VALUES (3, '9223372036854775807.6')"))
+    assert(gs.query("SELECT id, b FROM sfb ORDER BY id") ==
+      Seq("1 9223372036854775806", "2 9223372036854775807"))
+    // malformed still aborts; a fractional string past the DECLARED
+    // range still raises 1264 (round happens BEFORE the range check)
+    intercept[Exception](gs.execute("INSERT INTO sfs VALUES (9, '1x.5', '0')"))
+    intercept[Exception](gs.execute("INSERT INTO sfs VALUES (9, '0', '127.5')"))
+    intercept[Exception](gs.execute("INSERT INTO sfs VALUES (9, '1e300', '0')"))
+    assert(gs.query("SELECT count(*) AS c FROM sfs") == Seq("5"))
+  }
+
   test("ADMIN COMPACT TABLE folds multi-file buckets, content unchanged") {
     gs.execute("USE sqlfe")
     gs.execute("DROP TABLE IF EXISTS cp")

@@ -66,7 +66,13 @@ def main():
             sys.exit(f"{path}: record says cpus={cpus} but the argument "
                      f"says {sys.argv[2]} — refusing to emit a comparator "
                      "whose regime is in dispute")
-    elif len(sys.argv) == 3 and sys.argv[2].isdigit():
+    elif len(sys.argv) == 3:
+        # a malformed argument must not fall through to the "no cpus
+        # field" message and send the operator hunting in the record
+        # instead of their own command line
+        if not sys.argv[2].isdigit():
+            sys.exit(f"cpus argument must be a number, got "
+                     f"'{sys.argv[2]}'")
         cpus = sys.argv[2]
     else:
         sys.exit(f"{path}: no \"cpus\" field in the record (pre-r17 "
