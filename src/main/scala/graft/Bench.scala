@@ -173,7 +173,11 @@ object Bench {
     * Sentinels: rt -1 = beyond the retry cap
     * (rtP50/rtGc/rtAl are -1 too), rt -2 = the re-run failed (its
     * context is still real — the probe ran and the collector was
-    * measured).
+    * measured). One overload to read correctly: rtAl -1 NEXT TO a live
+    * rt (rt > 0 or -2) is the fire-time al axis's own no-counters
+    * sentinel — a JVM without thread-allocation support reports -1 on
+    * both axes — not "beyond the retry cap"; adjudicate such a hit on
+    * the remaining axes rather than treating -1 as a volume.
     */
   private[graft] final case class Hit(q: String, r: Double, p50: Double,
       max: Double, gc: Long, io: Long, al: Long, rt: Double = -1.0,

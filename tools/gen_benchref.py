@@ -31,9 +31,13 @@ into one per-query-median artifact written to OUT.json — a synthetic
 record with a `median_of` provenance field listing its sources, which
 becomes BenchRef.sourceFile so the BenchFormatSpec value pin holds
 against it — then prints the transcription from the merged artifact.
-All three records must agree on the key set, sf, and cpus, and carry
-fails:0; each query's median is the middle LITERAL of the three %.3f
-values (no re-formatting).
+All three records must be distinct files (and distinct from OUT) that
+agree on the key set, sf, and cpus, and carry fails:0 + armed:true;
+each query's median is the middle LITERAL of the three %.3f values
+(no re-formatting). The per-query gc_ms/io_mb/alloc_mb volume maps are
+medianed into the merged artifact too — it becomes the committed
+comparator source, so it must keep the baselines the five-axis
+hit-adjudication rule reads.
 
 Driver-side python only — never part of the engine.
 """
@@ -78,8 +82,38 @@ def parse_record(path):
         (cm.group(1) if cm else None)
 
 
+def parse_volume_map(path, src, name, keys):
+    """One per-query volume map ("gc_ms"/"io_mb"/"alloc_mb") -> dict.
+
+    The maps carry the committed levels the five-axis adjudication rule
+    compares against (BASELINE.md backstop (b)); a merged comparator
+    artifact that dropped them would silently regress the volume-axis
+    baseline to hunting through superseded run files.
+    """
+    m = re.search(r'"%s":\{([^}]*)\}' % name, src)
+    if not m:
+        sys.exit(f"{path}: no {name} map — not a full five-axis record; "
+                 "a comparator source must carry the volume baselines")
+    out = {}
+    for kv in m.group(1).split(","):
+        k, v = kv.split(":")
+        out[k.strip().strip('"')] = int(v)
+    if set(out) != set(keys):
+        sys.exit(f"{path}: {name} keys do not match the queries map")
+    return out
+
+
 def merge_median(out_path, run_paths):
     """Write the per-query-median merged artifact and return its path."""
+    real = [os.path.realpath(p) for p in run_paths]
+    if len(set(real)) != len(real):
+        sys.exit("--median run paths must be three DISTINCT records — "
+                 "a repeated file degenerates the median to a single "
+                 "window, the exact failure mode this flag exists to "
+                 "prevent")
+    if os.path.realpath(out_path) in real:
+        sys.exit("--median OUT must not be one of the input records — "
+                 "refusing to overwrite a committed run file")
     runs = [parse_record(p) for p in run_paths]
     keysets = [tuple(k for k, _ in pairs) for pairs, _, _, _ in runs]
     if len(set(keysets)) != 1:
@@ -91,19 +125,41 @@ def merge_median(out_path, run_paths):
         sys.exit(f"regime disagreement across records (sf={sfnames}, "
                  f"cpus={cpuses}) — refusing to merge across regimes; "
                  "--median requires the self-describing cpus field")
+    srcs = [open(p, encoding="utf-8").read() for p in run_paths]
+    for p, s in zip(run_paths, srcs):
+        if '"armed":true' not in s:
+            sys.exit(f"{p}: armed is not true — an unarmed run never "
+                     "compared against the committed trigger and cannot "
+                     "nominate comparator levels")
     merged = []
     for i, k in enumerate(keysets[0]):
         vals = sorted((pairs[i][1] for pairs, _, _, _ in runs), key=float)
         merged.append((k, vals[1]))  # middle literal of three
     total = sum(float(v) for _, v in merged)
     qbody = ",".join(f'"{k}":{v}' for k, v in merged)
+    # per-query median of each volume axis too: the merged artifact is
+    # the committed comparator SOURCE, so it must keep the gc/io/alloc
+    # baselines the hit-adjudication rule reads (sched/sched_mid/
+    # sched_hit are window-specific probe state — a median of probes
+    # is not a measurement, so those are deliberately omitted)
+    keys = [k for k, _ in merged]
+    vol_bodies = {}
+    for name in ("gc_ms", "io_mb", "alloc_mb"):
+        maps = [parse_volume_map(p, s, name, keys)
+                for p, s in zip(run_paths, srcs)]
+        vol_bodies[name] = ",".join(
+            f'"{k}":{sorted(m[k] for m in maps)[1]}' for k in keys)
     sources = json.dumps([os.path.basename(p) for p in run_paths])
     sf_raw = runs[0][2]
-    # same field shapes Bench renders (cpus before queries, sf last) so
-    # the BenchFormatSpec pin parser reads the merged artifact unchanged
+    # same field shapes Bench renders (cpus before queries, volume maps
+    # after it, sf last) so the BenchFormatSpec pin parser and the
+    # adjudication tooling read the merged artifact unchanged
     line = (f'{{"metric":"total","value":{total:.3f},"unit":"sec",'
-            f'"fails":0,"median_of":{sources},'
+            f'"fails":0,"armed":true,"median_of":{sources},'
             f'"cpus":"{runs[0][3]}","queries":{{{qbody}}},'
+            f'"gc_ms":{{{vol_bodies["gc_ms"]}}},'
+            f'"io_mb":{{{vol_bodies["io_mb"]}}},'
+            f'"alloc_mb":{{{vol_bodies["alloc_mb"]}}},'
             f'"sf":"{sf_raw}"}}')
     with open(out_path, "w", encoding="utf-8") as f:
         f.write(line + "\n")
