@@ -127,7 +127,9 @@ object Bench {
       hits: Seq[Hit] = Seq.empty,
       gcs: Seq[(String, Long)] = Seq.empty,
       ios: Seq[(String, Long)] = Seq.empty,
-      als: Seq[(String, Long)] = Seq.empty, fails: Int = 0,
+      als: Seq[(String, Long)] = Seq.empty,
+      tks: Seq[(String, Long)] = Seq.empty,
+      recs: Seq[(String, Long)] = Seq.empty, fails: Int = 0,
       armed: Boolean = true, cpus: String = ""): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -150,7 +152,18 @@ object Bench {
       .mkString("\"io_mb\":{", ",", "}")
     val aj = als.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("\"alloc_mb\":{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,$cj"queries":$qs,$gj,$ij,$aj,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
+    // per-query completed-task and input-record counts (r18 verdict
+    // item 3) — the DETERMINISTIC volume axes: alloc_mb drifts ±20% on
+    // identical code (GC timing moves TLAB waste), but an identical
+    // plan over identical data completes an identical task count and
+    // reads an identical record count, and both MULTIPLY under the
+    // recompute class — the in-artifact adjudicator that settles
+    // recompute-vs-slower-work without code reading.
+    val tj = tks.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("\"tasks\":{", ",", "}")
+    val rj = recs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("\"in_rows\":{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,$cj"queries":$qs,$gj,$ij,$aj,$tj,$rj,$sched,${midJson(mids)},${hitsJson(hits)},"sf":"${jstr(sfDir)}"}"""
   }
 
   /** One triggered outlier probe with everything the in-artifact
@@ -170,25 +183,36 @@ object Bench {
     * an elevated rt with rtAl ≈ the committed alloc_mb is the box
     * collecting/scheduling slower (window), rtAl inflated alongside is
     * the same recompute/regression class the fire-time al axis reads.
+    * `tk`/`rec` (r18 verdict item 3) are the completed-task and
+    * input-record counts inside the fire-time window, `rtTk`/`rtRec`
+    * the same inside the re-run's window — the DETERMINISTIC volume
+    * axes (see renderFullRecord's tasks/in_rows note): identical plans
+    * complete identical task/record counts, so a reading that
+    * MULTIPLIES the committed map is the recompute class beyond
+    * argument, while alloc_mb alone drifts ±20% on identical code.
     * Sentinels: rt -1 = beyond the retry cap
-    * (rtP50/rtGc/rtAl are -1 too), rt -2 = the re-run failed (its
-    * context is still real — the probe ran and the collector was
+    * (rtP50/rtGc/rtAl/rtTk/rtRec are -1 too), rt -2 = the re-run failed
+    * (its context is still real — the probe ran and the collector was
     * measured). One overload to read correctly: rtAl -1 NEXT TO a live
     * rt (rt > 0 or -2) is the fire-time al axis's own no-counters
     * sentinel — a JVM without thread-allocation support reports -1 on
     * both axes — not "beyond the retry cap"; adjudicate such a hit on
-    * the remaining axes rather than treating -1 as a volume.
+    * the remaining axes rather than treating -1 as a volume. tk/rec
+    * have no capability sentinel (the listener always runs); their -1
+    * appears only as the un-retried default.
     */
   private[graft] final case class Hit(q: String, r: Double, p50: Double,
-      max: Double, gc: Long, io: Long, al: Long, rt: Double = -1.0,
-      rtP50: Double = -1.0, rtGc: Long = -1L, rtAl: Long = -1L)
+      max: Double, gc: Long, io: Long, al: Long, tk: Long = -1L,
+      rec: Long = -1L, rt: Double = -1.0,
+      rtP50: Double = -1.0, rtGc: Long = -1L, rtAl: Long = -1L,
+      rtTk: Long = -1L, rtRec: Long = -1L)
 
   /** Outlier-probe readings for the FILE record: one object per
     * triggered [[renderSchedHit]] line, plus the post-suite re-run
     * seconds (`rt`, see [[renderRetry]]) and its context. */
   private[graft] def hitsJson(hits: Seq[Hit]): String =
     hits.map { h =>
-      s"""{"q":"${h.q}","r":${fmt1(h.r)},"p50":${fmt(h.p50)},"max":${fmt(h.max)},"gc":${h.gc},"io":${h.io},"al":${h.al},"rt":${renderRetry(h.rt)},"rt_p50":${renderRetry(h.rtP50)},"rt_gc":${h.rtGc},"rt_al":${h.rtAl}}"""
+      s"""{"q":"${h.q}","r":${fmt1(h.r)},"p50":${fmt(h.p50)},"max":${fmt(h.max)},"gc":${h.gc},"io":${h.io},"al":${h.al},"tk":${h.tk},"rec":${h.rec},"rt":${renderRetry(h.rt)},"rt_p50":${renderRetry(h.rtP50)},"rt_gc":${h.rtGc},"rt_al":${h.rtAl},"rt_tk":${h.rtTk},"rt_rec":${h.rtRec}}"""
     }.mkString("\"sched_hit\":[", ",", "]")
 
   /** Post-suite re-run seconds of a hit query (r15 verdict item 1):
@@ -202,17 +226,19 @@ object Bench {
     if (rt < 0) rt.toInt.toString else fmt(rt)
 
   /** The probe-context retry entry: the bare -1 sentinel when the hit
-    * was never re-run, else `[rt, rt_p50, rt_gc, rt_al]` — the re-run
-    * seconds WITH their own fresh host probe, collector reading, and
-    * allocation volume, so an elevated rt carries the evidence to call
-    * itself window-or-code (r16 verdict item 1; rt_al r17 item 3 — the
-    * host-independent axis the retry previously lacked, the gap that
-    * left dedup_minhash_lsh's 2.7x healthy-context retry ambiguous).
-    * rt = -2 (re-run failed) keeps its context.
+    * was never re-run, else `[rt, rt_p50, rt_gc, rt_al, rt_tk,
+    * rt_rec]` — the re-run seconds WITH their own fresh host probe,
+    * collector reading, allocation volume, and (r18 verdict item 3)
+    * the deterministic task/record volumes, so an elevated rt carries
+    * the evidence to call itself window-or-code (r16 verdict item 1;
+    * rt_al r17 item 3; rt_tk/rt_rec close the residual gap — rt_al
+    * drifts ±20% on identical code, task/record counts do not, and
+    * they MULTIPLY under recompute). rt = -2 (re-run failed) keeps its
+    * context.
     */
   private[graft] def renderRetryCtx(h: Hit): String =
     if (h.rt == -1.0) "-1"
-    else s"[${renderRetry(h.rt)},${renderRetry(h.rtP50)},${h.rtGc},${h.rtAl}]"
+    else s"[${renderRetry(h.rt)},${renderRetry(h.rtP50)},${h.rtGc},${h.rtAl},${h.rtTk},${h.rtRec}]"
 
   /** One-decimal ratio formatting (locale-pinned, same reason as fmt). */
   private[graft] def fmt1(x: Double): String =
@@ -251,8 +277,8 @@ object Bench {
     */
   private[graft] def renderSchedHit(name: String, ratio: Double,
       p50: Double, max: Double, gcMs: Long, ioMb: Long,
-      alMb: Long): String =
-    s"""{"sched_hit":${fmt(p50)},"max":${fmt(max)},"q":"$name","r":${fmt1(ratio)},"gc":$gcMs,"io":$ioMb,"al":$alMb}"""
+      alMb: Long, tk: Long = -1L, rec: Long = -1L): String =
+    s"""{"sched_hit":${fmt(p50)},"max":${fmt(max)},"q":"$name","r":${fmt1(ratio)},"gc":$gcMs,"io":$ioMb,"al":$alMb,"tk":$tk,"rec":$rec}"""
 
   /** End-of-suite probe-context line (r12 verdict item 1): the streamed
     * `sched_mid`/`sched_hit` lines for the first ~80 queries never
@@ -265,8 +291,8 @@ object Bench {
     *     inflated entry at its position;
     *   - `hn`: the TRUE count of triggered outlier probes;
     *   - `hits`: the worst `maxHits` of them by ratio as
-    *     `[name, ratio, probe_p50, gc_ms, io_mb, alloc_mb, retry]`
-    *     entries. The probe
+    *     `[name, ratio, probe_p50, gc_ms, io_mb, alloc_mb, tasks,
+    *     in_rows, retry]` entries. The probe
     *     p50 sees the HOST (inflated ⇒ scheduler storm); gc_ms sees the
     *     JVM (the collector time inside that query's own timed window —
     *     r13's decontaminate hit carried a healthy 0.021 probe and
@@ -283,9 +309,13 @@ object Bench {
     *     Healthy probe + high gc + high alloc ⇒ a real allocation
     *     regression; all fire-time axes healthy ⇒ presumptive code,
     *     which the LAST entry adjudicates in-artifact (r15 verdict
-    *     item 1, context r16 item 1, alloc r17 item 3): `retry` is -1
+    *     item 1, context r16 item 1, alloc r17 item 3, volumes r18
+    *     item 3): `tasks`/`in_rows` are the fire-time deterministic
+    *     volume counts (identical plans complete identical counts;
+    *     recompute MULTIPLIES them — the axis that settles what
+    *     alloc_mb's ±20% drift cannot), and `retry` is -1
     *     when the hit was beyond the retry cap, else
-    *     `[rt, rt_p50, rt_gc, rt_al]` — one
+    *     `[rt, rt_p50, rt_gc, rt_al, rt_tk, rt_rec]` — one
     *     post-suite UNTIMED re-run of the hit query (rt; -2 = the
     *     re-run failed) with a FRESH host probe taken right before it,
     *     the collector ms, and the MB allocated inside the re-run's
@@ -307,11 +337,27 @@ object Bench {
       hits: Seq[Hit],
       maxHits: Int = MaxHits): String = {
     val sm = mids.map(m => fmt(m._2)).mkString("[", ",", "]")
+    // entry shape since r19: [q, ratio, probe_p50, gc_ms, io_mb,
+    // alloc_mb, tasks, in_rows, retry] — tasks/in_rows are the
+    // deterministic volume axes (r18 verdict item 3). The volume
+    // values are CLAMPED to 6/9 digits in THIS tail line only (the
+    // file record keeps exact counts): the tail-budget proof needs a
+    // deterministic worst case, and a count at the clamp is already an
+    // unambiguous multiplication signal — tasks at sf0.1 run ~10²–10³
+    // per query and in_rows ~10⁶–10⁸ even under a 3x recompute.
     val hs = hits.sortBy(-_.r).take(maxHits).map { h =>
-      s"""["${h.q}",${fmt1(h.r)},${fmt(h.p50)},${h.gc},${h.io},${h.al},${renderRetryCtx(h)}]"""
+      val hc = h.copy(tk = clampVol(h.tk, 999999L),
+        rec = clampVol(h.rec, 999999999L),
+        rtTk = clampVol(h.rtTk, 999999L),
+        rtRec = clampVol(h.rtRec, 999999999L))
+      s"""["${hc.q}",${fmt1(hc.r)},${fmt(hc.p50)},${hc.gc},${hc.io},${hc.al},${hc.tk},${hc.rec},${renderRetryCtx(hc)}]"""
     }.mkString("[", ",", "]")
     s"""{"sm":$sm,"hn":${hits.size},"hits":$hs}"""
   }
+
+  /** Tail-line volume clamp (sentinels pass through untouched). */
+  private[graft] def clampVol(v: Long, cap: Long): Long =
+    if (v < 0) v else math.min(v, cap)
 
   /** End-of-suite positional per-query block (see the object scaladoc
     * for why positional): a header line with the count, ordering
@@ -423,6 +469,45 @@ object Bench {
       if (before < 0 || after < 0) -1L
       else math.max(0L, (after - before) / 1000000L)
 
+    // Completed-task and input-record counters, for the per-query
+    // tasks/in_rows deltas — the SIXTH and SEVENTH adjudication axes
+    // (r18 verdict item 3), and the first DETERMINISTIC volume ones:
+    // alloc_mb drifts ±20% on identical code (GC timing moves TLAB
+    // waste between windows — simhash read 4,280 committed vs 5,095
+    // local-r18 on byte-identical code), so a 1.5x alloc reading still
+    // needed code-reading to adjudicate. An identical plan over
+    // identical data completes an IDENTICAL task count and reads an
+    // IDENTICAL record count (inputMetrics counts datasource AND cache
+    // reads), and a cache-miss recompute MULTIPLIES both — so
+    // tasks/in_rows vs the committed maps settles recompute-vs-
+    // slower-work from the artifact alone. Listener events post
+    // asynchronously; volumes() below quiesces on two stable 20 ms
+    // reads (untimed territory — the seconds are already captured).
+    val taskCnt = new java.util.concurrent.atomic.AtomicLong(0L)
+    val recCnt = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          taskCnt.incrementAndGet()
+          // metrics can be null for a task that died before launch
+          Option(te.taskMetrics)
+            .foreach(m => recCnt.addAndGet(m.inputMetrics.recordsRead))
+        }
+      })
+    def volumes(): (Long, Long) = {
+      var t = taskCnt.get(); var r = recCnt.get()
+      var stable = 0; var spins = 0
+      while (stable < 2 && spins < 50) { // cap ~1 s; typical: 1 spin
+        Thread.sleep(20L)
+        val t1 = taskCnt.get(); val r1 = recCnt.get()
+        if (t1 == t && r1 == r) stable += 1
+        else { stable = 0; t = t1; r = r1 }
+        spins += 1
+      }
+      (t, r)
+    }
+
     // hoisted: SparkEntry.queries is a def that rebuilds the full map —
     // calling it inside the timed window charged the rebuild to every
     // query (microseconds, but the same pattern Verify hoists)
@@ -431,7 +516,12 @@ object Bench {
     // queries that died mid-run (see renderTotalOnly's fails doc)
     var failCount = 0
     var lastFailed = false
-    def materialize(name: String): (Double, Long, Long, Long) = {
+    def materialize(name: String): (Double, Long, Long, Long, Long, Long) = {
+      // the volume window opens on a QUIESCED counter read: straggler
+      // task-end events from the previous query must charge to it, not
+      // to this one (the timed window needs no such guard — the clock
+      // starts after this read returns)
+      val (tk0, rec0) = volumes()
       val g0 = gcMillis()
       val io0 = ioReadBytes()
       val al0 = allocBytes()
@@ -454,6 +544,9 @@ object Bench {
       val gcMs = gcMillis() - g0
       val ioMb = ioDelta(io0, ioReadBytes())
       val alMb = allocDelta(al0, allocBytes())
+      // quiesced close of the volume window (before the cache clear,
+      // whose unpersists run no tasks but keep the bus busy)
+      val (tk1, rec1) = volumes()
       // Queries persist shared subtrees; freeing them here keeps one
       // query's cache from squeezing the next one's execution memory
       // over a full-suite run (the bucketed-index tables are on disk and
@@ -465,7 +558,7 @@ object Bench {
       // isolated with identical plans. Collecting OUTSIDE the timed
       // window measures each query's steady-state work.
       System.gc()
-      (sec, gcMs, ioMb, alMb)
+      (sec, gcMs, ioMb, alMb, tk1 - tk0, rec1 - rec0)
     }
 
     // Fixed-shape scheduler-health probe (see scaladoc): median + max of
@@ -555,11 +648,15 @@ object Bench {
     val gcs = Seq.newBuilder[(String, Long)]
     val ios = Seq.newBuilder[(String, Long)]
     val als = Seq.newBuilder[(String, Long)]
+    val tks = Seq.newBuilder[(String, Long)]
+    val recs = Seq.newBuilder[(String, Long)]
     val results = names.zipWithIndex.map { case (n, i) =>
-      val (sec, gcMs, ioMb, alMb) = materialize(n)
+      val (sec, gcMs, ioMb, alMb, tk, rec) = materialize(n)
       gcs += ((n, gcMs))
       ios += ((n, ioMb))
       als += ((n, alMb))
+      tks += ((n, tk))
+      recs += ((n, rec))
       // a failed query's streamed line carries the marker so the
       // time-until-failure can never read as a legitimate (fast) result
       println(s"""{"q":"$n","sec":${fmt(sec)}${
@@ -569,8 +666,9 @@ object Bench {
           val (p50, max) = schedProbe()
           // rt/rtP50/rtGc stay sentinels; the post-suite re-run below
           // fills them for the capped worst hits
-          hits += Hit(n, sec / ref, p50, max, gcMs, ioMb, alMb)
-          println(renderSchedHit(n, sec / ref, p50, max, gcMs, ioMb, alMb))
+          hits += Hit(n, sec / ref, p50, max, gcMs, ioMb, alMb, tk, rec)
+          println(renderSchedHit(n, sec / ref, p50, max, gcMs, ioMb,
+            alMb, tk, rec))
         }
       }
       if ((i + 1) % MidEvery == 0 && i + 1 < names.size) {
@@ -607,17 +705,20 @@ object Bench {
       // outlives the suite makes an elevated rt read as "code
       // reproduces" (BENCH_r16 under-cleared 4 of 6 capped hits)
       val (rtP50, _) = schedProbe()
-      val (sec, rtGc, _, rtAl) = materialize(h.q)
+      val (sec, rtGc, _, rtAl, rtTk, rtRec) = materialize(h.q)
       System.err.println(s"[bench] retry ${h.q}: ${fmt(sec)}s" +
-        s" (probe ${fmt(rtP50)}, gc ${rtGc}ms, al ${rtAl}MB)" +
+        s" (probe ${fmt(rtP50)}, gc ${rtGc}ms, al ${rtAl}MB," +
+        s" tk $rtTk, rec $rtRec)" +
         (if (lastFailed) " (failed)" else ""))
-      h.q -> ((if (lastFailed) -2.0 else sec, rtP50, rtGc, rtAl))
+      h.q -> ((if (lastFailed) -2.0 else sec, rtP50, rtGc, rtAl, rtTk,
+        rtRec))
     }.toMap
     val hitsV = hits0.map(h => retried.get(h.q).fold(h) {
-      case (rt, p, g, a) => h.copy(rt = rt, rtP50 = p, rtGc = g, rtAl = a) })
+      case (rt, p, g, a, t, rr) => h.copy(rt = rt, rtP50 = p, rtGc = g,
+        rtAl = a, rtTk = t, rtRec = rr) })
     val line = renderFullRecord(results, sched, sfDir, midsV,
-      hitsV, gcs.result(), ios.result(), als.result(), suiteFails,
-      refArmed, cpus)
+      hitsV, gcs.result(), ios.result(), als.result(), tks.result(),
+      recs.result(), suiteFails, refArmed, cpus)
     // The ~1.9 KB NAMED per-query map line goes to the FILE ONLY: in r9
     // it consumed most of the driver's bounded stdout tail and pushed 23
     // of the 107 short per-query lines out of the window. The positional

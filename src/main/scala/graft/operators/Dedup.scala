@@ -148,10 +148,22 @@ object Dedup extends QueryModule {
     * [[shinglesFromTokens]] generalization to arbitrary n
     * (decontamination wants LONG n-grams, where a match means real
     * shared text, not shared vocabulary).
+    *
+    * The short-doc guard is a CASE inside the projected array, NOT a
+    * `.filter(size(t) >= n)`: on an unpersisted token relation (the
+    * cache-independent decontaminate shape) predicate pushdown
+    * SUBSTITUTES the filter's alias — `size(regexp_extract_all(...))`
+    * lands as a scan-side DataFilter, re-running the corpus-scale
+    * tokenize a second time AND at file parallelism, below the fan-out
+    * exchange `tokens` exists to provide (observed in the executed
+    * plan, r19). The CASE keeps exactly one tokenize per row, inside
+    * the post-exchange project; explode of the empty array drops the
+    * short docs just like the filter did.
     */
   private def ngramHashes(toks: DataFrame, n: Int): DataFrame =
-    toks.filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(expr(ngramHashArrExpr(n))).as("h"))
+    toks.select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(t) >= $n THEN ${ngramHashArrExpr(n)} " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("h"))
       .distinct()
 
   /** THE tokenizer (lowercased whitespace tokens) — one definition
@@ -176,9 +188,17 @@ object Dedup extends QueryModule {
     * twin (DedupStream.decontaminate).
     */
   private[graft] def evalNgramHashesFromTokens(toks: DataFrame): DataFrame =
+    // the ≥30-token eligibility guard rides inside the projection (a
+    // short doc's window maps to the empty array, which ngramHashes
+    // drops) — as a .filter it would push its substituted
+    // size(regexp_extract_all(...)) down to the scan and duplicate the
+    // tokenize, the ngramHashes note; the doc_id % 10 filter is cheap
+    // and SHOULD reach the scan
     ngramHashes(
-      toks.filter(col("doc_id") % 10 === 0 && size(col("t")) >= 30)
-        .select(col("doc_id"), slice(col("t"), 11, 20).as("t")), 8)
+      toks.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          when(size(col("t")) >= 30, slice(col("t"), 11, 20))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")).as("t")), 8)
       .select(col("h")).distinct()
 
   private[graft] def evalNgramHashes(docs: DataFrame): DataFrame =
@@ -521,7 +541,15 @@ object Dedup extends QueryModule {
             col("bk.key").as("key"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         // persisted: consumed by both sides of the band self-join —
-        // without it the signature aggregate runs twice
+        // without it the signature aggregate runs twice. Eager breaker
+        // (r19, r18 verdict item 2): this was the module's ONE
+        // remaining multi-consumer persist with no count(), and both
+        // self-join sides racing its cache fill duplicate the 32-agg
+        // signature stage — the exact mechanism behind four consecutive
+        // elevated driver rounds at 1.4–1.5x the committed allocation
+        // (r15–r18) while local windows pinned at committed levels.
+        // One metadata-scale job buys a deterministic fill.
+        buckets.count()
         val cand = buckets.as("x")
           .join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key")
@@ -598,27 +626,36 @@ object Dedup extends QueryModule {
     // n-grams absent a 64-bit collision (~1e-9 at this vocabulary).
     Q("decontaminate",
       (s, d) => {
-        val toks = tokens(Tables.load(s, d, "documents"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // Eager materialization breaker, restored in r18. This persist
-        // has THREE consumers in one action (train n-grams, eval
-        // n-grams, and the doc_id left-join spine); without the breaker
-        // concurrent branch tasks can race the cache fill and each
-        // recompute the corpus-scale tokenize+explode upstream — a
-        // scheduling-dependent duplication. The r13 local measurement
-        // that removed it (+0.38 s with the breaker at sf0.1) was
-        // outweighed by two consecutive driver rounds at >=6x committed
-        // (r16 9.36 s, r17 11.17 s vs 1.58 s) with 3.1x allocation on
-        // the host-independent axis and a reproducing healthy-context
-        // retry — the r17 verdict's five-axis rule adjudicated the
-        // race as code. At 100 TB the race duplicates a full corpus
-        // scan, so the one extra metadata-scale job is the right trade.
-        toks.count()
-        val train = ngramHashes(toks, 8)
-        val eval8 = evalNgramHashesFromTokens(toks)
+        // Cache-INDEPENDENT one-pass shape (r19, r18 verdict item 1).
+        // History: the original plan shared one persisted corpus-scale
+        // token relation across three consumers (train n-grams, eval
+        // n-grams, doc_id spine). The r18 eager-count() breaker killed
+        // the cache-fill race and HELD locally (five windows, alloc
+        // pinned at the committed ~3.8 GB) yet the driver box STILL
+        // retried at 3.1x allocation with healthy probe/gc context —
+        // the materialized cache was not being hit (or not surviving)
+        // there. A plan whose cost profile depends on a corpus-scale
+        // cache surviving is the same smell at 100 TB, where that cache
+        // cannot exist at all. So: no persist, no breaker — each
+        // relation derives from the CHEAPEST sufficient source instead:
+        //   - train n-grams: the ONE corpus-scale tokenize pass;
+        //   - eval n-grams: tokenize only the 10% eval subset (the
+        //     doc_id % 10 filter applies at the scan, before the
+        //     tokenize — evalNgramHashes re-applies it idempotently,
+        //     keeping the eval DEFINITION shared with the streaming
+        //     twin so the two cannot drift);
+        //   - the per-doc output spine: a doc_id-only column-pruned
+        //     parquet scan — zero tokenize.
+        // One corpus pass + one subset pass + one metadata-scale scan,
+        // deterministic volume on every box. PlanShapeSpec pins exactly
+        // one corpus-scale tokenize and the absence of any cached
+        // relation in the executed plan.
+        val docs = Tables.load(s, d, "documents")
+        val train = ngramHashes(tokens(docs), 8)
+        val eval8 = evalNgramHashes(docs.filter(col("doc_id") % 10 === 0))
         val overlap = train.join(eval8, "h")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-        toks.select(col("doc_id"))
+        docs.select(col("doc_id"))
           .join(overlap, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),

@@ -228,12 +228,23 @@ object Similarity extends QueryModule {
       cap: Long = maxBucketSize): DataFrame = {
     val b1 = corpus.withColumn("b1", signBucket(col("v"), planes(bits, Dim)))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager breakers (r19, r18 verdict item 2 sweep): b1 feeds THREE
+    // branches (census, under-cap pass-through, dense explode) and hot
+    // feeds TWO (the anti-join and the refine join) inside the caller's
+    // one materializing action — unbreakered, concurrent branch tasks
+    // race each cache fill and recompute the signBucket stage per
+    // branch, the same scheduling-dependent duplication the module's
+    // breaker convention exists to prevent (Dedup.scala header note).
+    // b1.count() is one pass over the (caller-cached) corpus;
+    // hot.count() is a census over the materialized b1 cache.
+    b1.count()
     // persisted: the census feeds BOTH branches below (no cross-branch
     // CSE — see Dedup's header note) and is tiny (≤ corpus/cap rows —
     // each survivor represents > cap corpus rows)
     val hot = b1.groupBy(col("b1")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap).select(col("b1"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    hot.count()
     val flat = b1.join(hot, Seq("b1"), "left_anti")
       .select(col("vec_id"), lit(-1).as("band"), col("b1").as("bucket"))
     val bandCols = (0 until RefineBands).map(k => struct(
@@ -611,6 +622,11 @@ object Similarity extends QueryModule {
         // band-deduped candidates in dedup_minhash_lsh.
         val b = skewSafeBuckets(corpus, bits)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // eager breaker (r19 sweep): both sides of the bucket self-join
+        // below consume this persist inside one action — unbreakered
+        // they race the cache fill and re-run the bucketing union per
+        // side (the minhash `buckets` mechanism, r18 verdict item 2)
+        b.count()
         val cand = b.as("a")
           .join(b.as("b"), col("a.band") === col("b.band")
             && col("a.bucket") === col("b.bucket")
@@ -653,6 +669,11 @@ object Similarity extends QueryModule {
         val cents = ivfCentroids(e, 8, 2)
         val assigned = e.withColumn("cell", cellOf(col("v"), cents))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // eager breaker (r19 sweep): probes and the cell join both
+        // consume this persist inside one action (see the minhash
+        // `buckets` note, r18 verdict item 2); `e` itself needs none —
+        // ivfCentroids' Lloyd collects already materialized its cache
+        assigned.count()
         val probes = assigned.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             explode(transform(

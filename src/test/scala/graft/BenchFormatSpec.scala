@@ -95,10 +95,15 @@ class BenchFormatSpec extends AnyFunSuite {
     // query window says JVM pressure, not code
     val hits = Seq(
       Bench.Hit("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 912L,
-        rt = 1.512, rtP50 = 0.024, rtGc = 210L, rtAl = 934L),
-      Bench.Hit("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 77L),
+        tk = 412L, rec = 1800111L,
+        rt = 1.512, rtP50 = 0.024, rtGc = 210L, rtAl = 934L,
+        rtTk = 412L, rtRec = 1800111L),
+      Bench.Hit("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 77L,
+        tk = 377L, rec = 905000L),
       Bench.Hit("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 2048L,
-        rt = -2.0, rtP50 = 0.019, rtGc = 3L, rtAl = 1988L))
+        tk = 1930L, rec = 5100000L,
+        rt = -2.0, rtP50 = 0.019, rtGc = 3L, rtAl = 1988L,
+        rtTk = 433L, rtRec = 120000L))
     val line = Bench.renderProbeContext(mids, hits)
     // sm carries every mid probe p50 in cadence order — a storm window
     // is visible at its position (the 1.234 third entry here)
@@ -113,27 +118,46 @@ class BenchFormatSpec extends AnyFunSuite {
       // shape carries 912 MB allocated next to its 1843 ms of gc — if
       // the committed alloc is also ~900 the gc is a slower COLLECTOR
       // (host), if committed were ~90 the query allocated 10x (code).
-      // The retry entry is last (r15 item 1 + r16 item 1 + r17 item 3):
-      // -1 beyond the cap, else [rt, rt_p50, rt_gc, rt_al] —
+      // tasks/in_rows are the seventh/eighth entries (r18 verdict
+      // item 3): the DETERMINISTIC volume axes — decontaminate's 412
+      // tasks / 1.8M input rows next to the committed maps say whether
+      // the window ran MORE WORK (counts multiply under recompute) or
+      // the same work slower (counts identical, the alloc-drift case
+      // the r18 round could not settle from alloc_mb alone).
+      // The retry entry is last (r15 item 1 + r16 item 1 + r17 item 3 +
+      // r18 item 3): -1 beyond the cap, else
+      // [rt, rt_p50, rt_gc, rt_al, rt_tk, rt_rec] —
       // decontaminate's 1.512 s re-run lands next to ITS OWN healthy
-      // 0.024 probe AND its 934 MB re-run allocation (≈ the 912 MB
-      // fire-time reading — the host-independent axis saying the re-run
-      // did the same work), so this "window, not code" call is
+      // 0.024 probe AND its 934 MB re-run allocation and IDENTICAL
+      // 412/1.8M re-run volumes (the deterministic axes saying the
+      // re-run did the same work), so this "window, not code" call is
       // in-artifact even when the window outlives the suite; a failed
-      // re-run keeps its context (-2 with the probe/gc/alloc that
-      // watched it fail).
-      """["decontaminate",2.3,0.022,1843,41,912,[1.512,0.024,210,934]],["ngram_novelty",1.6,0.018,12,3,77,-1],["dedup_minhash_lsh",1.6,0.020,7,5123,2048,[-2,0.019,3,1988]]"""))
+      // re-run keeps its context (-2 with the probe/gc/alloc/volumes
+      // that watched it fail).
+      """["decontaminate",2.3,0.022,1843,41,912,412,1800111,[1.512,0.024,210,934,412,1800111]],["ngram_novelty",1.6,0.018,12,3,77,377,905000,-1],["dedup_minhash_lsh",1.6,0.020,7,5123,2048,1930,5100000,[-2,0.019,3,1988,433,120000]]"""))
     // the cap keeps a pathological run from eating the tail; hn still
-    // records the TRUE count so the cap is never a silent truncation
+    // records the TRUE count so the cap is never a silent truncation.
+    // Volumes here sit AT the tail clamp (tk 6 digits, rec 9 digits —
+    // the exact counts above the clamp live in the file record), so
+    // this doubles as the worst-entry-width witness.
     val many = (1 to 20).map(i => Bench.Hit(s"query_with_a_long_name_$i",
       1.5 + i / 10.0, 0.02, 0.05, 999L, 9999L, 99999L,
-      rt = 12.345, rtP50 = 0.021, rtGc = 999L, rtAl = 99999L))
+      tk = 7777777L, rec = 7999999999L,
+      rt = 12.345, rtP50 = 0.021, rtGc = 999L, rtAl = 99999L,
+      rtTk = 7777777L, rtRec = 7999999999L))
     val capped = Bench.renderProbeContext(mids, many)
     assert(capped.contains("\"hn\":20"), capped)
+    // the above-clamp volumes render clamped in the tail line...
+    assert(capped.contains(",999999,999999999,"), capped)
+    assert(!capped.contains("7777777") && !capped.contains("7999999999"),
+      s"tail volume clamp not applied: $capped")
+    // ...while sentinels pass through the clamp untouched
+    assert(Bench.clampVol(-1L, 999999L) == -1L)
+    assert(Bench.clampVol(-2L, 999999L) == -2L)
     // sm + hits array + 6 entries + each entry's retry-context array
     assert(capped.count(_ == '[') == 1 + 1 + 6 + 6,
       s"hit cap not applied: $capped")
-    assert(capped.length < 660, s"capped probe line too long: ${capped.length}")
+    assert(capped.length < 880, s"capped probe line too long: ${capped.length}")
     // healthy run: empty hits, still parseable
     assertFragments(Bench.renderProbeContext(mids, Nil),
       Seq("\"hn\":0", "\"hits\":[]"))
@@ -166,17 +190,30 @@ class BenchFormatSpec extends AnyFunSuite {
     // query); worst-case io_mb: 5 digits = 100 GB read inside one
     // query window, beyond any plausible sf0.1 run; worst-case
     // alloc_mb: 6 digits = a terabyte allocated inside one window;
+    // worst-case tasks/in_rows: AT the tail clamp (6/9 digits — the
+    // clamp in renderProbeContext makes this width deterministic, the
+    // reason the clamp exists), fire-time and retry both;
     // worst-case retry: a 2-digit-seconds re-run (the heaviest queries
     // run ~8 s) carrying a storm-inflated probe and 6-digit gc context
     val worstHits = longest.take(8).map(n =>
       Bench.Hit(n, 12.3, 12.345, 99.999, 999999L, 99999L, 999999L,
-        rt = 99.999, rtP50 = 12.345, rtGc = 999999L, rtAl = 999999L))
+        tk = 999999L, rec = 999999999L,
+        rt = 99.999, rtP50 = 12.345, rtGc = 999999L, rtAl = 999999L,
+        rtTk = 999999L, rtRec = 999999999L))
     val block = Bench.renderQvLines(rs).map(_ + "\n").mkString +
       Bench.renderProbeContext(worstMids, worstHits) + "\n" +
       Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1") + "\n"
-    assert(block.length <= 1850,
-      s"end-of-suite block grew to ${block.length} bytes — the 2000-byte " +
-        "tail would start losing the cross-check named lines")
+    // 1850 → 1985 in r19: the two volume axes cost ~200 bytes at the
+    // saturated-storm cap. The hard contract is block <= 2000 (the
+    // positional vector + probe context + total always survive the
+    // tail COMPLETE — each is printed after every named line, so the
+    // last 2000 bytes always start at or before the block when the
+    // block itself fits); the named cross-check lines are sacrificed
+    // only in this all-axes-at-max scenario — the realistic-shape e2e
+    // test below still pins >= 10 of them on a storm-free run.
+    assert(block.length <= 1985,
+      s"end-of-suite block grew to ${block.length} bytes — past 2000 the " +
+        "tail starts cutting the positional vector itself")
   }
 
   test("the last 2000 stdout bytes reconstruct all 107 per-query points") {
@@ -194,18 +231,24 @@ class BenchFormatSpec extends AnyFunSuite {
     val mids = Seq.newBuilder[(Int, Double, Double)]
     val hits = Seq(
       Bench.Hit("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 912L,
-        rt = 1.512, rtP50 = 0.024, rtGc = 210L, rtAl = 934L),
+        tk = 412L, rec = 1800111L,
+        rt = 1.512, rtP50 = 0.024, rtGc = 210L, rtAl = 934L,
+        rtTk = 412L, rtRec = 1800111L),
       Bench.Hit("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 2048L,
-        rt = 5.601, rtP50 = 0.021, rtGc = 188L, rtAl = 2113L),
+        tk = 1930L, rec = 5100000L,
+        rt = 5.601, rtP50 = 0.021, rtGc = 188L, rtAl = 2113L,
+        rtTk = 1930L, rtRec = 5100000L),
       Bench.Hit("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 77L,
-        rt = 0.913, rtP50 = 0.019, rtGc = 9L, rtAl = 81L))
+        tk = 377L, rec = 905000L,
+        rt = 0.913, rtP50 = 0.019, rtGc = 9L, rtAl = 81L,
+        rtTk = 377L, rtRec = 905000L))
     rs.zipWithIndex.foreach { case ((n, v), i) =>
       stdout ++= s"""{"q":"$n","sec":${Bench.fmt(v)}}""" + "\n"
       // the streamed hit line fires BEFORE the post-suite re-run
       // exists, so it carries no rt — only the probe-context line does
       hits.find(_.q == n).foreach { h =>
         stdout ++= Bench.renderSchedHit(h.q, h.r, h.p50, h.max, h.gc,
-          h.io, h.al) + "\n" }
+          h.io, h.al, h.tk, h.rec) + "\n" }
       if ((i + 1) % 15 == 0 && i + 1 < rs.size) {
         mids += ((i + 1, 0.016, 0.053))
         stdout ++= s"""{"sched_mid":0.016,"max":0.053,"after":${i + 1}}""" + "\n"
@@ -251,31 +294,36 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("sched_hit: streamed line and file array shapes") {
     val streamed = Bench.renderSchedHit("stats_topk", 2.7341, 0.018,
-      0.051, 412L, 73L, 512L)
+      0.051, 412L, 73L, 512L, 207L, 1355000L)
     assertFragments(streamed, Seq("\"sched_hit\":0.018", "\"max\":0.051",
       "\"q\":\"stats_topk\"", "\"r\":2.7", "\"gc\":412", "\"io\":73",
-      "\"al\":512"))
-    assert(streamed.length < 105, streamed)
+      "\"al\":512", "\"tk\":207", "\"rec\":1355000"))
+    assert(streamed.length < 135, streamed)
     assert(Bench.hitsJson(Seq(Bench.Hit("stats_topk", 2.7341, 0.018,
-      0.051, 412L, 73L, 512L, rt = 1.207, rtP50 = 0.02, rtGc = 31L,
-      rtAl = 498L))) ==
-      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73,"al":512,"rt":1.207,"rt_p50":0.020,"rt_gc":31,"rt_al":498}]""")
+      0.051, 412L, 73L, 512L, tk = 207L, rec = 1355000L,
+      rt = 1.207, rtP50 = 0.02, rtGc = 31L,
+      rtAl = 498L, rtTk = 207L, rtRec = 1355000L))) ==
+      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73,"al":512,"tk":207,"rec":1355000,"rt":1.207,"rt_p50":0.020,"rt_gc":31,"rt_al":498,"rt_tk":207,"rt_rec":1355000}]""")
     // retry sentinels render as bare ints, never as a fake duration;
     // an un-retried hit has no context (-1 everywhere), a FAILED retry
-    // keeps its real probe/gc/alloc context next to the -2
+    // keeps its real probe/gc/alloc/volume context next to the -2
     val unretried =
       Bench.hitsJson(Seq(Bench.Hit("a", 1.6, 0.01, 0.02, 1L, 0L, 9L)))
-    Seq("\"rt\":-1", "\"rt_p50\":-1", "\"rt_gc\":-1", "\"rt_al\":-1")
+    Seq("\"rt\":-1", "\"rt_p50\":-1", "\"rt_gc\":-1", "\"rt_al\":-1",
+      "\"rt_tk\":-1", "\"rt_rec\":-1")
       .foreach(f => assert(unretried.contains(f), s"missing `$f` in $unretried"))
     val failedRetry =
       Bench.hitsJson(Seq(Bench.Hit("a", 1.6, 0.01, 0.02, 1L, 0L, 9L,
-        rt = -2.0, rtP50 = 0.019, rtGc = 3L, rtAl = 11L)))
-    Seq("\"rt\":-2", "\"rt_p50\":0.019", "\"rt_gc\":3", "\"rt_al\":11")
+        tk = 88L, rec = 4096L,
+        rt = -2.0, rtP50 = 0.019, rtGc = 3L, rtAl = 11L,
+        rtTk = 12L, rtRec = 512L)))
+    Seq("\"rt\":-2", "\"rt_p50\":0.019", "\"rt_gc\":3", "\"rt_al\":11",
+      "\"tk\":88", "\"rec\":4096", "\"rt_tk\":12", "\"rt_rec\":512")
       .foreach(f => assert(failedRetry.contains(f), s"missing `$f` in $failedRetry"))
     // no hits → empty but still-parseable structures in the file record
     val line = Bench.renderFullRecord(results, sched, "/d")
     assertFragments(line, Seq("\"sched_hit\":[]", "\"gc_ms\":{}",
-      "\"io_mb\":{}", "\"alloc_mb\":{}"))
+      "\"io_mb\":{}", "\"alloc_mb\":{}", "\"tasks\":{}", "\"in_rows\":{}"))
     // the per-query gc map makes sub-hit movers adjudicable from a
     // committed record; it must follow the queries map so the
     // comparator-pin parser's first-} scan still isolates queries
@@ -297,6 +345,17 @@ class BenchFormatSpec extends AnyFunSuite {
     assertFragments(withAl, results.map { case (n, _) => s"""\"$n\":678""" })
     assert(withAl.indexOf("\"alloc_mb\":{") > withAl.indexOf("\"queries\":{"))
     assert(withAl.indexOf("\"alloc_mb\":{") < withAl.indexOf("\"sched\":{"))
+    // tasks/in_rows (r19, r18 verdict item 3): same contract — the
+    // deterministic volume axes, UNCLAMPED in the file record (the
+    // tail clamp is renderProbeContext's alone)
+    val withVol = Bench.renderFullRecord(results, sched, "/d",
+      tks = results.map { case (n, _) => n -> 1234L },
+      recs = results.map { case (n, _) => n -> 7999999999L })
+    assertFragments(withVol, results.map { case (n, _) => s"""\"$n\":1234""" })
+    assertFragments(withVol, results.map { case (n, _) => s"""\"$n\":7999999999""" })
+    assert(withVol.indexOf("\"tasks\":{") > withVol.indexOf("\"queries\":{"))
+    assert(withVol.indexOf("\"in_rows\":{") > withVol.indexOf("\"tasks\":{"))
+    assert(withVol.indexOf("\"in_rows\":{") < withVol.indexOf("\"sched\":{"))
     // cpus (r17): the file record self-describes its regime so the
     // gen_benchref.py transcriber never has to guess the core count
     // that refArmed will match. Scalar BEFORE the queries map (the

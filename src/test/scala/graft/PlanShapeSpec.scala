@@ -42,6 +42,44 @@ class PlanShapeSpec extends SparkSuite {
       "overlap join degraded to a shuffle:\n" + plan)
   }
 
+  test("decontaminate: cache-independent, exactly one corpus-scale tokenize") {
+    // The r19 restructure (r18 verdict item 1): the plan must not depend
+    // on a corpus-scale cache surviving (it cannot at 100 TB, and on the
+    // driver box it demonstrably did not), and the corpus-scale tokenize
+    // must run exactly once — train n-grams. The eval side tokenizes
+    // only the doc_id % 10 subset (its filter applies before the
+    // tokenize) and the output spine is a doc_id-only scan with no
+    // tokenize at all.
+    // The suites share one session, and an earlier suite's
+    // session-lifetime persist whose subtree matches ANY piece of this
+    // plan gets substituted in by the shared CacheManager — an
+    // InMemoryTableScan that says nothing about this operator. Clear
+    // first: the claim under test is that the operator introduces no
+    // cache dependency OF ITS OWN (suites run sequentially in the
+    // forked test JVM, so the clear races nothing).
+    spark.catalog.clearCache()
+    val df = q("decontaminate")
+    df.collect()
+    // final AQE plan only — the "== Initial Plan ==" section repeats
+    // every operator and would double the counts
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // no cached relation anywhere: re-adding the persist re-introduces
+    // the cache-lifecycle hazard this shape exists to remove
+    assert(!plan.contains("InMemoryTableScan") &&
+      !plan.contains("InMemoryRelation"),
+      "decontaminate depends on a cache again:\n" + plan)
+    // exactly two tokenize sites: the corpus-scale train pass and the
+    // subset-scale eval pass (a third means the spine re-tokenizes; one
+    // means eval and train were re-fused onto a shared cached relation)
+    val tokenizes = "regexp_extract_all".r.findAllIn(plan).size
+    assert(tokenizes == 2, s"expected 2 tokenize sites, got $tokenizes:\n" + plan)
+    // the eval branch's 10% filter must sit below its tokenize — the
+    // plan carries the % 10 predicate somewhere above a parquet scan
+    assert(plan.contains("% 10"),
+      "eval subset filter lost — eval side tokenizes the full corpus:\n" + plan)
+  }
+
   test("join_range_bucketed: bin equi-join, never a nested-loop cartesian") {
     val df = q("join_range_bucketed")
     df.collect()

@@ -41,6 +41,7 @@ hit-adjudication rule reads.
 
 Driver-side python only — never part of the engine.
 """
+import hashlib
 import json
 import os
 import re
@@ -82,18 +83,30 @@ def parse_record(path):
         (cm.group(1) if cm else None)
 
 
-def parse_volume_map(path, src, name, keys):
-    """One per-query volume map ("gc_ms"/"io_mb"/"alloc_mb") -> dict.
+def parse_volume_map(path, src, name, keys, required=True):
+    """One per-query volume map ("gc_ms"/"io_mb"/"alloc_mb"/"tasks"/
+    "in_rows") -> dict, or None when an OPTIONAL map is absent (the
+    tasks/in_rows axes landed in r19; pre-r19 records lack them).
 
-    The maps carry the committed levels the five-axis adjudication rule
-    compares against (BASELINE.md backstop (b)); a merged comparator
+    The maps carry the committed levels the five/seven-axis adjudication
+    rule compares against (BASELINE.md backstop (b)); a merged comparator
     artifact that dropped them would silently regress the volume-axis
     baseline to hunting through superseded run files.
     """
     m = re.search(r'"%s":\{([^}]*)\}' % name, src)
     if not m:
-        sys.exit(f"{path}: no {name} map — not a full five-axis record; "
-                 "a comparator source must carry the volume baselines")
+        if required:
+            sys.exit(f"{path}: no {name} map — not a full five-axis "
+                     "record; a comparator source must carry the volume "
+                     "baselines")
+        return None
+    # an empty map body is a missing axis, not a parse crash (ADVICE
+    # r18: '' .split(':') raised a bare ValueError here) — Bench
+    # legitimately renders {} for an empty suite, but such a record can
+    # never nominate comparator levels
+    if not m.group(1).strip():
+        sys.exit(f"{path}: empty {name} map — not a full-suite "
+                 "five-axis record")
     out = {}
     for kv in m.group(1).split(","):
         k, v = kv.split(":")
@@ -114,6 +127,21 @@ def merge_median(out_path, run_paths):
     if os.path.realpath(out_path) in real:
         sys.exit("--median OUT must not be one of the input records — "
                  "refusing to overwrite a committed run file")
+    # content identity too (ADVICE r18): a byte-identical COPY under a
+    # different name passes the realpath guard and still degenerates
+    # the median to a single window
+    bodies = [open(p, "rb").read() for p in run_paths]
+    if len({hashlib.sha256(b).hexdigest() for b in bodies}) != len(bodies):
+        sys.exit("--median run records must be three DISTINCT windows — "
+                 "two inputs are byte-identical copies of one run")
+    # provenance (ADVICE r18): a previously MERGED artifact carries
+    # fails:0/armed:true/cpus and all volume maps, so it passes every
+    # input check — but median-of-medians silently compounds and
+    # dilutes the three-certified-first-read-windows contract
+    for p, b in zip(run_paths, bodies):
+        if b'"median_of"' in b:
+            sys.exit(f"{p}: carries a median_of field — inputs must be "
+                     "raw Bench run records, never a merged artifact")
     runs = [parse_record(p) for p in run_paths]
     keysets = [tuple(k for k, _ in pairs) for pairs, _, _, _ in runs]
     if len(set(keysets)) != 1:
@@ -149,17 +177,33 @@ def merge_median(out_path, run_paths):
                 for p, s in zip(run_paths, srcs)]
         vol_bodies[name] = ",".join(
             f'"{k}":{sorted(m[k] for m in maps)[1]}' for k in keys)
+    # the deterministic volume axes (r19): required of every r19+
+    # record, but three pre-r19 records may legitimately all lack them
+    # — all-or-none, never a mixed merge whose median silently drops to
+    # two windows on one axis
+    for name in ("tasks", "in_rows"):
+        maps = [parse_volume_map(p, s, name, keys, required=False)
+                for p, s in zip(run_paths, srcs)]
+        have = [m for m in maps if m is not None]
+        if have and len(have) != len(maps):
+            sys.exit(f"some but not all records carry a {name} map — "
+                     "refusing a mixed-format merge")
+        if have:
+            vol_bodies[name] = ",".join(
+                f'"{k}":{sorted(m[k] for m in have)[1]}' for k in keys)
     sources = json.dumps([os.path.basename(p) for p in run_paths])
     sf_raw = runs[0][2]
     # same field shapes Bench renders (cpus before queries, volume maps
     # after it, sf last) so the BenchFormatSpec pin parser and the
     # adjudication tooling read the merged artifact unchanged
+    vols = "".join(f',"{name}":{{{vol_bodies[name]}}}'
+                   for name in ("gc_ms", "io_mb", "alloc_mb",
+                                "tasks", "in_rows")
+                   if name in vol_bodies)
     line = (f'{{"metric":"total","value":{total:.3f},"unit":"sec",'
             f'"fails":0,"armed":true,"median_of":{sources},'
-            f'"cpus":"{runs[0][3]}","queries":{{{qbody}}},'
-            f'"gc_ms":{{{vol_bodies["gc_ms"]}}},'
-            f'"io_mb":{{{vol_bodies["io_mb"]}}},'
-            f'"alloc_mb":{{{vol_bodies["alloc_mb"]}}},'
+            f'"cpus":"{runs[0][3]}","queries":{{{qbody}}}'
+            f'{vols},'
             f'"sf":"{sf_raw}"}}')
     with open(out_path, "w", encoding="utf-8") as f:
         f.write(line + "\n")
