@@ -534,6 +534,9 @@ object CorpusOps extends QueryModule {
       (s, d) => {
         import s.implicits._
         val toks = Dedup.tokens(docs(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+        // eager breaker (r19 sweep): the node census and the bigram
+        // explode both consume this persist inside one action
+        toks.count()
         val nodes = toks.select(explode(col("t")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("tok")).limit(100)
@@ -592,6 +595,9 @@ object CorpusOps extends QueryModule {
     Q("pmi_collocations",
       (s, d) => {
         val toks = Dedup.tokens(docs(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+        // eager breaker (r19 sweep): the bigram census and the unigram
+        // census both consume this persist inside one action
+        toks.count()
         val bc = toks.filter(size(col("t")) >= 2)
           .select(explode(expr(PipelineOps.bigramStructsExpr)).as("b"))
           .select(col("b.w1").as("w1"), col("b.w2").as("w2"))

@@ -115,10 +115,19 @@ object Dedup extends QueryModule {
     * and assumes the input is already fanned out past file parallelism.
     */
   private[graft] def shinglesFromTokens(toks: DataFrame): DataFrame =
-    toks.filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), " +
-          "i -> xxhash64(t[i], t[i+1], t[i+2]))")).as("s"))
+    // the <3-token guard is a CASE inside the projected array, not a
+    // .filter: on an UNPERSISTED token input (shingles() over a raw
+    // scan) predicate pushdown substitutes the filter's alias and
+    // plants size(regexp_extract_all(...)) as a scan-side DataFilter —
+    // a second corpus-scale tokenize, run at file parallelism below
+    // the fan-out exchange (the ngramHashes note; observed in the
+    // executed plan, r19). Cached inputs (dedup_delta's btoks) are
+    // indifferent — the CASE reads the cached column exactly like the
+    // filter did.
+    toks.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t)-3), " +
+          "i -> xxhash64(t[i], t[i+1], t[i+2])) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("s"))
       // Deliberately NO explicit repartition(s) here, although one
       // exchange on s could in principle be reused by the distinct, the
       // df census, and the inverted-index self-join (subset rule): a
@@ -843,10 +852,22 @@ object Dedup extends QueryModule {
         // hash work drops ~2.7× vs hashing every branch independently.
         // Identical strings hash identically, so the oracle (which
         // hashes every branch) matches bit-for-bit.
-        val withG = toks0.filter(size(col("t")) >= 11)
+        // The >= 11 doc-eligibility guard lives INSIDE the projected
+        // array (the shinglesFromTokens/ngramHashes note: a .filter on
+        // an unpersisted token relation substitutes its alias and
+        // plants a second corpus-scale tokenize as a scan-side
+        // DataFilter below the fan-out exchange). Equivalence is
+        // exact, not approximate: non-empty g has size(g) = n-7, so
+        // winnowFp's existing size(g) >= 4 guard IS n >= 11 — short
+        // docs ride the cache as empty-g rows and drop there, and the
+        // excerpt branch's slice of an empty g is empty, dropping the
+        // same way.
+        val withG = toks0
           .select(col("doc_id"), size(col("t")).as("n"),
-            expr("transform(sequence(0, size(t)-8), " +
-              "i -> md5(concat_ws(' ', slice(t, i+1, 8))))").as("g"))
+            expr("CASE WHEN size(t) >= 11 THEN " +
+              "transform(sequence(0, size(t)-8), " +
+              "i -> md5(concat_ws(' ', slice(t, i+1, 8)))) " +
+              "ELSE CAST(array() AS ARRAY<STRING>) END").as("g"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         withG.count()
         def winnowFp(df: DataFrame) = df.filter(size(col("g")) >= 4)

@@ -130,6 +130,11 @@ object PipelineOps extends QueryModule {
       (s, d) => {
         val toks = Dedup.tokens(docs(s, d))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // eager breaker (r19 sweep, the minhash `buckets` mechanism):
+        // the unigram census and the bigram explode both consume this
+        // persist inside one action — unbreakered, their tasks race
+        // the cache fill and each recompute the corpus tokenize
+        toks.count()
         val occ = toks.select(col("doc_id"), explode(col("t")).as("w"))
         val uni = occ.groupBy(col("w")).agg(count(lit(1)).as("c1"))
         val vocabN = uni.agg(count(lit(1)).as("v"))
