@@ -142,6 +142,9 @@ def merge_median(out_path, run_paths):
         if b'"median_of"' in b:
             sys.exit(f"{p}: carries a median_of field — inputs must be "
                      "raw Bench run records, never a merged artifact")
+    # one decode reused below — parse_record opens the file itself, but
+    # the volume-map and armed checks all read from these strings
+    srcs = [b.decode("utf-8") for b in bodies]
     runs = [parse_record(p) for p in run_paths]
     keysets = [tuple(k for k, _ in pairs) for pairs, _, _, _ in runs]
     if len(set(keysets)) != 1:
@@ -153,12 +156,19 @@ def merge_median(out_path, run_paths):
         sys.exit(f"regime disagreement across records (sf={sfnames}, "
                  f"cpus={cpuses}) — refusing to merge across regimes; "
                  "--median requires the self-describing cpus field")
-    srcs = [open(p, encoding="utf-8").read() for p in run_paths]
     for p, s in zip(run_paths, srcs):
         if '"armed":true' not in s:
             sys.exit(f"{p}: armed is not true — an unarmed run never "
                      "compared against the committed trigger and cannot "
                      "nominate comparator levels")
+        # within-record consistency (own-diff review, r19): Bench has
+        # never emitted one deterministic-volume map without the other,
+        # so a record carrying tasks XOR in_rows is corrupt/hand-edited
+        # — and the per-axis all-or-none check below would merge it
+        # into a half-axis comparator no real run produces
+        if ('"tasks":{' in s) != ('"in_rows":{' in s):
+            sys.exit(f"{p}: carries one of tasks/in_rows without the "
+                     "other — not a Bench-rendered record")
     merged = []
     for i, k in enumerate(keysets[0]):
         vals = sorted((pairs[i][1] for pairs, _, _, _ in runs), key=float)
