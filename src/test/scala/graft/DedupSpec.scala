@@ -124,6 +124,24 @@ class DedupSpec extends SparkSuite {
     assert(rows.forall(r => (r.getLong(1) > 0) == r.getBoolean(2)))
   }
 
+  test("eval n-gram set is filter-idempotent (the r19 subset-scan shape)") {
+    // The cache-independent decontaminate derives its eval side from a
+    // PRE-FILTERED scan (docs.filter(doc_id % 10 == 0)) so the filter
+    // applies before the tokenize, while the streaming twin's spec
+    // builds the same set from the unfiltered corpus — sound only
+    // because evalNgramHashes re-applies the eligibility filter
+    // internally. Pin that idempotence directly so an edit to either
+    // side cannot silently fork the two eval definitions.
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf, "documents")
+    val full = Dedup.evalNgramHashes(docs)
+    val pre = Dedup.evalNgramHashes(docs.filter(col("doc_id") % 10 === 0))
+    assert(full.count() > 0, "eval set empty — corpus lost its candidates")
+    assert(full.exceptAll(pre).count() == 0 &&
+      pre.exceptAll(full).count() == 0,
+      "pre-filtered and full-corpus eval sets diverged")
+  }
+
   test("dedup_substring catches excerpt pairs that Jaccard provably misses") {
     import graft.operators.Dedup
     val rows = q("dedup_substring").collect()
