@@ -232,6 +232,27 @@ class EmptyInputSpec extends SparkSuite
     assert(out.filter(_._2 == maxScore).forall(_._3 == 10L))
   }
 
+  test("decontaminate with an EMPTY eval set still verdicts every doc") {
+    // The r19 cache-independent shape derives the eval n-grams from a
+    // 10%-subset scan; a corpus where no eligible doc exists (none
+    // reaches the 30-token eval-window threshold) makes that relation
+    // EMPTY — the overlap join must degrade to zero matches, never an
+    // empty-broadcast error, and the doc_id-only spine must still emit
+    // one clean verdict per doc, NULL text included (a failed fetch is
+    // routine input; its CASE-guarded n-gram array is empty, exactly
+    // as the old filter shape dropped it).
+    val d = newTempDir("graft-sfshortdocs")
+    import spark.implicits._
+    (0L until 30L).map(i =>
+        (i, if (i % 7 == 0) null else s"short doc $i", "en", "src0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("decontaminate")(spark, d).collect()
+    assert(out.length == 30, s"expected 30 verdicts, got ${out.length}")
+    assert(out.forall(r => r.getLong(1) == 0L && !r.getBoolean(2)),
+      "an empty eval set must flag nothing")
+  }
+
   test("events dtype probe: the nanos conf follows the session, not the cache") {
     // the probe caches per DIR in a JVM-global map, but the legacy
     // nanosAsLong conf is per SESSION and used to be touched only on a
