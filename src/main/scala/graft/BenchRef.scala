@@ -20,6 +20,16 @@ package graft
   *
   * Regenerate from the latest committed BENCH_LOCAL_r*.json when the
   * comparator is re-recorded; values are seconds at 3 decimals.
+  *
+  * WATCH LIST (ADVICE r19, the ngram_novelty-note convention): the
+  * r19 re-record baked two deliberate breaker-sweep slowdowns into the
+  * trigger baseline — dedup_embedding 1.360 → 2.018 s and
+  * dedup_minhash_lsh 4.864 → 5.091 s — so a future regression on
+  * these two must exceed 1.5x of the HIGHER level to fire a
+  * sched_hit. Each round, re-examine whether the eager-breaker cost
+  * on dedup_embedding stays ~2.0 s (the breakers are count()
+  * materializations whose cost should stay flat; a drift UP here is a
+  * real regression the desensitized trigger may not catch).
   */
 object BenchRef {
   /** Provenance of the committed values. */

@@ -95,15 +95,15 @@ class BenchFormatSpec extends AnyFunSuite {
     // query window says JVM pressure, not code
     val hits = Seq(
       Bench.Hit("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 912L,
-        tk = 412L, rec = 1800111L,
+        tk = 412L, rec = 1800111L, sp = 0L, pk = 341L,
         rt = 1.512, rtP50 = 0.024, rtGc = 210L, rtAl = 934L,
-        rtTk = 412L, rtRec = 1800111L),
+        rtTk = 412L, rtRec = 1800111L, rtSp = 0L, rtPk = 339L),
       Bench.Hit("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 77L,
-        tk = 377L, rec = 905000L),
+        tk = 377L, rec = 905000L, sp = 0L, pk = 64L),
       Bench.Hit("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 2048L,
-        tk = 1930L, rec = 5100000L,
+        tk = 1930L, rec = 5100000L, sp = 2311L, pk = 1104L,
         rt = -2.0, rtP50 = 0.019, rtGc = 3L, rtAl = 1988L,
-        rtTk = 433L, rtRec = 120000L))
+        rtTk = 433L, rtRec = 120000L, rtSp = 0L, rtPk = 512L))
     val line = Bench.renderProbeContext(mids, hits)
     // sm carries every mid probe p50 in cadence order — a storm window
     // is visible at its position (the 1.234 third entry here)
@@ -124,9 +124,15 @@ class BenchFormatSpec extends AnyFunSuite {
       // the window ran MORE WORK (counts multiply under recompute) or
       // the same work slower (counts identical, the alloc-drift case
       // the r18 round could not settle from alloc_mb alone).
+      // spill_mb/peak_mb are the ninth/tenth (r19 verdict item 1) —
+      // the MEMORY-PRESSURE axes: the minhash shape here carries
+      // 2311 MB spilled and an 1104 MB per-task peak next to its
+      // inflated alloc — the "execution-memory pressure forces spill
+      // buffers" signature five rounds of the first seven axes could
+      // not test; decontaminate's sp 0 / flat pk says the opposite.
       // The retry entry is last (r15 item 1 + r16 item 1 + r17 item 3 +
-      // r18 item 3): -1 beyond the cap, else
-      // [rt, rt_p50, rt_gc, rt_al, rt_tk, rt_rec] —
+      // r18 item 3 + r19 item 1): -1 beyond the cap, else
+      // [rt, rt_p50, rt_gc, rt_al, rt_tk, rt_rec, rt_sp, rt_pk] —
       // decontaminate's 1.512 s re-run lands next to ITS OWN healthy
       // 0.024 probe AND its 934 MB re-run allocation and IDENTICAL
       // 412/1.8M re-run volumes (the deterministic axes saying the
@@ -134,33 +140,54 @@ class BenchFormatSpec extends AnyFunSuite {
       // in-artifact even when the window outlives the suite; a failed
       // re-run keeps its context (-2 with the probe/gc/alloc/volumes
       // that watched it fail).
-      """["decontaminate",2.3,0.022,1843,41,912,412,1800111,[1.512,0.024,210,934,412,1800111]],["ngram_novelty",1.6,0.018,12,3,77,377,905000,-1],["dedup_minhash_lsh",1.6,0.020,7,5123,2048,1930,5100000,[-2,0.019,3,1988,433,120000]]"""))
+      """["decontaminate",2.3,0.022,1843,41,912,412,1800111,0,341,[1.512,0.024,210,934,412,1800111,0,339]],["ngram_novelty",1.6,0.018,12,3,77,377,905000,0,64,-1],["dedup_minhash_lsh",1.6,0.020,7,5123,2048,1930,5100000,2311,1104,[-2,0.019,3,1988,433,120000,0,512]]"""))
+    // no sub-hits passed: true count 0 next to an empty-but-parseable
+    // array
+    assertFragments(line, Seq("\"sn\":0", "\"sub\":[]"))
     // the cap keeps a pathological run from eating the tail; hn still
     // records the TRUE count so the cap is never a silent truncation.
-    // Volumes here sit AT the tail clamp (tk 6 digits, rec 9 digits —
-    // the exact counts above the clamp live in the file record), so
-    // this doubles as the worst-entry-width witness.
+    // Volumes here sit AT the tail clamp (tk 6 digits, rec 9 digits,
+    // gc/io/al/sp/pk 5 digits — the exact values above the clamp live
+    // in the file record), so this doubles as the worst-entry-width
+    // witness.
     val many = (1 to 20).map(i => Bench.Hit(s"query_with_a_long_name_$i",
-      1.5 + i / 10.0, 0.02, 0.05, 999L, 9999L, 99999L,
-      tk = 7777777L, rec = 7999999999L,
-      rt = 12.345, rtP50 = 0.021, rtGc = 999L, rtAl = 99999L,
-      rtTk = 7777777L, rtRec = 7999999999L))
+      1.5 + i / 10.0, 0.02, 0.05, 777777L, 777777L, 777777L,
+      tk = 7777777L, rec = 7999999999L, sp = 777777L, pk = 777777L,
+      rt = 12.345, rtP50 = 0.021, rtGc = 777777L, rtAl = 777777L,
+      rtTk = 7777777L, rtRec = 7999999999L, rtSp = 777777L,
+      rtPk = 777777L))
     val capped = Bench.renderProbeContext(mids, many)
     assert(capped.contains("\"hn\":20"), capped)
-    // the above-clamp volumes render clamped in the tail line...
+    // the above-clamp values render clamped in the tail line...
     assert(capped.contains(",999999,999999999,"), capped)
-    assert(!capped.contains("7777777") && !capped.contains("7999999999"),
+    assert(capped.contains(",99999,"), capped)
+    assert(!capped.contains("777777"),
       s"tail volume clamp not applied: $capped")
     // ...while sentinels pass through the clamp untouched
     assert(Bench.clampVol(-1L, 999999L) == -1L)
     assert(Bench.clampVol(-2L, 999999L) == -2L)
-    // sm + hits array + 6 entries + each entry's retry-context array
-    assert(capped.count(_ == '[') == 1 + 1 + 6 + 6,
+    // sm + hits array + 5 entries + each entry's retry-context array +
+    // the (empty) sub array
+    assert(capped.count(_ == '[') == 1 + 1 + 5 + 5 + 1,
       s"hit cap not applied: $capped")
-    assert(capped.length < 880, s"capped probe line too long: ${capped.length}")
+    assert(capped.length < 960, s"capped probe line too long: ${capped.length}")
     // healthy run: empty hits, still parseable
     assertFragments(Bench.renderProbeContext(mids, Nil),
-      Seq("\"hn\":0", "\"hits\":[]"))
+      Seq("\"hn\":0", "\"hits\":[]", "\"sn\":0", "\"sub\":[]"))
+    // sub-hit entries (r19 verdict item 2) fill ONLY the slots the
+    // hits left: with 20 hits saturating the cap, none of the subs
+    // appear, but sn still records the true count...
+    val subs = Seq(
+      Bench.SubHit("dedup_ngram_jaccard", 1.48, 4123L, 650L, 10800L,
+        0L, 890L),
+      Bench.SubHit("dedup_passage", 1.31, 512L, 96L, 41000L, 0L, 77L))
+    val full = Bench.renderProbeContext(mids, many, subs)
+    assert(full.contains("\"sn\":2") && full.contains("\"sub\":[]"), full)
+    // ...and with one hit, the spare slots carry the movers' volumes:
+    // [q, ratio, alloc_mb, tasks, in_rows, spill_mb, peak_mb]
+    val spare = Bench.renderProbeContext(mids, hits.take(1), subs)
+    assertFragments(spare, Seq("\"hn\":1", "\"sn\":2",
+      """"sub":[["dedup_ngram_jaccard",1.5,4123,650,10800,0,890],["dedup_passage",1.3,512,96,41000,0,77]]"""))
   }
 
   test("full-suite positional block + total fit the driver's 2000-byte tail") {
@@ -185,33 +212,38 @@ class BenchFormatSpec extends AnyFunSuite {
     // the hit cap saturated with the suite's longest query names
     val longest = rs.map(_._1).sortBy(-_.length)
     val worstMids = (1 to 7).map(i => (i * 15, 12.345, 99.999))
-    // worst-case gc_ms: a 6-digit value (a 100+ s suite could in theory
-    // accumulate that much collector time inside one pathological
-    // query); worst-case io_mb: 5 digits = 100 GB read inside one
-    // query window, beyond any plausible sf0.1 run; worst-case
-    // alloc_mb: 6 digits = a terabyte allocated inside one window;
-    // worst-case tasks/in_rows: AT the tail clamp (6/9 digits — the
-    // clamp in renderProbeContext makes this width deterministic, the
-    // reason the clamp exists), fire-time and retry both;
-    // worst-case retry: a 2-digit-seconds re-run (the heaviest queries
-    // run ~8 s) carrying a storm-inflated probe and 6-digit gc context
+    // worst-case values: every axis AT its tail clamp (gc/io/al/sp/pk
+    // 5 digits, tasks 6, in_rows 9 — the clamps in renderProbeContext
+    // make these widths deterministic, the reason they exist),
+    // fire-time and retry both; worst-case retry: a 2-digit-seconds
+    // re-run (the heaviest queries run ~8 s) carrying a storm-inflated
+    // probe. Above-clamp inputs prove the clamp is what bounds the
+    // width. Plus 20 unrendered sub-hits — the worst case is all-hits
+    // (a sub entry is ~half a hit entry and only fills SPARE slots),
+    // but sn's digits still cost bytes.
     val worstHits = longest.take(8).map(n =>
-      Bench.Hit(n, 12.3, 12.345, 99.999, 999999L, 99999L, 999999L,
-        tk = 999999L, rec = 999999999L,
-        rt = 99.999, rtP50 = 12.345, rtGc = 999999L, rtAl = 999999L,
-        rtTk = 999999L, rtRec = 999999999L))
+      Bench.Hit(n, 12.3, 12.345, 99.999, 7777777L, 7777777L, 7777777L,
+        tk = 7777777L, rec = 7999999999L, sp = 7777777L, pk = 7777777L,
+        rt = 99.999, rtP50 = 12.345, rtGc = 7777777L, rtAl = 7777777L,
+        rtTk = 7777777L, rtRec = 7999999999L, rtSp = 7777777L,
+        rtPk = 7777777L))
+    val worstSubs = (1 to 20).map(i =>
+      Bench.SubHit(longest(i % 8), 1.4, 7777777L, 7777777L, 7999999999L,
+        7777777L, 7777777L))
     val block = Bench.renderQvLines(rs).map(_ + "\n").mkString +
-      Bench.renderProbeContext(worstMids, worstHits) + "\n" +
+      Bench.renderProbeContext(worstMids, worstHits, worstSubs) + "\n" +
       Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1") + "\n"
-    // 1850 → 1985 in r19: the two volume axes cost ~200 bytes at the
-    // saturated-storm cap. The hard contract is block <= 2000 (the
+    // 1850 → 1985 in r19 (two volume axes) → 2000 in r20: the two
+    // memory-pressure axes and the sub slots cost ~220 bytes at the
+    // saturated-storm cap, funded by MaxHits 6 → 5 and the 5-digit
+    // gc/io/al tail clamps. The hard contract is block <= 2000 (the
     // positional vector + probe context + total always survive the
     // tail COMPLETE — each is printed after every named line, so the
     // last 2000 bytes always start at or before the block when the
     // block itself fits); the named cross-check lines are sacrificed
     // only in this all-axes-at-max scenario — the realistic-shape e2e
     // test below still pins >= 10 of them on a storm-free run.
-    assert(block.length <= 1985,
+    assert(block.length <= 2000,
       s"end-of-suite block grew to ${block.length} bytes — past 2000 the " +
         "tail starts cutting the positional vector itself")
   }
@@ -231,31 +263,39 @@ class BenchFormatSpec extends AnyFunSuite {
     val mids = Seq.newBuilder[(Int, Double, Double)]
     val hits = Seq(
       Bench.Hit("decontaminate", 2.25, 0.022, 0.05, 1843L, 41L, 912L,
-        tk = 412L, rec = 1800111L,
+        tk = 412L, rec = 1800111L, sp = 0L, pk = 341L,
         rt = 1.512, rtP50 = 0.024, rtGc = 210L, rtAl = 934L,
-        rtTk = 412L, rtRec = 1800111L),
+        rtTk = 412L, rtRec = 1800111L, rtSp = 0L, rtPk = 339L),
       Bench.Hit("dedup_minhash_lsh", 1.55, 0.020, 0.05, 7L, 5123L, 2048L,
-        tk = 1930L, rec = 5100000L,
+        tk = 1930L, rec = 5100000L, sp = 2311L, pk = 1104L,
         rt = 5.601, rtP50 = 0.021, rtGc = 188L, rtAl = 2113L,
-        rtTk = 1930L, rtRec = 5100000L),
+        rtTk = 1930L, rtRec = 5100000L, rtSp = 0L, rtPk = 512L),
       Bench.Hit("ngram_novelty", 1.58, 0.018, 0.04, 12L, 3L, 77L,
-        tk = 377L, rec = 905000L,
+        tk = 377L, rec = 905000L, sp = 0L, pk = 64L,
         rt = 0.913, rtP50 = 0.019, rtGc = 9L, rtAl = 81L,
-        rtTk = 377L, rtRec = 905000L))
+        rtTk = 377L, rtRec = 905000L, rtSp = 0L, rtPk = 66L))
+    // one sub-hit mover (the r19 dedup_ngram_jaccard scenario): its
+    // streamed line also fires in the cut head, so the probe-context
+    // spare slots are what carry its volumes through the tail
+    val subs = Seq(Bench.SubHit("dedup_ngram_jaccard", 1.48, 4123L,
+      650L, 10800L, 0L, 890L))
     rs.zipWithIndex.foreach { case ((n, v), i) =>
       stdout ++= s"""{"q":"$n","sec":${Bench.fmt(v)}}""" + "\n"
       // the streamed hit line fires BEFORE the post-suite re-run
       // exists, so it carries no rt — only the probe-context line does
       hits.find(_.q == n).foreach { h =>
         stdout ++= Bench.renderSchedHit(h.q, h.r, h.p50, h.max, h.gc,
-          h.io, h.al, h.tk, h.rec) + "\n" }
+          h.io, h.al, h.tk, h.rec, h.sp, h.pk) + "\n" }
+      subs.find(_.q == n).foreach { s2 =>
+        stdout ++= Bench.renderSubHit(s2.q, s2.r, s2.al, s2.tk, s2.rec,
+          s2.sp, s2.pk) + "\n" }
       if ((i + 1) % 15 == 0 && i + 1 < rs.size) {
         mids += ((i + 1, 0.016, 0.053))
         stdout ++= s"""{"sched_mid":0.016,"max":0.053,"after":${i + 1}}""" + "\n"
       }
     }
     Bench.renderQvLines(rs).foreach(l => stdout ++= l + "\n")
-    val probeCtx = Bench.renderProbeContext(mids.result(), hits)
+    val probeCtx = Bench.renderProbeContext(mids.result(), hits, subs)
     stdout ++= probeCtx + "\n"
     val total = Bench.renderTotalOnly(rs, sched, "/root/testdata/sf0.1")
     stdout ++= total + "\n"
@@ -282,10 +322,17 @@ class BenchFormatSpec extends AnyFunSuite {
       probeCtx.contains("\"decontaminate\"") &&
       probeCtx.contains("\"ngram_novelty\"") &&
       probeCtx.contains("\"dedup_minhash_lsh\""), probeCtx)
+    // the sub-hit mover's volumes ride the spare slots through the
+    // tail (r19 verdict item 2 — the jaccard adjudication gap)
+    assert(probeCtx.contains("\"sn\":1") &&
+      probeCtx.contains("[\"dedup_ngram_jaccard\",1.5,4123,650,10800,0,890]"),
+      probeCtx)
     // while the streamed early-suite hit lines themselves are indeed cut
     // (the scenario the context line exists for)
     assert(!lines.exists(_.startsWith("{\"sched_hit\"")),
       "simulation no longer reproduces the cut-head scenario")
+    assert(!lines.exists(_.startsWith("{\"sub_hit\"")),
+      "simulation no longer reproduces the cut-head scenario (sub)")
     // and the named cross-check lines: at least the last ~10 queries'
     // streamed lines must also fit behind the block
     val named = lines.count(_.startsWith("{\"q\":"))
@@ -294,36 +341,52 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("sched_hit: streamed line and file array shapes") {
     val streamed = Bench.renderSchedHit("stats_topk", 2.7341, 0.018,
-      0.051, 412L, 73L, 512L, 207L, 1355000L)
+      0.051, 412L, 73L, 512L, 207L, 1355000L, 0L, 233L)
     assertFragments(streamed, Seq("\"sched_hit\":0.018", "\"max\":0.051",
       "\"q\":\"stats_topk\"", "\"r\":2.7", "\"gc\":412", "\"io\":73",
-      "\"al\":512", "\"tk\":207", "\"rec\":1355000"))
-    assert(streamed.length < 135, streamed)
+      "\"al\":512", "\"tk\":207", "\"rec\":1355000", "\"sp\":0",
+      "\"pk\":233"))
+    assert(streamed.length < 155, streamed)
+    // the streamed sub-hit twin (r19 verdict item 2): volumes only
+    val subStreamed = Bench.renderSubHit("dedup_ngram_jaccard", 1.48,
+      4123L, 650L, 10800L, 0L, 890L)
+    assertFragments(subStreamed, Seq("\"sub_hit\":\"dedup_ngram_jaccard\"",
+      "\"r\":1.5", "\"al\":4123", "\"tk\":650", "\"rec\":10800",
+      "\"sp\":0", "\"pk\":890"))
+    assert(subStreamed.length < 110, subStreamed)
     assert(Bench.hitsJson(Seq(Bench.Hit("stats_topk", 2.7341, 0.018,
       0.051, 412L, 73L, 512L, tk = 207L, rec = 1355000L,
       rt = 1.207, rtP50 = 0.02, rtGc = 31L,
-      rtAl = 498L, rtTk = 207L, rtRec = 1355000L))) ==
-      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73,"al":512,"tk":207,"rec":1355000,"rt":1.207,"rt_p50":0.020,"rt_gc":31,"rt_al":498,"rt_tk":207,"rt_rec":1355000}]""")
+      rtAl = 498L, rtTk = 207L, rtRec = 1355000L, sp = 0L, pk = 233L,
+      rtSp = 0L, rtPk = 230L))) ==
+      """"sched_hit":[{"q":"stats_topk","r":2.7,"p50":0.018,"max":0.051,"gc":412,"io":73,"al":512,"tk":207,"rec":1355000,"sp":0,"pk":233,"rt":1.207,"rt_p50":0.020,"rt_gc":31,"rt_al":498,"rt_tk":207,"rt_rec":1355000,"rt_sp":0,"rt_pk":230}]""")
+    // sub-hit file entries: full fidelity, unclamped
+    assert(Bench.subsJson(Seq(Bench.SubHit("dedup_ngram_jaccard", 1.48,
+      4123L, 650L, 10800L, 0L, 890L))) ==
+      """"sub_hits":[{"q":"dedup_ngram_jaccard","r":1.5,"al":4123,"tk":650,"rec":10800,"sp":0,"pk":890}]""")
     // retry sentinels render as bare ints, never as a fake duration;
     // an un-retried hit has no context (-1 everywhere), a FAILED retry
     // keeps its real probe/gc/alloc/volume context next to the -2
     val unretried =
       Bench.hitsJson(Seq(Bench.Hit("a", 1.6, 0.01, 0.02, 1L, 0L, 9L)))
     Seq("\"rt\":-1", "\"rt_p50\":-1", "\"rt_gc\":-1", "\"rt_al\":-1",
-      "\"rt_tk\":-1", "\"rt_rec\":-1")
+      "\"rt_tk\":-1", "\"rt_rec\":-1", "\"rt_sp\":-1", "\"rt_pk\":-1")
       .foreach(f => assert(unretried.contains(f), s"missing `$f` in $unretried"))
     val failedRetry =
       Bench.hitsJson(Seq(Bench.Hit("a", 1.6, 0.01, 0.02, 1L, 0L, 9L,
-        tk = 88L, rec = 4096L,
+        tk = 88L, rec = 4096L, sp = 3L, pk = 21L,
         rt = -2.0, rtP50 = 0.019, rtGc = 3L, rtAl = 11L,
-        rtTk = 12L, rtRec = 512L)))
+        rtTk = 12L, rtRec = 512L, rtSp = 0L, rtPk = 19L)))
     Seq("\"rt\":-2", "\"rt_p50\":0.019", "\"rt_gc\":3", "\"rt_al\":11",
-      "\"tk\":88", "\"rec\":4096", "\"rt_tk\":12", "\"rt_rec\":512")
+      "\"tk\":88", "\"rec\":4096", "\"rt_tk\":12", "\"rt_rec\":512",
+      "\"sp\":3", "\"pk\":21", "\"rt_sp\":0", "\"rt_pk\":19")
       .foreach(f => assert(failedRetry.contains(f), s"missing `$f` in $failedRetry"))
     // no hits → empty but still-parseable structures in the file record
     val line = Bench.renderFullRecord(results, sched, "/d")
     assertFragments(line, Seq("\"sched_hit\":[]", "\"gc_ms\":{}",
-      "\"io_mb\":{}", "\"alloc_mb\":{}", "\"tasks\":{}", "\"in_rows\":{}"))
+      "\"io_mb\":{}", "\"alloc_mb\":{}", "\"tasks\":{}", "\"in_rows\":{}",
+      "\"spill_mb\":{}", "\"peak_mb\":{}", "\"sub_hits\":[]",
+      "\"vol_dirty\":[]"))
     // the per-query gc map makes sub-hit movers adjudicable from a
     // committed record; it must follow the queries map so the
     // comparator-pin parser's first-} scan still isolates queries
@@ -356,6 +419,24 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(withVol.indexOf("\"tasks\":{") > withVol.indexOf("\"queries\":{"))
     assert(withVol.indexOf("\"in_rows\":{") > withVol.indexOf("\"tasks\":{"))
     assert(withVol.indexOf("\"in_rows\":{") < withVol.indexOf("\"sched\":{"))
+    // spill_mb/peak_mb (r20, r19 verdict item 1): the memory-pressure
+    // axes follow the same contract — after the queries map (the pin
+    // parser's first-} scan unaffected), before sched, UNCLAMPED here
+    val withMem = Bench.renderFullRecord(results, sched, "/d",
+      sps = results.map { case (n, _) => n -> 7777777L },
+      pks = results.map { case (n, _) => n -> 4321L })
+    assertFragments(withMem, results.map { case (n, _) => s"""\"$n\":7777777""" })
+    assertFragments(withMem, results.map { case (n, _) => s"""\"$n\":4321""" })
+    assert(withMem.indexOf("\"spill_mb\":{") > withMem.indexOf("\"in_rows\":{"))
+    assert(withMem.indexOf("\"peak_mb\":{") > withMem.indexOf("\"spill_mb\":{"))
+    assert(withMem.indexOf("\"peak_mb\":{") < withMem.indexOf("\"sched\":{"))
+    // vol_dirty (ADVICE r19): the unquiesced-window marker names land
+    // in the file record so a degraded-host run can never pass its
+    // tasks/in_rows off as exact readings
+    val withDirty = Bench.renderFullRecord(results, sched, "/d",
+      volDirty = Seq("dedup_delta", "dedup_exact"))
+    assert(withDirty.contains(
+      """"vol_dirty":["dedup_delta","dedup_exact"]"""), withDirty)
     // cpus (r17): the file record self-describes its regime so the
     // gen_benchref.py transcriber never has to guess the core count
     // that refArmed will match. Scalar BEFORE the queries map (the

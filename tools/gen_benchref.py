@@ -103,10 +103,16 @@ def parse_volume_map(path, src, name, keys, required=True):
     # an empty map body is a missing axis, not a parse crash (ADVICE
     # r18: '' .split(':') raised a bare ValueError here) — Bench
     # legitimately renders {} for an empty suite, but such a record can
-    # never nominate comparator levels
+    # never nominate comparator levels. For an OPTIONAL axis (ADVICE
+    # r19) an empty body means the axis is absent, same as no map at
+    # all — hard-exiting with the required-axis message would abort the
+    # merge of a legitimate pre-r19-style record with a misleading
+    # error; the all-or-none check upstream reports the real condition.
     if not m.group(1).strip():
-        sys.exit(f"{path}: empty {name} map — not a full-suite "
-                 "five-axis record")
+        if required:
+            sys.exit(f"{path}: empty {name} map — not a full-suite "
+                     "five-axis record")
+        return None
     out = {}
     for kv in m.group(1).split(","):
         k, v = kv.split(":")
@@ -169,6 +175,10 @@ def merge_median(out_path, run_paths):
         if ('"tasks":{' in s) != ('"in_rows":{' in s):
             sys.exit(f"{p}: carries one of tasks/in_rows without the "
                      "other — not a Bench-rendered record")
+        # same pairing rule for the r20 memory-pressure axes
+        if ('"spill_mb":{' in s) != ('"peak_mb":{' in s):
+            sys.exit(f"{p}: carries one of spill_mb/peak_mb without "
+                     "the other — not a Bench-rendered record")
     merged = []
     for i, k in enumerate(keysets[0]):
         vals = sorted((pairs[i][1] for pairs, _, _, _ in runs), key=float)
@@ -187,11 +197,12 @@ def merge_median(out_path, run_paths):
                 for p, s in zip(run_paths, srcs)]
         vol_bodies[name] = ",".join(
             f'"{k}":{sorted(m[k] for m in maps)[1]}' for k in keys)
-    # the deterministic volume axes (r19): required of every r19+
-    # record, but three pre-r19 records may legitimately all lack them
-    # — all-or-none, never a mixed merge whose median silently drops to
-    # two windows on one axis
-    for name in ("tasks", "in_rows"):
+    # the deterministic volume axes (r19) and the memory-pressure axes
+    # (r20): required of every record from their landing round on, but
+    # three older records may legitimately all lack them — all-or-none,
+    # never a mixed merge whose median silently drops to two windows on
+    # one axis
+    for name in ("tasks", "in_rows", "spill_mb", "peak_mb"):
         maps = [parse_volume_map(p, s, name, keys, required=False)
                 for p, s in zip(run_paths, srcs)]
         have = [m for m in maps if m is not None]
@@ -208,7 +219,8 @@ def merge_median(out_path, run_paths):
     # adjudication tooling read the merged artifact unchanged
     vols = "".join(f',"{name}":{{{vol_bodies[name]}}}'
                    for name in ("gc_ms", "io_mb", "alloc_mb",
-                                "tasks", "in_rows")
+                                "tasks", "in_rows", "spill_mb",
+                                "peak_mb")
                    if name in vol_bodies)
     line = (f'{{"metric":"total","value":{total:.3f},"unit":"sec",'
             f'"fails":0,"armed":true,"median_of":{sources},'
