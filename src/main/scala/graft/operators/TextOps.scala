@@ -280,11 +280,25 @@ object TextOps extends QueryModule {
                                    if(x = a.prev, a.run + 1, 1L)) AS best,
                                  a.nd + if(x = a.prev, 0L, 1L) AS nd),
                 a -> struct(a.best AS top, a.nd AS nd))"""
+        // The short-doc drop is an explode of a CASE-guarded singleton,
+        // NOT a `.filter(size(t) >= 2)`: on this unpersisted projection
+        // predicate pushdown SUBSTITUTES the filter's alias, landing
+        // `size(regexp_extract_all(...))` as a scan-side DataFilter
+        // that re-runs the per-row tokenize a second time (the r19
+        // pushdown-substitution class — idiom and rationale at
+        // Dedup.ngramHashes). Exploding array(t0) keeps exactly one
+        // tokenize per row (the two t0 references inside one Generate
+        // input are not a collapse target — the CASE sits ABOVE the
+        // projection that computes t0, and CollapseProject refuses to
+        // inline a non-cheap alias consumed twice); the empty array
+        // drops the short docs exactly like the filter did.
         Tables.load(s, d, "documents")
           .select(col("doc_id"),
             regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-              .as("t"))
-          .filter(size(col("t")) >= 2)
+              .as("t0"))
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN size(t0) >= 2 THEN array(t0) " +
+              "ELSE CAST(array() AS ARRAY<ARRAY<STRING>>) END")).as("t"))
           .withColumn("bg", expr(
             "transform(sequence(0, size(t)-2), " +
               "i -> concat_ws(' ', t[i], t[i+1]))"))
