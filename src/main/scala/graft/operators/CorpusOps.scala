@@ -403,8 +403,18 @@ object CorpusOps extends QueryModule {
         // materialize-then-consume barrier that measured ~2x slower at
         // sf0.1 (0.58 s -> 1.0-1.2 s isolated, healthy probes) for a
         // cache the plan reads back only once.
+        // score is wrapped non-nullable (coalesce with a dead -1
+        // sentinel — text is already filtered NOT NULL, so size(t) is
+        // never null): without it, the final equi-join on score makes
+        // constraint inference add `isnotnull(score)`, whose alias
+        // substitution lands isnotnull(size(regexp_extract_all(...)))
+        // as a scan-side DataFilter and re-runs the join-back scan's
+        // tokenize twice per row (verified r20 — the r19
+        // pushdown-substitution class via an INFERRED predicate; the
+        // non-nullable alias stops the inference at the source)
         val sc = Dedup.tokens(docs(s, d).where(col("text").isNotNull))
-          .select(col("doc_id"), size(col("t")).cast("long").as("score"))
+          .select(col("doc_id"),
+            coalesce(size(col("t")).cast("long"), lit(-1L)).as("score"))
         val hist = sc.groupBy(col("score")).agg(count(lit(1)).as("c"))
         val cum = hist.withColumn("cum",
           sum(col("c")).over(Window.orderBy(col("score"))
@@ -753,10 +763,17 @@ object CorpusOps extends QueryModule {
     // output, engine-exact.
     Q("ngram_novelty",
       (s, d) => {
+        // short-doc guard as a CASE inside the exploded array, NOT a
+        // .filter(size(t) >= 8): the filter's alias substitution lands
+        // size(regexp_extract_all(...)) as a scan-side DataFilter
+        // INSIDE the persist's cached build, re-running the corpus
+        // tokenize at file parallelism below the fan-out exchange
+        // (verified in the executed cached plan, r20 — the same r19
+        // pushdown-substitution class; idiom at Dedup.ngramHashes)
         val g = Dedup.tokens(docs(s, d))
-          .filter(size(col("t")) >= 8)
-          .select(col("doc_id"),
-            explode(expr(Dedup.ngramHashArrExpr(8))).as("h"))
+          .select(col("doc_id"), explode(expr(
+            s"CASE WHEN size(t) >= 8 THEN ${Dedup.ngramHashArrExpr(8)} " +
+              "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("h"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         // eager breaker (r18): two consumers (census + join-back) of one
         // persist in one action — same cache-fill race as decontaminate

@@ -33,7 +33,22 @@ object Sampling extends QueryModule {
     */
   private[graft] def packSequences(tokenCounts: DataFrame,
       ctx: Int, bucket: Int): DataFrame = {
-    val tc = tokenCounts.filter(col("n_tokens") > 0)
+    // The zero-token drop is an explode of a HOF-filtered singleton,
+    // NOT a `.filter(n_tokens > 0)`: when the caller's n_tokens is an
+    // unpersisted tokenize projection (pack_sequences passes
+    // wsTokens(text) straight off the scan), predicate pushdown
+    // substitutes the alias and lands
+    // `size(regexp_extract_all(text,...)) > 0` as a scan-side
+    // DataFilter on BOTH scans of the self-join below — the per-row
+    // tokenize ran twice per scan (verified r20; the r19
+    // pushdown-substitution class, idiom at Dedup.ngramHashes). The
+    // explode consumes the alias above the projection, keeps one
+    // tokenize per row, and drops non-positive rows exactly like the
+    // filter did — type-agnostically (no CASE cast to name the
+    // element type, since callers pass int or long counts).
+    val tc = tokenCounts
+      .select(col("doc_id"), explode(
+        expr("filter(array(n_tokens), x -> x > 0)")).as("n_tokens"))
       .withColumn("b", expr(s"doc_id div $bucket"))
     val bucketOffsets = tc.groupBy(col("b"))
       .agg(sum(col("n_tokens")).as("btok"))

@@ -332,7 +332,7 @@ class PlanShapeSpec extends SparkSuite {
     // DataFrame and stay covered by the structural SinglePartition
     // assertion above.
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
-    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.window.WindowExec
     def physCount(p: SparkPlan): Int = p.collect {
@@ -343,13 +343,47 @@ class PlanShapeSpec extends SparkSuite {
         case w: LWindow if w.partitionSpec.isEmpty => 1
         case r: InMemoryRelation => physCount(r.cachedPlan)
       }.sum
+    // The same pass also pins the r19/r20 pushdown-substitution class
+    // MECHANICALLY: a `.filter(...)` over an unpersisted tokenize
+    // projection gets its alias substituted and lands
+    // regexp_extract_all as a parquet-scan DataFilter, re-running the
+    // per-row tokenize a second time at file parallelism (found in
+    // text_repetition r19 and INSIDE ngram_novelty's cached build
+    // r20). No scan anywhere in the suite — cached builds included —
+    // may evaluate a tokenize in its filter stage.
+    // regexp_count is RuntimeReplaceable and normalizes to
+    // size(regexp_extract_all(...)) in physical plans, so the one
+    // string catches both tokenizer shapes. FilterExec conditions are
+    // swept too — a substituted predicate the scan cannot absorb
+    // (e.g. above a cached relation's exchange) evaluates the
+    // tokenize in a Filter node instead of dataFilters, same
+    // duplication. Intentional regex PREDICATES in this codebase are
+    // rlike/regexp_like (never extract_all), so the sweep has no
+    // legitimate hits to special-case.
+    def scanTokenize(p: SparkPlan): Int = p.collect {
+      case sc: FileSourceScanExec
+          if sc.dataFilters.exists(_.toString.contains("regexp_extract_all")) => 1
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("regexp_extract_all") => 1
+    }.sum
+    def scanTokenizeAll(qe: org.apache.spark.sql.execution.QueryExecution): Int =
+      scanTokenize(qe.sparkPlan) + qe.optimizedPlan.collectWithSubqueries {
+        case r: InMemoryRelation => scanTokenize(r.cachedPlan)
+      }.sum
     spark.catalog.clearCache()
+    val badScans = Seq.newBuilder[String]
     val found = SparkEntry.selectNames(None).flatMap { n =>
-      val c = try count(SparkEntry.queries(n)(spark, sf)
-        .queryExecution.optimizedPlan)
-      catch { case e: Throwable => fail(s"$n failed to plan: $e") }
+      val (c, s2) = try {
+        val qe = SparkEntry.queries(n)(spark, sf).queryExecution
+        (count(qe.optimizedPlan), scanTokenizeAll(qe))
+      } catch { case e: Throwable => fail(s"$n failed to plan: $e") }
+      if (s2 > 0) badScans += n
       if (c > 0) Some(n -> c) else None
     }.toMap
+    assert(badScans.result().isEmpty,
+      s"tokenize pushed into a scan-side DataFilter (the duplicated-" +
+        s"tokenize class) in: ${badScans.result()} — use the CASE-guard " +
+        "idiom at Dedup.ngramHashes instead of a size() filter")
     // The audited whitelist — every entry's input is metadata-scale,
     // proven by the census test above (data-derived bounds) or by
     // construction (a bounded take feeds the window):
