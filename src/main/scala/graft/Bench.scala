@@ -183,7 +183,9 @@ object Bench {
     // closed on an UNQUIESCED counter read (the ~1 s spin cap was
     // exhausted) — their tasks/in_rows may include straggler events
     // from the adjacent window and must not be read as exact
-    // committed-level comparisons. Empty on every healthy run.
+    // committed-level comparisons. A bare name taints the TIMED
+    // reading (the tasks/in_rows maps); "name:retry" taints only that
+    // hit's rt_tk/rt_rec. Empty on every healthy run.
     val vd = volDirty.map("\"" + _ + "\"")
       .mkString("\"vol_dirty\":[", ",", "]")
     s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","fails":$fails,"armed":$armed,$cj"queries":$qs,$gj,$ij,$aj,$tj,$rj,$sj,$pj,$vd,$sched,${midJson(mids)},${hitsJson(hits)},${subsJson(subs)},"sf":"${jstr(sfDir)}"}"""
@@ -242,9 +244,15 @@ object Bench {
       rtTk: Long = -1L, rtRec: Long = -1L, sp: Long = -1L,
       pk: Long = -1L, rtSp: Long = -1L, rtPk: Long = -1L)
 
-  /** A >1.3x mover that stayed under the 1.5x hit trigger (r19 verdict
+  /** A >1.3x mover that stayed under the hit trigger (r19 verdict
     * item 2): fire-time VOLUMES only — alloc/tasks/in_rows/spill/peak —
     * no probe and no post-suite retry (those remain the hits' cost).
+    * "Under the hit trigger" means under EITHER of its gates, so `r`
+    * can legitimately exceed 1.5 here: a fast query whose ratio passed
+    * 1.5x but whose absolute excess stayed under the hit's 0.2 s floor
+    * lands in sub_hits (e.g. committed 0.2 s read at 0.35 s = r 1.8) —
+    * that is the absolute-floor case working as designed, not record
+    * corruption.
     * dedup_ngram_jaccard read 1.48x in r19 and the artifact carried no
     * context for it; this record makes every >1.3x mover adjudicable
     * on the deterministic axes without leaning on round history.
@@ -656,8 +664,16 @@ object Bench {
     // queries that died mid-run (see renderTotalOnly's fails doc)
     var failCount = 0
     var lastFailed = false
-    def materialize(name: String): (Double, Long, Long, Long, Long,
-        Long, Long, Long) = {
+    // `window` attributes an unquiesced volume reading to the window
+    // that actually produced it (own-diff review r20): "timed" records
+    // the bare name (the file-record tasks/in_rows maps are at stake),
+    // "retry" records "name:retry" (only the hit's rt_tk/rt_rec are
+    // tainted — the timed fire-time reading stays exact), "warmup"
+    // records nothing (warmup volumes never enter the record; flagging
+    // them made a degraded warmup discard a cleanly-quiesced TIMED
+    // reading — the exact reading the marker exists to protect).
+    def materialize(name: String, window: String = "timed"): (Double,
+        Long, Long, Long, Long, Long, Long, Long) = {
       // the volume window opens on a QUIESCED counter read — straggler
       // task-end events from anything since the close must charge
       // backwards, not to this query — reused from the previous close
@@ -698,7 +714,11 @@ object Bench {
       // dirties it
       val (tk1, rec1, sp1) = volumes()
       val pkMb = peakMem.get() / 1000000L
-      if (openUnquiesced || volUnquiesced) volDirtyNames += name
+      if (openUnquiesced || volUnquiesced) window match {
+        case "timed" => volDirtyNames += name
+        case "retry" => volDirtyNames += s"$name:retry"
+        case _ => // warmup: volumes unrecorded, taint nothing
+      }
       lastVol = (tk1, rec1, sp1)
       lastVolUnquiesced = volUnquiesced
       volDirty = false
@@ -751,13 +771,13 @@ object Bench {
     // warmup also builds the session-cached bucketed tables (the index
     // ingest), so its timed run below measures the exchange-free PROBE —
     // build and probe are no longer conflated in one number.
-    materialize("scan_pruned")
-    materialize("scan_bucketed_join")
+    materialize("scan_pruned", window = "warmup")
+    materialize("scan_bucketed_join", window = "warmup")
     // sql_dml_lifecycle's warmup pays the catalog/metastore first-touch
     // (Derby init on CREATE DATABASE) and the write-path codegen, which
     // otherwise all land on whichever sql_* query runs first
     // alphabetically and get misread as that query's cost.
-    materialize("sql_dml_lifecycle")
+    materialize("sql_dml_lifecycle", window = "warmup")
     // Text-pipeline first-touch (documents parquet footer + whole-stage
     // codegen of the tokenize/explode/hash/aggregate stages; profiled
     // 7.8 s cold vs 0.12 s warm at sf0.1) is paid by NEUTRAL probes over
@@ -888,7 +908,7 @@ object Bench {
       // reproduces" (BENCH_r16 under-cleared 4 of 6 capped hits)
       val (rtP50, _) = schedProbe()
       val (sec, rtGc, _, rtAl, rtTk, rtRec, rtSp, rtPk) =
-        materialize(h.q)
+        materialize(h.q, window = "retry")
       System.err.println(s"[bench] retry ${h.q}: ${fmt(sec)}s" +
         s" (probe ${fmt(rtP50)}, gc ${rtGc}ms, al ${rtAl}MB," +
         s" tk $rtTk, rec $rtRec, sp ${rtSp}MB, pk ${rtPk}MB)" +

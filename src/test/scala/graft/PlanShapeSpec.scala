@@ -372,9 +372,12 @@ class PlanShapeSpec extends SparkSuite {
       }.sum
     spark.catalog.clearCache()
     val badScans = Seq.newBuilder[String]
+    // hoisted: SparkEntry.queries is a def that rebuilds the full map
+    // (the Bench.scala idiom) — inside the loop it rebuilds 107 times
+    val queryFns = SparkEntry.queries
     val found = SparkEntry.selectNames(None).flatMap { n =>
       val (c, s2) = try {
-        val qe = SparkEntry.queries(n)(spark, sf).queryExecution
+        val qe = queryFns(n)(spark, sf).queryExecution
         (count(qe.optimizedPlan), scanTokenizeAll(qe))
       } catch { case e: Throwable => fail(s"$n failed to plan: $e") }
       if (s2 > 0) badScans += n

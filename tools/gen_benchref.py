@@ -179,6 +179,20 @@ def merge_median(out_path, run_paths):
         if ('"spill_mb":{' in s) != ('"peak_mb":{' in s):
             sys.exit(f"{p}: carries one of spill_mb/peak_mb without "
                      "the other — not a Bench-rendered record")
+        # unquiesced-window taint (own-diff review, r20): a record
+        # whose vol_dirty list is non-empty declared some of its own
+        # tasks/in_rows approximate — mediansing straggler-shifted
+        # counts into the committed volume baselines corrupts exactly
+        # the "identical counts = same work" adjudication backstop the
+        # merge exists to feed. A record with NO vol_dirty field is a
+        # pre-r20 format and carries no such self-declaration (the
+        # volume-axis all-or-none check below governs it).
+        m = re.search(r'"vol_dirty":\[([^\]]*)\]', s)
+        if m and m.group(1).strip():
+            sys.exit(f"{p}: vol_dirty is non-empty ([{m.group(1)}]) — "
+                     "its volume readings are self-declared approximate "
+                     "and cannot nominate committed baselines; re-record "
+                     "from a fully-quiesced window")
     merged = []
     for i, k in enumerate(keysets[0]):
         vals = sorted((pairs[i][1] for pairs, _, _, _ in runs), key=float)
