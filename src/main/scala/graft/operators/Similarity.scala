@@ -72,13 +72,28 @@ object Similarity extends QueryModule {
   private def emb(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorOps.register(s)
     val e = col("embedding")
+    // v is produced through explode(array(...)) — row-preserving
+    // (explode of a one-element array emits exactly one row, a NULL
+    // element included), NOT a plain alias: every consumer that drops
+    // NULL vectors (`.where(v.isNotNull)`, or a join inferring it)
+    // otherwise gets the predicate alias-substituted into the scan as
+    // `isnotnull(CASE ... transform(embedding, ...))`, re-running the
+    // 64-element widening per row in the filter stage before the
+    // projection runs it again (probe-found r20 — the
+    // pushdown-substitution class via the nullable vector alias, the
+    // embedding twin of the quality_buckets inferred-isnotnull case;
+    // NULL-ness here is semantic, so the non-nullable-coalesce guard
+    // does not apply). The Generate node blocks substitution of
+    // v-predicates only — vec_id/label predicates and column pruning
+    // still reach the scan.
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"),
-        when(e.isNull, lit(null).cast("array<double>"))
-          .when(size(e) === Dim, asDouble(e))
-          .otherwise(raise_error(format_string(
-            s"graft.Similarity: expected $Dim-dim embedding, got %d",
-            size(e)))).as("v"),
+        explode(array(
+          when(e.isNull, lit(null).cast("array<double>"))
+            .when(size(e) === Dim, asDouble(e))
+            .otherwise(raise_error(format_string(
+              s"graft.Similarity: expected $Dim-dim embedding, got %d",
+              size(e)))))).as("v"),
         col("label"))
   }
 

@@ -360,11 +360,19 @@ class PlanShapeSpec extends SparkSuite {
     // duplication. Intentional regex PREDICATES in this codebase are
     // rlike/regexp_like (never extract_all), so the sweep has no
     // legitimate hits to special-case.
+    // "lambdafunction" extends the pin to the HOF family (r20): the
+    // embedding widening (transform over 64 floats) was found
+    // substituted into five ANN-family scans via the inferred/explicit
+    // isnotnull on the nullable vector alias — fixed by the
+    // explode-of-singleton guard in Similarity.emb(). The intentional
+    // scan-side predicates in this codebase (md5 sampling membership,
+    // rlike policy filters) contain neither marker.
+    val costly = Seq("regexp_extract_all", "lambdafunction")
     def scanTokenize(p: SparkPlan): Int = p.collect {
       case sc: FileSourceScanExec
-          if sc.dataFilters.exists(_.toString.contains("regexp_extract_all")) => 1
+          if sc.dataFilters.exists(f => costly.exists(f.toString.contains)) => 1
       case f: org.apache.spark.sql.execution.FilterExec
-          if f.condition.toString.contains("regexp_extract_all") => 1
+          if costly.exists(f.condition.toString.contains) => 1
     }.sum
     def scanTokenizeAll(qe: org.apache.spark.sql.execution.QueryExecution): Int =
       scanTokenize(qe.sparkPlan) + qe.optimizedPlan.collectWithSubqueries {
@@ -384,9 +392,11 @@ class PlanShapeSpec extends SparkSuite {
       if (c > 0) Some(n -> c) else None
     }.toMap
     assert(badScans.result().isEmpty,
-      s"tokenize pushed into a scan-side DataFilter (the duplicated-" +
-        s"tokenize class) in: ${badScans.result()} — use the CASE-guard " +
-        "idiom at Dedup.ngramHashes instead of a size() filter")
+      s"expensive expression (tokenize or HOF) pushed into a scan-side " +
+        s"DataFilter/FilterExec (the duplicated-evaluation class) in: " +
+        s"${badScans.result()} — use the CASE-guard idiom at " +
+        "Dedup.ngramHashes or the explode-of-singleton guard at " +
+        "Similarity.emb() instead of filtering the projected alias")
     // The audited whitelist — every entry's input is metadata-scale,
     // proven by the census test above (data-derived bounds) or by
     // construction (a bounded take feeds the window):
