@@ -485,13 +485,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    val spark = Engine.semanticPins(SparkSession.builder()
+    // memoryPins (r21): plan-neutral per-task allocation-footprint pins
+    // (page size, sort-path shuffle writer) — see Engine.memoryPins.
+    // They change no query result and no plan shape; the timed region,
+    // warmup set, and methodology are unchanged.
+    val spark = Engine.memoryPins(Engine.semanticPins(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")))
       .getOrCreate()
     // ERROR, not WARN: the driver captures a BOUNDED tail of stdout, and
     // log4j shares that stream in this harness. In r10 eight harmless

@@ -8,10 +8,13 @@ object Verify {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query...]")
     val (sfDir, outDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Engine.semanticPins(SparkSession.builder()
+    // memoryPins: the same per-task allocation-footprint pins the bench
+    // session runs with (Engine.memoryPins) — plan-neutral, but the
+    // verify session should exercise the identical execution posture
+    val spark = Engine.memoryPins(Engine.semanticPins(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

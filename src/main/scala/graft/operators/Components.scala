@@ -225,7 +225,16 @@ object Components extends QueryModule {
   private[graft] def stagedCorpusEdges(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val corpus = ccCorpusTokens(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-    val raw = Dedup.shinglesFromTokens(corpus)
+    // re-fan the 3-branch union by doc_id before the shingle explode
+    // (r21): each prefix branch inherits the cached toks' 32 partitions,
+    // and without one coalescing exchange the persisted shingle relation
+    // carries 3×32 tiny partitions into every downstream consumer (the
+    // census, the cap anti-join, both self-join sides) — measured as a
+    // ~55% task-count inflation once the old distinct's exchange
+    // stopped providing the coalesce. Token arrays are 1 row/doc —
+    // strictly fewer rows than the exploded shingle exchange the r20
+    // shape paid at this spot.
+    val raw = Dedup.shinglesFromTokens(corpus.repartition(col("doc_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     raw.count()
     val sh = Dedup.cappedShingles(raw).persist(StorageLevel.MEMORY_AND_DISK)
@@ -252,7 +261,9 @@ object Components extends QueryModule {
     * duration and the capped result checkpointed before release.
     */
   private[graft] def jaccardEdges(corpusToks: DataFrame): DataFrame = {
-    val raw = Dedup.shinglesFromTokens(corpusToks)
+    // same pre-explode doc_id re-fan as stagedCorpusEdges (the two must
+    // stage identically or the crosscheck compares different plans)
+    val raw = Dedup.shinglesFromTokens(corpusToks.repartition(col("doc_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       raw.count()

@@ -114,34 +114,36 @@ object Dedup extends QueryModule {
     * whose prefix copies are token-array slices); skips the re-tokenize
     * and assumes the input is already fanned out past file parallelism.
     */
-  private[graft] def shinglesFromTokens(toks: DataFrame): DataFrame =
-    // the <3-token guard is a CASE inside the projected array, not a
-    // .filter: on an UNPERSISTED token input (shingles() over a raw
-    // scan) predicate pushdown substitutes the filter's alias and
-    // plants size(regexp_extract_all(...)) as a scan-side DataFilter —
-    // a second corpus-scale tokenize, run at file parallelism below
-    // the fan-out exchange (the ngramHashes note; observed in the
-    // executed plan, r19). Cached inputs (dedup_delta's btoks) are
-    // indifferent — the CASE reads the cached column exactly like the
-    // filter did.
-    toks.select(col("doc_id"), explode(expr(
-        "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t)-3), " +
-          "i -> xxhash64(t[i], t[i+1], t[i+2])) " +
-          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("s"))
+  private[graft] def shinglesFromTokens(toks: DataFrame): DataFrame = {
+    // Native distinct-n-gram-hash kernel (r21, guide §5): the old
+    // CASE-guarded transform/xxhash64 HOF was interpreted per WINDOW
+    // (boxed index + boxed hash + the sequence index array per row),
+    // and the row-level `.distinct()` that followed was a corpus-scale
+    // hash aggregate whose only duplicates are within one document's
+    // windows (every caller feeds one row per doc_id) — the in-row
+    // sort+unique inside the expression produces the identical row set
+    // with one primitive long[] per row instead. The <3-token guard
+    // also lives inside the expression (empty array → explode drops),
+    // so the r19 pushdown-substitution hazard has no filter to
+    // substitute.
+    graft.functions.NgramHash.register(toks.sparkSession)
+    toks.select(col("doc_id"),
+        explode(graft.functions.NgramHash.distinctNgramHashes(col("t"), 3))
+          .as("s"))
       // Deliberately NO explicit repartition(s) here, although one
-      // exchange on s could in principle be reused by the distinct, the
-      // df census, and the inverted-index self-join (subset rule): a
-      // raw-occurrence exchange keyed on s alone would funnel EVERY
-      // occurrence of a stop-shingle into one unsplittable partition
+      // exchange on s could in principle be reused by the df census and
+      // the inverted-index self-join (subset rule): a raw-occurrence
+      // exchange keyed on s alone would funnel EVERY occurrence of a
+      // stop-shingle into one unsplittable partition
       // (RepartitionByExpression is not AQE-skew-splittable) BEFORE the
       // df cap can drop it. The declarative plan is skew-safe at every
-      // step: the distinct's (doc_id, s) exchange spreads a hot shingle
+      // step: the inherited doc_id partitioning spreads a hot shingle
       // across doc_ids, the census reaches its s-exchange through a
       // map-side partial count (≤ one row per shingle per partition
       // moves), and the only exchanges keyed solely on s happen
       // POST-cap, where df ≤ maxShingleDf bounds any partition's load.
       // PlanShapeSpec pins this shape.
-      .distinct()
+  }
 
   /** SQL expression producing the word n-gram hash ARRAY from a token
     * array column named `t` — the single definition shared by the batch
@@ -158,22 +160,21 @@ object Dedup extends QueryModule {
     * (decontamination wants LONG n-grams, where a match means real
     * shared text, not shared vocabulary).
     *
-    * The short-doc guard is a CASE inside the projected array, NOT a
-    * `.filter(size(t) >= n)`: on an unpersisted token relation (the
-    * cache-independent decontaminate shape) predicate pushdown
-    * SUBSTITUTES the filter's alias — `size(regexp_extract_all(...))`
-    * lands as a scan-side DataFilter, re-running the corpus-scale
-    * tokenize a second time AND at file parallelism, below the fan-out
-    * exchange `tokens` exists to provide (observed in the executed
-    * plan, r19). The CASE keeps exactly one tokenize per row, inside
-    * the post-exchange project; explode of the empty array drops the
-    * short docs just like the filter did.
+    * Same native kernel as [[shinglesFromTokens]] (r21): the short-doc
+    * guard lives inside the expression (empty array → explode drops the
+    * short docs), so the r19 pushdown-substitution hazard — a
+    * `.filter(size(t) >= n)` alias substituted into the scan as
+    * `size(regexp_extract_all(...))`, re-running the corpus-scale
+    * tokenize below the fan-out exchange — has no filter to substitute;
+    * and the per-doc `.distinct()` is the in-row sort+unique (every
+    * caller feeds one row per doc_id).
     */
-  private def ngramHashes(toks: DataFrame, n: Int): DataFrame =
-    toks.select(col("doc_id"), explode(expr(
-        s"CASE WHEN size(t) >= $n THEN ${ngramHashArrExpr(n)} " +
-          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("h"))
-      .distinct()
+  private def ngramHashes(toks: DataFrame, n: Int): DataFrame = {
+    graft.functions.NgramHash.register(toks.sparkSession)
+    toks.select(col("doc_id"),
+      explode(graft.functions.NgramHash.distinctNgramHashes(col("t"), n))
+        .as("h"))
+  }
 
   /** THE tokenizer (lowercased whitespace tokens) — one definition
     * shared by the batch staging below and the streaming twin
@@ -271,6 +272,16 @@ object Dedup extends QueryModule {
   /** Count-based exact Jaccard over pairs sharing ≥1 shingle: candidate
     * counts and set sizes in plain integer arithmetic — no per-pair
     * array materialization.
+    *
+    * The r21 round A/B-tested replacing this self-join with a
+    * `groupBy(s) → collect_list(doc_id) → in-row pair kernel` shape
+    * (one s-exchange instead of a shuffled self-join) and REJECTED it
+    * on measurement: the per-pair boxed struct rows and the
+    * collect_list buffer churn allocated ~3 GB MORE per run than the
+    * sort-merge join machinery they replaced (dedup_components 8.8 →
+    * 12.3 GB, dedup_ngram_jaccard 1.6 → 3.8 s at sf0.1), and the join
+    * additionally keeps the spillable-group guarantee for pathological
+    * buckets. Guide §1.1: the "ideal" plan lost to the empirical loop.
     */
   private[graft] def countJaccard(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -735,7 +746,17 @@ object Dedup extends QueryModule {
         // persist FIRST (the dedup_ngram_jaccard / stagedCorpusEdges
         // convention): the df census and the anti-join probe both read
         // the explode output, which would otherwise run twice.
-        val rawAll = shinglesFromTokens(btoks.unionByName(batchToks))
+        // The union is re-fanned by doc_id BEFORE the shingle explode
+        // (r21): its four branches each inherit btoks' 32 cached
+        // partitions, and without one coalescing exchange the persisted
+        // shingle relation carries 4×32 tiny partitions into every
+        // downstream consumer — measured as an ~80% task-count (and
+        // per-task fixed-allocation) inflation once the old distinct's
+        // exchange stopped providing the coalesce. One token-array
+        // exchange (1 row/doc) is strictly fewer rows than the exploded
+        // shingle exchange the r20 shape paid here.
+        val rawAll = shinglesFromTokens(
+            btoks.unionByName(batchToks).repartition(col("doc_id")))
           .persist(StorageLevel.MEMORY_AND_DISK)
         rawAll.count()
         val shAll = cappedShingles(rawAll)

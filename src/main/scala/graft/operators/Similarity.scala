@@ -190,10 +190,21 @@ object Similarity extends QueryModule {
         types.StructField("i", types.IntegerType)))))
     else array(cents.toIndexedSeq.map {
       case (id: Int, c: Seq[Double]) =>
-        val c2 = c.map(x => x * x).sum
+        // |c|² as graft_dot(c, c) over the ARRAY literal, not a
+        // precomputed lit(double) (r21): a primitive double literal is
+        // INLINED into the generated source, so every Lloyd iteration's
+        // new centroid values produced brand-new codegen source — a
+        // full Janino compile per iteration charged to ann_ivf /
+        // dedup_semantic every run. Array literals land in the codegen
+        // references array instead, so all iterations (and the final
+        // assignment) share ONE compiled class. Identical doubles:
+        // graft_dot's in-order fold over (c, c) is exactly the
+        // Σ xᵢ·xᵢ left-fold the Scala-side sum computed (and the same
+        // fold the oracle's list_dot_product(cv, cv) replays).
         // named_struct: field names survive array_sort/slice, plain
         // struct aliases do not
-        named_struct(lit("d"), lit(c2) - lit(2.0) * dotLit(v, c),
+        named_struct(lit("d"),
+          dotLit(typedLit(c), c) - lit(2.0) * dotLit(v, c),
           lit("i"), lit(id))
     }: _*)
 

@@ -233,4 +233,46 @@ class DedupSpec extends SparkSuite {
     assert(df.select(graft.operators.TextOps.wsTokens(col("text")))
       .head.getInt(0) == 2)
   }
+
+  test("graft_ngram_hashes == built-in xxhash64 window chain + distinct (r21 kernel pin)") {
+    // The native kernel (NgramHash.distinctWindowHashes) replaced the
+    // interpreted `CASE … transform(sequence, i -> xxhash64(t[i], …))`
+    // HOF + row-level `.distinct()` in shinglesFromTokens/ngramHashes.
+    // Pin the value-set equivalence per (doc_id, n) against the
+    // built-in chain over the real corpus, so a seed/chaining drift in
+    // the kernel is a red test here, not an oracle mismatch later.
+    import graft.operators.Dedup
+    val toks = Dedup.tokens(Tables.load(spark, sf, "documents"))
+    graft.functions.NgramHash.register(spark)
+    for (n <- Seq(3, 8)) {
+      val kernel = toks.select(col("doc_id"),
+        explode(graft.functions.NgramHash.distinctNgramHashes(col("t"), n))
+          .as("h"))
+      val builtin = toks.select(col("doc_id"), explode(expr(
+          s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
+            s"i -> xxhash64(${(0 until n).map(j => s"t[i+$j]").mkString(",")})) " +
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("h"))
+        .distinct()
+      assert(kernel.exceptAll(builtin).isEmpty
+          && builtin.exceptAll(kernel).isEmpty,
+        s"kernel n=$n diverges from the built-in chain")
+    }
+    // edge semantics: short arrays drop on explode (empty array), a
+    // NULL array yields NULL (explode drops the row), NULL elements
+    // pass the seed through unchanged — the xxhash64 null contract
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq("a", "b")),             // shorter than n=3 → no rows
+      (2L, Seq[String](null, "x", "y")) // null element skipped in chain
+    ).toDF("doc_id", "t")
+    val got = edge.select(col("doc_id"),
+      explode(graft.functions.NgramHash.distinctNgramHashes(col("t"), 3))
+        .as("h"))
+    val want = edge.select(col("doc_id"),
+      explode(expr("CASE WHEN size(t) >= 3 THEN " +
+        "transform(sequence(0, size(t)-3), i -> xxhash64(t[i], t[i+1], t[i+2])) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("h")).distinct()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.filter(col("doc_id") === 1L).count() == 0)
+  }
 }
