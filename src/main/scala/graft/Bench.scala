@@ -444,6 +444,15 @@ object Bench {
       val hc = mb(h0)
       s"""["${hc.q}",${fmt1(hc.r)},${fmt(hc.p50)},${hc.gc},${hc.io},${hc.al},${hc.tk},${hc.rec},${hc.sp},${hc.pk},${renderRetryCtx(hc)}]"""
     }.mkString("[", ",", "]")
+    // names-only overflow (r20 verdict item 7): when the cap is
+    // saturated, `hn` says how many hits the cap hid but not WHICH —
+    // in BENCH_r20 the 6th hit's identity fell out of the artifact
+    // entirely. Three clamped names cost ~70 worst-case bytes (funded
+    // inside the 2000-byte budget, re-proven by BenchFormatSpec); a
+    // storm beyond cap+3 still loses names 9+, but the file record
+    // always carries every hit in full.
+    val over = hits.sortBy(-_.r).slice(maxHits, maxHits + 3)
+      .map(h => "\"" + h.q.take(20) + "\"").mkString("[", ",", "]")
     // sub-hit entries (r19 verdict item 2) fill the SLOTS the hits left
     // unused — one shared budget, so the worst tail case stays the
     // all-hits one (a hit entry is ~2x a sub entry) and a 5-hit storm
@@ -455,7 +464,7 @@ object Bench {
       .map { s =>
         s"""["${s.q}",${fmt1(s.r)},${clampVol(s.al, 99999L)},${clampVol(s.tk, 999999L)},${clampVol(s.rec, 999999999L)},${clampVol(s.sp, 99999L)},${clampVol(s.pk, 99999L)}]"""
       }.mkString("[", ",", "]")
-    s"""{"sm":$sm,"hn":${hits.size},"hits":$hs,"sn":${subs.size},"sub":$ss}"""
+    s"""{"sm":$sm,"hn":${hits.size},"hits":$hs,"over":$over,"sn":${subs.size},"sub":$ss}"""
   }
 
   /** Tail-line volume clamp (sentinels pass through untouched). */

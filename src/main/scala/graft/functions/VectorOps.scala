@@ -38,6 +38,19 @@ case class DotProduct(left: Expression, right: Expression)
   // (without this override codegen would assign into a false literal)
   override def nullable: Boolean = true
 
+  // Deliberately NON-foldable (r21): an all-literal dot — centDists'
+  // |c|² = graft_dot(cv, cv) over the centroid array literal — must
+  // SURVIVE ConstantFolding, or the optimizer folds it to a primitive
+  // double that codegen inlines into the generated source, and every
+  // Lloyd iteration's new centroid values then produce brand-new
+  // source = a full Janino compile per iteration (the exact cost the
+  // array-literal form exists to avoid — array literals land in the
+  // codegen references array, keeping the source identical across
+  // iterations). Cost: a 64-element literal-literal dot evaluates per
+  // row (~64 flops) instead of once — noise next to the per-row v·c
+  // dots beside it; no other call site passes two literals.
+  override def foldable: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(DoubleType, _) => true

@@ -167,13 +167,21 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.clampVol(-1L, 999999L) == -1L)
     assert(Bench.clampVol(-2L, 999999L) == -2L)
     // sm + hits array + 5 entries + each entry's retry-context array +
-    // the (empty) sub array
-    assert(capped.count(_ == '[') == 1 + 1 + 5 + 5 + 1,
+    // the over array + the (empty) sub array
+    assert(capped.count(_ == '[') == 1 + 1 + 5 + 5 + 1 + 1,
       s"hit cap not applied: $capped")
-    assert(capped.length < 960, s"capped probe line too long: ${capped.length}")
+    // overflow names (r20 verdict item 7): the 6th+ hits' IDENTITIES
+    // survive the cap as a names-only list — 3 clamped names, so a
+    // 20-hit storm still says which queries sat just past the cap
+    // (entries are ratio-sorted DESC, so the overflow names are hits
+    // 6-8 — i = 15, 14, 13 — each clamped to 20 chars, which here cuts
+    // the distinguishing suffix: the clamp bounds bytes, the file
+    // record keeps full names)
+    assertFragments(capped, Seq(""""over":["query_with_a_long_na","query_with_a_long_na","query_with_a_long_na"]"""))
+    assert(capped.length < 1040, s"capped probe line too long: ${capped.length}")
     // healthy run: empty hits, still parseable
     assertFragments(Bench.renderProbeContext(mids, Nil),
-      Seq("\"hn\":0", "\"hits\":[]", "\"sn\":0", "\"sub\":[]"))
+      Seq("\"hn\":0", "\"hits\":[]", "\"over\":[]", "\"sn\":0", "\"sub\":[]"))
     // sub-hit entries (r19 verdict item 2) fill ONLY the slots the
     // hits left: with 20 hits saturating the cap, none of the subs
     // appear, but sn still records the true count...
