@@ -13,6 +13,15 @@ import org.apache.spark.storage.StorageLevel
   * methodology as Bench.materialize: ThreadMXBean allocated-bytes delta
   * + gc delta + task-count delta around a noop write, clearCache +
   * System.gc() between stages.
+  *
+  * DRIFT WARNING (the ADVICE r20 rule): stage isolation requires
+  * hand-copying pipeline fragments (the minhash signature/band/verify
+  * stages below mirror Dedup.scala's dedup_minhash_lsh body; the
+  * delta stages mirror dedup_delta's). If a production stage changes,
+  * update the copy here or the profiler measures a different pipeline
+  * — the FULL-query stages at each section's end run the real
+  * SparkEntry query and act as the cross-check (a copy that drifts
+  * shows up as stage times that no longer add up to the full query).
   */
 object ProfileAllocStages {
   def main(args: Array[String]): Unit = {

@@ -57,8 +57,15 @@ object ProfileEdgesJoin {
     sh.count()
     raw.unpersist(blocking = false)
 
-    // current shape (countJaccard) vs SHUFFLE_HASH-hinted twin
-    def edgesVia(b: DataFrame): DataFrame = {
+    // Unhinted arm = the PRODUCTION definition (ADVICE r20: a hand
+    // copy here could silently drift from countJaccard and measure a
+    // different relation); only the hinted twin is hand-built, and its
+    // body must mirror Dedup.countJaccard line for line.
+    def edgesOff: DataFrame = Dedup.countJaccard(sh)
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    def edgesHinted: DataFrame = {
+      val b = sh.hint("shuffle_hash")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val common = sh.as("a")
         .join(b.as("b"),
@@ -73,12 +80,20 @@ object ProfileEdgesJoin {
         .filter(col("jac") >= 0.8)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     }
-    val smj = edgesVia(sh)
-    val shj = edgesVia(sh.hint("shuffle_hash"))
-    println("[prof] SMJ plan: " + (if (smj.queryExecution.sparkPlan.toString
-      .contains("SortMergeJoin")) "SortMergeJoin" else "?"))
-    println("[prof] SHJ plan: " + (if (shj.queryExecution.sparkPlan.toString
-      .contains("ShuffledHashJoin")) "ShuffledHashJoin" else "?"))
+    // Label check counts JOIN NODES per strategy instead of a bare
+    // contains() (ADVICE r20: the sizes joins are always SortMergeJoin
+    // at this stats shape, so contains("SortMergeJoin") could print
+    // "SMJ" even if the shingle self-join were not); the shingle join
+    // flipping SMJ→SHJ shows up as the count moving, and these are
+    // pre-execution sparkPlans (initial under AQE — the executed-plan
+    // probe below is the authoritative one).
+    def joinCounts(df: DataFrame): String = {
+      val p = df.queryExecution.sparkPlan.toString
+      Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        .map(n => s"$n×${n.r.findAllIn(p).size}").mkString(" ")
+    }
+    println("[prof] initial plan (off):    " + joinCounts(edgesOff))
+    println("[prof] initial plan (hinted): " + joinCounts(edgesHinted))
 
     // A/B the AQE runtime rewrite (maxShuffledHashJoinLocalMapThreshold)
     // on the UNHINTED plan: same declarative SMJ, AQE converts to SHJ
@@ -88,26 +103,38 @@ object ProfileEdgesJoin {
     // df's executedPlan would print the unexecuted initial plan.
     val K = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
     def joinNodes(df: DataFrame): String = {
-      df.collect()
+      // execute through the df's own QueryExecution WITHOUT pulling the
+      // relation to the driver (ADVICE r20: collect() of the full edge
+      // relation OOMs the driver if SPARK_GRAFT_SF_DIR points at a
+      // larger scale) — foreach materializes executor-side only and
+      // still finalizes the adaptive executedPlan
+      df.foreach(_ => ())
       val p = df.queryExecution.executedPlan.toString
       Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-        .filter(p.contains).mkString("+")
+        .map(n => s"$n×${n.r.findAllIn(p).size}").mkString(" ")
     }
     spark.conf.set(K, "0")
-    println("[prof] executed joins (off):  " + joinNodes(edgesVia(sh)))
+    println("[prof] executed joins (off):  " + joinNodes(edgesOff))
     spark.conf.set(K, "128m")
-    println("[prof] executed joins (128m): " + joinNodes(edgesVia(sh)))
+    println("[prof] executed joins (128m): " + joinNodes(edgesOff))
 
     // paired timing with ALTERNATING order (odd reps run off first,
-    // even reps run 128m first) so a settling host cannot bias one arm
-    def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
+    // even reps run 128m first) so a settling host cannot bias one arm.
+    // med: true median — the two middle values AVERAGE on even n
+    // (ADVICE r20: the upper-middle pick positionally biased every
+    // even-rep-count reading in the r20 notes)
+    def med(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     var (ta, tb) = (List.empty[Double], List.empty[Double])
     def runOff(rep: Int) = { spark.conf.set(K, "0")
       ta ::= time(s"edges off  rep$rep") {
-        edgesVia(sh).write.format("noop").mode("overwrite").save() } }
+        edgesOff.write.format("noop").mode("overwrite").save() } }
     def run128(rep: Int) = { spark.conf.set(K, "128m")
       tb ::= time(s"edges 128m rep$rep") {
-        edgesVia(sh).write.format("noop").mode("overwrite").save() } }
+        edgesOff.write.format("noop").mode("overwrite").save() } }
     for (rep <- 1 to 6) {
       if (rep % 2 == 1) { runOff(rep); run128(rep) }
       else { run128(rep); runOff(rep) }

@@ -28,15 +28,10 @@ object ProfileMinhash {
     val corpus = norm.unionByName(
       norm.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
 
-    val sh = corpus.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(graft.operators.TextOps.NonWsToken), lit(0)).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), " +
-          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s_str"))
-      .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
-      .distinct()
+    // PRODUCTION staging (ADVICE r20 drift rule: a hand copy here once
+    // measured the retired string-shingle pipeline instead of the real
+    // one) — Dedup.shingles is the definition every dedup query runs
+    val sh = graft.operators.Dedup.shingles(corpus)
       .persist(StorageLevel.MEMORY_AND_DISK)
     time("shingles materialize")(sh.count())
 
@@ -82,15 +77,7 @@ object ProfileMinhash {
       .filter(col("jac") >= 0.7)
     time("verify+final")(fin.write.format("noop").mode("overwrite").save())
     time("verify+final 2nd")(fin.write.format("noop").mode("overwrite").save())
-    val sh2 = corpus.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(graft.operators.TextOps.NonWsToken), lit(0)).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), " +
-          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s_str"))
-      .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
-      .distinct()
+    val sh2 = graft.operators.Dedup.shingles(corpus)
     time("shingles 2nd (no persist)")(sh2.write.format("noop").mode("overwrite").save())
     val sig2 = sh2.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     time("signatures 2nd")(sig2.write.format("noop").mode("overwrite").save())
